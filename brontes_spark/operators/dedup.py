@@ -1,0 +1,153 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+The reference deduplicates semantically (coverage dedup, T6/C9 — SURVEY.md
+§2.3); a 100 TB text corpus needs the content-similarity family as well:
+
+  * exact_dedup          — hash-groupBy on a content fingerprint
+  * ngram_jaccard_pairs  — exact n-gram Jaccard via inverted shingle index
+  * minhash_lsh_pairs    — MinHash signatures + banded LSH candidate pairs
+  * simhash              — 32-bit SimHash fingerprint per document
+
+Scale design: every algorithm is join/group-only (no driver loops, no UDFs).
+The inverted-index Jaccard shuffles one row per (shingle, doc) — with a
+blocking key to bound candidate pairs. MinHash/LSH turns all-pairs similarity
+into an equality join on (band, signature): the canonical way to near-dedup
+at 100 TB because candidate generation is a hash shuffle, not O(n²). Hashes
+are md5-derived (functions/hashing.py) so DuckDB oracles reproduce them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import ws_tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
+    """Groups by content fingerprint: canonical (min) id + duplicate count."""
+    return (
+        df.withColumn("fingerprint", fingerprint)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (id, shingle)."""
+    return (
+        df.select(F.col(id_col).alias("id"), word_ngrams(ws_tokens(F.col(text_col)), n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams, within a blocking key.
+
+    Plan: shingle-explode (distinct) → self-join on (block, shingle) with
+    id_a < id_b → group to intersection size → join per-doc set sizes →
+    jac = inter / (|A| + |B| - inter). Integer sizes → exact; the final
+    division is a single double op, deterministic everywhere.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            word_ngrams(ws_tokens(F.col(text_col)), n).alias("sh"),
+        )
+        .select("id", "blk", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("blk"), F.col("shingle"), F.col("id").alias("id_a"))
+    b = sh.select(F.col("blk"), F.col("shingle"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Signature h_i(doc) = min over shingles of md5_long(i || '|' || shingle);
+    band signature = md5 of the ordered 'h' values in the band; candidates =
+    distinct (id_a < id_b) sharing any (band, signature) bucket.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select("id", "shingle", seeds).withColumn(
+        "hv", md5_long(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+    )
+    sig = hashed.groupBy("id", "seed").agg(F.min("hv").alias("mh"))
+    banded = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("vals"))
+        .withColumn(
+            "band_sig",
+            F.md5(F.concat_ws(",", F.transform(F.col("vals"), lambda s: s["mh"].cast("string")))),
+        )
+        .select("id", "band", "band_sig")
+    )
+    a = banded.select("band", "band_sig", F.col("id").alias("id_a"))
+    b = banded.select("band", "band_sig", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint over whitespace tokens (with
+    multiplicity): bit b of the fingerprint is set iff the signed sum of
+    token-hash bit b over all tokens is positive.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("hv", md5_long(F.col("tok"), chars=15))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = toks.select("id", "hv", bit_idx).withColumn(
+        "signed",
+        F.when(F.shiftright(F.col("hv"), F.col("b").cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    return (
+        contrib.groupBy("id", "b")
+        .agg(F.sum("signed").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(F.lit(0).cast("long")))
+        .groupBy("id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * cosine_topk — brute-force exact top-k: the correctness baseline. The dot
+    products and norms run in exact decimal so ranking is engine-deterministic
+    (float-sum order never matters).
+  * lsh_buckets — random-hyperplane LSH bucketing: the 100 TB path. Each
+    vector maps to a small integer bucket via sign projections on
+    md5-seeded ±1 hyperplanes; ANN then probes only same-bucket candidates —
+    an equality join on bucket id instead of an n² cross join.
+
+Both are pure DataFrame plans (posexplode + join + group), no UDFs: at scale
+the dominant cost is the candidate-pair shuffle, which LSH bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.decimals import dec9
+from ..functions.hashing import md5_bit
+
+
+def _components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, pos, comp decimal(18,9)) — exploded exact components."""
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "c")
+    ).withColumn("comp", dec9(F.col("c"))).drop("c")
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    sim_round: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for rows matching ``query_pred``.
+
+    Returns (query_id, rnk, neighbor_id, sim) with sim rounded for stable
+    cross-engine ranking; ties broken by neighbor id.
+    """
+    comp = _components(df, id_col, vec_col)
+    norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
+    qids = df.filter(query_pred).select(F.col(id_col).alias("qid"))
+    q = comp.join(qids, comp["id"] == qids["qid"], "inner").select(
+        F.col("qid"), F.col("pos"), F.col("comp").alias("qc")
+    )
+    dots = (
+        q.join(comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc")), "pos")
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("id").alias("qid"), F.col("n2").alias("qn2")), "qid")
+        .join(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2")), "cid")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+                sim_round,
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rnk",
+            F.col("cid").alias("neighbor_id"),
+            "sim",
+        )
+    )
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH: bucket = bits of sign(v · h_j), j < planes.
+
+    Hyperplane component h_j[d] ∈ {+1, -1} derives from md5(j || '-' || d) —
+    reproducible in any engine. Projections are exact decimal sums, so the
+    sign (and therefore the bucket) is deterministic.
+    """
+    comp = _components(df, id_col, vec_col)
+    plane_idx = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane")
+    proj = (
+        comp.select("id", "pos", "comp", plane_idx)
+        .withColumn(
+            "sign",
+            F.when(
+                md5_bit(
+                    F.concat(F.col("plane").cast("string"), F.lit("-"), F.col("pos").cast("string"))
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("comp") * F.col("sign")).alias("p"))
+    )
+    return (
+        proj.withColumn(
+            "bitval",
+            F.when(F.col("p") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("plane").cast("int"))).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").cast("long").alias("bucket"))
+        .select(F.col("id"), F.col("bucket"))
+    )

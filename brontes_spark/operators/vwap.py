@@ -1,0 +1,73 @@
+"""Expanding-window VWAP — reference operator X4 (SURVEY.md §2.5), the
+markout pricing core of the CEX-DEX inspector
+(`crates/brontes-database/.../db/cex/trades/time_window_vwam.rs:94-520`).
+
+Reference semantics: around an anchor timestamp, grow an asymmetric window in
+(pre_step, post_step) increments until accumulated trade volume covers the
+required volume, then VWAP the trades inside the final window.
+
+Spark-first reformulation (no iteration — SURVEY.md §4 item 2): a bounded
+range join pulls all candidate ticks inside the *maximum* window once; each
+tick gets its "step" = the smallest window expansion that would include it;
+a per-anchor running sum over steps finds the cutoff step (first step whose
+cumulative volume covers the requirement); the VWAP aggregates ticks with
+step <= cutoff. One range join + one window + one aggregation — wall-clock
+bounded by the max window, independent of how many expansion steps occur.
+
+All volumes/prices are exact decimals → deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def expanding_vwap(
+    anchors: DataFrame,   # anchor_id, key, anchor_ts, required_vol (decimal)
+    ticks: DataFrame,     # key, tick_ts, price (decimal), vol (decimal), tick_id
+    pre_step: int,
+    post_step: int,
+    max_steps: int,
+) -> DataFrame:
+    """Returns anchor_id, cutoff_step, vwap (double), covered_vol (double).
+
+    Anchors whose max window never covers required_vol are dropped (the
+    reference returns None for them — `time_window_vwam.rs` walker exhaustion).
+    """
+    j = anchors.join(ticks, on="key").filter(
+        (F.col("tick_ts") >= F.col("anchor_ts") - F.lit(pre_step * max_steps))
+        & (F.col("tick_ts") <= F.col("anchor_ts") + F.lit(post_step * max_steps))
+    )
+    step = F.when(
+        F.col("tick_ts") <= F.col("anchor_ts"),
+        F.ceil((F.col("anchor_ts") - F.col("tick_ts")).cast("double") / F.lit(float(pre_step))),
+    ).otherwise(
+        F.ceil((F.col("tick_ts") - F.col("anchor_ts")).cast("double") / F.lit(float(post_step)))
+    )
+    j = j.withColumn("step", F.greatest(F.lit(1), step).cast("int"))
+
+    per_step = j.groupBy("anchor_id", "required_vol", "step").agg(
+        F.sum("vol").alias("svol"),
+        F.sum(F.col("price") * F.col("vol")).alias("spv"),
+    )
+    w = W.partitionBy("anchor_id").orderBy("step")
+    per_step = per_step.withColumn("cum_vol", F.sum("svol").over(w))
+    cutoff = (
+        per_step.withColumn(
+            "hit_step",
+            F.when(F.col("cum_vol") >= F.col("required_vol"), F.col("step")),
+        )
+        .groupBy("anchor_id")
+        .agg(F.min("hit_step").alias("cutoff_step"))
+        .filter(F.col("cutoff_step").isNotNull())
+    )
+    return (
+        per_step.join(cutoff, "anchor_id")
+        .filter(F.col("step") <= F.col("cutoff_step"))
+        .groupBy("anchor_id", "cutoff_step")
+        .agg(
+            (F.sum("spv").cast("double") / F.sum("svol").cast("double")).alias("vwap"),
+            F.sum("svol").cast("double").alias("covered_vol"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Window kernels backing several reference operators (SURVEY.md §2):
+
+  * grid_downsample — S3: nearest-sample-per-grid-cell downsampling, the CEX
+    quote 1-second grid (`clickhouse/queries/raw_cex_quotes.sql` argMin).
+  * rank_by_group   — S4: per-group ranking by measure (most-liquid-exchange,
+    `queries/most_volume_pair_exchange.sql`).
+  * keep_largest    — A7/O3: keep the dominant row per key (bundle dedup,
+    `mev_inspectors/shared_utils.rs:655-710`; composer precedence
+    `composer/mev_filters.rs:32-110`).
+  * window_dedup    — C9: duplicate elimination keeping the first occurrence
+    (`tree_builder/tree_pruning.rs` remove_possible_transfer_double_counts).
+
+All are single-shuffle window/group plans; determinism comes from total
+orderings (every orderBy ends in a unique id column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def grid_downsample(
+    df: DataFrame,
+    keys: Sequence[str],
+    grid: Column,
+    distance: Column,
+    tiebreak: str,
+) -> DataFrame:
+    """One row per (keys, grid cell): the row minimizing (distance, tiebreak)."""
+    d = df.withColumn("__cell", grid).withColumn("__dist", distance)
+    w = W.partitionBy(*keys, "__cell").orderBy(F.col("__dist").asc(), F.col(tiebreak).asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__dist")
+        .withColumnRenamed("__cell", "grid_cell")
+    )
+
+
+def rank_by_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: Column,
+    tiebreak: str,
+    top_k: int | None = None,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    order = [measure.desc(), F.col(tiebreak).asc()]
+    w = W.partitionBy(*keys).orderBy(*order) if keys else W.orderBy(*order)
+    out = df.withColumn(rank_col, F.row_number().over(w))
+    return out.filter(F.col(rank_col) <= top_k) if top_k else out
+
+
+def keep_largest(
+    df: DataFrame, keys: Sequence[str], measure: Column, tiebreak: str
+) -> DataFrame:
+    """Dominant-row-per-key: rank desc by measure, tiebreak asc, keep rank 1."""
+    w = W.partitionBy(*keys).orderBy(measure.desc(), F.col(tiebreak).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def window_dedup(df: DataFrame, keys: Sequence[str], order: Sequence[str]) -> DataFrame:
+    """Keep the first row per key set under the (ascending) ordering."""
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

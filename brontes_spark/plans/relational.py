@@ -1,0 +1,433 @@
+"""Relational-kernel queries (SURVEY.md §2.9 checklist) over the testdata
+star schema. Each query instantiates reference operators — filters/projections
+(T1), semi/anti joins (T8/T6), broadcast dimension joins (C1/A3-style),
+hash aggregations (A1/C11/O4/O5), dominant-row dedup (A7/O3) — as declarative
+DataFrame plans with DuckDB oracle twins.
+
+Scale notes apply to all: dimension tables (region/nation/supplier/part at
+TPC-H ratios) are broadcast; fact-fact joins shuffle on their keys with AQE
+handling skew; aggregates use exact decimals (functions/decimals.py) so
+results are partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.decimals import dec, to_dbl
+from ..operators.accounting import delta_accounting
+from ..operators.windows import keep_largest, rank_by_group
+from ..sources.testdata import load_table
+from .registry import register
+
+# (1 - discount) / (1 + tax) style factors: precision 8 keeps every decimal
+# product below precision 38 → no intermediate rounding (see decimals.py).
+_FACTOR = "decimal(8,6)"
+
+
+def _disc_price():
+    return dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(_FACTOR)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6)) * CAST(1 + l_tax AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="§2.9 aggregations; O5-style wide agg (db/block_analysis.rs:22+)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp_ntz(F.lit("1998-09-02"))
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        to_dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        to_dbl(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+        to_dbl(F.sum(_disc_price())).alias("sum_disc_price"),
+        to_dbl(
+            F.sum(_disc_price() * (F.lit(1) + F.col("l_tax")).cast(_FACTOR))
+        ).alias("sum_charge"),
+        (to_dbl(F.sum(dec("l_quantity"))) / cnt).alias("avg_qty"),
+        (to_dbl(F.sum(dec("l_extendedprice"))) / cnt).alias("avg_price"),
+        (to_dbl(F.sum(dec("l_discount"))) / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "t1_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,6)) AS DOUBLE) AS disc_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    survey_ref="T1 collect/predicates (tree/mod.rs:217-247, search_args.rs:13-228)",
+)
+def t1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1994-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1995-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        to_dbl(dec("l_extendedprice") * F.col("l_discount").cast(_FACTOR)).alias("disc_revenue"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    survey_ref="§2.9 scalar agg; A6 gas accounting arithmetic (tree/root.rs:362-380)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1994-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1995-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        to_dbl(F.sum(dec("l_extendedprice") * F.col("l_discount").cast(_FACTOR))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q3_top_urgent",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS rev
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rev DESC, l_orderkey ASC) AS rn FROM rev
+    )
+    SELECT l_orderkey, orderdate, o_orderpriority, CAST(CAST(rev AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM ranked WHERE rn <= 10
+    """,
+    survey_ref="§2.9 joins + top-k (O6 ordering composer/mod.rs:185-186)",
+)
+def q3_top_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp_ntz(F.lit("1995-03-15"))
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    top = rank_by_group(rev, [], F.col("rev"), "l_orderkey", top_k=10, rank_col="rn")
+    return top.select(
+        "l_orderkey", "orderdate", "o_orderpriority", to_dbl("rev").alias("revenue")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE year(o_orderdate) = 1996
+    GROUP BY n_name
+    """,
+    survey_ref="§2.9 multi-join w/ broadcast dims (C1 dispatch join pattern)",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            to_dbl(F.sum(_disc_price())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+      CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    survey_ref="§2.9 conditional agg (I3 count_if sandwich/mod.rs:556-740)",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            to_dbl(
+                F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero))
+            ).alias("promo_revenue"),
+            to_dbl(F.sum(_disc_price())).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "t8_exists_semijoin",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+    """,
+    survey_ref="T8 tx_must_contain_action (tree/mod.rs:50-55) → semi join",
+)
+def t8_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.06)
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "t6_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    survey_ref="T6/T4 coverage anti-join (tree/util/dedup.rs; tree/mod.rs:307-322)",
+)
+def t6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "a7_overlap_dedup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    survey_ref="A7 dedup_bundles keep-largest (shared_utils.rs:655-710); O3 precedence",
+)
+def a7_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    kept = keep_largest(
+        orders, ["o_custkey", "o_orderdate"], F.col("o_totalprice"), "o_orderkey"
+    )
+    return kept.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "a1_delta_accounting",
+    oracle="""
+    WITH deltas AS (
+      SELECT 'C' || CAST(o_custkey AS VARCHAR) AS party, 'USD' AS token,
+             -(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS amount
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS party, 'USD' AS token,
+             CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6)) AS amount
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT party, token, CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS net_amount, COUNT(*) AS n_deltas
+    FROM deltas GROUP BY party, token
+    """,
+    survey_ref="A1/A2 delta accounting (normalized_actions/accounting.rs:19-57)",
+)
+def a1_delta_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_custkey", "l_suppkey", _disc_price().alias("amt")
+    )
+    net = delta_accounting(
+        j,
+        deltas=[
+            (
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string")),
+                F.lit("USD"),
+                (-F.col("amt")).cast("decimal(27,12)"),
+            ),
+            (
+                F.concat(F.lit("S"), F.col("l_suppkey").cast("string")),
+                F.lit("USD"),
+                F.col("amt").cast("decimal(27,12)"),
+            ),
+        ],
+    )
+    return net.select("party", "token", to_dbl("net_amount").alias("net_amount"), "n_deltas")
+
+
+@register(
+    "o5_wide_rollup",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY CAST(c_acctbal AS DECIMAL(18,6)) DESC, c_custkey ASC) AS rn
+      FROM customer
+    ), cust AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n_customers,
+             SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS acctbal,
+             MIN(CASE WHEN rn = 1 THEN c_custkey END) AS top_custkey
+      FROM ranked GROUP BY c_nationkey
+    ), ords AS (
+      SELECT c_nationkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    )
+    SELECT n_name, n_customers, CAST(CAST(acctbal AS DECIMAL(38,6)) AS DOUBLE) AS total_acctbal, top_custkey,
+           n_orders, CAST(CAST(revenue AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+    FROM nation JOIN cust ON n_nationkey = cust.c_nationkey
+                JOIN ords ON n_nationkey = ords.c_nationkey
+    """,
+    survey_ref="O5 BlockAnalysis wide rollup (db/block_analysis.rs:22-2667); max_by top-k",
+)
+def o5_wide_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_agg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec("c_acctbal")).alias("acctbal"),
+        F.min_by(
+            "c_custkey", F.struct((-dec("c_acctbal")).alias("a"), F.col("c_custkey").alias("k"))
+        ).alias("top_custkey"),
+    )
+    ord_agg = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(cust["c_nationkey"].alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("revenue"),
+        )
+    )
+    return (
+        F.broadcast(nation)
+        .join(cust_agg, nation["n_nationkey"] == cust_agg["c_nationkey"])
+        .join(ord_agg, nation["n_nationkey"] == ord_agg["nk"])
+        .select(
+            "n_name",
+            "n_customers",
+            to_dbl("acctbal").alias("total_acctbal"),
+            "top_custkey",
+            "n_orders",
+            to_dbl("revenue").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(CAST(sum_qty AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    survey_ref="§2.9 agg-having + join chain (T8 existence over aggregates)",
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            to_dbl("sum_qty").alias("sum_qty"),
+        )
+    )

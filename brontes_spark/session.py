@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference parallelizes by splitting the block range into per-core chunks
+(`crates/bin/src/executors/mod.rs:530-547`); in Spark the same role is played
+by input-partition planning + AQE, configured here once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to apply to an externally-provided session at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
+    # nanosecond bigint with this flag (we expose epoch-ns columns anyway).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting)
+    # is the scale story for every shuffle below.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to any session (including the driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder path sets it instead
+    return spark
+
+
+def get_spark(
+    app_name: str = "brontes-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())
