@@ -24,7 +24,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"   # money/amount columns (testdata doubles are 2dp)
-DEC9 = "decimal(18,9)"  # float32 embedding components
+# Embedding components: 6dp at precision 9 keeps a 64-dim dot product's
+# unscaled sum below 2^53, so even a DIRECT decimal→double cast is correctly
+# rounded in both engines — no scale-reduction step (and no midpoint-rounding
+# divergence) anywhere in the similarity pipeline.
+DEC9 = "decimal(9,6)"
 
 
 def dec(c: Column | str) -> Column:

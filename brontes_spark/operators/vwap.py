@@ -62,12 +62,17 @@ def expanding_vwap(
         .agg(F.min("hit_step").alias("cutoff_step"))
         .filter(F.col("cutoff_step").isNotNull())
     )
+    # scale-6 normalization before double (see functions/decimals.to_dbl):
+    # price*vol carries <= 6dp of true content, so this is exact and keeps
+    # the unscaled value below 2^53 → engine-identical doubles.
+    spv6 = F.sum("spv").cast("decimal(38,6)").cast("double")
+    svol6 = F.sum("svol").cast("decimal(38,6)").cast("double")
     return (
         per_step.join(cutoff, "anchor_id")
         .filter(F.col("step") <= F.col("cutoff_step"))
         .groupBy("anchor_id", "cutoff_step")
         .agg(
-            (F.sum("spv").cast("double") / F.sum("svol").cast("double")).alias("vwap"),
-            F.sum("svol").cast("double").alias("covered_vol"),
+            (spv6 / svol6).alias("vwap"),
+            svol6.alias("covered_vol"),
         )
     )

@@ -1,1 +1,449 @@
-"""Time-series / event-stream queries (filled in incrementally)."""
+"""Time-series / event-stream queries over the `events` table, instantiating
+the reference's CEX-pricing and inspector operators (SURVEY.md §2.5/§2.7):
+
+  x1  as-of join            — quote-at-or-before lookup (cex_quotes.rs:124+)
+  x4  expanding-window VWAP — markout walker (time_window_vwam.rs:94-520)
+  s3  grid downsample       — 1-sec quote grid (raw_cex_quotes.sql argMin)
+  s4  volume ranking        — most-liquid-exchange (most_volume_pair_exchange.sql)
+  c9  window dedup          — transfer double-count pruning (tree_pruning.rs)
+  c11 group stats           — per-block priority-fee avg/stddev (tree/mod.rs:136-163)
+  i14 outlier discovery     — priority_fee > avg + 2σ (discovery.rs:33-73)
+  i15 rolling window        — multi-block sliding window (multi_block_window.rs:7-30)
+  i1  sandwich pair gen     — duplicate-sender windows + interleaved victims
+                              (sandwich/mod.rs:1014-1135)
+  i6  sequence classify     — swap-continuity classification (atomic_arb.rs:398-424)
+  o4  daily rollup          — MevBlock header aggregates (composer/utils.rs:15-242)
+
+Event time is epoch-nanosecond bigint (`ts_ns`, see sources/testdata.py);
+grains derive via integer division so Spark and DuckDB agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.decimals import dec, to_dbl
+from ..operators.asof import asof_join
+from ..operators.vwap import expanding_vwap
+from ..operators.windows import grid_downsample, rank_by_group, window_dedup
+from ..sources.testdata import load_events
+from .registry import EV_CTE, register
+
+HOUR_NS = 3_600_000_000_000
+DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "x1_asof_join",
+    oracle=f"""
+    WITH {EV_CTE},
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             v.event_id AS view_id, p.ts_ns - v.ts_ns AS gap_ns,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts_ns DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id AND v.ts_ns <= p.ts_ns)
+    SELECT purchase_id, user_id, view_id, gap_ns FROM pairs WHERE rn = 1
+    """,
+    survey_ref="X1/A3 as-of lookup (db/cex/quotes/cex_quotes.rs:124+, db/dex.rs:154-170)",
+)
+def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_ns").alias("view_ts"),
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts_ns",
+        right_time="view_ts",
+        tiebreak="view_id",
+        payload_prefix="",
+        how="inner",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "view_id",
+        (F.col("ts_ns") - F.col("view_ts")).alias("gap_ns"),
+    )
+
+
+@register(
+    "x4_expanding_vwap",
+    oracle=f"""
+    WITH {EV_CTE},
+    anchors AS (
+      SELECT event_id AS anchor_id, user_id AS key, ts_ns AS anchor_ts,
+             CAST(value AS DECIMAL(18,6)) AS required_vol
+      FROM ev WHERE event_type = 'purchase'),
+    ticks AS (
+      SELECT user_id AS key, ts_ns AS tick_ts,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DECIMAL(18,6)) AS price,
+             CAST(value AS DECIMAL(18,6)) AS vol
+      FROM ev WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT a.anchor_id, a.required_vol, t.price, t.vol,
+             GREATEST(1, CAST(CEIL(CASE WHEN t.tick_ts <= a.anchor_ts
+                 THEN (a.anchor_ts - t.tick_ts) / 300000000000.0
+                 ELSE (t.tick_ts - a.anchor_ts) / 600000000000.0 END) AS INT)) AS step
+      FROM anchors a JOIN ticks t ON a.key = t.key
+       AND t.tick_ts >= a.anchor_ts - 1800000000000
+       AND t.tick_ts <= a.anchor_ts + 3600000000000),
+    per_step AS (
+      SELECT anchor_id, required_vol, step,
+             SUM(vol) AS svol, SUM(price * vol) AS spv
+      FROM j GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT *, SUM(svol) OVER (PARTITION BY anchor_id ORDER BY step) AS cum_vol
+      FROM per_step),
+    cutoff AS (
+      SELECT anchor_id,
+             MIN(CASE WHEN cum_vol >= required_vol THEN step END) AS cutoff_step
+      FROM cum GROUP BY anchor_id
+      HAVING MIN(CASE WHEN cum_vol >= required_vol THEN step END) IS NOT NULL)
+    SELECT p.anchor_id AS purchase_id, c.cutoff_step,
+           CAST(CAST(SUM(p.spv) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(p.svol) AS DECIMAL(38,6)) AS DOUBLE) AS vwap,
+           CAST(CAST(SUM(p.svol) AS DECIMAL(38,6)) AS DOUBLE) AS covered_vol
+    FROM cum p JOIN cutoff c
+      ON p.anchor_id = c.anchor_id AND p.step <= c.cutoff_step
+    GROUP BY 1, 2
+    """,
+    survey_ref="X4 expanding-window VWAP (db/cex/trades/time_window_vwam.rs:94-520)",
+)
+def x4_expanding_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("key"),
+        F.col("ts_ns").alias("anchor_ts"),
+        dec("value").alias("required_vol"),
+    )
+    ticks = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("key"),
+        F.col("ts_ns").alias("tick_ts"),
+        dec(F.regexp_extract("props", '"k": ([0-9]+)', 1)).alias("price"),
+        dec("value").alias("vol"),
+        F.col("event_id").alias("tick_id"),
+    )
+    out = expanding_vwap(
+        anchors, ticks, pre_step=300_000_000_000, post_step=600_000_000_000, max_steps=6
+    )
+    return out.select(
+        F.col("anchor_id").alias("purchase_id"), "cutoff_step", "vwap", "covered_vol"
+    )
+
+
+@register(
+    "s3_grid_downsample",
+    oracle=f"""
+    WITH {EV_CTE},
+    g AS (
+      SELECT user_id, ts_ns // {HOUR_NS} AS hour_cell, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts_ns // {HOUR_NS}
+                                ORDER BY ts_ns % {HOUR_NS} ASC, event_id ASC) AS rn
+      FROM ev)
+    SELECT user_id, hour_cell, event_id, value FROM g WHERE rn = 1
+    """,
+    survey_ref="S3 quote 1-sec grid argMin (clickhouse/queries/raw_cex_quotes.sql)",
+)
+def s3_grid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = grid_downsample(
+        ev,
+        keys=["user_id"],
+        grid=F.expr(f"ts_ns div {HOUR_NS}"),
+        distance=F.col("ts_ns") % HOUR_NS,
+        tiebreak="event_id",
+    )
+    return out.select("user_id", F.col("grid_cell").alias("hour_cell"), "event_id", "value")
+
+
+@register(
+    "s4_volume_rank",
+    oracle=f"""
+    WITH {EV_CTE},
+    vol AS (
+      SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,6))) AS vol
+      FROM ev GROUP BY event_type, user_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY vol DESC, user_id ASC) AS rnk
+      FROM vol)
+    SELECT event_type, rnk, user_id,
+           CAST(CAST(vol AS DECIMAL(38,6)) AS DOUBLE) AS vol
+    FROM ranked WHERE rnk <= 10
+    """,
+    survey_ref="S4 most-liquid-exchange ranking (queries/most_volume_pair_exchange.sql)",
+)
+def s4_volume_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    vol = ev.groupBy("event_type", "user_id").agg(F.sum(dec("value")).alias("vol"))
+    ranked = rank_by_group(vol, ["event_type"], F.col("vol"), "user_id", top_k=10)
+    return ranked.select("event_type", "rnk", "user_id", to_dbl("vol").alias("vol"))
+
+
+@register(
+    "c9_window_dedup",
+    oracle=f"""
+    WITH {EV_CTE},
+    d AS (
+      SELECT user_id, event_type, ts_ns // {DAY_NS} AS day, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, ts_ns // {DAY_NS}
+                                ORDER BY ts_ns ASC, event_id ASC) AS rn
+      FROM ev)
+    SELECT event_id, user_id, event_type, day FROM d WHERE rn = 1
+    """,
+    survey_ref="C9 transfer double-count pruning (tree_builder/tree_pruning.rs)",
+)
+def c9_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).withColumn("day", F.expr(f"ts_ns div {DAY_NS}"))
+    out = window_dedup(ev, ["user_id", "event_type", "day"], ["ts_ns", "event_id"])
+    return out.select("event_id", "user_id", "event_type", "day")
+
+
+_STATS_CTE = f"""
+    WITH {EV_CTE},
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sv,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS svv
+      FROM ev GROUP BY event_type),
+    stats AS (
+      SELECT event_type, n, sv / n AS mean_value,
+             sqrt(svv / n - (sv / n) * (sv / n)) AS stddev_value
+      FROM s)
+"""
+
+
+def _spark_stats(ev: DataFrame) -> DataFrame:
+    """Deterministic avg/stddev_pop from exact decimal sums (C11).
+
+    Mirrors `finalize_tree` (tree/mod.rs:136-163) but via the
+    sum/sum-of-squares identity so Spark and the oracle compute the same
+    doubles from the same exact operands.
+    """
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        to_dbl(F.sum(dec("value"))).alias("sv"),
+        to_dbl(F.sum(dec("value") * dec("value"))).alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        F.sqrt(F.col("svv") / F.col("n") - mean * mean).alias("stddev_value"),
+    )
+
+
+@register(
+    "c11_group_stats",
+    oracle=_STATS_CTE + "SELECT event_type, n, mean_value, stddev_value FROM stats",
+    survey_ref="C11 block stats finalize (tree/mod.rs:136-163)",
+)
+def c11_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_stats(load_events(spark, sf_dir))
+
+
+@register(
+    "i14_outlier_discovery",
+    oracle=_STATS_CTE
+    + """
+    SELECT e.event_id, e.event_type, e.value,
+           s.mean_value + 2 * s.stddev_value AS threshold
+    FROM ev e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value > s.mean_value + 2 * s.stddev_value
+    """,
+    survey_ref="I14 possible-MEV discovery avg+2σ (brontes-inspect/src/discovery.rs:33-73)",
+)
+def i14_outlier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    stats = _spark_stats(ev)
+    thr = (F.col("mean_value") + 2 * F.col("stddev_value")).alias("threshold")
+    return (
+        ev.join(F.broadcast(stats.select("event_type", "mean_value", "stddev_value")), "event_type")
+        .filter(F.col("value") > F.col("mean_value") + 2 * F.col("stddev_value"))
+        .select("event_id", "event_type", "value", thr)
+    )
+
+
+@register(
+    "i15_rolling_window",
+    oracle=f"""
+    WITH {EV_CTE}
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts_ns ASC, event_id ASC
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE)
+             AS rolling_value
+    FROM ev
+    """,
+    survey_ref="I15 multi-block sliding window (executor.rs, multi_block_window.rs:7-30)",
+)
+def i15_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", to_dbl(F.sum(dec("value")).over(w)).alias("rolling_value")
+    )
+
+
+@register(
+    "i1_sandwich_pairs",
+    oracle=f"""
+    WITH {EV_CTE},
+    p AS (SELECT event_id, user_id, ts_ns, ts_ns // {DAY_NS} AS day
+          FROM ev WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT user_id, day, event_id AS front_id, ts_ns AS front_ts,
+             lead(event_id) OVER w AS back_id,
+             lead(ts_ns) OVER w AS back_ts
+      FROM p WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_ns ASC, event_id ASC)),
+    cand AS (SELECT * FROM pairs WHERE back_id IS NOT NULL)
+    SELECT c.user_id, c.day, c.front_id, c.back_id,
+           COUNT(v.event_id) AS n_victims,
+           CAST(CAST(COALESCE(SUM(CAST(v.value AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS DOUBLE) AS victim_value
+    FROM cand c
+    LEFT JOIN (SELECT event_id, user_id, ts_ns, value, ts_ns // {DAY_NS} AS day
+               FROM ev WHERE event_type = 'purchase') v
+      ON v.day = c.day AND v.user_id != c.user_id
+     AND v.ts_ns > c.front_ts AND v.ts_ns < c.back_ts
+    GROUP BY c.user_id, c.day, c.front_id, c.back_id
+    """,
+    survey_ref="I1 possible-sandwich duplicate-sender windows + interleaved victims "
+    "(mev_inspectors/sandwich/mod.rs:1014-1135)",
+)
+def i1_sandwich_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns", F.expr(f"ts_ns div {DAY_NS}").alias("day"), "value"
+    )
+    w = W.partitionBy("user_id", "day").orderBy(F.col("ts_ns").asc(), F.col("event_id").asc())
+    cand = (
+        p.select(
+            "user_id",
+            "day",
+            F.col("event_id").alias("front_id"),
+            F.col("ts_ns").alias("front_ts"),
+            F.lead("event_id").over(w).alias("back_id"),
+            F.lead("ts_ns").over(w).alias("back_ts"),
+        )
+        .filter(F.col("back_id").isNotNull())
+    )
+    v = p.select(
+        F.col("day").alias("v_day"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_ns").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"),
+    )
+    return (
+        cand.join(
+            v,
+            (F.col("v_day") == F.col("day"))
+            & (F.col("v_user") != F.col("user_id"))
+            & (F.col("v_ts") > F.col("front_ts"))
+            & (F.col("v_ts") < F.col("back_ts")),
+            "left",
+        )
+        .groupBy("user_id", "day", "front_id", "back_id")
+        .agg(
+            F.count("v_id").alias("n_victims"),
+            to_dbl(
+                F.coalesce(F.sum(dec("v_value")), F.lit(0).cast("decimal(18,6)"))
+            ).alias("victim_value"),
+        )
+    )
+
+
+@register(
+    "i6_sequence_classify",
+    oracle=f"""
+    WITH {EV_CTE},
+    seqs AS (
+      SELECT user_id, ts_ns // {DAY_NS} AS day,
+             list(event_type ORDER BY ts_ns ASC, event_id ASC) AS seq
+      FROM ev GROUP BY 1, 2)
+    SELECT user_id, day,
+           len(seq) AS n_events,
+           seq[1] AS first_type,
+           seq[-1] AS last_type,
+           (len(seq) >= 2 AND seq[1] = seq[-1]) AS is_round_trip,
+           len(list_distinct(seq)) AS n_distinct_types,
+           list_contains(seq, 'purchase') AS has_purchase
+    FROM seqs
+    """,
+    survey_ref="I6 atomic-arb sequence classification (atomic_arb.rs:398-424)",
+)
+def i6_sequence_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    seqs = (
+        ev.withColumn("day", F.expr(f"ts_ns div {DAY_NS}"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts_ns", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+    )
+    first = F.element_at("seq", 1)
+    last = F.element_at("seq", -1)
+    return seqs.select(
+        "user_id",
+        "day",
+        F.size("seq").alias("n_events"),
+        first.alias("first_type"),
+        last.alias("last_type"),
+        ((F.size("seq") >= 2) & (first == last)).alias("is_round_trip"),
+        F.size(F.array_distinct("seq")).alias("n_distinct_types"),
+        F.array_contains("seq", "purchase").alias("has_purchase"),
+    )
+
+
+@register(
+    "o4_daily_rollup",
+    oracle=f"""
+    WITH {EV_CTE}
+    SELECT ts_ns // {DAY_NS} AS day,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase')
+                AS DECIMAL(38,6)) AS DOUBLE) AS purchase_value
+    FROM ev GROUP BY 1
+    """,
+    survey_ref="O4 MevBlock header build (composer/utils.rs:15-242)",
+)
+def o4_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    is_t = lambda t: (F.col("event_type") == t).cast("long")  # noqa: E731
+    return ev.groupBy(F.expr(f"ts_ns div {DAY_NS}").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_t("purchase")).alias("n_purchases"),
+        F.sum(is_t("click")).alias("n_clicks"),
+        F.sum(is_t("error")).alias("n_errors"),
+        F.countDistinct("user_id").alias("n_users"),
+        to_dbl(F.sum(dec("value"))).alias("total_value"),
+        to_dbl(F.sum(F.when(F.col("event_type") == "purchase", dec("value")))).alias(
+            "purchase_value"
+        ),
+    )

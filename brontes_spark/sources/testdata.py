@@ -47,7 +47,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = load_table(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        return df.withColumn("ts_ns", F.col("ts").cast("long")).drop("ts")
+        # truncate to microsecond precision: DuckDB (the oracle engine) reads
+        # TIMESTAMP(NANOS) parquet by truncating to its µs TIMESTAMP, so sub-µs
+        # digits must not leak into either side's arithmetic
+        return df.withColumn(
+            "ts_ns", (F.col("ts").cast("long") - F.col("ts").cast("long") % 1000)
+        ).drop("ts")
     # fallback: session without the legacy flag reads it as timestamp
     return df.withColumn(
         "ts_ns", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
