@@ -36,7 +36,11 @@ def dec(c: Column | str) -> Column:
 
 
 def dec9(c: Column | str) -> Column:
-    return (F.col(c) if isinstance(c, str) else c).cast(DEC9)
+    # widen float→double BEFORE the decimal cast: Spark converts float→decimal
+    # via the float's shortest string repr (which manufactures exact midpoints
+    # like "0.1234565" that round differently from the true binary value);
+    # the double's repr is precise enough that both engines round identically.
+    return (F.col(c) if isinstance(c, str) else c).cast("double").cast(DEC9)
 
 
 def to_dbl(c: Column | str, scale: int = 6) -> Column:

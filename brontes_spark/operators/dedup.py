@@ -142,12 +142,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     contrib = toks.select("id", "hv", bit_idx).withColumn(
         "signed",
-        F.when(F.shiftright(F.col("hv"), F.col("b").cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.when(F.expr("(shiftright(hv, CAST(b AS INT)) & 1) = 1"), 1).otherwise(-1),
     )
     return (
         contrib.groupBy("id", "b")
         .agg(F.sum("signed").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(F.lit(0).cast("long")))
+        .withColumn(
+            "bitval",
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"),
+        )
         .groupBy("id")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
     )

@@ -34,7 +34,6 @@ def cosine_topk(
     vec_col: str,
     query_pred: Column,
     k: int = 5,
-    sim_round: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbours for rows matching ``query_pred``.
 
@@ -58,11 +57,10 @@ def cosine_topk(
         .join(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2")), "cid")
         .withColumn(
             "sim",
-            F.round(
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
-                sim_round,
-            ),
+            # no rounding: dot/norms are exact decimals, so this double is
+            # already bit-identical across engines (identical operands)
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -105,8 +103,9 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = 8) -> Da
     return (
         proj.withColumn(
             "bitval",
-            F.when(F.col("p") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("plane").cast("int"))).otherwise(
-                F.lit(0).cast("long")
+            F.expr(
+                "CASE WHEN p > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
             ),
         )
         .groupBy("id")

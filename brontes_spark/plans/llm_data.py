@@ -1,1 +1,377 @@
-"""LLM-data-pipeline queries (filled in incrementally)."""
+"""LLM-training-data pipeline queries over `documents` / `embeddings` —
+the scale-path operators a 100 TB corpus needs (BASELINE.json north star),
+built as first-class registry entries alongside the SURVEY.md §2 inventory:
+
+  dedup_exact          — hash-groupBy exact dedup
+  dedup_ngram_jaccard  — exact n-gram Jaccard via inverted shingle index
+  dedup_minhash_lsh    — MinHash signatures + banded LSH candidates
+  dedup_simhash        — 32-bit SimHash fingerprints
+  txt_quality_score    — length/punct/stopword quality features
+  txt_lang_id          — stopword-profile language guesser
+  txt_token_count      — whitespace + BPE-ish regex token counts
+  txt_fingerprint      — normalized md5 + 60-bit rolling fingerprint
+  ann_cosine_topk      — brute-force exact cosine top-k (baseline)
+  ann_lsh_buckets      — random-hyperplane LSH bucketing (scale path)
+
+All hashes are md5-derived and all sums exact-decimal, so every query has a
+bit-exact DuckDB oracle twin (the heavy lifting lives in operators/dedup.py
+and operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text, ws_tokens
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.similarity import cosine_topk, lsh_buckets
+from ..sources.testdata import load_table
+from .registry import register
+
+#: DuckDB twin of functions.text.ws_tokens
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+#: DuckDB twin of operators.dedup._doc_shingles (word 3-grams, distinct)
+_SQL_SHINGLES = f"""
+    tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tok WHERE len(toks) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM idx)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """,
+    survey_ref="exact dedup (hash-groupBy); T6 coverage dedup analog (tree/util/dedup.rs)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", F.md5(F.col("text")))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    bsh AS (SELECT s.doc_id, d.lang AS blk, s.shingle
+            FROM sh s JOIN documents d USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM bsh a JOIN bsh b ON a.blk = b.blk AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT * FROM j WHERE jaccard >= 0.2
+    """,
+    survey_ref="n-gram Jaccard near-dedup via inverted index (scale path: one "
+    "shuffle per shingle, blocked by lang)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", n=3, threshold=0.2
+    ).select(
+        F.col("id_a"), F.col("id_b"), "inter", "sz_a", "sz_b", "jaccard"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (
+      SELECT doc_id, seed.i AS seed,
+             MIN(('0x' || substr(md5(CAST(seed.i AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
+      FROM sh, range(0, 16) seed(i)
+      GROUP BY doc_id, seed.i),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+      FROM hashed GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b FROM pairs
+    """,
+    survey_ref="MinHash+LSH near-dedup (shingle→minhash→band→bucket-join); "
+    "100TB candidate generation as a hash shuffle",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, band_size=4)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, b.i AS b,
+             SUM(CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hv, range(0, 32) b(i)
+      GROUP BY doc_id, b.i)
+    SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    survey_ref="SimHash fingerprinting (document-level near-dup signature)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "y"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "zh": ["de", "le", "he", "shi", "zai"],
+}
+_ALL_STOPS = sorted({w for ws in _STOPWORDS.values() for w in ws})
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "txt_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents)
+    SELECT doc_id, n_chars,
+           len(toks) AS n_words,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_word_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains({_sql_list(_ALL_STOPS)}, x))) AS DOUBLE)
+             / len(toks) AS stopword_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+    survey_ref="text quality scoring (length/punct/stopword ratios)",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    stops = F.array(*[F.lit(w) for w in _ALL_STOPS])
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        toks.alias("toks"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), 0)).alias("n_punct"),
+    ).filter(F.size("toks") > 0)
+    return t.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_words"),
+        (F.col("n_chars").cast("double") / F.size("toks")).alias("avg_word_len"),
+        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stops, x))).cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+    )
+
+
+_LANGS = ["en", "es", "de", "fr", "zh"]  # fixed precedence for argmax ties
+
+
+def _sql_score(lang: str) -> str:
+    return (
+        f"len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS[lang])}, x)))"
+    )
+
+
+@register(
+    "txt_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {", ".join(f"{_sql_score(lg)} AS s_{lg}" for lg in _LANGS)}
+          FROM t)
+    SELECT doc_id, lang AS actual_lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang,
+           s_en + s_es + s_de + s_fr + s_zh AS total_hits
+    FROM s
+    """,
+    survey_ref="language-ID (stopword-profile heuristic)",
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", ws_tokens(F.col("text")).alias("toks"))
+
+    def score(lg: str):
+        lst = F.array(*[F.lit(w) for w in _STOPWORDS[lg]])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(lst, x)))
+
+    s = t.select("doc_id", "lang", *[score(lg).alias(f"s_{lg}") for lg in _LANGS])
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") >= F.col("s_zh")),
+            "es",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_zh")), "de")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    total = sum(F.col(f"s_{lg}") for lg in _LANGS)
+    return s.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        total.alias("total_hits"),
+    )
+
+
+@register(
+    "txt_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    survey_ref="token counting (whitespace + BPE-ish regex)",
+)
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5,
+           ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+             AS fingerprint60
+    FROM documents
+    """,
+    survey_ref="document fingerprinting (normalized rolling hash)",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normed = norm_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(normed).alias("content_md5"),
+        F.conv(F.substring(F.md5(normed), 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    )
+
+
+#: DuckDB twin of operators.similarity._components (decimal(9,6) components)
+_SQL_COMP = """
+    comp AS (
+      SELECT vec_id AS id, i.i - 1 AS pos,
+             CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(9,6)) AS comp
+      FROM embeddings, range(1, 65) i(i))
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id),
+    q AS (SELECT c.id AS qid, c.pos, c.comp AS qc FROM comp c WHERE c.id % 100 = 0),
+    dots AS (
+      SELECT q.qid, c.id AS cid, SUM(q.qc * c.comp) AS dot
+      FROM q JOIN comp c ON q.pos = c.pos
+      WHERE c.id != q.qid
+      GROUP BY 1, 2),
+    sims AS (
+      SELECT d.qid, d.cid,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS sim
+      FROM dots d
+      JOIN norms nq ON nq.id = d.qid
+      JOIN norms nc ON nc.id = d.cid),
+    ranked AS (
+      SELECT qid AS query_id, cid AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      FROM sims)
+    SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="ANN baseline: brute-force exact cosine top-k over array<float> "
+    "(decimal-exact dot products)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, "vec_id", "embedding", query_pred=F.col("vec_id") % 100 == 0, k=5
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    proj AS (
+      SELECT c.id, p.j AS plane,
+             SUM(c.comp * (CASE WHEN ('0x' || substr(md5(CAST(p.j AS VARCHAR) || '-' || CAST(c.pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 1
+                           THEN 1 ELSE -1 END)) AS pr
+      FROM comp c, range(0, 8) p(j)
+      GROUP BY c.id, p.j)
+    SELECT id AS vec_id,
+           CAST(SUM(CASE WHEN pr > 0 THEN 1::BIGINT << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY id
+    """,
+    survey_ref="ANN scale path: random-hyperplane LSH bucketing (equality-join "
+    "candidate generation instead of n² cross join)",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_buckets(emb, "vec_id", "embedding", planes=8).select(
+        F.col("id").alias("vec_id"), "bucket"
+    )

@@ -73,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(38,6)) AS DOUBLE) AS disc_revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
     survey_ref="T1 collect/predicates (tree/mod.rs:217-247, search_args.rs:13-228)",
@@ -81,8 +81,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1994-01-01")))
-        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1995-01-01")))
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -99,7 +99,7 @@ def t1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
     survey_ref="§2.9 scalar agg; A6 gas accounting arithmetic (tree/root.rs:362-380)",
@@ -107,8 +107,8 @@ def t1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1994-01-01")))
-        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1995-01-01")))
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -258,13 +258,16 @@ def t8_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t6_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
     """,
     survey_ref="T6/T4 coverage anti-join (tree/util/dedup.rs; tree/mod.rs:307-322)",
 )
 def t6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("2001-01-01"))
+    )
     return cust.join(
         orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
