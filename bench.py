@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query wall time (plan + execute + collect-to-count), after a
+small warmup that amortizes one-time session/JIT costs, mirroring how the
+reference's criterion benches time steady-state per-block inspection
+(crates/brontes-inspect/benches/inspectors.rs:13-273).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from brontes_spark.plans import queries  # noqa: E402
+from brontes_spark.session import get_spark  # noqa: E402
+
+#: queries timed by the bench — one per operator family, weighted toward the
+#: shuffle/join-heavy ones that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_urgent",
+    "q5_region_revenue",
+    "q18_big_orders",
+    "a1_delta_accounting",
+    "a7_overlap_dedup",
+    "o5_wide_rollup",
+    "x1_asof_join",
+    "x4_expanding_vwap",
+    "i1_sandwich_pairs",
+    "i6_sequence_classify",
+    "i15_rolling_window",
+    "s3_grid_downsample",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "txt_quality_score",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("brontes-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = queries()
+
+    # warmup: touch every input once so OS page cache + JVM JIT are steady
+    q["q1_pricing_summary"](spark, sf_dir).count()
+    q["o4_daily_rollup"](spark, sf_dir).count()
+    q["txt_token_count"](spark, sf_dir).count()
+    q["ann_lsh_buckets"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        q[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

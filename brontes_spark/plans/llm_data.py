@@ -37,15 +37,18 @@ from .registry import register
 #: DuckDB twin of functions.text.ws_tokens
 _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
-#: DuckDB twin of operators.dedup._doc_shingles (word 3-grams, distinct)
+#: DuckDB twin of operators.dedup._doc_shingles (word 5-grams, distinct).
+#: 5-grams (not 3) keep shingle document-frequency ~1 on small-vocab text, so
+#: the inverted-index join stays linear in corpus size — the scaling lever
+#: real n-gram dedup pipelines use (long shingles, e.g. 13-grams in Gopher).
 _SQL_SHINGLES = f"""
     tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
     idx AS (
-      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-      FROM tok WHERE len(toks) >= 3),
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+      FROM tok WHERE len(toks) >= 5),
     sh AS (
       SELECT DISTINCT doc_id,
-             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
       FROM idx)
 """
 
@@ -82,7 +85,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b)
-    SELECT * FROM j WHERE jaccard >= 0.2
+    SELECT * FROM j WHERE jaccard >= 0.1
     """,
     survey_ref="n-gram Jaccard near-dedup via inverted index (scale path: one "
     "shuffle per shingle, blocked by lang)",
@@ -90,7 +93,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", block_col="lang", n=3, threshold=0.2
+        docs, "doc_id", "text", block_col="lang", n=5, threshold=0.1
     ).select(
         F.col("id_a"), F.col("id_b"), "inter", "sz_a", "sz_b", "jaccard"
     )
@@ -100,10 +103,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SQL_SHINGLES},
+    based AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS b31
+      FROM sh),
     hashed AS (
       SELECT doc_id, seed.i AS seed,
-             MIN(('0x' || substr(md5(CAST(seed.i AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
-      FROM sh, range(0, 16) seed(i)
+             MIN(((2 * seed.i + 1) * b31 + (seed.i * 1000003 + 12345)) % 2147483647) AS mh
+      FROM based, range(0, 16) seed(i)
       GROUP BY doc_id, seed.i),
     banded AS (
       SELECT doc_id, seed // 4 AS band,
@@ -121,7 +127,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, band_size=4)
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=5, num_hashes=16, band_size=4)
 
 
 @register(
