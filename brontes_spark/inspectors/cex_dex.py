@@ -1,0 +1,96 @@
+"""CEX-DEX markout inspector — reference I8 (SURVEY.md §2.7):
+`mev_inspectors/cex_dex/markout/cex_dex_markout.rs:105-745`, priced with the
+X4 expanding-window VWAP (operators/vwap.py ↔ time_window_vwam.rs:94-520).
+
+Per DEX swap selling token T: the CEX markout price of T is the VWAP of CEX
+trades in the expanding window around the block timestamp, grown until trade
+volume covers the swap's volume. Markout revenue = amount_in·vwap(T) −
+USD value given up (amount_out·dex price); profit = revenue − gas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.vwap import expanding_vwap
+from .accounting import gas_usd
+
+PRE_STEP_US = 1_000_000
+POST_STEP_US = 1_000_000
+MAX_STEPS = 5
+
+
+def cex_dex_bundles(
+    actions: DataFrame,
+    tx_info: DataFrame,
+    dex_prices: DataFrame,
+    block_info: DataFrame,
+    cex_trades: DataFrame,
+    quote_token: str = "0xusd",
+    gas: DataFrame | None = None,
+) -> DataFrame:
+    swaps = actions.filter(
+        (F.col("action_type") == "swap") & (F.col("swap.token_out") == quote_token)
+    ).select(
+        "block_number", "tx_hash", "tx_index",
+        F.col("swap.token_in").alias("token_in"),
+        F.col("swap.amount_in").alias("amount_in"),
+        F.col("swap.amount_out").alias("amount_out"),
+    )
+    anchors = swaps.join(
+        F.broadcast(block_info.select("block_number", "block_timestamp")), "block_number"
+    ).select(
+        F.col("tx_hash").alias("anchor_id"),
+        F.col("token_in").alias("key"),
+        (F.col("block_timestamp") * F.lit(1_000_000)).cast("long").alias("anchor_ts"),
+        F.col("amount_in").alias("required_vol"),
+    )
+    ticks = cex_trades.filter(F.col("quote_token") == quote_token).select(
+        F.col("base_token").alias("key"),
+        F.col("timestamp").alias("tick_ts"),
+        F.col("price"),
+        F.col("amount").alias("vol"),
+        F.col("timestamp").alias("tick_id"),
+    )
+    vwap = expanding_vwap(anchors, ticks, PRE_STEP_US, POST_STEP_US, MAX_STEPS).select(
+        F.col("anchor_id").alias("tx_hash"),
+        F.col("vwap").cast("decimal(38,18)").alias("cex_price"),
+    )
+    if gas is None:
+        gas = gas_usd(tx_info, block_info)
+    qprices = dex_prices.filter(F.col("token") == quote_token).select(
+        F.col("block_number").alias("d_block"),
+        F.col("tx_idx").alias("d_idx"),
+        F.col("price_usd").alias("quote_price"),
+    )
+    priced = (
+        swaps.join(vwap, "tx_hash")
+        .join(
+            qprices,
+            (F.col("d_block") == F.col("block_number"))
+            & (F.col("d_idx") == F.col("tx_index")),
+        )
+        .withColumn(
+            "revenue_usd",
+            (
+                F.col("amount_in") * F.col("cex_price")
+                - F.col("amount_out") * F.col("quote_price")
+            ).cast("decimal(38,18)"),
+        )
+    )
+    return (
+        priced.join(gas.select("tx_hash", "eoa", "mev_contract", "gas_usd"), "tx_hash")
+        .withColumn("profit_usd", (F.col("revenue_usd") - F.col("gas_usd")).cast("decimal(38,18)"))
+        .filter(F.col("revenue_usd") > 0)
+        .select(
+            "block_number",
+            F.array("tx_hash").alias("tx_hashes"),
+            "eoa",
+            "mev_contract",
+            F.lit("cex_dex").alias("mev_type"),
+            "profit_usd",
+            "revenue_usd",
+            F.col("gas_usd").cast("decimal(38,18)").alias("gas_usd"),
+        )
+    )

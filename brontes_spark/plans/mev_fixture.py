@@ -1,0 +1,111 @@
+"""Driver-gated MEV pipeline queries.
+
+The inspector stack (SURVEY.md §2.7/§2.8) runs on the blockchain-shaped
+fixture tables (sources/fixtures.py), not on the TPC-H star schema — but its
+outputs are closed-form, so the DuckDB oracle is the literal golden VALUES
+relation. A hash match here means candidate generation, coverage-deduped
+delta accounting, USD valuation, expanding-window VWAP, gas accounting, and
+composer precedence all computed exactly the planted numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..inspectors.composer import mev_block_header, run_composer
+from ..sources.fixtures import load_fixtures
+from .registry import register
+
+_memo: dict[int, tuple[dict, dict]] = {}
+
+
+def _composed(spark: SparkSession):
+    """Run the composer once per session; fixture data is KB-sized, so also
+    drop shuffle parallelism (hundreds of 32-task stages dominate wall time
+    otherwise — pure scheduler overhead, not compute)."""
+    key = id(spark)
+    if key not in _memo:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            tables = load_fixtures(spark)
+            out = run_composer(tables)
+            out["bundles"] = out["bundles"].cache()
+            out["bundles"].count()  # materialize under the low-parallelism conf
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _memo[key] = (tables, out)
+    return _memo[key]
+
+_DEC = "DECIMAL(38,18)"
+
+
+def _bundle_values() -> str:
+    rows = [
+        ("100", "['0xf0','0xv1','0xv2','0xb0']", "'0xsearcher1'", "'0xmev1'",
+         "'sandwich'", "88", "90", "2"),
+        ("101", "['0xarb']", "'0xsearcher2'", "NULL", "'atomic_arb:triangle'",
+         "49", "50", "1"),
+        ("102", "['0xjf','0xjv','0xjb']", "'0xsearcher2'", "'0xmev2'", "'jit'",
+         "4", "6", "2"),
+        ("103", "['0xliq']", "'0xliquidator'", "NULL", "'liquidation'",
+         "19", "20", "1"),
+        ("104", "['0xcd']", "'0xsearcher1'", "NULL", "'cex_dex'", "4", "5", "1"),
+    ]
+    values = ",\n      ".join(
+        f"({bn}, {txs}, {eoa}, {mc}, {mt}, "
+        f"CAST({p} AS {_DEC}), CAST({r} AS {_DEC}), CAST({g} AS {_DEC}))"
+        for (bn, txs, eoa, mc, mt, p, r, g) in rows
+    )
+    return f"""
+    SELECT CAST(block_number AS BIGINT) AS block_number, tx_hashes,
+           eoa, mev_contract, mev_type, profit_usd, revenue_usd, gas_usd
+    FROM (VALUES
+      {values}
+    ) AS t(block_number, tx_hashes, eoa, mev_contract, mev_type,
+           profit_usd, revenue_usd, gas_usd)
+    """
+
+
+@register(
+    "mev_composer_bundles",
+    oracle=_bundle_values(),
+    survey_ref="I1-I15 + O1/O3 end-to-end (composer/mod.rs:71-343); golden "
+    "VALUES oracle from the closed-form planted PnL (FIXTURES.md §9)",
+)
+def mev_composer_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture-driven: sf_dir is unused — the MEV inputs are the planted
+    # blockchain-shaped tables, mirroring the reference's golden-fixture tests
+    _, out = _composed(spark)
+    return out["bundles"].select(
+        "block_number", "tx_hashes", "eoa", "mev_contract", "mev_type",
+        "profit_usd", "revenue_usd", "gas_usd",
+    )
+
+
+@register(
+    "mev_block_headers",
+    oracle=f"""
+    SELECT CAST(bn AS BIGINT) AS block_number,
+           CAST(n_bundles AS BIGINT) AS n_bundles,
+           CAST(profit AS {_DEC}) AS total_profit_usd,
+           CAST(gas AS {_DEC}) AS builder_gas_usd
+    FROM (VALUES
+      (100, 1, CAST(88 AS {_DEC}), CAST(4 AS {_DEC})),
+      (101, 1, CAST(49 AS {_DEC}), CAST(2 AS {_DEC})),
+      (102, 1, CAST(4 AS {_DEC}),  CAST(3 AS {_DEC})),
+      (103, 1, CAST(19 AS {_DEC}), CAST(1 AS {_DEC})),
+      (104, 1, CAST(4 AS {_DEC}),  CAST(1 AS {_DEC})),
+      (105, 0, NULL, NULL)
+    ) AS t(bn, n_bundles, profit, gas)
+    """,
+    survey_ref="O4 MevBlock header build (composer/utils.rs:15-242)",
+)
+def mev_block_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables, out = _composed(spark)
+    header = mev_block_header(out["bundles"], tables["tx_info"], tables["block_info"])
+    return header.select(
+        "block_number", "n_bundles",
+        F.col("total_profit_usd"), F.col("builder_gas_usd"),
+    )

@@ -1,0 +1,198 @@
+"""Static schemas for the blockchain-shaped tables (FIXTURES.md), derived
+from the reference types cited inline. No schema inference anywhere —
+matching the reference's fixed Rust-struct/ClickHouse-DDL schemas
+(SURVEY.md §1.3).
+
+Addresses/hashes are lowercase hex strings; amounts decimal(38,18)
+(SURVEY.md §1.2 maps malachite Rational → DecimalType with documented
+precision loss); event time is integer micro/nanoseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+AMOUNT = DecimalType(38, 18)
+
+
+def _f(name, dtype, nullable=True):
+    return StructField(name, dtype, nullable)
+
+
+#: normalized action rows — the central wide table; from the Action enum
+#: (crates/brontes-types/src/normalized_actions/mod.rs:107-124) with variant
+#: structs (swaps.rs:52-66, transfer.rs:21-29, liquidity.rs:23-32,
+#: liquidation.rs:24-36)
+ACTIONS_SCHEMA = StructType(
+    [
+        _f("block_number", LongType(), False),
+        _f("tx_hash", StringType(), False),
+        _f("tx_index", LongType(), False),
+        _f("trace_idx", LongType(), False),
+        _f("trace_address", ArrayType(IntegerType()), False),
+        _f("action_type", StringType(), False),
+        _f("protocol", StringType()),
+        _f(
+            "swap",
+            StructType(
+                [
+                    _f("from", StringType()),
+                    _f("recipient", StringType()),
+                    _f("pool", StringType()),
+                    _f("token_in", StringType()),
+                    _f("token_out", StringType()),
+                    _f("amount_in", AMOUNT),
+                    _f("amount_out", AMOUNT),
+                ]
+            ),
+        ),
+        _f(
+            "transfer",
+            StructType(
+                [
+                    _f("from", StringType()),
+                    _f("to", StringType()),
+                    _f("token", StringType()),
+                    _f("amount", AMOUNT),
+                    _f("fee", AMOUNT),
+                ]
+            ),
+        ),
+        _f(
+            "mint_burn_collect",
+            StructType(
+                [
+                    _f("from", StringType()),
+                    _f("recipient", StringType()),
+                    _f("pool", StringType()),
+                    _f("tokens", ArrayType(StringType())),
+                    _f("amounts", ArrayType(AMOUNT)),
+                ]
+            ),
+        ),
+        _f(
+            "liquidation",
+            StructType(
+                [
+                    _f("pool", StringType()),
+                    _f("liquidator", StringType()),
+                    _f("debtor", StringType()),
+                    _f("collateral_asset", StringType()),
+                    _f("debt_asset", StringType()),
+                    _f("covered_debt", AMOUNT),
+                    _f("liquidated_collateral", AMOUNT),
+                ]
+            ),
+        ),
+    ]
+)
+
+#: per-tx metadata — tree/tx_info.rs:11-29 + GasDetails tree/root.rs:341-347
+TX_INFO_SCHEMA = StructType(
+    [
+        _f("block_number", LongType(), False),
+        _f("tx_index", LongType(), False),
+        _f("tx_hash", StringType(), False),
+        _f("eoa", StringType(), False),
+        _f("mev_contract", StringType()),
+        _f("gas_used", LongType()),
+        _f("effective_gas_price", LongType()),
+        _f("priority_fee", LongType()),
+        _f("coinbase_transfer", AMOUNT),
+        _f("is_private", BooleanType()),
+        _f("is_verified_contract", BooleanType()),
+    ]
+)
+
+#: per-tx-index DEX prices vs the quote asset — db/dex.rs:47-109
+DEX_PRICES_SCHEMA = StructType(
+    [
+        _f("block_number", LongType(), False),
+        _f("tx_idx", LongType(), False),
+        _f("token", StringType(), False),
+        _f("price_usd", AMOUNT, False),  # quote-asset price of 1 token
+        _f("pool_liquidity", AMOUNT),
+        _f("first_hop_connections", IntegerType()),
+    ]
+)
+
+#: CEX trade prints — db/cex/trades/cex_trades.rs:175
+CEX_TRADES_SCHEMA = StructType(
+    [
+        _f("exchange", StringType(), False),
+        _f("base_token", StringType(), False),
+        _f("quote_token", StringType(), False),
+        _f("timestamp", LongType(), False),  # µs
+        _f("price", AMOUNT, False),
+        _f("amount", AMOUNT, False),
+    ]
+)
+
+#: CEX 1-second quote grid — db/cex/quotes/cex_quotes.rs:49-52
+CEX_QUOTES_SCHEMA = StructType(
+    [
+        _f("exchange", StringType(), False),
+        _f("base_token", StringType(), False),
+        _f("quote_token", StringType(), False),
+        _f("timestamp", LongType(), False),  # µs
+        _f("ask_price", AMOUNT, False),
+        _f("bid_price", AMOUNT, False),
+    ]
+)
+
+#: block header/meta — db/metadata.rs:43-54
+BLOCK_INFO_SCHEMA = StructType(
+    [
+        _f("block_number", LongType(), False),
+        _f("block_timestamp", LongType(), False),  # seconds
+        _f("beneficiary", StringType()),
+        _f("eth_price", AMOUNT),
+        _f("proposer_fee_recipient", StringType()),
+        _f("proposer_mev_reward", AMOUNT),
+    ]
+)
+
+#: price-graph edges — graphs/all_pair_graph.rs:69, db/address_to_protocol_info.rs:27
+POOLS_SCHEMA = StructType(
+    [
+        _f("pool", StringType(), False),
+        _f("protocol", StringType(), False),
+        _f("token0", StringType(), False),
+        _f("token1", StringType(), False),
+        _f("init_block", LongType(), False),
+    ]
+)
+
+#: searcher dimension — db/searcher.rs:21
+SEARCHER_INFO_SCHEMA = StructType(
+    [
+        _f("address", StringType(), False),
+        _f("kind", StringType(), False),  # eoa | contract
+        _f("fund", StringType()),
+        _f("mev_types", ArrayType(StringType())),
+        _f("sibling_searchers", ArrayType(StringType())),
+    ]
+)
+
+#: inspector output bundles — mev/bundle/mod.rs:30, mev/bundle/header.rs
+BUNDLES_SCHEMA = StructType(
+    [
+        _f("block_number", LongType(), False),
+        _f("tx_hashes", ArrayType(StringType()), False),
+        _f("eoa", StringType()),
+        _f("mev_contract", StringType()),
+        _f("mev_type", StringType(), False),
+        _f("profit_usd", AMOUNT, False),
+        _f("revenue_usd", AMOUNT, False),
+        _f("gas_usd", AMOUNT, False),
+    ]
+)

@@ -1,0 +1,288 @@
+"""Deterministic blockchain-shaped fixtures with planted MEV patterns
+(FIXTURES.md §9). Every pattern's PnL is closed-form so inspector tests
+assert exact decimals — the Spark analog of the reference's golden-fixture
+strategy (`brontes-inspect/src/test_utils/tests.rs:46-470`), with synthetic
+blocks instead of recorded mainnet traces.
+
+Conventions: token prices are planted in `dex_prices` vs USD; gas costs are
+expressed directly in USD via `eth_price = 1` and wei-scale prices chosen so
+gas_usd = gas_used * effective_gas_price / 1e18 is a round number.
+
+Planted blocks:
+  100 — classic sandwich:  F(swap P1 1000 A→10 B) V1 V2 (victim swaps, same
+        pool, same direction) B(swap P1 10 B→1090 A), searcher eoa
+        0xsearcher1. Net searcher delta +90 A @ $1 ⇒ revenue $90, gas $2
+        (two searcher txs at $1) ⇒ profit $88.
+  101 — atomic arb (2-swap triangle in one tx): A→B on P1, B→A on P2,
+        net +50 A ⇒ revenue $50, gas $1 ⇒ profit $49. Plus an unprofitable
+        long-tail tx (net -10 A) that must be filtered out.
+  102 — JIT: mint(P2 [1000 A, 10 B]) → victim swap (300 A→2.8 B) →
+        burn(P2 [1300 A, 7.2 B]); net +300 A -2.8 B = $300-$294 = $6 revenue,
+        gas $2 ⇒ profit $4.
+  103 — liquidation: covered_debt 100 DAI, seized collateral 60 A
+        (A=$2 ⇒ revenue = 120-100 = $20).
+  104 — CEX-DEX: swap 100 A→101 USD on P1 while CEX mid for A averages
+        $1.06 across the markout window ⇒ maker rev = 100*1.06 - 101 = $5.
+  105 — empty control block (no MEV).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas as S
+
+A, B, DAI, USD = "0xtoka", "0xtokb", "0xdai", "0xusd"
+P1, P2, AAVE = "0xpool1", "0xpool2", "0xaave"
+S1, S2, LIQ = "0xsearcher1", "0xsearcher2", "0xliquidator"
+V = "0xvictim"
+BUILDER = "0xbuilder"
+
+#: (block, ts seconds) — block time 12s
+BLOCK_TS = {bn: 1_700_000_000 + 12 * (bn - 100) for bn in range(100, 106)}
+
+D = Decimal
+
+
+def _swap(bn, txh, txi, ti, frm, pool, tin, tout, ain, aout, recipient=None):
+    return dict(
+        block_number=bn,
+        tx_hash=txh,
+        tx_index=txi,
+        trace_idx=ti,
+        trace_address=[ti],
+        action_type="swap",
+        protocol="UniswapV2",
+        swap={
+            "from": frm,
+            "recipient": recipient or frm,
+            "pool": pool,
+            "token_in": tin,
+            "token_out": tout,
+            "amount_in": D(ain),
+            "amount_out": D(aout),
+        },
+        transfer=None,
+        mint_burn_collect=None,
+        liquidation=None,
+    )
+
+
+def _transfer(bn, txh, txi, ti, frm, to, token, amount, fee="0"):
+    return dict(
+        block_number=bn,
+        tx_hash=txh,
+        tx_index=txi,
+        trace_idx=ti,
+        trace_address=[ti],
+        action_type="transfer",
+        protocol=None,
+        swap=None,
+        transfer={"from": frm, "to": to, "token": token, "amount": D(amount), "fee": D(fee)},
+        mint_burn_collect=None,
+        liquidation=None,
+    )
+
+
+def _mbc(bn, txh, txi, ti, kind, frm, pool, tokens, amounts):
+    return dict(
+        block_number=bn,
+        tx_hash=txh,
+        tx_index=txi,
+        trace_idx=ti,
+        trace_address=[ti],
+        action_type=kind,  # mint | burn | collect
+        protocol="UniswapV3",
+        swap=None,
+        transfer=None,
+        mint_burn_collect={
+            "from": frm,
+            "recipient": frm,
+            "pool": pool,
+            "tokens": tokens,
+            "amounts": [D(a) for a in amounts],
+        },
+        liquidation=None,
+    )
+
+
+def _liq(bn, txh, txi, ti, liquidator, debtor, collateral, debt, covered, seized):
+    return dict(
+        block_number=bn,
+        tx_hash=txh,
+        tx_index=txi,
+        trace_idx=ti,
+        trace_address=[ti],
+        action_type="liquidation",
+        protocol="AaveV3",
+        swap=None,
+        transfer=None,
+        mint_burn_collect=None,
+        liquidation={
+            "pool": AAVE,
+            "liquidator": liquidator,
+            "debtor": debtor,
+            "collateral_asset": collateral,
+            "debt_asset": debt,
+            "covered_debt": D(covered),
+            "liquidated_collateral": D(seized),
+        },
+    )
+
+
+def actions_rows() -> list[dict]:
+    rows = []
+    # block 100 — sandwich (sandwich/mod.rs:1014-1135 candidate shape)
+    rows += [
+        _swap(100, "0xf0", 0, 0, S1, P1, A, B, "1000", "10"),
+        _swap(100, "0xv1", 1, 0, V, P1, A, B, "100", "0.9"),
+        _swap(100, "0xv2", 2, 0, V + "2", P1, A, B, "200", "1.7"),
+        _swap(100, "0xb0", 3, 0, S1, P1, B, A, "10", "1090"),
+        # in-swap transfers that coverage-dedup (T6) must drop from accounting
+        _transfer(100, "0xf0", 0, 1, S1, P1, A, "1000"),
+        _transfer(100, "0xf0", 0, 2, P1, S1, B, "10"),
+    ]
+    # block 101 — atomic arb triangle + long-tail negative
+    rows += [
+        _swap(101, "0xarb", 0, 0, S2, P1, A, B, "500", "5"),
+        _swap(101, "0xarb", 0, 1, S2, P2, B, A, "5", "550"),
+        _swap(101, "0xlt", 1, 0, V, P1, A, B, "100", "0.9"),
+        _swap(101, "0xlt", 1, 1, V, P2, B, A, "0.9", "90"),
+    ]
+    # block 102 — JIT liquidity (jit/jit_liquidity.rs:62-816 shape)
+    rows += [
+        _mbc(102, "0xjf", 0, 0, "mint", S2, P2, [A, B], ["1000", "10"]),
+        _swap(102, "0xjv", 1, 0, V, P2, A, B, "300", "2.8"),
+        _mbc(102, "0xjb", 2, 0, "burn", S2, P2, [A, B], ["1300", "7.2"]),
+    ]
+    # block 103 — liquidation (liquidations.rs:39-168)
+    rows += [
+        _liq(103, "0xliq", 0, 0, LIQ, V, A, DAI, "100", "60"),
+    ]
+    # block 104 — CEX-DEX single swap (cex_dex_markout.rs:105-745)
+    rows += [
+        _swap(104, "0xcd", 0, 0, S1, P1, A, USD, "100", "101"),
+    ]
+    return rows
+
+
+def tx_info_rows() -> list[dict]:
+    # gas: gas_used * effective_gas_price / 1e18 USD (eth_price = 1);
+    # 1e13 wei-price × 1e5 gas = 1e18 wei = $1
+    def tx(bn, txi, txh, eoa, gas_used=100_000, gas_price=10_000_000_000_000,
+           priority_fee=1_000_000_000, mev_contract=None, private=False,
+           coinbase="0"):
+        return dict(
+            block_number=bn, tx_index=txi, tx_hash=txh, eoa=eoa,
+            mev_contract=mev_contract, gas_used=gas_used,
+            effective_gas_price=gas_price, priority_fee=priority_fee,
+            coinbase_transfer=D(coinbase), is_private=private,
+            is_verified_contract=False,
+        )
+
+    return [
+        tx(100, 0, "0xf0", S1, mev_contract="0xmev1"),
+        tx(100, 1, "0xv1", V),
+        tx(100, 2, "0xv2", V + "2"),
+        tx(100, 3, "0xb0", S1, mev_contract="0xmev1"),
+        tx(101, 0, "0xarb", S2, private=True),
+        tx(101, 1, "0xlt", V),
+        tx(102, 0, "0xjf", S2, mev_contract="0xmev2"),
+        tx(102, 1, "0xjv", V),
+        tx(102, 2, "0xjb", S2, mev_contract="0xmev2"),
+        tx(103, 0, "0xliq", LIQ),
+        tx(104, 0, "0xcd", S1),
+    ]
+
+
+def dex_prices_rows() -> list[dict]:
+    """Planted per-tx-index USD prices: A=$1 except A=$2 in block 103;
+    B=$105 throughout; DAI=$1; USD=$1."""
+    rows = []
+    for bn in range(100, 106):
+        for txi in range(0, 4):
+            for token, price in [
+                (A, "2" if bn == 103 else "1"),
+                (B, "105"),
+                (DAI, "1"),
+                (USD, "1"),
+            ]:
+                rows.append(
+                    dict(
+                        block_number=bn,
+                        tx_idx=txi,
+                        token=token,
+                        price_usd=D(price),
+                        pool_liquidity=D("1000000"),
+                        first_hop_connections=5,
+                    )
+                )
+    return rows
+
+
+def cex_trades_rows() -> list[dict]:
+    """Markout window trades for token A around block 104's timestamp.
+
+    Planted so the X4 expanding window must widen: at ±1s only 40 units of
+    volume (< required 100), the rest arrives in later steps; volume-weighted
+    mean across the needed window = $1.06.
+    """
+    ts0 = BLOCK_TS[104] * 1_000_000  # µs
+    return [
+        dict(exchange="binance", base_token=A, quote_token=USD,
+             timestamp=ts0 - 500_000, price=D("1.05"), amount=D("40")),
+        dict(exchange="binance", base_token=A, quote_token=USD,
+             timestamp=ts0 + 1_500_000, price=D("1.06"), amount=D("40")),
+        dict(exchange="binance", base_token=A, quote_token=USD,
+             timestamp=ts0 + 2_500_000, price=D("1.08"), amount=D("20")),
+        dict(exchange="binance", base_token=A, quote_token=USD,
+             timestamp=ts0 + 9_000_000, price=D("5.00"), amount=D("1000")),  # outside cutoff
+    ]
+
+
+def block_info_rows() -> list[dict]:
+    return [
+        dict(
+            block_number=bn,
+            block_timestamp=ts,
+            beneficiary=BUILDER,
+            eth_price=D("1"),
+            proposer_fee_recipient="0xproposer",
+            proposer_mev_reward=D("0"),
+        )
+        for bn, ts in BLOCK_TS.items()
+    ]
+
+
+def pools_rows() -> list[dict]:
+    return [
+        dict(pool=P1, protocol="UniswapV2", token0=A, token1=B, init_block=1),
+        dict(pool=P2, protocol="UniswapV3", token0=A, token1=B, init_block=1),
+    ]
+
+
+def searcher_info_rows() -> list[dict]:
+    return [
+        dict(address=S1, kind="eoa", fund=None,
+             mev_types=["sandwich", "cex_dex"], sibling_searchers=[S1]),
+        dict(address=S2, kind="eoa", fund=None,
+             mev_types=["atomic_arb", "jit"], sibling_searchers=[S2]),
+    ]
+
+
+def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
+    """All fixture tables as DataFrames with the static schemas."""
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema).coalesce(1)
+
+    return {
+        "actions": df(actions_rows(), S.ACTIONS_SCHEMA),
+        "tx_info": df(tx_info_rows(), S.TX_INFO_SCHEMA),
+        "dex_prices": df(dex_prices_rows(), S.DEX_PRICES_SCHEMA),
+        "cex_trades": df(cex_trades_rows(), S.CEX_TRADES_SCHEMA),
+        "block_info": df(block_info_rows(), S.BLOCK_INFO_SCHEMA),
+        "pools": df(pools_rows(), S.POOLS_SCHEMA),
+        "searcher_info": df(searcher_info_rows(), S.SEARCHER_INFO_SCHEMA),
+    }

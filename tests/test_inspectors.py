@@ -1,0 +1,113 @@
+"""Golden-fixture inspector tests — the Spark analog of the reference's
+InspectorTestUtils asserts (brontes-inspect/src/test_utils/tests.rs:46-470):
+planted patterns with closed-form PnL, asserted exactly (decimals, not
+tolerances — our fixtures are synthetic so there is no pricing noise).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from brontes_spark.inspectors import (
+    atomic_arb_bundles,
+    cex_dex_bundles,
+    jit_bundles,
+    liquidation_bundles,
+    run_composer,
+    sandwich_bundles,
+)
+from brontes_spark.sources.fixtures import load_fixtures
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = load_fixtures(spark)
+    t["actions"] = t["actions"].cache()
+    return t
+
+
+def _one(df, **filters):
+    rows = [r.asDict() for r in df.collect()]
+    for k, v in filters.items():
+        rows = [r for r in rows if r[k] == v]
+    assert len(rows) == 1, f"expected exactly one row for {filters}, got {rows}"
+    return rows[0]
+
+
+def test_sandwich(tables):
+    b = sandwich_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
+    )
+    row = _one(b, block_number=100)
+    assert row["mev_type"] == "sandwich"
+    assert row["tx_hashes"][0] == "0xf0" and row["tx_hashes"][-1] == "0xb0"
+    assert set(row["tx_hashes"][1:-1]) == {"0xv1", "0xv2"}
+    # net +90 A @ $1 − $2 gas (coverage dedup must drop the in-swap transfers)
+    assert row["revenue_usd"] == Decimal("90")
+    assert row["gas_usd"] == Decimal("2")
+    assert row["profit_usd"] == Decimal("88")
+
+
+def test_atomic_arb(tables):
+    b = atomic_arb_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"],
+        tables["block_info"], tables["searcher_info"],
+    )
+    rows = [r.asDict() for r in b.collect()]
+    arb = _one(b, block_number=101)
+    assert arb["mev_type"] == "atomic_arb:triangle"
+    assert arb["revenue_usd"] == Decimal("50")
+    assert arb["profit_usd"] == Decimal("49")
+    # the unprofitable long-tail tx must be filtered out
+    assert all(r["tx_hashes"] != ["0xlt"] for r in rows)
+
+
+def test_jit(tables):
+    b = jit_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
+    )
+    row = _one(b, block_number=102)
+    assert row["tx_hashes"] == ["0xjf", "0xjv", "0xjb"]
+    # +300 A − 2.8 B = 300 − 294 = $6; gas $2
+    assert row["revenue_usd"] == Decimal("6")
+    assert row["profit_usd"] == Decimal("4")
+
+
+def test_liquidation(tables):
+    b = liquidation_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
+    )
+    row = _one(b, block_number=103)
+    # 60 A @ $2 − 100 DAI @ $1 = $20; gas $1
+    assert row["revenue_usd"] == Decimal("20")
+    assert row["profit_usd"] == Decimal("19")
+
+
+def test_cex_dex_markout(tables):
+    b = cex_dex_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"],
+        tables["block_info"], tables["cex_trades"],
+    )
+    row = _one(b, block_number=104)
+    # expanding window widens to step 3: vwap = (40·1.05+40·1.06+20·1.08)/100
+    # = 1.06; revenue = 100·1.06 − 101·1 = $5; the $5.00 print at +9s is
+    # outside the cutoff and must not contaminate the vwap
+    assert row["revenue_usd"] == Decimal("5")
+    assert row["profit_usd"] == Decimal("4")
+
+
+def test_composer_end_to_end(tables):
+    out = run_composer(tables)
+    bundles = [r.asDict() for r in out["bundles"].collect()]
+    by_type = {}
+    for r in bundles:
+        by_type.setdefault(r["mev_type"].split(":")[0], []).append(r)
+    assert set(by_type) == {"sandwich", "jit", "liquidation", "cex_dex", "atomic_arb"}
+    headers = {r["block_number"]: r.asDict() for r in out["mev_blocks"].collect()}
+    assert headers[100]["n_bundles"] == 1
+    assert headers[105]["n_bundles"] == 0  # control block stays clean
+    assert headers[100]["total_profit_usd"] == Decimal("88")
+    # every block's builder gas take is present
+    assert headers[100]["builder_gas_usd"] == Decimal("4")
