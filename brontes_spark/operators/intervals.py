@@ -1,0 +1,151 @@
+"""Subtree / prefix-interval operators — the Spark re-expression of the
+reference's per-tx call-tree queries (SURVEY.md §4 item 3):
+
+  * subtree_bounds   — each trace node's preorder interval [trace_idx,
+                       subtree_end]; after this, every tree query is an
+                       interval predicate (no recursive structures)
+  * collect_spans    — T2 (tree/mod.rs:172-200): subtree roots whose
+                       descendants contain all/any required action types
+  * absorb_children  — C7 multi-call-frame classification
+                       (normalized_actions/multi_callframe.rs:6-42,
+                       tree/mod.rs:269-279): composite parents absorb their
+                       subtree's matching child actions; absorbed children
+                       are pruned from the top level
+
+Scale notes: everything is per-tx local — one shuffle on tx_hash, then
+joins/windows whose cardinality is bounded by per-tx trace counts (~10²-10³),
+independent of chain length. The prefix self-join is quadratic only within a
+tx, never across txs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_prefix(prefix: Column, path: Column) -> Column:
+    return (F.size(prefix) <= F.size(path)) & (
+        F.slice(path, 1, F.greatest(F.size(prefix), F.lit(1))) == prefix
+    ) | (F.size(prefix) == 0)
+
+
+def subtree_bounds(
+    df: DataFrame,
+    tx_col: str = "tx_hash",
+    idx_col: str = "trace_idx",
+    path_col: str = "trace_address",
+) -> DataFrame:
+    """Adds `subtree_end` = max trace_idx within the node's subtree.
+
+    Prefix self-join within tx (descendants have the node's trace_address as
+    a path prefix), then max-aggregate. Mirrors the interval the reference
+    maintains implicitly via its Node tree (tree/node.rs:12-20).
+    """
+    nodes = df.select(
+        F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__idx"), F.col(path_col).alias("__path")
+    )
+    desc = df.select(
+        F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__didx"), F.col(path_col).alias("__dpath")
+    )
+    ends = (
+        nodes.join(desc, "__tx")
+        .filter(_is_prefix(F.col("__path"), F.col("__dpath")))
+        .groupBy("__tx", "__idx")
+        .agg(F.max("__didx").alias("subtree_end"))
+    )
+    return df.join(
+        ends,
+        (df[tx_col] == ends["__tx"]) & (df[idx_col] == ends["__idx"]),
+    ).drop("__tx", "__idx")
+
+
+def collect_spans(
+    df: DataFrame,
+    required_types: Sequence[str],
+    mode: str = "all",
+    type_col: str = "action_type",
+    tx_col: str = "tx_hash",
+    idx_col: str = "trace_idx",
+) -> DataFrame:
+    """T2: subtree roots whose descendant set contains all/any of
+    `required_types`. Returns the root rows + `span_types` (distinct types
+    in the span)."""
+    b = subtree_bounds(df, tx_col=tx_col, idx_col=idx_col)
+    members = df.select(
+        F.col(tx_col).alias("__tx"),
+        F.col(idx_col).alias("__midx"),
+        F.col(type_col).alias("__mtype"),
+    )
+    joined = b.join(members, b[tx_col] == members["__tx"]).filter(
+        (F.col("__midx") >= b[idx_col]) & (F.col("__midx") <= F.col("subtree_end"))
+    )
+    grouped = joined.groupBy(*[b[c] for c in df.columns], F.col("subtree_end")).agg(
+        F.array_distinct(F.collect_list("__mtype")).alias("span_types")
+    )
+    req = F.array(*[F.lit(t) for t in required_types])
+    if mode == "all":
+        cond = F.size(F.array_intersect(F.col("span_types"), req)) == len(required_types)
+    elif mode == "any":
+        cond = F.size(F.array_intersect(F.col("span_types"), req)) > 0
+    else:
+        raise ValueError(mode)
+    return grouped.filter(cond)
+
+
+def absorb_children(
+    df: DataFrame,
+    parent_types: Sequence[str],
+    child_types: Sequence[str],
+    tx_col: str = "tx_hash",
+    idx_col: str = "trace_idx",
+    type_col: str = "action_type",
+) -> DataFrame:
+    """C7: parents of `parent_types` absorb descendant rows of `child_types`
+    (deepest parent wins, matching the reference's deepest-first processing);
+    returns the input with absorbed children removed and parents gaining
+    `child_idxs` (sorted trace_idx array of what they absorbed)."""
+    b = subtree_bounds(df, tx_col=tx_col, idx_col=idx_col)
+    parents = b.filter(F.col(type_col).isin(list(parent_types))).select(
+        F.col(tx_col).alias("__tx"),
+        F.col(idx_col).alias("__pidx"),
+        F.col("subtree_end").alias("__pend"),
+        F.size(F.col("trace_address")).alias("__pdepth"),
+    )
+    children = df.filter(F.col(type_col).isin(list(child_types))).select(
+        F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__cidx")
+    )
+    # deepest enclosing parent per child
+    pairs = parents.join(children, "__tx").filter(
+        (F.col("__cidx") > F.col("__pidx")) & (F.col("__cidx") <= F.col("__pend"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__tx", "__cidx").orderBy(F.col("__pdepth").desc(), F.col("__pidx").desc())
+    owned = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__tx", "__pidx", "__cidx")
+    )
+    absorbed_by_parent = owned.groupBy("__tx", "__pidx").agg(
+        F.sort_array(F.collect_list("__cidx")).alias("child_idxs")
+    )
+    out = (
+        df.join(
+            owned.select(F.col("__tx").alias(tx_col), F.col("__cidx").alias(idx_col)),
+            [tx_col, idx_col],
+            "left_anti",
+        )
+        .join(
+            absorbed_by_parent.select(
+                F.col("__tx").alias(tx_col), F.col("__pidx").alias(idx_col), "child_idxs"
+            ),
+            [tx_col, idx_col],
+            "left",
+        )
+    )
+    return out.withColumn(
+        "child_idxs", F.coalesce("child_idxs", F.array().cast("array<bigint>"))
+    )

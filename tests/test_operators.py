@@ -1,0 +1,113 @@
+"""Unit tests for the operator kernel on hand-built frames with
+hand-computed expectations (SURVEY.md §5 layer-3 analog:
+tree-operation structural tests, tree/mod.rs:373-443)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from brontes_spark.operators.asof import asof_join
+from brontes_spark.operators.intervals import absorb_children, collect_spans, subtree_bounds
+from brontes_spark.operators.vwap import expanding_vwap
+from brontes_spark.operators.windows import keep_largest, window_dedup
+
+
+@pytest.fixture(scope="module")
+def tree_df(spark):
+    # one tx mirroring an EVM call tree:
+    #   0 []        flash_loan
+    #   1 [0]       swap
+    #   2 [0,0]     transfer        (inside the swap)
+    #   3 [1]       swap
+    #   4 []-sibling second root-level action
+    rows = [
+        ("0xt1", 0, [], "flash_loan"),
+        ("0xt1", 1, [0], "swap"),
+        ("0xt1", 2, [0, 0], "transfer"),
+        ("0xt1", 3, [1], "swap"),
+        ("0xt2", 0, [], "transfer"),
+    ]
+    return spark.createDataFrame(
+        rows, "tx_hash string, trace_idx long, trace_address array<int>, action_type string"
+    )
+
+
+def test_subtree_bounds(tree_df):
+    b = {
+        (r["tx_hash"], r["trace_idx"]): r["subtree_end"]
+        for r in subtree_bounds(tree_df).collect()
+    }
+    assert b[("0xt1", 0)] == 3  # root spans everything
+    assert b[("0xt1", 1)] == 2  # swap at [0] owns the nested transfer
+    assert b[("0xt1", 2)] == 2
+    assert b[("0xt1", 3)] == 3
+    assert b[("0xt2", 0)] == 0
+
+
+def test_collect_spans(tree_df):
+    spans = collect_spans(tree_df, ["swap", "transfer"], mode="all").collect()
+    # roots whose subtree holds both a swap and a transfer: idx 0 and idx 1
+    got = {(r["tx_hash"], r["trace_idx"]) for r in spans}
+    assert got == {("0xt1", 0), ("0xt1", 1)}
+
+
+def test_absorb_children(tree_df):
+    out = absorb_children(tree_df, ["flash_loan"], ["swap", "transfer"])
+    rows = {(r["tx_hash"], r["trace_idx"]): r for r in out.collect()}
+    # children absorbed into the flash loan and pruned from the top level
+    assert ("0xt1", 1) not in rows and ("0xt1", 3) not in rows
+    assert rows[("0xt1", 0)]["child_idxs"] == [1, 2, 3]
+    assert rows[("0xt2", 0)]["child_idxs"] == []  # untouched sibling tx
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 20, "l2"), ("k", 5, "l0")], "key string, t long, lid string"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "r10"), ("k", 10, "r10b"), ("k", 15, "r15")],
+        "key string, rt long, rid string",
+    )
+    out = asof_join(
+        left, right, on=["key"], left_time="t", right_time="rt",
+        tiebreak="rid", payload_prefix="m_", how="left",
+    )
+    got = {r["lid"]: (r["m_rid"]) for r in out.collect()}
+    assert got["l0"] is None          # nothing at-or-before t=5
+    assert got["l1"] == "r10b"        # inclusive at equal time, max tiebreak
+    assert got["l2"] == "r15"         # latest at-or-before
+
+
+def test_expanding_vwap_cutoff(spark):
+    anchors = spark.createDataFrame(
+        [("a1", "k", 1000, Decimal("100"))],
+        "anchor_id string, key string, anchor_ts long, required_vol decimal(18,6)",
+    )
+    ticks = spark.createDataFrame(
+        [
+            ("k", 990, Decimal("1"), Decimal("60"), 1),   # step 1 (pre)
+            ("k", 1015, Decimal("2"), Decimal("60"), 2),  # step 2 (post)
+            ("k", 1025, Decimal("9"), Decimal("60"), 3),  # step 3 — beyond cutoff
+        ],
+        "key string, tick_ts long, price decimal(18,6), vol decimal(18,6), tick_id long",
+    )
+    out = expanding_vwap(anchors, ticks, pre_step=10, post_step=10, max_steps=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cutoff_step"] == 2
+    assert r["vwap"] == pytest.approx((60 * 1 + 60 * 2) / 120.0)
+    assert r["covered_vol"] == 120.0
+
+
+def test_keep_largest_and_dedup(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 9.0), ("g", 3, 9.0), ("h", 4, 1.0)],
+        "grp string, id long, m double",
+    )
+    top = {r["grp"]: r["id"] for r in keep_largest(df, ["grp"], F.col("m"), "id").collect()}
+    assert top == {"g": 2, "h": 4}  # tie at 9.0 broken by min id
+    first = {r["grp"]: r["id"] for r in window_dedup(df, ["grp"], ["id"]).collect()}
+    assert first == {"g": 1, "h": 4}
