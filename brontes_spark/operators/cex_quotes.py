@@ -1,0 +1,146 @@
+"""CEX quote/trade pricing operators — SURVEY.md §2.5:
+
+  X1  quote_at        — nearest quote at-or-before ts within max_time_diff
+                        (db/cex/quotes/cex_quotes.rs:124+ get_quote_at)
+  X2  most_liquid_quote — try exchanges in liquidity-rank order, first hit
+                        wins (cex_quotes.rs:103-123)
+  X3  fee_adjusted    — maker/taker fee application (cex_quotes.rs:684-695)
+  X5  intermediary_price — leg-multiplied pricing through an intermediary
+                        (time_window_vwam.rs:168-300)
+  X6  optimistic_vwap — cheapest-trades-first idealized execution
+                        (db/cex/trades/optimistic.rs:41-398)
+
+All are single-shuffle join/window plans over the quote/trade fact tables;
+X1 reuses the as-of kernel (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .asof import asof_join
+
+
+def quote_at(
+    targets: DataFrame,   # (target_id, base_token, quote_token, ts)
+    quotes: DataFrame,    # CEX_QUOTES_SCHEMA
+    exchange: str,
+    max_time_diff_us: int = 1_000_000,
+) -> DataFrame:
+    """X1: latest quote at-or-before each target ts, else null; matches
+    beyond `max_time_diff_us` are discarded like the reference's staleness
+    guard."""
+    q = quotes.filter(F.col("exchange") == exchange).select(
+        "base_token", "quote_token",
+        F.col("timestamp").alias("q_ts"),
+        F.col("ask_price"), F.col("bid_price"),
+    )
+    j = asof_join(
+        targets, q,
+        on=["base_token", "quote_token"],
+        left_time="ts", right_time="q_ts",
+        tiebreak="q_ts", payload_prefix="",
+        how="left",
+    )
+    fresh = F.col("q_ts").isNotNull() & (
+        (F.col("ts") - F.col("q_ts")) <= max_time_diff_us
+    )
+    return j.select(
+        *targets.columns,
+        F.when(fresh, F.col("ask_price")).alias("ask_price"),
+        F.when(fresh, F.col("bid_price")).alias("bid_price"),
+        F.when(fresh, (F.col("ask_price") + F.col("bid_price")) / 2).alias("mid_price"),
+    )
+
+
+def most_liquid_quote(
+    targets: DataFrame,
+    quotes: DataFrame,
+    exchange_rank: DataFrame,  # (base_token, quote_token, exchange, rank)
+    max_time_diff_us: int = 1_000_000,
+) -> DataFrame:
+    """X2: per target, the quote from the best-ranked exchange that has a
+    fresh quote (first-non-null in rank order → min_by over successes)."""
+    q = quotes.join(exchange_rank, ["base_token", "quote_token", "exchange"]).select(
+        "base_token", "quote_token", "rank",
+        F.col("timestamp").alias("q_ts"), "ask_price", "bid_price",
+    )
+    pairs = targets.join(q, ["base_token", "quote_token"]).filter(
+        (F.col("q_ts") <= F.col("ts"))
+        & (F.col("ts") - F.col("q_ts") <= max_time_diff_us)
+    )
+    w = W.partitionBy("target_id").orderBy(
+        F.col("rank").asc(), F.col("q_ts").desc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fee_adjusted(quoted: DataFrame, fees: DataFrame) -> DataFrame:
+    """X3: FeeAdjustedQuote — price_maker/price_taker from the exchange fee
+    dim (per-exchange maker/taker bps, db/cex/exchanges.rs)."""
+    out = quoted.join(F.broadcast(fees), "exchange", "left")
+    one = F.lit(1).cast("decimal(18,9)")
+    return out.withColumn(
+        "price_maker", (F.col("mid_price") * (one - F.col("maker_fee"))).cast("decimal(38,18)")
+    ).withColumn(
+        "price_taker", (F.col("mid_price") * (one - F.col("taker_fee"))).cast("decimal(38,18)")
+    )
+
+
+def intermediary_price(leg_prices: DataFrame) -> DataFrame:
+    """X5: for pairs (A,B) with no direct market, combine (A,X) and (X,B)
+    legs: price(A,B) = price(A,X) * price(X,B), for every shared
+    intermediary X; the best (max-liquidity or min-spread) combination is a
+    downstream keep_largest."""
+    a = leg_prices.select(
+        F.col("base_token").alias("from_token"),
+        F.col("quote_token").alias("mid_token"),
+        F.col("price").alias("p0"),
+    )
+    b = leg_prices.select(
+        F.col("base_token").alias("mid_token"),
+        F.col("quote_token").alias("to_token"),
+        F.col("price").alias("p1"),
+    )
+    return (
+        a.join(b, "mid_token")
+        .filter(F.col("from_token") != F.col("to_token"))
+        .select(
+            "from_token", "to_token", "mid_token",
+            (F.col("p0") * F.col("p1")).cast("decimal(38,18)").alias("price"),
+        )
+    )
+
+
+def optimistic_vwap(
+    anchors: DataFrame,   # anchor_id, key, anchor_ts, required_vol
+    ticks: DataFrame,     # key, tick_ts, price, vol, tick_id
+    window_us: int,
+) -> DataFrame:
+    """X6: within ±window, take the CHEAPEST trades first until volume is
+    covered — the idealized best-execution price. One range join + one
+    price-ordered cumulative window, no iteration."""
+    j = anchors.join(ticks, "key").filter(
+        (F.col("tick_ts") >= F.col("anchor_ts") - window_us)
+        & (F.col("tick_ts") <= F.col("anchor_ts") + window_us)
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.col("price").asc(), F.col("tick_id").asc())
+    cum = j.withColumn("cum_vol", F.sum("vol").over(w))
+    taken = cum.filter(F.col("cum_vol") - F.col("vol") < F.col("required_vol"))
+    spv6 = F.sum(F.col("price") * F.col("vol")).cast("decimal(38,6)").cast("double")
+    svol6 = F.sum("vol").cast("decimal(38,6)").cast("double")
+    return (
+        taken.groupBy("anchor_id", "required_vol")
+        .agg(
+            F.max("cum_vol").alias("covered"),
+            (spv6 / svol6).alias("optimistic_price"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .filter(F.col("covered") >= F.col("required_vol"))
+        .drop("covered")
+    )
