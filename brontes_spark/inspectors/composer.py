@@ -1,15 +1,21 @@
-"""Composer — reference O1-O4 (SURVEY.md §2.8):
+"""Composer — reference O1-O4 + I11/I13 (SURVEY.md §2.7/§2.8):
 `brontes-inspect/src/composer/mod.rs:71-343`, `composer/utils.rs:15-242`.
 
   O1  run every inspector, union bundles (independent DAG branches — Spark
       schedules them; the shared `actions` input is cached by the caller)
+  O2  compose: sandwich + JIT bundles sharing txs by the same searcher merge
+      into jit_sandwich (composer/composer_filters.rs:21-49,
+      mev/jit_sandwich.rs compose_sandwich_jit). Our delta accounting
+      already sums ALL searcher deltas per tx set, so the sandwich bundle's
+      numbers are the complete merged PnL — the merge takes them verbatim.
+  I11 jit_cex_dex: JIT bundles whose searcher is labeled cex-dex
+      (jit/jit_cex_dex.rs) re-tag
   O3  precedence dedup (composer/mev_filters.rs:32-110): bundles of a
       subordinate MEV type sharing any tx with a dominant bundle are dropped
+  I13 searcher activity (mev_inspectors/searcher_activity.rs:40-200):
+      known-searcher txs no bundle claims get profit-attributed bundles
   O4  per-block MevBlock header rollup (bundle counts/profits by type +
       builder gas take)
-
-O2 (sandwich+jit → jit_sandwich merge) follows the same explode/self-join
-shape as O3 and lands with the multi-pattern fixtures in a later round.
 """
 
 from __future__ import annotations
@@ -28,28 +34,129 @@ from .sandwich import sandwich_bundles
 
 #: precedence: lower = dominant (mev_filters.rs MevType ordering, simplified)
 PRIORITY = {
-    "sandwich": 0,
-    "jit_sandwich": 1,
-    "jit": 2,
-    "cex_dex": 3,
-    "liquidation": 4,
-    "atomic_arb:triangle": 5,
-    "atomic_arb:cross_pair": 6,
-    "atomic_arb:long_tail": 7,
+    "jit_sandwich": 0,
+    "sandwich": 1,
+    "sandwich:big_mac": 1,
+    "jit_cex_dex": 2,
+    "jit": 3,
+    "cex_dex": 4,
+    "liquidation": 5,
+    "atomic_arb:triangle": 6,
+    "atomic_arb:cross_pair": 7,
+    "atomic_arb:long_tail": 8,
+    "searcher_tx": 9,
 }
+
+_BCOLS = [
+    "block_number", "tx_hashes", "eoa", "mev_contract", "mev_type",
+    "profit_usd", "revenue_usd", "gas_usd",
+]
+
+
+def compose_sandwich_jit(bundles: DataFrame) -> DataFrame:
+    """O2: merge sandwich×jit pairs (same block + eoa, intersecting txs)
+    into jit_sandwich; drop the children."""
+    s = bundles.filter(F.col("mev_type").startswith("sandwich")).select(
+        *[F.col(c).alias(f"s_{c}") for c in _BCOLS]
+    )
+    j = bundles.filter(F.col("mev_type").isin("jit", "jit_cex_dex")).select(
+        *[F.col(c).alias(f"j_{c}") for c in _BCOLS]
+    )
+    pairs = s.join(
+        j,
+        (F.col("s_block_number") == F.col("j_block_number"))
+        & (F.col("s_eoa") == F.col("j_eoa"))
+        & (F.size(F.array_intersect("s_tx_hashes", "j_tx_hashes")) > 0),
+    )
+    merged = pairs.select(
+        F.col("s_block_number").alias("block_number"),
+        F.sort_array(F.array_distinct(F.concat("s_tx_hashes", "j_tx_hashes"))).alias(
+            "tx_hashes"
+        ),
+        F.col("s_eoa").alias("eoa"),
+        F.col("s_mev_contract").alias("mev_contract"),
+        F.lit("jit_sandwich").alias("mev_type"),
+        # sandwich PnL already spans the full searcher delta set (see module
+        # docstring) — take it as the merged bundle's accounting
+        F.col("s_profit_usd").alias("profit_usd"),
+        F.col("s_revenue_usd").alias("revenue_usd"),
+        F.col("s_gas_usd").alias("gas_usd"),
+    )
+    consumed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_block_number").alias("bn"), F.col("s_tx_hashes").alias("txs")),
+                F.struct(F.col("j_block_number").alias("bn"), F.col("j_tx_hashes").alias("txs")),
+            )
+        ).alias("c")
+    ).select(F.col("c.bn").alias("block_number"), F.col("c.txs").alias("tx_hashes")).distinct()
+    survivors = bundles.join(consumed, ["block_number", "tx_hashes"], "left_anti")
+    return survivors.unionByName(merged)
+
+
+def retag_jit_cex_dex(bundles: DataFrame, searcher_info: DataFrame) -> DataFrame:
+    """I11: jit bundles by searchers labeled cex-dex become jit_cex_dex."""
+    labeled = searcher_info.filter(
+        F.array_contains(F.col("mev_types"), "cex_dex")
+    ).select(F.col("address").alias("eoa"), F.lit(True).alias("__cd"))
+    out = bundles.join(F.broadcast(labeled), "eoa", "left")
+    return out.withColumn(
+        "mev_type",
+        F.when((F.col("mev_type") == "jit") & F.col("__cd"), "jit_cex_dex").otherwise(
+            F.col("mev_type")
+        ),
+    ).drop("__cd")
+
+
+def searcher_activity_bundles(
+    claimed: DataFrame,
+    tx_info: DataFrame,
+    searcher_info: DataFrame,
+    deltas: DataFrame,
+    gas: DataFrame,
+) -> DataFrame:
+    """I13: profitable known-searcher txs not claimed by any bundle."""
+    known = searcher_info.select(F.col("address").alias("eoa")).distinct()
+    claimed_txs = claimed.select(F.explode("tx_hashes").alias("tx_hash")).distinct()
+    candidates = (
+        tx_info.join(F.broadcast(known), "eoa", "left_semi")
+        .join(claimed_txs, "tx_hash", "left_anti")
+        .select("block_number", "tx_hash", "eoa", "mev_contract")
+    )
+    searcher_set = F.array_compact(F.array("eoa", "mev_contract"))
+    rev = (
+        candidates.join(deltas.select("tx_hash", "address", "usd"), "tx_hash")
+        .filter(F.array_contains(searcher_set, F.col("address")))
+        .groupBy("block_number", "tx_hash", "eoa", "mev_contract")
+        .agg(F.sum("usd").alias("revenue_usd"))
+        .filter(F.col("revenue_usd") > 0)
+    )
+    return (
+        rev.join(gas.select("tx_hash", "gas_usd"), "tx_hash")
+        .withColumn(
+            "profit_usd", (F.col("revenue_usd") - F.col("gas_usd")).cast("decimal(38,18)")
+        )
+        .filter(F.col("profit_usd") > 0)
+        .select(
+            "block_number",
+            F.array("tx_hash").alias("tx_hashes"),
+            "eoa",
+            "mev_contract",
+            F.lit("searcher_tx").alias("mev_type"),
+            "profit_usd",
+            F.col("revenue_usd").cast("decimal(38,18)").alias("revenue_usd"),
+            F.col("gas_usd").cast("decimal(38,18)").alias("gas_usd"),
+        )
+    )
 
 
 def dedup_by_precedence(bundles: DataFrame) -> DataFrame:
     """O3: drop subordinate bundles sharing a tx with a dominant bundle."""
-    prio = F.create_map(
-        *[F.lit(x) for kv in PRIORITY.items() for x in kv]
-    )
+    prio = F.create_map(*[F.lit(x) for kv in PRIORITY.items() for x in kv])
     b = bundles.withColumn("priority", prio[F.col("mev_type")]).withColumn(
         "bundle_id", F.monotonically_increasing_id()
     )
-    exploded = b.select(
-        "bundle_id", "priority", F.explode("tx_hashes").alias("tx_hash")
-    )
+    exploded = b.select("bundle_id", "priority", F.explode("tx_hashes").alias("tx_hash"))
     w = W.partitionBy("tx_hash").orderBy(F.col("priority").asc(), F.col("bundle_id").asc())
     dominated = (
         exploded.withColumn("rnk", F.rank().over(w))
@@ -83,7 +190,7 @@ def mev_block_header(bundles: DataFrame, tx_info: DataFrame, block_info: DataFra
 
 
 def run_composer(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """O1 + O3 + O4 over the fixture-shaped tables."""
+    """O1 → I11 → O2 → O3 → I13 → O4 over the fixture-shaped tables."""
     actions = tables["actions"].cache()
     args = (actions, tables["tx_info"], tables["dex_prices"], tables["block_info"])
     # shared accounting inputs computed once (the reference likewise shares
@@ -97,9 +204,19 @@ def run_composer(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         cex_dex_bundles(*args, cex_trades=tables["cex_trades"], gas=gas),
         atomic_arb_bundles(*args, searcher_info=tables["searcher_info"], deltas=deltas, gas=gas),
     ]
-    # cache the union: precedence dedup references it on both sides of an
-    # anti-join, which would otherwise re-execute every inspector's DAG
-    unioned = reduce(lambda a, b: a.unionByName(b), all_bundles).cache()
-    deduped = dedup_by_precedence(unioned).orderBy("block_number", "mev_type")
-    header = mev_block_header(deduped, tables["tx_info"], tables["block_info"])
-    return {"bundles": deduped, "mev_blocks": header}
+    # localCheckpoint (eager) at each composer stage boundary: the compose /
+    # dedup self-joins replicate the whole 5-inspector DAG several times, and
+    # the resulting analyzed-plan tree grows combinatorially — with a default
+    # 1g driver heap that OOMs at ANALYSIS time. Checkpointing truncates
+    # lineage to the (KB-sized) materialized bundles.
+    unioned = reduce(lambda a, b: a.unionByName(b), all_bundles).localCheckpoint()
+    composed = compose_sandwich_jit(
+        retag_jit_cex_dex(unioned, tables["searcher_info"])
+    ).localCheckpoint()
+    deduped = dedup_by_precedence(composed).localCheckpoint()
+    activity = searcher_activity_bundles(
+        deduped, tables["tx_info"], tables["searcher_info"], deltas, gas
+    )
+    final = deduped.unionByName(activity).orderBy("block_number", "mev_type")
+    header = mev_block_header(final, tables["tx_info"], tables["block_info"])
+    return {"bundles": final, "mev_blocks": header}

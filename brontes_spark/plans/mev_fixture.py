@@ -52,6 +52,16 @@ def _bundle_values() -> str:
         ("103", "['0xliq']", "'0xliquidator'", "NULL", "'liquidation'",
          "19", "20", "1"),
         ("104", "['0xcd']", "'0xsearcher1'", "NULL", "'cex_dex'", "4", "5", "1"),
+        ("107", "['0xbm_f1','0xbm_f2','0xbm_v1','0xbm_v2','0xbm_b']",
+         "'0xsearcher3'", "NULL", "'sandwich:big_mac'", "97", "100", "3"),
+        ("108", "['0xg_f1','0xg_v1','0xg_b1']", "'0xsearcher4'", "NULL",
+         "'sandwich'", "3", "5", "2"),
+        ("108", "['0xg_f2','0xg_v2','0xg_b2']", "'0xsearcher4'", "NULL",
+         "'sandwich'", "3", "5", "2"),
+        ("109", "['0xjs_b','0xjs_f','0xjs_v']", "'0xsearcher2'", "NULL",
+         "'jit_sandwich'", "17", "19", "2"),
+        ("110", "['0xsa']", "'0xsearcher1'", "NULL", "'searcher_tx'",
+         "29", "30", "1"),
     ]
     values = ",\n      ".join(
         f"({bn}, {txs}, {eoa}, {mc}, {mt}, "
@@ -97,7 +107,12 @@ def mev_composer_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
       (102, 1, CAST(4 AS {_DEC}),  CAST(3 AS {_DEC})),
       (103, 1, CAST(19 AS {_DEC}), CAST(1 AS {_DEC})),
       (104, 1, CAST(4 AS {_DEC}),  CAST(1 AS {_DEC})),
-      (105, 0, NULL, NULL)
+      (105, 0, NULL, NULL),
+      (106, 0, NULL, NULL),
+      (107, 1, CAST(97 AS {_DEC}), CAST(5 AS {_DEC})),
+      (108, 2, CAST(6 AS {_DEC}),  CAST(6 AS {_DEC})),
+      (109, 1, CAST(17 AS {_DEC}), CAST(3 AS {_DEC})),
+      (110, 1, CAST(29 AS {_DEC}), CAST(1 AS {_DEC}))
     ) AS t(bn, n_bundles, profit, gas)
     """,
     survey_ref="O4 MevBlock header build (composer/utils.rs:15-242)",

@@ -22,6 +22,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local-mode default of 200 shuffle partitions wastes scheduler time on
+    # the test scales; AQE coalesces upward when data demands it
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -24,6 +24,18 @@ Planted blocks:
   104 — CEX-DEX: swap 100 A→101 USD on P1 while CEX mid for A averages
         $1.06 across the markout window ⇒ maker rev = 100*1.06 - 101 = $5.
   105 — empty control block (no MEV).
+  107 — "Big Mac" sandwich: F1 V1 F2 V2 B by searcher 0xsearcher3 — two
+        frontruns with victims in both gaps; net +100 A ⇒ rev $100,
+        gas $3 ⇒ profit $97.
+  108 — gap partition: F V B | F' V' B' by 0xsearcher4 with an EMPTY gap
+        between B and F' ⇒ two independent sandwiches, each +5 A ⇒ rev $5,
+        gas $2 ⇒ profit $3.
+  109 — JIT-sandwich compose: F(mint P2 + swap P2) V(swap P2) B(burn P2 +
+        swap P2) — both the sandwich and JIT inspectors fire on the same tx
+        set; the composer merges them into jit_sandwich. Searcher deltas:
+        mint/burn +30 A −0.2 B, swaps +10 A ⇒ rev 40−21 = $19, gas $2 ⇒ $17.
+  110 — searcher activity: known searcher 0xsearcher1 receives a 30 A
+        transfer in a tx no inspector claims ⇒ rev $30, gas $1 ⇒ $29.
 """
 
 from __future__ import annotations
@@ -40,8 +52,10 @@ S1, S2, LIQ = "0xsearcher1", "0xsearcher2", "0xliquidator"
 V = "0xvictim"
 BUILDER = "0xbuilder"
 
+S3, S4 = "0xsearcher3", "0xsearcher4"
+
 #: (block, ts seconds) — block time 12s
-BLOCK_TS = {bn: 1_700_000_000 + 12 * (bn - 100) for bn in range(100, 106)}
+BLOCK_TS = {bn: 1_700_000_000 + 12 * (bn - 100) for bn in range(100, 111)}
 
 D = Decimal
 
@@ -165,6 +179,35 @@ def actions_rows() -> list[dict]:
     rows += [
         _swap(104, "0xcd", 0, 0, S1, P1, A, USD, "100", "101"),
     ]
+    # block 107 — Big Mac (two frontruns, sandwich/mod.rs "Big Mac" shape)
+    rows += [
+        _swap(107, "0xbm_f1", 0, 0, S3, P1, A, B, "500", "5"),
+        _swap(107, "0xbm_v1", 1, 0, V, P1, A, B, "50", "0.45"),
+        _swap(107, "0xbm_f2", 2, 0, S3, P1, A, B, "500", "5"),
+        _swap(107, "0xbm_v2", 3, 0, V + "2", P1, A, B, "60", "0.5"),
+        _swap(107, "0xbm_b", 4, 0, S3, P1, B, A, "10", "1100"),
+    ]
+    # block 108 — empty-gap partition into two sandwiches (mod.rs:902-953)
+    rows += [
+        _swap(108, "0xg_f1", 0, 0, S4, P1, A, B, "100", "1"),
+        _swap(108, "0xg_v1", 1, 0, V, P1, A, B, "20", "0.2"),
+        _swap(108, "0xg_b1", 2, 0, S4, P1, B, A, "1", "105"),
+        _swap(108, "0xg_f2", 3, 0, S4, P1, A, B, "100", "1"),
+        _swap(108, "0xg_v2", 4, 0, V + "2", P1, A, B, "20", "0.2"),
+        _swap(108, "0xg_b2", 5, 0, S4, P1, B, A, "1", "105"),
+    ]
+    # block 109 — sandwich + JIT on the same tx set → jit_sandwich (O2)
+    rows += [
+        _mbc(109, "0xjs_f", 0, 0, "mint", S2, P2, [A, B], ["1000", "10"]),
+        _swap(109, "0xjs_f", 0, 1, S2, P2, A, B, "100", "1"),
+        _swap(109, "0xjs_v", 1, 0, V, P2, A, B, "30", "0.28"),
+        _mbc(109, "0xjs_b", 2, 0, "burn", S2, P2, [A, B], ["1030", "9.8"]),
+        _swap(109, "0xjs_b", 2, 1, S2, P2, B, A, "1", "110"),
+    ]
+    # block 110 — searcher activity: unclaimed profitable transfer (I13)
+    rows += [
+        _transfer(110, "0xsa", 0, 0, "0xwhale", S1, A, "30"),
+    ]
     return rows
 
 
@@ -194,6 +237,21 @@ def tx_info_rows() -> list[dict]:
         tx(102, 2, "0xjb", S2, mev_contract="0xmev2"),
         tx(103, 0, "0xliq", LIQ),
         tx(104, 0, "0xcd", S1),
+        tx(107, 0, "0xbm_f1", S3),
+        tx(107, 1, "0xbm_v1", V),
+        tx(107, 2, "0xbm_f2", S3),
+        tx(107, 3, "0xbm_v2", V + "2"),
+        tx(107, 4, "0xbm_b", S3),
+        tx(108, 0, "0xg_f1", S4),
+        tx(108, 1, "0xg_v1", V),
+        tx(108, 2, "0xg_b1", S4),
+        tx(108, 3, "0xg_f2", S4),
+        tx(108, 4, "0xg_v2", V + "2"),
+        tx(108, 5, "0xg_b2", S4),
+        tx(109, 0, "0xjs_f", S2),
+        tx(109, 1, "0xjs_v", V),
+        tx(109, 2, "0xjs_b", S2),
+        tx(110, 0, "0xsa", S1),
     ]
 
 
@@ -201,8 +259,8 @@ def dex_prices_rows() -> list[dict]:
     """Planted per-tx-index USD prices: A=$1 except A=$2 in block 103;
     B=$105 throughout; DAI=$1; USD=$1."""
     rows = []
-    for bn in range(100, 106):
-        for txi in range(0, 4):
+    for bn in range(100, 111):
+        for txi in range(0, 6):
             for token, price in [
                 (A, "2" if bn == 103 else "1"),
                 (B, "105"),

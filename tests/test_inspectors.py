@@ -98,16 +98,48 @@ def test_cex_dex_markout(tables):
     assert row["profit_usd"] == Decimal("4")
 
 
+def test_sandwich_big_mac(tables):
+    b = sandwich_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
+    )
+    row = _one(b, block_number=107)
+    assert row["mev_type"] == "sandwich:big_mac"
+    assert row["tx_hashes"] == ["0xbm_f1", "0xbm_f2", "0xbm_v1", "0xbm_v2", "0xbm_b"]
+    assert row["profit_usd"] == Decimal("97")
+
+
+def test_sandwich_gap_partition(tables):
+    b = sandwich_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
+    )
+    rows = sorted(
+        (r.asDict() for r in b.filter("block_number = 108").collect()),
+        key=lambda r: r["tx_hashes"][0],
+    )
+    assert len(rows) == 2  # empty gap splits the chain into two sandwiches
+    assert rows[0]["tx_hashes"] == ["0xg_f1", "0xg_v1", "0xg_b1"]
+    assert rows[1]["tx_hashes"] == ["0xg_f2", "0xg_v2", "0xg_b2"]
+    assert all(r["profit_usd"] == Decimal("3") for r in rows)
+
+
 def test_composer_end_to_end(tables):
     out = run_composer(tables)
     bundles = [r.asDict() for r in out["bundles"].collect()]
     by_type = {}
     for r in bundles:
         by_type.setdefault(r["mev_type"].split(":")[0], []).append(r)
-    assert set(by_type) == {"sandwich", "jit", "liquidation", "cex_dex", "atomic_arb"}
+    assert set(by_type) == {
+        "sandwich", "jit", "liquidation", "cex_dex", "atomic_arb",
+        "jit_sandwich", "searcher_tx",
+    }
+    js = by_type["jit_sandwich"][0]
+    assert js["block_number"] == 109 and js["profit_usd"] == Decimal("17")
+    sa = by_type["searcher_tx"][0]
+    assert sa["block_number"] == 110 and sa["profit_usd"] == Decimal("29")
     headers = {r["block_number"]: r.asDict() for r in out["mev_blocks"].collect()}
     assert headers[100]["n_bundles"] == 1
     assert headers[105]["n_bundles"] == 0  # control block stays clean
     assert headers[100]["total_profit_usd"] == Decimal("88")
+    assert headers[108]["n_bundles"] == 2
     # every block's builder gas take is present
     assert headers[100]["builder_gas_usd"] == Decimal("4")

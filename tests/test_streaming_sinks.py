@@ -38,7 +38,10 @@ def test_tip_stream_runs_batch_pipeline(spark):
         totals = {}
         for bn, n in seen:
             totals[bn] = totals.get(bn, 0) + n
-        assert totals == {100: 6, 101: 4, 102: 3, 103: 1, 104: 1}
+        assert totals == {
+            100: 6, 101: 4, 102: 3, 103: 1, 104: 1,
+            107: 5, 108: 6, 109: 5, 110: 1,
+        }
 
 
 def test_write_partitioned_and_prune(spark):
