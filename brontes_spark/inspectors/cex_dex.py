@@ -21,6 +21,70 @@ POST_STEP_US = 1_000_000
 MAX_STEPS = 5
 
 
+def cex_dex_quotes_bundles(
+    actions: DataFrame,
+    tx_info: DataFrame,
+    dex_prices: DataFrame,
+    block_info: DataFrame,
+    cex_quotes: DataFrame,
+    quote_token: str = "0xusd",
+    gas: DataFrame | None = None,
+    exchange: str = "binance",
+) -> DataFrame:
+    """I9 (mev_inspectors/cex_dex/quotes/cex_dex.rs): the quotes variant —
+    instantaneous mid quote (X1 as-of lookup) instead of the trade-window
+    VWAP. Deliberately subordinate to the markout variant in the composer's
+    precedence table, mirroring the reference's preference."""
+    from ..operators.cex_quotes import quote_at
+    from .accounting import gas_usd as _gas_usd
+
+    swaps = actions.filter(
+        (F.col("action_type") == "swap") & (F.col("swap.token_out") == quote_token)
+    ).select(
+        "block_number", "tx_hash", "tx_index",
+        F.col("swap.token_in").alias("token_in"),
+        F.col("swap.amount_in").alias("amount_in"),
+        F.col("swap.amount_out").alias("amount_out"),
+    )
+    targets = swaps.join(
+        F.broadcast(block_info.select("block_number", "block_timestamp")), "block_number"
+    ).select(
+        F.col("tx_hash").alias("target_id"),
+        F.col("token_in").alias("base_token"),
+        F.lit(quote_token).alias("quote_token"),
+        (F.col("block_timestamp") * F.lit(1_000_000)).cast("long").alias("ts"),
+    )
+    quoted = quote_at(targets, cex_quotes, exchange, max_time_diff_us=2_000_000).select(
+        F.col("target_id").alias("tx_hash"),
+        F.col("mid_price").cast("decimal(38,18)").alias("cex_price"),
+    ).filter(F.col("cex_price").isNotNull())
+    if gas is None:
+        gas = _gas_usd(tx_info, block_info)
+    priced = swaps.join(quoted, "tx_hash").withColumn(
+        "revenue_usd",
+        (
+            F.col("amount_in") * F.col("cex_price") - F.col("amount_out")
+        ).cast("decimal(38,18)"),
+    )
+    return (
+        priced.join(gas.select("tx_hash", "eoa", "mev_contract", "gas_usd"), "tx_hash")
+        .withColumn(
+            "profit_usd", (F.col("revenue_usd") - F.col("gas_usd")).cast("decimal(38,18)")
+        )
+        .filter(F.col("revenue_usd") > 0)
+        .select(
+            "block_number",
+            F.array("tx_hash").alias("tx_hashes"),
+            "eoa",
+            "mev_contract",
+            F.lit("cex_dex_quotes").alias("mev_type"),
+            "profit_usd",
+            "revenue_usd",
+            F.col("gas_usd").cast("decimal(38,18)").alias("gas_usd"),
+        )
+    )
+
+
 def cex_dex_bundles(
     actions: DataFrame,
     tx_info: DataFrame,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .accounting import action_deltas, gas_usd, usd_deltas
 from .atomic_arb import atomic_arb_bundles
-from .cex_dex import cex_dex_bundles
+from .cex_dex import cex_dex_bundles, cex_dex_quotes_bundles
 from .jit import jit_bundles
 from .liquidations import liquidation_bundles
 from .sandwich import sandwich_bundles
@@ -35,16 +35,17 @@ from .sandwich import sandwich_bundles
 #: precedence: lower = dominant (mev_filters.rs MevType ordering, simplified)
 PRIORITY = {
     "jit_sandwich": 0,
-    "sandwich": 1,
-    "sandwich:big_mac": 1,
-    "jit_cex_dex": 2,
-    "jit": 3,
-    "cex_dex": 4,
-    "liquidation": 5,
-    "atomic_arb:triangle": 6,
-    "atomic_arb:cross_pair": 7,
-    "atomic_arb:long_tail": 8,
-    "searcher_tx": 9,
+    "sandwich": 10,
+    "sandwich:big_mac": 10,
+    "jit_cex_dex": 20,
+    "jit": 30,
+    "cex_dex": 40,
+    "cex_dex_quotes": 45,  # markout variant dominates (reference preference)
+    "liquidation": 50,
+    "atomic_arb:triangle": 60,
+    "atomic_arb:cross_pair": 70,
+    "atomic_arb:long_tail": 80,
+    "searcher_tx": 90,
 }
 
 _BCOLS = [
@@ -202,6 +203,7 @@ def run_composer(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         jit_bundles(*args, deltas=deltas, gas=gas),
         liquidation_bundles(*args, deltas=deltas, gas=gas),
         cex_dex_bundles(*args, cex_trades=tables["cex_trades"], gas=gas),
+        cex_dex_quotes_bundles(*args, cex_quotes=tables["cex_quotes"], gas=gas),
         atomic_arb_bundles(*args, searcher_info=tables["searcher_info"], deltas=deltas, gas=gas),
     ]
     # localCheckpoint (eager) at each composer stage boundary: the compose /

@@ -300,6 +300,19 @@ def cex_trades_rows() -> list[dict]:
     ]
 
 
+def cex_quotes_rows() -> list[dict]:
+    """X1-grid quotes for token A around block 104: mid = (1.08+1.06)/2 =
+    1.07 => quotes-variant revenue = 100*1.07 - 101 = \$6 (subordinate to the
+    markout variant's \$5 bundle in the composer)."""
+    ts0 = BLOCK_TS[104] * 1_000_000
+    return [
+        dict(exchange="binance", base_token=A, quote_token=USD,
+             timestamp=ts0 - 500_000, ask_price=D("1.08"), bid_price=D("1.06")),
+        dict(exchange="binance", base_token=A, quote_token=USD,
+             timestamp=ts0 - 3_500_000, ask_price=D("2.00"), bid_price=D("1.90")),
+    ]
+
+
 def block_info_rows() -> list[dict]:
     return [
         dict(
@@ -340,6 +353,7 @@ def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "tx_info": df(tx_info_rows(), S.TX_INFO_SCHEMA),
         "dex_prices": df(dex_prices_rows(), S.DEX_PRICES_SCHEMA),
         "cex_trades": df(cex_trades_rows(), S.CEX_TRADES_SCHEMA),
+        "cex_quotes": df(cex_quotes_rows(), S.CEX_QUOTES_SCHEMA),
         "block_info": df(block_info_rows(), S.BLOCK_INFO_SCHEMA),
         "pools": df(pools_rows(), S.POOLS_SCHEMA),
         "searcher_info": df(searcher_info_rows(), S.SEARCHER_INFO_SCHEMA),

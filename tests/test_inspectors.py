@@ -122,6 +122,21 @@ def test_sandwich_gap_partition(tables):
     assert all(r["profit_usd"] == Decimal("3") for r in rows)
 
 
+def test_cex_dex_quotes_variant(tables):
+    from brontes_spark.inspectors.cex_dex import cex_dex_quotes_bundles
+
+    b = cex_dex_quotes_bundles(
+        tables["actions"], tables["tx_info"], tables["dex_prices"],
+        tables["block_info"], tables["cex_quotes"],
+    )
+    row = _one(b, block_number=104)
+    # X1 as-of picks the -0.5s quote (the -3.5s print is stale):
+    # mid = (1.08+1.06)/2 = 1.07 → rev = 100*1.07 − 101 = $6
+    assert row["mev_type"] == "cex_dex_quotes"
+    assert row["revenue_usd"] == Decimal("6")
+    assert row["profit_usd"] == Decimal("5")
+
+
 def test_composer_end_to_end(tables):
     out = run_composer(tables)
     bundles = [r.asDict() for r in out["bundles"].collect()]
