@@ -124,3 +124,64 @@ def mev_block_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_number", "n_bundles",
         F.col("total_profit_usd"), F.col("builder_gas_usd"),
     )
+
+
+@register(
+    "mev_block_analysis",
+    oracle=f"""
+    SELECT CAST(bn AS BIGINT) AS block_number,
+           CAST(nb AS BIGINT) AS n_bundles,
+           CAST(nsw AS BIGINT) AS n_sandwich, CAST(njs AS BIGINT) AS n_jit_sandwich,
+           CAST(njit AS BIGINT) AS n_jit, CAST(narb AS BIGINT) AS n_atomic_arb,
+           CAST(ncd AS BIGINT) AS n_cex_dex, CAST(nliq AS BIGINT) AS n_liquidation,
+           CAST(nsa AS BIGINT) AS n_searcher_tx,
+           top_eoa AS top_searcher,
+           CAST(topp AS {_DEC}) AS top_searcher_profit_usd,
+           CAST(totp AS {_DEC}) AS total_profit_usd,
+           CAST(totb AS {_DEC}) AS total_bribe_usd
+    FROM (VALUES
+      (100, 1, 1,0,0,0,0,0,0, '0xsearcher1', 88, 88, 2),
+      (101, 1, 0,0,0,1,0,0,0, '0xsearcher2', 49, 49, 1),
+      (102, 1, 0,0,1,0,0,0,0, '0xsearcher2', 4, 4, 2),
+      (103, 1, 0,0,0,0,0,1,0, '0xliquidator', 19, 19, 1),
+      (104, 1, 0,0,0,0,1,0,0, '0xsearcher1', 4, 4, 1),
+      (107, 1, 1,0,0,0,0,0,0, '0xsearcher3', 97, 97, 3),
+      (108, 2, 2,0,0,0,0,0,0, '0xsearcher4', 3, 6, 4),
+      (109, 1, 0,1,0,0,0,0,0, '0xsearcher2', 17, 17, 2),
+      (110, 1, 0,0,0,0,0,0,1, '0xsearcher1', 29, 29, 1)
+    ) AS t(bn, nb, nsw, njs, njit, narb, ncd, nliq, nsa, top_eoa, topp, totp, totb)
+    """,
+    survey_ref="O5 BlockAnalysis wide rollup over bundles (db/block_analysis.rs:22-2667): "
+    "per-type counts + top-searcher max_by + profit/bribe totals",
+)
+def mev_block_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import keep_largest
+
+    _, out = _composed(spark)
+    b = out["bundles"].withColumn("family", F.split("mev_type", ":")[0])
+
+    def cnt(fam):
+        return F.sum(F.when(F.col("family") == fam, 1).otherwise(0)).alias(f"n_{fam}")
+
+    agg = b.groupBy("block_number").agg(
+        F.count(F.lit(1)).alias("n_bundles"),
+        cnt("sandwich"), cnt("jit_sandwich"), cnt("jit"), cnt("atomic_arb"),
+        cnt("cex_dex"), cnt("liquidation"), cnt("searcher_tx"),
+        F.sum("profit_usd").cast("decimal(38,18)").alias("total_profit_usd"),
+        F.sum("gas_usd").cast("decimal(38,18)").alias("total_bribe_usd"),
+    )
+    top = keep_largest(
+        b.select("block_number", "eoa", "profit_usd"),
+        ["block_number"], F.col("profit_usd"), "eoa",
+    ).select(
+        "block_number",
+        F.col("eoa").alias("top_searcher"),
+        F.col("profit_usd").alias("top_searcher_profit_usd"),
+    )
+    return agg.join(top, "block_number").select(
+        "block_number", "n_bundles",
+        "n_sandwich", "n_jit_sandwich", "n_jit", "n_atomic_arb",
+        "n_cex_dex", "n_liquidation", "n_searcher_tx",
+        "top_searcher", "top_searcher_profit_usd",
+        "total_profit_usd", "total_bribe_usd",
+    )
