@@ -25,6 +25,9 @@ Implemented operators:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +35,59 @@ AMOUNT = "decimal(38,18)"
 
 TRANSFER_SELECTORS = ["0xa9059cbb", "0x23b872dd"]  # transfer / transferFrom
 SWAP_PROTOCOLS = ["UniswapV2", "UniswapV3"]
+
+
+# ---------------------------------------------------------------------------
+# Decoder registry — the `action_impl!` macro analog
+# (brontes-macros/src/action_classifier/*; registration list
+# classifiers/mod.rs:69-200). A decoder registers for (protocols, function)
+# and receives the routed traces subset + a DecodeCtx with the token-decimal
+# dim; it returns a DataFrame carrying the trace core columns plus its
+# variant struct column. New protocols plug in by decorating a function —
+# classify_traces picks every registration up automatically.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DecodeCtx:
+    token_decimals: DataFrame  # (address, decimals), broadcast-ready
+
+    def scaled_by_token(self, df: DataFrame, token: F.Column, raw: F.Column, tag: str):
+        """Join token decimals for `token` and return (df', scaled amount)."""
+        dim = F.broadcast(
+            self.token_decimals.select(
+                F.col("address").alias(f"__t_{tag}"), F.col("decimals").alias(f"__d_{tag}")
+            )
+        )
+        out = df.join(dim, token == F.col(f"__t_{tag}"), "left")
+        return out, _scaled(raw, F.coalesce(F.col(f"__d_{tag}"), F.lit(18)))
+
+
+@dataclass(frozen=True)
+class _RegisteredDecoder:
+    protocols: tuple[str, ...]
+    functions: tuple[str, ...]
+    action_type: str | None      # literal action type; None = decoded.function
+    variant_col: str             # which variant column the struct fills
+    build: Callable[[DataFrame, DecodeCtx], tuple[DataFrame, F.Column]]
+
+
+DECODER_REGISTRY: list[_RegisteredDecoder] = []
+
+
+def action_impl(protocols, functions, action_type, variant_col):
+    """Register a (protocol, function) decoder; the Spark analog of the
+    reference's `action_impl!` macro invocation."""
+
+    def deco(fn):
+        DECODER_REGISTRY.append(
+            _RegisteredDecoder(
+                tuple(protocols), tuple(functions), action_type, variant_col, fn
+            )
+        )
+        return fn
+
+    return deco
 
 
 def _scaled(raw: F.Column, decimals: F.Column) -> F.Column:
@@ -85,6 +141,41 @@ def _finish(df: DataFrame, cols: dict) -> DataFrame:
     return df.select(*[cols[c].alias(c) for c in order])
 
 
+# ---- C2: registered decoders (the per-protocol `action_impl!` bodies) -----
+
+
+@action_impl(SWAP_PROTOCOLS, ["swap"], "swap", "swap")
+def decode_swap(df: DataFrame, ctx: DecodeCtx):
+    p = F.col("decoded.params")
+    df, amount_in = ctx.scaled_by_token(df, p["token_in"], p["amount_in"], "in")
+    df, amount_out = ctx.scaled_by_token(df, p["token_out"], p["amount_out"], "out")
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.coalesce(p["recipient"], F.col("msg_sender")).alias("recipient"),
+        F.col("to_address").alias("pool"),
+        p["token_in"].alias("token_in"),
+        p["token_out"].alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(SWAP_PROTOCOLS, ["mint", "burn"], None, "mint_burn_collect")
+def decode_mint_burn(df: DataFrame, ctx: DecodeCtx):
+    p = F.col("decoded.params")
+    df, amount0 = ctx.scaled_by_token(df, p["token0"], p["amount0"], "t0")
+    df, amount1 = ctx.scaled_by_token(df, p["token1"], p["amount1"], "t1")
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("msg_sender").alias("recipient"),
+        F.col("to_address").alias("pool"),
+        F.array(p["token0"], p["token1"]).alias("tokens"),
+        F.array(amount0, amount1).alias("amounts"),
+    )
+    return df, struct
+
+
 def classify_traces(
     traces: DataFrame,
     address_to_protocol: DataFrame,
@@ -108,59 +199,27 @@ def classify_traces(
     routed = ok.join(dim, "to_address", "left")
 
     dec = F.broadcast(token_decimals.select("address", "decimals"))
-
-    def tok_decimals(token_col):
-        return (
-            dec.withColumnRenamed("address", "__t").withColumnRenamed("decimals", "__d"),
-            token_col,
-        )
-
+    ctx = DecodeCtx(token_decimals=token_decimals)
     p = F.col("decoded.params")
 
-    # ---- C2: swaps ---------------------------------------------------------
-    swaps = routed.filter(
-        F.col("proto").isin(SWAP_PROTOCOLS) & (F.col("decoded.function") == "swap")
-    )
-    din = dec.select(F.col("address").alias("__tin"), F.col("decimals").alias("__din"))
-    dout = dec.select(F.col("address").alias("__tout"), F.col("decimals").alias("__dout"))
-    swaps = swaps.join(din, p["token_in"] == din["__tin"], "left").join(
-        dout, p["token_out"] == dout["__tout"], "left"
-    )
-    swap_struct = F.struct(
-        F.col("msg_sender").alias("from"),
-        F.coalesce(p["recipient"], F.col("msg_sender")).alias("recipient"),
-        F.col("to_address").alias("pool"),
-        p["token_in"].alias("token_in"),
-        p["token_out"].alias("token_out"),
-        _scaled(p["amount_in"], F.coalesce("__din", F.lit(18))).alias("amount_in"),
-        _scaled(p["amount_out"], F.coalesce("__dout", F.lit(18))).alias("amount_out"),
-    )
-    swap_cols = _core(swaps, F.lit("swap"), F.col("proto"))
-    swap_cols["swap"] = swap_struct
-    swap_actions = _finish(swaps, swap_cols)
+    # ---- C2: run every registered decoder ----------------------------------
+    decoded_frames = []
+    for reg in DECODER_REGISTRY:
+        subset = routed.filter(
+            F.col("proto").isin(list(reg.protocols))
+            & F.col("decoded.function").isin(list(reg.functions))
+        )
+        frame, struct = reg.build(subset, ctx)
+        atype = (
+            F.lit(reg.action_type) if reg.action_type is not None
+            else F.col("decoded.function")
+        )
+        cols = _core(frame, atype, F.col("proto"))
+        cols[reg.variant_col] = struct
+        decoded_frames.append(_finish(frame, cols))
+    from functools import reduce as _reduce
 
-    # ---- C2: mint / burn ---------------------------------------------------
-    mb = routed.filter(
-        F.col("proto").isin(SWAP_PROTOCOLS) & F.col("decoded.function").isin("mint", "burn")
-    )
-    d0 = dec.select(F.col("address").alias("__t0a"), F.col("decimals").alias("__d0"))
-    d1 = dec.select(F.col("address").alias("__t1a"), F.col("decimals").alias("__d1"))
-    mb = mb.join(d0, p["token0"] == d0["__t0a"], "left").join(
-        d1, p["token1"] == d1["__t1a"], "left"
-    )
-    mb_struct = F.struct(
-        F.col("msg_sender").alias("from"),
-        F.col("msg_sender").alias("recipient"),
-        F.col("to_address").alias("pool"),
-        F.array(p["token0"], p["token1"]).alias("tokens"),
-        F.array(
-            _scaled(p["amount0"], F.coalesce("__d0", F.lit(18))),
-            _scaled(p["amount1"], F.coalesce("__d1", F.lit(18))),
-        ).alias("amounts"),
-    )
-    mb_cols = _core(mb, F.col("decoded.function"), F.col("proto"))
-    mb_cols["mint_burn_collect"] = mb_struct
-    mb_actions = _finish(mb, mb_cols)
+    swap_and_mb = _reduce(lambda a, b: a.unionByName(b), decoded_frames)
 
     # ---- C3: ERC20 transfer fallback (undispatched calls) ------------------
     # tax-token fee = |log amount − calldata amount|, amount = least of both
@@ -248,7 +307,7 @@ def classify_traces(
     rev_actions = _finish(reverts, rev_cols)
 
     actions = (
-        swap_actions.unionByName(mb_actions)
+        swap_and_mb
         .unionByName(tr_actions)
         .unionByName(eth_actions)
         .unionByName(disc_actions)
