@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     DecimalType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -180,6 +181,9 @@ SEARCHER_INFO_SCHEMA = StructType(
         _f("fund", StringType()),
         _f("mev_types", ArrayType(StringType())),
         _f("sibling_searchers", ArrayType(StringType())),
+        # historical bundle counts per mev type — searcher/mod.rs SearcherStats,
+        # consumed by is_searcher_of_type_with_count_threshold (I7)
+        _f("bundle_counts", MapType(StringType(), LongType())),
     ]
 )
 

@@ -302,8 +302,8 @@ def cex_trades_rows() -> list[dict]:
 
 def cex_quotes_rows() -> list[dict]:
     """X1-grid quotes for token A around block 104: mid = (1.08+1.06)/2 =
-    1.07 => quotes-variant revenue = 100*1.07 - 101 = \$6 (subordinate to the
-    markout variant's \$5 bundle in the composer)."""
+    1.07 => quotes-variant revenue = 100*1.07 - 101 = $6 (subordinate to the
+    markout variant's $5 bundle in the composer)."""
     ts0 = BLOCK_TS[104] * 1_000_000
     return [
         dict(exchange="binance", base_token=A, quote_token=USD,
@@ -337,9 +337,11 @@ def pools_rows() -> list[dict]:
 def searcher_info_rows() -> list[dict]:
     return [
         dict(address=S1, kind="eoa", fund=None,
-             mev_types=["sandwich", "cex_dex"], sibling_searchers=[S1]),
+             mev_types=["sandwich", "cex_dex"], sibling_searchers=[S1],
+             bundle_counts={"sandwich": 40, "cex_dex": 12}),
         dict(address=S2, kind="eoa", fund=None,
-             mev_types=["atomic_arb", "jit"], sibling_searchers=[S2]),
+             mev_types=["atomic_arb", "jit"], sibling_searchers=[S2],
+             bundle_counts={"atomic_arb": 250, "jit": 30}),
     ]
 
 

@@ -158,3 +158,76 @@ def test_composer_end_to_end(tables):
     assert headers[108]["n_bundles"] == 2
     # every block's builder gas take is present
     assert headers[100]["builder_gas_usd"] == Decimal("4")
+
+
+def test_atomic_arb_history_heuristics(spark):
+    """I7 validation matrix (atomic_arb.rs:169-232): searcher-history count
+    thresholds scale 2x when DEX pricing is missing; stablecoin arbs pass on
+    the private flag alone."""
+    from decimal import Decimal as D
+
+    from brontes_spark import schemas as S
+    from brontes_spark.sources.fixtures import _swap
+
+    bn = 200
+    acts = []
+    # three unprofitable (revenue 0, gas $1) 2-swap triangles
+    for txi, (txh, eoa, t0, t1) in enumerate(
+        [
+            ("0xh1", "0xhist", "A", "B"),    # history 40, priced -> kept
+            ("0xh2", "0xnew", "A", "B"),     # no history -> dropped
+            ("0xh3", "0xhist2", "Q1", "Q2"), # history 25, UNpriced (mult 2) -> dropped
+        ]
+    ):
+        acts += [
+            _swap(bn, txh, txi, 0, eoa, "0xpoolA", t0, t1, "10", "10"),
+            _swap(bn, txh, txi, 1, eoa, "0xpoolA", t1, t0, "10", "10"),
+        ]
+    # open-ended stable-endpoint sequence -> stablecoin kind; private -> kept
+    acts += [
+        _swap(bn, "0xh4", 3, 0, "0xpriv", "0xpoolB", "DAI", "WETH", "10", "10"),
+        _swap(bn, "0xh4", 3, 1, "0xpriv", "0xpoolB", "WETH", "USDT", "10", "10"),
+    ]
+    actions = spark.createDataFrame(acts, S.ACTIONS_SCHEMA)
+
+    def tx(txi, txh, eoa, private=False):
+        return dict(
+            block_number=bn, tx_index=txi, tx_hash=txh, eoa=eoa,
+            mev_contract=None, gas_used=100_000,
+            effective_gas_price=10_000_000_000_000, priority_fee=0,
+            coinbase_transfer=D("0"), is_private=private,
+            is_verified_contract=False,
+        )
+
+    tx_info = spark.createDataFrame(
+        [tx(0, "0xh1", "0xhist"), tx(1, "0xh2", "0xnew"),
+         tx(2, "0xh3", "0xhist2"), tx(3, "0xh4", "0xpriv", private=True)],
+        S.TX_INFO_SCHEMA,
+    )
+    dex_prices = spark.createDataFrame(
+        [dict(block_number=bn, tx_idx=i, token=t, price_usd=D("1"),
+              pool_liquidity=D("1000000"), first_hop_connections=5)
+         for i in range(4) for t in ["A", "B", "DAI", "WETH", "USDT"]],
+        S.DEX_PRICES_SCHEMA,
+    )
+    block_info = spark.createDataFrame(
+        [dict(block_number=bn, block_timestamp=1, beneficiary="0xb",
+              eth_price=D("1"), proposer_fee_recipient="0xp",
+              proposer_mev_reward=D("0"))],
+        S.BLOCK_INFO_SCHEMA,
+    )
+    searchers = spark.createDataFrame(
+        [dict(address="0xhist", kind="eoa", fund=None, mev_types=[],
+              sibling_searchers=[], bundle_counts={"atomic_arb": 40}),
+         dict(address="0xhist2", kind="eoa", fund=None, mev_types=[],
+              sibling_searchers=[], bundle_counts={"atomic_arb": 25})],
+        S.SEARCHER_INFO_SCHEMA,
+    )
+
+    rows = {r["tx_hashes"][0]: r.asDict() for r in atomic_arb_bundles(
+        actions, tx_info, dex_prices, block_info, searchers
+    ).collect()}
+    assert set(rows) == {"0xh1", "0xh4"}
+    assert rows["0xh1"]["mev_type"] == "atomic_arb:triangle"
+    assert rows["0xh1"]["profit_usd"] == Decimal("-1")
+    assert rows["0xh4"]["mev_type"] == "atomic_arb:stablecoin"
