@@ -18,6 +18,9 @@ Implemented operators:
   C2  swap/mint/burn decoders with token-decimal scaling
   C3  ERC20 transfer fallback with tax-token fee = |log − calldata|
   C4  ETH transfer classification + coinbase-transfer detection
+  C5  delegatecall log lift: descendant delegatecall frames' logs are
+      merged into the proxy's root frame; delegatecall frames themselves
+      are never classified as transfers
   C6  discovery: CREATE traces → new_pool actions via parent factory frame
   C8  tax-token swap adjustment (swap + fee-bearing transfer → swap_with_fee)
   C10 revert masking (failed roots dropped; errored frames → revert)
@@ -176,6 +179,71 @@ def decode_mint_burn(df: DataFrame, ctx: DecodeCtx):
     return df, struct
 
 
+def lift_delegated_logs(traces: DataFrame) -> DataFrame:
+    """C5 (tree_builder/mod.rs:372-388): for every call frame R, append the
+    logs of descendant delegatecall frames whose `from` is R's target — the
+    proxy pattern: the implementation runs in the proxy's storage context,
+    so its logs belong to the proxy's frame. Appended logs keep trace order
+    (merged after R's own logs, as in logs.rs:215-221 merged_logs).
+
+    Spark shape: an equi-join on tx_hash with a trace-address prefix
+    post-filter (same pattern as operators/intervals.py) — per-tx frames are
+    small, so the shuffle is keyed and skew-free at any scale."""
+    roots = traces.select(
+        "tx_hash",
+        F.col("trace_idx").alias("__r_idx"),
+        F.col("trace_address").alias("__r_path"),
+        F.col("to_address").alias("__r_to"),
+    )
+    dele = traces.filter(F.col("call_type") == "delegatecall").select(
+        "tx_hash",
+        F.col("trace_idx").alias("__c_idx"),
+        F.col("trace_address").alias("__c_path"),
+        F.col("from_address").alias("__c_from"),
+        F.col("logs").alias("__c_logs"),
+    )
+    lifted = (
+        roots.join(dele, "tx_hash")
+        .filter(
+            (F.size("__c_path") > F.size("__r_path"))
+            & (F.slice("__c_path", F.lit(1), F.size("__r_path")) == F.col("__r_path"))
+            & (F.col("__c_from") == F.col("__r_to"))
+            & F.col("__c_logs").isNotNull()
+            & (F.size("__c_logs") > 0)
+        )
+        .groupBy("tx_hash", "__r_idx")
+        .agg(
+            F.flatten(
+                F.transform(
+                    # comparator form: the struct carries a map (log params),
+                    # which default struct ordering can't sort
+                    F.array_sort(
+                        F.collect_list(F.struct("__c_idx", "__c_logs")),
+                        lambda a, b: F.when(a["__c_idx"] < b["__c_idx"], -1)
+                        .when(a["__c_idx"] > b["__c_idx"], 1)
+                        .otherwise(0),
+                    ),
+                    lambda x: x["__c_logs"],
+                )
+            ).alias("__lifted_logs")
+        )
+    )
+    lifted = lifted.withColumnRenamed("tx_hash", "__l_tx")
+    out = traces.join(
+        lifted,
+        (traces["tx_hash"] == F.col("__l_tx"))
+        & (traces["trace_idx"] == F.col("__r_idx")),
+        "left",
+    ).drop("__l_tx")
+    return out.withColumn(
+        "logs",
+        F.when(
+            F.col("__lifted_logs").isNotNull(),
+            F.concat(F.coalesce(F.col("logs"), F.array()), F.col("__lifted_logs")),
+        ).otherwise(F.col("logs")),
+    ).drop("__r_idx", "__lifted_logs")
+
+
 def classify_traces(
     traces: DataFrame,
     address_to_protocol: DataFrame,
@@ -183,6 +251,9 @@ def classify_traces(
     block_info: DataFrame,
 ) -> DataFrame:
     """Full classification pass: returns the normalized `actions` frame."""
+    # C5: lift proxy-delegated logs before any decoder sees the frames
+    traces = lift_delegated_logs(traces)
+
     # C10: failed root txs are skipped entirely (tree_builder/mod.rs:140-146)
     live = traces.filter(F.col("is_success"))
 
@@ -224,8 +295,12 @@ def classify_traces(
     # ---- C3: ERC20 transfer fallback (undispatched calls) ------------------
     # tax-token fee = |log amount − calldata amount|, amount = least of both
     # (tree_builder/mod.rs:423-526)
+    # delegatecall frames are never transfers — the proxy's own frame owns
+    # the value movement (classify_transfer early-return, mod.rs:430-432)
     tr = routed.filter(
-        F.col("proto").isNull() & F.col("calldata_selector").isin(TRANSFER_SELECTORS)
+        F.col("proto").isNull()
+        & F.col("calldata_selector").isin(TRANSFER_SELECTORS)
+        & ~F.coalesce(F.col("call_type") == "delegatecall", F.lit(False))
     )
     tdec = dec.select(F.col("address").alias("__ta"), F.col("decimals").alias("__td"))
     tr = tr.join(tdec, F.col("to_address") == tdec["__ta"], "left")

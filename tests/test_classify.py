@@ -71,6 +71,20 @@ def classified(spark):
                    "protocol": "UniswapV2", "token0": "0xtoka", "token1": "0xtokc"}}),
         _trace(200, "0xnew", 3, 1, [0], action_kind="create",
                to_address="0xpool_new"),
+        # tx F: proxy token transfer — the Transfer log is emitted by the
+        # implementation under delegatecall; C5 must lift it to the proxy
+        # frame (fee = |100 − 95| = 5) and NOT classify the delegate frame
+        _trace(200, "0xproxy", 6, 0, [], to_address="0xproxytok", msg_sender="0xu1",
+               calldata_selector="0xa9059cbb",
+               decoded={"function": "transfer", "params": {
+                   "to": "0xu2", "amount": str(100 * E18)}}),
+        _trace(200, "0xproxy", 6, 1, [0], call_type="delegatecall",
+               from_address="0xproxytok", to_address="0ximpl", msg_sender="0xu1",
+               calldata_selector="0xa9059cbb",
+               decoded={"function": "transfer", "params": {
+                   "to": "0xu2", "amount": str(100 * E18)}},
+               logs=[{"address": "0xproxytok", "topic0": "0xddf252ad",
+                      "data_params": {"value": str(95 * E18)}}]),
         # tx E: reverted frame inside a successful tx + failed root tx
         _trace(200, "0xrevin", 4, 0, [], error="out of gas"),
         _trace(200, "0xdead", 5, 0, [], is_success=False,
@@ -81,7 +95,8 @@ def classified(spark):
         [("0xpool1", "UniswapV2"), ("0xpool2", "UniswapV2")], "address string, protocol string"
     )
     tok = spark.createDataFrame(
-        [("0xtoka", 18), ("0xtokb", 18), ("0xtaxtok", 18)], "address string, decimals int"
+        [("0xtoka", 18), ("0xtokb", 18), ("0xtaxtok", 18), ("0xproxytok", 18)],
+        "address string, decimals int"
     )
     binfo = spark.createDataFrame([(200, "0xbuilder")], "block_number long, beneficiary string")
     tdf = spark.createDataFrame(traces, TRACES_DDL)
@@ -110,6 +125,18 @@ def test_tax_token_transfer(classified):
     assert t["amount"] == Decimal(95)   # least(calldata, log)
     assert t["fee"] == Decimal(5)       # |100 − 95|
     assert t["from"] == "0xu1" and t["to"] == "0xu2" and t["token"] == "0xtaxtok"
+
+
+def test_delegatecall_log_lift(classified):
+    """C5: exactly one transfer for the proxy tx, priced off the lifted
+    implementation log; the delegatecall frame yields no action."""
+    rows = classified.filter(F.col("tx_hash") == "0xproxy").collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["trace_idx"] == 0 and r["action_type"] == "transfer"
+    assert r["transfer"]["amount"] == Decimal(95)
+    assert r["transfer"]["fee"] == Decimal(5)
+    assert r["transfer"]["token"] == "0xproxytok"
 
 
 def test_eth_and_coinbase_transfers(classified):
