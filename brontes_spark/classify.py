@@ -305,7 +305,7 @@ def classify_traces(
     tdec = dec.select(F.col("address").alias("__ta"), F.col("decimals").alias("__td"))
     tr = tr.join(tdec, F.col("to_address") == tdec["__ta"], "left")
     call_amt = _scaled(p["amount"], F.coalesce("__td", F.lit(18)))
-    log_amt_raw = F.element_at(F.col("logs"), 1)["data_params"]["value"]
+    log_amt_raw = F.try_element_at(F.col("logs"), F.lit(1))["data_params"]["value"]
     log_amt = F.when(
         log_amt_raw.isNotNull(), _scaled(log_amt_raw, F.coalesce("__td", F.lit(18)))
     ).otherwise(call_amt)

@@ -1,0 +1,204 @@
+"""C2 landing pass — raw calldata → `decoded` struct, via mapInPandas.
+
+The reference decodes calldata JVM-free with alloy's typed ABI codecs inside
+each `action_impl!` macro expansion (brontes-macros/src/action_classifier/
+calldata.rs; selector routing classifiers/mod.rs:69-200). Here decoding is a
+one-time LANDING pass: raw traces flow through an Arrow-batched
+`mapInPandas` that fills the `decoded` column; every downstream
+classification run is then pure column expressions (classify.py) with no
+Python in the hot path.
+
+Decoder backend: `eth_abi` when available, else the pure-python
+word-decoder below (static head types + dynamic bytes/string via offsets —
+the subset every registered selector needs). Both produce identical output:
+the ABI word layout is deterministic.
+
+Scale note: mapInPandas preserves partitioning (no shuffle), batches rows
+through Arrow, and the per-row work is a few slices over a bytes object —
+this pass is IO-bound at 100 TB, not CPU-bound, and runs once per landed
+block range.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType, StructField, StructType
+
+try:  # pragma: no cover - exercised only where eth_abi is installed
+    from eth_abi import decode as _eth_abi_decode
+except ImportError:
+    _eth_abi_decode = None
+
+
+# ---------------------------------------------------------------------------
+# ABI signature registry — selector → (function, [(name, type), ...]).
+# The per-protocol set mirrors the reference's classifier registrations.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AbiFunction:
+    name: str
+    params: tuple[tuple[str, str], ...]  # (param_name, solidity_type)
+
+
+ABI_REGISTRY: dict[str, AbiFunction] = {
+    # ERC20 (classifier fallback path, tree_builder/mod.rs:423-458)
+    "0xa9059cbb": AbiFunction("transfer", (("to", "address"), ("amount", "uint256"))),
+    "0x23b872dd": AbiFunction(
+        "transferFrom",
+        (("from", "address"), ("to", "address"), ("amount", "uint256")),
+    ),
+    # UniswapV2 pair (classifiers/uniswap/uniswap_v2.rs)
+    "0x022c0d9f": AbiFunction(
+        "swap",
+        (
+            ("amount0_out", "uint256"),
+            ("amount1_out", "uint256"),
+            ("recipient", "address"),
+            ("data", "bytes"),
+        ),
+    ),
+    # UniswapV3 pool (classifiers/uniswap/uniswap_v3.rs)
+    "0x128acb08": AbiFunction(
+        "swap",
+        (
+            ("recipient", "address"),
+            ("zero_for_one", "bool"),
+            ("amount_specified", "int256"),
+            ("sqrt_price_limit_x96", "uint160"),
+            ("data", "bytes"),
+        ),
+    ),
+    "0x3c8a7d8d": AbiFunction(
+        "mint",
+        (
+            ("recipient", "address"),
+            ("tick_lower", "int24"),
+            ("tick_upper", "int24"),
+            ("amount", "uint128"),
+            ("data", "bytes"),
+        ),
+    ),
+    "0xa34123a7": AbiFunction(
+        "burn",
+        (("tick_lower", "int24"), ("tick_upper", "int24"), ("amount", "uint128")),
+    ),
+}
+
+
+def register_abi(selector: str, name: str, params: list[tuple[str, str]]) -> None:
+    """Plug a new selector into the landing decoder (the analog of adding a
+    classifier registration)."""
+    ABI_REGISTRY[selector.lower()] = AbiFunction(name, tuple(params))
+
+
+# ---------------------------------------------------------------------------
+# Pure-python word decoder (fallback when eth_abi is absent)
+# ---------------------------------------------------------------------------
+
+
+def _decode_word(typ: str, word: bytes, data: bytes, offset_base: int) -> str:
+    if typ == "address":
+        return "0x" + word[12:].hex()
+    if typ == "bool":
+        return str(int.from_bytes(word, "big") != 0).lower()
+    if typ.startswith("uint"):
+        return str(int.from_bytes(word, "big"))
+    if typ.startswith("int"):
+        # intN is sign-extended to the full 256-bit word in ABI encoding
+        full = int.from_bytes(word, "big")
+        if full >= 1 << 255:
+            full -= 1 << 256
+        return str(full)
+    if typ in ("bytes", "string"):
+        off = int.from_bytes(word, "big")
+        ln = int.from_bytes(data[offset_base + off : offset_base + off + 32], "big")
+        raw = data[offset_base + off + 32 : offset_base + off + 32 + ln]
+        return raw.decode("utf-8", "replace") if typ == "string" else "0x" + raw.hex()
+    if typ.startswith("bytes"):  # bytesN static
+        n = int(typ[5:])
+        return "0x" + word[:n].hex()
+    raise ValueError(f"unsupported ABI type {typ}")
+
+
+def decode_calldata(calldata_hex: str | None) -> tuple[str, dict[str, str]] | None:
+    """Decode one calldata blob against the registry. Returns
+    (function, params) or None when the selector is unknown / data short."""
+    if not calldata_hex or len(calldata_hex) < 10:
+        return None
+    h = calldata_hex.lower()
+    if not h.startswith("0x"):
+        h = "0x" + h
+    fn = ABI_REGISTRY.get(h[:10])
+    if fn is None:
+        return None
+    try:
+        data = bytes.fromhex(h[10:])
+    except ValueError:
+        return None
+    types = [t for _, t in fn.params]
+    if _eth_abi_decode is not None:
+        try:
+            vals = _eth_abi_decode(types, data)
+        except Exception:
+            return None
+        out = {}
+        for (name, typ), v in zip(fn.params, vals):
+            if isinstance(v, bytes):
+                v = "0x" + v.hex()
+            elif isinstance(v, bool):
+                v = str(v).lower()
+            out[name] = str(v)
+        return fn.name, out
+    # fallback: head words are 32 bytes each, dynamic types point past head
+    if len(data) < 32 * len(types):
+        return None
+    out = {}
+    try:
+        for i, (name, typ) in enumerate(fn.params):
+            word = data[32 * i : 32 * (i + 1)]
+            out[name] = _decode_word(typ, word, data, 0)
+    except (ValueError, IndexError):
+        return None
+    return fn.name, out
+
+
+# ---------------------------------------------------------------------------
+# The Spark landing pass
+# ---------------------------------------------------------------------------
+
+_DECODED_FIELD = StructType(
+    [
+        StructField("function", StringType()),
+        StructField("params", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def decode_traces(traces: DataFrame, calldata_col: str = "calldata") -> DataFrame:
+    """Fill the `decoded` column from raw hex calldata. Input keeps its
+    partitioning; output schema = input schema minus `decoded` plus the
+    freshly decoded struct."""
+    base_fields = [f for f in traces.schema.fields if f.name != "decoded"]
+    out_schema = StructType(base_fields + [StructField("decoded", _DECODED_FIELD)])
+    base_names = [f.name for f in base_fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = []
+            for cd in pdf[calldata_col]:
+                res = decode_calldata(cd)
+                decoded.append(
+                    None if res is None else {"function": res[0], "params": res[1]}
+                )
+            out = pdf[base_names].copy()
+            out["decoded"] = decoded
+            yield out
+
+    return traces.mapInPandas(batches, schema=out_schema)
