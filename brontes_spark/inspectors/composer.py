@@ -190,6 +190,176 @@ def mev_block_header(bundles: DataFrame, tx_info: DataFrame, block_info: DataFra
     )
 
 
+#: families of the wide BlockAnalysis blocks (db/block_analysis.rs:22-657):
+#: "all" aggregates every family except searcher_tx (and excludes
+#: liquidation from venue metrics), per ::new at 658-700
+ANALYSIS_FAMILIES = [
+    "all", "sandwich", "jit_sandwich", "jit", "atomic_arb", "cex_dex",
+    "liquidation", "searcher_tx",
+]
+
+
+def block_analysis_wide(
+    bundles: DataFrame, actions: DataFrame, searcher_info: DataFrame
+) -> DataFrame:
+    """O5 wide rollup — the Spark form of BlockAnalysis::new
+    (db/block_analysis.rs:658-1680): per block, one column block per family
+    with bundle counts, profit/revenue totals, average profit margin
+    (block_analysis.rs:2024-2044: mean over bribe≠0 bundles of
+    profit/|profit+bribe|), top searcher by profit and by revenue
+    (single-bundle argmax, 1903-1950), unique eoa/contract/fund counts,
+    top fund by summed profit, biggest bundle (tx + profit), and
+    most-transacted pool/pair/dex by attributed profit (1976-2110).
+
+    Plan shape: bundles explode to (block, family) grain — each bundle
+    feeds its own family plus `all` when eligible — every metric is computed
+    at that grain with one groupBy or one keep_largest window, then a single
+    pivot over the bounded family list assembles the wide row. All argmax
+    picks tie-break lexicographically so the output is deterministic."""
+    from ..functions.decimals import to_dbl
+    from ..operators.windows import keep_largest
+
+    DEC = "decimal(38,18)"
+    b = (
+        bundles.withColumn("family", F.split("mev_type", ":")[0])
+        .withColumn("head_tx", F.col("tx_hashes")[0])
+        .join(
+            F.broadcast(searcher_info.select(F.col("address").alias("eoa"), "fund")),
+            "eoa",
+            "left",
+        )
+    )
+    # (block, fam) grain: own family + "all" (searcher_tx excluded from all)
+    b2 = b.withColumn(
+        "fam",
+        F.explode(
+            F.when(
+                F.col("family") == "searcher_tx", F.array(F.col("family"))
+            ).otherwise(F.array(F.col("family"), F.lit("all")))
+        ),
+    )
+
+    margin = to_dbl("profit_usd") / F.abs(to_dbl("profit_usd") + to_dbl("gas_usd"))
+    scal = b2.groupBy("block_number", "fam").agg(
+        F.count(F.lit(1)).alias("bundle_count"),
+        F.sum("profit_usd").cast(DEC).alias("total_profit"),
+        F.sum("revenue_usd").cast(DEC).alias("total_revenue"),
+        F.avg(F.when(F.col("gas_usd") != 0, margin)).alias("avg_profit_margin"),
+        F.countDistinct("eoa").alias("searcher_count"),
+        F.countDistinct("mev_contract").alias("mev_contract_count"),
+        F.countDistinct("fund").alias("fund_count"),
+    )
+
+    top_prof = keep_largest(
+        b2.select("block_number", "fam", "eoa", "profit_usd"),
+        ["block_number", "fam"], F.col("profit_usd"), "eoa",
+    ).select(
+        "block_number", "fam",
+        F.col("eoa").alias("top_searcher_profit"),
+        F.col("profit_usd").alias("top_searcher_profit_amt"),
+    )
+    top_rev = keep_largest(
+        b2.select("block_number", "fam", "eoa", "revenue_usd"),
+        ["block_number", "fam"], F.col("revenue_usd"), "eoa",
+    ).select(
+        "block_number", "fam",
+        F.col("eoa").alias("top_searcher_rev"),
+        F.col("revenue_usd").alias("top_searcher_rev_amt"),
+    )
+    top_fund = keep_largest(
+        b2.filter(F.col("fund").isNotNull())
+        .groupBy("block_number", "fam", "fund")
+        .agg(F.sum("profit_usd").cast(DEC).alias("fund_profit")),
+        ["block_number", "fam"], F.col("fund_profit"), "fund",
+    ).select(
+        "block_number", "fam",
+        F.col("fund").alias("top_fund_profit"),
+        F.col("fund_profit").alias("top_fund_profit_amt"),
+    )
+    biggest = keep_largest(
+        b2.select("block_number", "fam", "head_tx", "profit_usd"),
+        ["block_number", "fam"], F.col("profit_usd"), "head_tx",
+    ).select(
+        "block_number", "fam",
+        F.col("head_tx").alias("biggest_arb_tx"),
+        F.col("profit_usd").alias("biggest_arb_profit"),
+    )
+
+    # venue attribution: bundle txs → actions → (pool, pair, dex), distinct
+    # per bundle, each venue accumulating the bundle's profit.
+    # "all" excludes liquidation bundles here (block_analysis.rs:677-699).
+    vb = b2.filter(
+        ~((F.col("fam") == "all") & (F.col("family") == "liquidation"))
+    ).select(
+        "block_number", "fam", "head_tx", "profit_usd",
+        F.explode("tx_hashes").alias("tx_hash"),
+    )
+    acts = actions.select(
+        "block_number",
+        "tx_hash",
+        F.coalesce(
+            F.col("swap.pool"), F.col("mint_burn_collect.pool"), F.col("liquidation.pool")
+        ).alias("pool"),
+        F.coalesce(
+            F.when(
+                F.col("swap").isNotNull(),
+                F.array_join(
+                    F.array_sort(F.array("swap.token_in", "swap.token_out")), "|"
+                ),
+            ),
+            F.when(
+                F.col("mint_burn_collect").isNotNull(),
+                F.array_join(F.array_sort(F.col("mint_burn_collect.tokens")), "|"),
+            ),
+            F.when(
+                F.col("liquidation").isNotNull(),
+                F.array_join(
+                    F.array_sort(
+                        F.array(
+                            "liquidation.collateral_asset", "liquidation.debt_asset"
+                        )
+                    ),
+                    "|",
+                ),
+            ),
+        ).alias("pair"),
+        F.col("protocol").alias("dex"),
+    ).filter(F.col("pool").isNotNull() | F.col("pair").isNotNull())
+    venues = vb.join(acts, ["block_number", "tx_hash"])
+
+    def most_arbed(col: str) -> DataFrame:
+        per_bundle = venues.filter(F.col(col).isNotNull()).select(
+            "block_number", "fam", "head_tx", "profit_usd", col
+        ).distinct()
+        per_venue = per_bundle.groupBy("block_number", "fam", col).agg(
+            F.sum("profit_usd").cast(DEC).alias("vprofit")
+        )
+        return keep_largest(
+            per_venue, ["block_number", "fam"], F.col("vprofit"), col
+        ).select(
+            "block_number", "fam",
+            F.col(col).alias(f"most_arbed_{col}"),
+            F.col("vprofit").alias(f"most_arbed_{col}_profit"),
+        )
+
+    grain = (
+        scal.join(top_prof, ["block_number", "fam"], "left")
+        .join(top_rev, ["block_number", "fam"], "left")
+        .join(top_fund, ["block_number", "fam"], "left")
+        .join(biggest, ["block_number", "fam"], "left")
+        .join(most_arbed("pool"), ["block_number", "fam"], "left")
+        .join(most_arbed("pair"), ["block_number", "fam"], "left")
+        .join(most_arbed("dex"), ["block_number", "fam"], "left")
+    )
+    metrics = [c for c in grain.columns if c not in ("block_number", "fam")]
+    return (
+        grain.groupBy("block_number")
+        .pivot("fam", ANALYSIS_FAMILIES)
+        .agg(*[F.first(m).alias(m) for m in metrics])
+        .orderBy("block_number")
+    )
+
+
 def run_composer(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """O1 → I11 → O2 → O3 → I13 → O4 over the fixture-shaped tables."""
     actions = tables["actions"].cache()

@@ -185,3 +185,100 @@ def mev_block_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_searcher", "top_searcher_profit_usd",
         "total_profit_usd", "total_bribe_usd",
     )
+
+
+def _wide_values() -> str:
+    """Golden cells for the wide BlockAnalysis projection, hand-derived from
+    the bundle table in _bundle_values plus the fixture actions/searcher
+    dims (venue ties break lexicographically; 'all' excludes searcher_tx
+    everywhere and liquidation from venue metrics)."""
+    N = "NULL"
+    rows = [
+        # bn, all:(nb, prof, rev, tsp, tsp_amt, tsr, tsr_amt, fund, fund_amt,
+        #          fund_cnt, searcher_cnt, contract_cnt, big_tx, big_prof,
+        #          pool, pool_prof, pair, dex), sandwich:(nb, prof), stx:(nb, prof)
+        (100, 1, 88, 90, "'0xsearcher1'", 88, "'0xsearcher1'", 90, "'fund_1'", 88,
+         1, 1, 1, "'0xf0'", 88, "'0xpool1'", 88, "'0xtoka|0xtokb'", "'UniswapV2'",
+         1, 88, N, N),
+        (101, 1, 49, 50, "'0xsearcher2'", 49, "'0xsearcher2'", 50, "'fund_2'", 49,
+         1, 1, 0, "'0xarb'", 49, "'0xpool1'", 49, "'0xtoka|0xtokb'", "'UniswapV2'",
+         N, N, N, N),
+        (102, 1, 4, 6, "'0xsearcher2'", 4, "'0xsearcher2'", 6, "'fund_2'", 4,
+         1, 1, 1, "'0xjf'", 4, "'0xpool2'", 4, "'0xtoka|0xtokb'", "'UniswapV2'",
+         N, N, N, N),
+        (103, 1, 19, 20, "'0xliquidator'", 19, "'0xliquidator'", 20, N, N,
+         0, 1, 0, "'0xliq'", 19, N, N, N, N, N, N, N, N),
+        (104, 1, 4, 5, "'0xsearcher1'", 4, "'0xsearcher1'", 5, "'fund_1'", 4,
+         1, 1, 0, "'0xcd'", 4, "'0xpool1'", 4, "'0xtoka|0xusd'", "'UniswapV2'",
+         N, N, N, N),
+        (107, 1, 97, 100, "'0xsearcher3'", 97, "'0xsearcher3'", 100, N, N,
+         0, 1, 0, "'0xbm_f1'", 97, "'0xpool1'", 97, "'0xtoka|0xtokb'", "'UniswapV2'",
+         1, 97, N, N),
+        (108, 2, 6, 10, "'0xsearcher4'", 3, "'0xsearcher4'", 5, N, N,
+         0, 1, 0, "'0xg_f1'", 3, "'0xpool1'", 6, "'0xtoka|0xtokb'", "'UniswapV2'",
+         2, 6, N, N),
+        (109, 1, 17, 19, "'0xsearcher2'", 17, "'0xsearcher2'", 19, "'fund_2'", 17,
+         1, 1, 0, "'0xjs_b'", 17, "'0xpool2'", 17, "'0xtoka|0xtokb'", "'UniswapV2'",
+         N, N, N, N),
+        (110, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N,
+         N, N, 1, 29),
+    ]
+    values = ",\n      ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    return f"""
+    SELECT CAST(bn AS BIGINT) AS block_number,
+           CAST(anb AS BIGINT) AS all_bundle_count,
+           CAST(ap AS {_DEC}) AS all_total_profit,
+           CAST(ar AS {_DEC}) AS all_total_revenue,
+           tsp AS all_top_searcher_profit,
+           CAST(tspa AS {_DEC}) AS all_top_searcher_profit_amt,
+           tsr AS all_top_searcher_rev,
+           CAST(tsra AS {_DEC}) AS all_top_searcher_rev_amt,
+           fnd AS all_top_fund_profit,
+           CAST(fnda AS {_DEC}) AS all_top_fund_profit_amt,
+           CAST(fc AS BIGINT) AS all_fund_count,
+           CAST(sc AS BIGINT) AS all_searcher_count,
+           CAST(cc AS BIGINT) AS all_mev_contract_count,
+           btx AS all_biggest_arb_tx,
+           CAST(bpa AS {_DEC}) AS all_biggest_arb_profit,
+           pool AS all_most_arbed_pool,
+           CAST(poolp AS {_DEC}) AS all_most_arbed_pool_profit,
+           pair AS all_most_arbed_pair,
+           dex AS all_most_arbed_dex,
+           CAST(snb AS BIGINT) AS sandwich_bundle_count,
+           CAST(sp AS {_DEC}) AS sandwich_total_profit,
+           CAST(xnb AS BIGINT) AS searcher_tx_bundle_count,
+           CAST(xp AS {_DEC}) AS searcher_tx_total_profit
+    FROM (VALUES
+      {values}
+    ) AS t(bn, anb, ap, ar, tsp, tspa, tsr, tsra, fnd, fnda, fc, sc, cc,
+           btx, bpa, pool, poolp, pair, dex, snb, sp, xnb, xp)
+    """
+
+
+@register(
+    "mev_block_analysis_wide",
+    oracle=_wide_values(),
+    survey_ref="O5 wide BlockAnalysis (db/block_analysis.rs:22-2667): "
+    "per-family column blocks; this gate projects the deterministic "
+    "all/sandwich/searcher_tx cells (margins are pytest-gated doubles)",
+)
+def mev_block_analysis_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..inspectors.composer import block_analysis_wide
+
+    tables, out = _composed(spark)
+    wide = block_analysis_wide(
+        out["bundles"], tables["actions"], tables["searcher_info"]
+    )
+    return wide.select(
+        "block_number",
+        "all_bundle_count", "all_total_profit", "all_total_revenue",
+        "all_top_searcher_profit", "all_top_searcher_profit_amt",
+        "all_top_searcher_rev", "all_top_searcher_rev_amt",
+        "all_top_fund_profit", "all_top_fund_profit_amt",
+        "all_fund_count", "all_searcher_count", "all_mev_contract_count",
+        "all_biggest_arb_tx", "all_biggest_arb_profit",
+        "all_most_arbed_pool", "all_most_arbed_pool_profit",
+        "all_most_arbed_pair", "all_most_arbed_dex",
+        "sandwich_bundle_count", "sandwich_total_profit",
+        "searcher_tx_bundle_count", "searcher_tx_total_profit",
+    )

@@ -336,10 +336,10 @@ def pools_rows() -> list[dict]:
 
 def searcher_info_rows() -> list[dict]:
     return [
-        dict(address=S1, kind="eoa", fund=None,
+        dict(address=S1, kind="eoa", fund="fund_1",
              mev_types=["sandwich", "cex_dex"], sibling_searchers=[S1],
              bundle_counts={"sandwich": 40, "cex_dex": 12}),
-        dict(address=S2, kind="eoa", fund=None,
+        dict(address=S2, kind="eoa", fund="fund_2",
              mev_types=["atomic_arb", "jit"], sibling_searchers=[S2],
              bundle_counts={"atomic_arb": 250, "jit": 30}),
     ]

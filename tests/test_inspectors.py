@@ -231,3 +231,60 @@ def test_atomic_arb_history_heuristics(spark):
     assert rows["0xh1"]["mev_type"] == "atomic_arb:triangle"
     assert rows["0xh1"]["profit_usd"] == Decimal("-1")
     assert rows["0xh4"]["mev_type"] == "atomic_arb:stablecoin"
+
+
+def test_block_analysis_wide(tables):
+    """O5 wide rollup: per-family column blocks with planted golden cells
+    (bundle table in plans/mev_fixture.py _bundle_values)."""
+    from brontes_spark.inspectors.composer import (
+        ANALYSIS_FAMILIES,
+        block_analysis_wide,
+        run_composer,
+    )
+
+    out = run_composer(tables)
+    wide = block_analysis_wide(
+        out["bundles"], tables["actions"], tables["searcher_info"]
+    )
+    rows = {r["block_number"]: r.asDict() for r in wide.collect()}
+
+    # 21 metrics x 8 families + block_number
+    assert len(wide.columns) == 1 + 21 * len(ANALYSIS_FAMILIES)
+
+    b100 = rows[100]
+    assert b100["all_bundle_count"] == 1 and b100["sandwich_bundle_count"] == 1
+    assert b100["sandwich_total_profit"] == Decimal("88")
+    assert b100["all_total_revenue"] == Decimal("90")
+    assert b100["all_avg_profit_margin"] == 88 / 90
+    assert b100["all_top_searcher_profit"] == "0xsearcher1"
+    assert b100["all_top_searcher_profit_amt"] == Decimal("88")
+    assert b100["all_top_searcher_rev_amt"] == Decimal("90")
+    assert b100["all_top_fund_profit"] == "fund_1"
+    assert b100["all_top_fund_profit_amt"] == Decimal("88")
+    assert b100["all_biggest_arb_tx"] == "0xf0"
+    assert b100["all_most_arbed_pool"] == "0xpool1"
+    assert b100["all_most_arbed_pool_profit"] == Decimal("88")
+    assert b100["all_most_arbed_pair"] == "0xtoka|0xtokb"
+    assert b100["all_most_arbed_dex"] == "UniswapV2"
+    assert b100["all_mev_contract_count"] == 1 and b100["all_fund_count"] == 1
+
+    b108 = rows[108]
+    assert b108["sandwich_bundle_count"] == 2
+    assert b108["sandwich_total_profit"] == Decimal("6")
+    assert b108["sandwich_avg_profit_margin"] == (3 / 5 + 3 / 5) / 2
+    assert b108["sandwich_biggest_arb_tx"] == "0xg_f1"  # profit tie -> lex min
+    assert b108["sandwich_biggest_arb_profit"] == Decimal("3")
+    assert b108["sandwich_most_arbed_pool_profit"] == Decimal("6")
+    assert b108["sandwich_searcher_count"] == 1
+
+    b110 = rows[110]  # searcher_tx only: excluded from the all-family
+    assert b110["searcher_tx_bundle_count"] == 1
+    assert b110["searcher_tx_total_profit"] == Decimal("29")
+    assert b110["all_bundle_count"] is None
+    assert b110["searcher_tx_top_fund_profit"] == "fund_1"
+
+    b103 = rows[103]  # liquidation: in all-counts, out of all-venues
+    assert b103["all_bundle_count"] == 1
+    assert b103["liquidation_most_arbed_pool"] == "0xaave"
+    assert b103["all_most_arbed_pool"] is None
+    assert b103["liquidation_most_arbed_dex"] == "AaveV3"
