@@ -1,0 +1,116 @@
+"""Driver-gated UniswapV3 pool-state queries (G4 concentrated-liquidity
+half, SURVEY.md §2.6 — uniswap_v3/mod.rs:160-493).
+
+The fixture stream (sources/fixtures.univ3_events_rows) plants every
+sync_from_log branch; the replay outputs are closed-form, so the DuckDB
+oracle is the literal golden VALUES relation — a hash match means the
+swap-segment windows, in-range strict-bound liquidity cumsum, reserve
+accounting, and pre-state lags all computed exactly the planted numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pricing.univ3 import univ3_pool_state, univ3_tick_liquidity
+from ..sources.fixtures import load_fixtures
+from .registry import register
+
+_RAW = "DECIMAL(38,0)"
+
+_SQRT_T0 = "79228162514264337593543950336"
+_SQRT_M30 = "79109415290437042302807587395"
+_SQRT_M75 = "78931628080856889801321786086"
+_SQRT_P15 = "79287602951555555546117890671"
+
+
+def _state_values() -> str:
+    # (pool, bn, tx, kind, r0_post, r1_post, liq_pre, liq_post,
+    #  tick_pre, tick_post, sqrt_post)
+    rows = [
+        ("'0xv3pool1'", 200, 0, "'mint'", "1100000000000000000", "1100000000000000000",
+         "1000000", "1500000", 0, 0, _SQRT_T0),
+        ("'0xv3pool1'", 200, 1, "'mint'", "1300000000000000000", "1100000000000000000",
+         "1500000", "1500000", 0, 0, _SQRT_T0),
+        ("'0xv3pool1'", 200, 2, "'swap'", "1400000000000000000", "1010000000000000000",
+         "1500000", "1500000", 0, -30, _SQRT_M30),
+        ("'0xv3pool1'", 201, 0, "'mint'", "1450000000000000000", "1060000000000000000",
+         "1500000", "1700000", -30, -30, _SQRT_M30),
+        ("'0xv3pool1'", 201, 1, "'swap'", "1650000000000000000", "910000000000000000",
+         "1700000", "800000", -30, -75, _SQRT_M75),
+        ("'0xv3pool1'", 202, 0, "'burn'", "1570000000000000000", "830000000000000000",
+         "800000", "300000", -75, -75, _SQRT_M75),
+        ("'0xv3pool1'", 202, 1, "'burn'", "1370000000000000000", "830000000000000000",
+         "300000", "300000", -75, -75, _SQRT_M75),
+        ("'0xv3pool2'", 200, 0, "'mint'", "600000000000000000", "500000000000000000",
+         "50000", "50000", -30, -30, _SQRT_M30),
+        ("'0xv3pool2'", 200, 1, "'mint'", "620000000000000000", "520000000000000000",
+         "50000", "50000", -30, -30, _SQRT_M30),
+        ("'0xv3pool2'", 201, 0, "'swap'", "570000000000000000", "580000000000000000",
+         "50000", "140000", -30, 15, _SQRT_P15),
+        ("'0xv3pool2'", 202, 0, "'burn'", "540000000000000000", "570000000000000000",
+         "140000", "40000", 15, 15, _SQRT_P15),
+    ]
+    values = ",\n      ".join(
+        f"({p}, {bn}, {tx}, {k}, CAST('{r0}' AS {_RAW}), CAST('{r1}' AS {_RAW}), "
+        f"CAST('{lpre}' AS {_RAW}), CAST('{lpost}' AS {_RAW}), {tpre}, {tpost}, "
+        f"CAST('{sq}' AS {_RAW}))"
+        for (p, bn, tx, k, r0, r1, lpre, lpost, tpre, tpost, sq) in rows
+    )
+    return f"""
+    SELECT pool, CAST(bn AS BIGINT) AS block_number,
+           CAST(tx AS INTEGER) AS tx_index, kind,
+           r0_post, r1_post, liquidity_pre, liquidity_post,
+           CAST(tick_pre AS INTEGER) AS tick_pre,
+           CAST(tick_post AS INTEGER) AS tick_post, sqrt_price_post
+    FROM (VALUES
+      {values}
+    ) AS t(pool, bn, tx, kind, r0_post, r1_post, liquidity_pre,
+           liquidity_post, tick_pre, tick_post, sqrt_price_post)
+    """
+
+
+@register(
+    "g4_univ3_state",
+    oracle=_state_values(),
+    survey_ref="G4 UniswapV3 event-sourced pool state "
+    "(uniswap_v3/mod.rs:160-493) as one cumulative window per pool; "
+    "strict in-range bounds per mod.rs:377",
+)
+def g4_univ3_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixtures(spark)
+    return univ3_pool_state(t["univ3_events"], t["univ3_initial"]).select(
+        "pool", "block_number", "tx_index", "kind", "r0_post", "r1_post",
+        "liquidity_pre", "liquidity_post", "tick_pre", "tick_post",
+        "sqrt_price_post",
+    )
+
+
+def _tick_values() -> str:
+    rows = [
+        ("'0xv3pool1'", -60, "200000"),
+        ("'0xv3pool1'", 0, "-200000"),
+        ("'0xv3pool2'", -30, "40000"),
+        ("'0xv3pool2'", 30, "-40000"),
+    ]
+    values = ",\n      ".join(
+        f"({p}, {t}, CAST('{n}' AS {_RAW}))" for (p, t, n) in rows
+    )
+    return f"""
+    SELECT pool, CAST(tick AS INTEGER) AS tick, liquidity_net
+    FROM (VALUES
+      {values}
+    ) AS t(pool, tick, liquidity_net)
+    """
+
+
+@register(
+    "g4_univ3_tick_liquidity",
+    oracle=_tick_values(),
+    survey_ref="G4 per-tick net-liquidity table "
+    "(update_position/update_tick, uniswap_v3/mod.rs:387-461); "
+    "fully-cancelled ticks drop out (flip_tick removal)",
+)
+def g4_univ3_tick_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixtures(spark)
+    return univ3_tick_liquidity(t["univ3_events"])

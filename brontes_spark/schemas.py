@@ -200,3 +200,41 @@ BUNDLES_SCHEMA = StructType(
         _f("gas_usd", AMOUNT, False),
     ]
 )
+
+
+RAW_INT = DecimalType(38, 0)
+
+#: UniswapV3 pool event stream — the three log kinds the reference replays
+#: (uniswap_v3/mod.rs:169-183): swap rows carry the absolute post-state
+#: payload (sqrtPriceX96/liquidity/tick), mint/burn rows the position
+#: bounds + liquidity magnitude. Raw uint fields are decimal(38,0)
+#: (pricing/univ3.py module docstring documents the <1e38 envelope).
+UNIV3_EVENTS_SCHEMA = StructType(
+    [
+        _f("pool", StringType(), False),
+        _f("block_number", LongType(), False),
+        _f("tx_index", IntegerType(), False),
+        _f("trace_idx", IntegerType(), False),
+        _f("kind", StringType(), False),  # swap | mint | burn
+        _f("amount0", RAW_INT, False),  # signed delta for swap; magnitude m/b
+        _f("amount1", RAW_INT, False),
+        _f("sqrt_price_x96", RAW_INT),  # swap payload
+        _f("liquidity", RAW_INT),
+        _f("tick", IntegerType()),
+        _f("tick_lower", IntegerType()),  # mint/burn payload
+        _f("tick_upper", IntegerType()),
+        _f("amount", RAW_INT),
+    ]
+)
+
+#: range-start pool state — batch analog of populate_data (mod.rs:214-220)
+UNIV3_INITIAL_SCHEMA = StructType(
+    [
+        _f("pool", StringType(), False),
+        _f("sqrt_price_x96", RAW_INT, False),
+        _f("liquidity", RAW_INT, False),
+        _f("tick", IntegerType(), False),
+        _f("r0", RAW_INT, False),
+        _f("r1", RAW_INT, False),
+    ]
+)

@@ -345,6 +345,62 @@ def searcher_info_rows() -> list[dict]:
     ]
 
 
+P3, P4 = "0xv3pool1", "0xv3pool2"
+
+#: exact sqrt(1.0001^tick)·2^96 for the planted ticks
+#: (pricing/univ3.get_sqrt_ratio_at_tick; Q96 = 2^96 is tick 0)
+_SQRT_T0 = 79228162514264337593543950336
+_SQRT_M30 = 79109415290437042302807587395
+_SQRT_M75 = 78931628080856889801321786086
+_SQRT_P15 = 79287602951555555546117890671
+
+E18 = 10**18
+
+
+def univ3_initial_rows() -> list[dict]:
+    return [
+        dict(pool=P3, sqrt_price_x96=D(_SQRT_T0), liquidity=D(1_000_000),
+             tick=0, r0=D(E18), r1=D(E18)),
+        dict(pool=P4, sqrt_price_x96=D(_SQRT_M30), liquidity=D(50_000),
+             tick=-30, r0=D(5 * 10**17), r1=D(5 * 10**17)),
+    ]
+
+
+def univ3_events_rows() -> list[dict]:
+    """Planted V3 streams exercising every sync_from_log branch
+    (uniswap_v3/mod.rs:341-479): in-range and out-of-range mints/burns,
+    the STRICT lower-bound case (tick == tick_lower ⇒ NOT in range,
+    mod.rs:377), mint before any swap (initial-state fallback), and swaps
+    that reset (sqrt_price, liquidity, tick) absolutely."""
+    def swap(pool, bn, tx, a0, a1, sqrt, liq, tick):
+        return dict(pool=pool, block_number=bn, tx_index=tx, trace_idx=0,
+                    kind="swap", amount0=D(a0), amount1=D(a1),
+                    sqrt_price_x96=D(sqrt), liquidity=D(liq), tick=tick,
+                    tick_lower=None, tick_upper=None, amount=None)
+
+    def mb(pool, bn, tx, kind, a0, a1, tl, tu, amt):
+        return dict(pool=pool, block_number=bn, tx_index=tx, trace_idx=0,
+                    kind=kind, amount0=D(a0), amount1=D(a1),
+                    sqrt_price_x96=None, liquidity=None, tick=None,
+                    tick_lower=tl, tick_upper=tu, amount=D(amt))
+
+    return [
+        # P3: init tick 0, L=1e6
+        mb(P3, 200, 0, "mint", 10**17, 10**17, -120, 120, 500_000),   # in range
+        mb(P3, 200, 1, "mint", 2 * 10**17, 0, 60, 120, 300_000),      # above
+        swap(P3, 200, 2, 10**17, -(9 * 10**16), _SQRT_M30, 1_500_000, -30),
+        mb(P3, 201, 0, "mint", 5 * 10**16, 5 * 10**16, -60, 0, 200_000),  # in
+        swap(P3, 201, 1, 2 * 10**17, -(15 * 10**16), _SQRT_M75, 800_000, -75),
+        mb(P3, 202, 0, "burn", 8 * 10**16, 8 * 10**16, -120, 120, 500_000),
+        mb(P3, 202, 1, "burn", 2 * 10**17, 0, 60, 120, 300_000),      # above
+        # P4: init tick -30, L=5e4; mints precede the first swap
+        mb(P4, 200, 0, "mint", 10**17, 0, 0, 60, 100_000),            # above
+        mb(P4, 200, 1, "mint", 2 * 10**16, 2 * 10**16, -30, 30, 40_000),  # AT lower: strict ⇒ out
+        swap(P4, 201, 0, -(5 * 10**16), 6 * 10**16, _SQRT_P15, 140_000, 15),
+        mb(P4, 202, 0, "burn", 3 * 10**16, 10**16, 0, 60, 100_000),   # in
+    ]
+
+
 def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     """All fixture tables as DataFrames with the static schemas."""
     def df(rows, schema):
@@ -359,4 +415,6 @@ def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         "block_info": df(block_info_rows(), S.BLOCK_INFO_SCHEMA),
         "pools": df(pools_rows(), S.POOLS_SCHEMA),
         "searcher_info": df(searcher_info_rows(), S.SEARCHER_INFO_SCHEMA),
+        "univ3_events": df(univ3_events_rows(), S.UNIV3_EVENTS_SCHEMA),
+        "univ3_initial": df(univ3_initial_rows(), S.UNIV3_INITIAL_SCHEMA),
     }
