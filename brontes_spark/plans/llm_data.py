@@ -381,3 +381,54 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(emb, "vec_id", "embedding", planes=8).select(
         F.col("id").alias("vec_id"), "bucket"
     )
+
+
+#: n-gram-Jaccard duplicate PAIRS as a reusable CTE (same plan as
+#: dedup_ngram_jaccard's oracle, pairs only)
+_SQL_DUP_PAIRS = f"""
+    {_SQL_SHINGLES},
+    bsh AS (SELECT s.doc_id, d.lang AS blk, s.shingle
+            FROM sh s JOIN documents d USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM bsh a JOIN bsh b ON a.blk = b.blk AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1)
+"""
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, m) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.m),
+    minr AS (SELECT node, MIN(m) AS mr FROM reach GROUP BY node)
+    SELECT d.doc_id, LEAST(d.doc_id, COALESCE(mr.mr, d.doc_id)) AS component
+    FROM documents d LEFT JOIN minr mr ON mr.node = d.doc_id
+    """,
+    survey_ref="near-dup clusters: distributed connected components "
+    "(operators/graph_cc min-label propagation + pointer jumping) over the "
+    "n-gram-Jaccard pair graph; the keep-one-per-cluster precursor "
+    "(G3 disjointness at scale uses the same operator)",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph_cc import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", n=5, threshold=0.1
+    )
+    return connected_components(
+        pairs, "id_a", "id_b", vertices=docs.select(F.col("doc_id").alias("id_a"))
+    ).select(F.col("node").alias("doc_id"), "component")

@@ -31,6 +31,45 @@ def prune_low_liquidity(
     return pools.filter(F.col(liquidity_col) >= threshold)
 
 
+def verify_pairs(
+    pools: DataFrame,
+    pairs: list[tuple[str, str]],
+    liquidity_col: str = "liquidity_usd",
+) -> dict[tuple[str, str], str]:
+    """G3 full verification flow (graphs/subgraph.rs:380-440 +
+    subgraph_verifier.rs): prune edges below $15k and check each pricing
+    pair's endpoints are still connected; pairs that come apart get a
+    RUNDOWN re-query at the laxer $7.5k floor; still-disjoint pairs are
+    abandoned (the reference's `should_abandon`).
+
+    Returns pair → 'verified' | 'rundown' | 'abandon'. The TVL filter runs
+    distributed (a pushed-down scan predicate); connectivity runs
+    driver-side on the collected pruned edge list (SURVEY §4 — the graph is
+    small; at distributed-edge-list scale use operators.graph_cc).
+    """
+    strict = TokenGraph.from_pools(prune_low_liquidity(pools, liquidity_col))
+    strict_comp = strict.components()
+    out: dict[tuple[str, str], str] = {}
+    retry = [
+        p
+        for p in pairs
+        if strict_comp.get(p[0]) is None
+        or strict_comp.get(p[0]) != strict_comp.get(p[1])
+    ]
+    for p in pairs:
+        if p not in retry:
+            out[p] = "verified"
+    if retry:
+        lax = TokenGraph.from_pools(
+            prune_low_liquidity(pools, liquidity_col, RUNDOWN_LIQUIDITY_USD)
+        )
+        lax_comp = lax.components()
+        for p in retry:
+            ok = lax_comp.get(p[0]) is not None and lax_comp.get(p[0]) == lax_comp.get(p[1])
+            out[p] = "rundown" if ok else "abandon"
+    return out
+
+
 class TokenGraph:
     """Driver-side undirected token graph over a collected pool edge list."""
 
@@ -84,6 +123,31 @@ class TokenGraph:
             path.append(pool)
             cur = u
         return list(reversed(path))
+
+    def components(self) -> dict[str, str]:
+        """token → component label (min token in component), union-find."""
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for t0, nbrs in self.adj.items():
+            for t1, _, _ in nbrs:
+                ra, rb = find(t0), find(t1)
+                if ra != rb:
+                    # union by min label keeps the output deterministic
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+        return {t: find(t) for t in self.adj}
+
+    def connected(self, src: str, dst: str) -> bool:
+        comp = self.components()
+        return src in comp and dst in comp and comp[src] == comp[dst]
 
     def k_shortest_paths(self, src: str, dst: str, k: int = 3) -> list[list[str]]:
         """Yen's algorithm (graphs/yens.rs analog) over pool-hop paths,
