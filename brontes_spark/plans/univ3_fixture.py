@@ -114,3 +114,51 @@ def _tick_values() -> str:
 def g4_univ3_tick_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_fixtures(spark)
     return univ3_tick_liquidity(t["univ3_events"])
+
+
+def _g5_values() -> str:
+    # token A prices through P3(A→B)·P4(B→USD); token B through P4 alone.
+    # path_tick = Σ hop tick as-of (block, tx) — hand-walked from the
+    # fixture event timeline (P3: 0,0,-30,-30,-75,-75,-75 / P4: -30 until
+    # the (201,0) swap to 15).
+    rows = [
+        ("'0xtoka'", 200, 0, -30), ("'0xtoka'", 200, 1, -30),
+        ("'0xtoka'", 200, 2, -60), ("'0xtoka'", 201, 0, -15),
+        ("'0xtoka'", 201, 1, -60), ("'0xtoka'", 202, 0, -60),
+        ("'0xtoka'", 202, 1, -60),
+        ("'0xtokb'", 200, 0, -30), ("'0xtokb'", 200, 1, -30),
+        ("'0xtokb'", 200, 2, -30), ("'0xtokb'", 201, 0, 15),
+        ("'0xtokb'", 201, 1, 15), ("'0xtokb'", 202, 0, 15),
+        ("'0xtokb'", 202, 1, 15),
+    ]
+    values = ",\n      ".join(f"({t}, {bn}, {tx}, {pt})" for (t, bn, tx, pt) in rows)
+    return f"""
+    SELECT token, CAST(bn AS BIGINT) AS block_number,
+           CAST(tx AS INTEGER) AS tx_index, CAST(pt AS BIGINT) AS path_tick
+    FROM (VALUES
+      {values}
+    ) AS t(token, bn, tx, pt)
+    """
+
+
+@register(
+    "g5_path_ticks",
+    oracle=_g5_values(),
+    survey_ref="G5 full per-tx price emission (lib.rs:297-358 DexQuotes): "
+    "G4 V3 state forward-filled as-of every grid tx, composed along the "
+    "verified pricing path as an exact tick sum (price = 1.0001^path_tick)",
+)
+def g5_path_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pricing.dex import per_tx_path_ticks
+
+    t = load_fixtures(spark)
+    state = univ3_pool_state(t["univ3_events"], t["univ3_initial"]).select(
+        "pool", "block_number", "tx_index", "tick_post"
+    )
+    paths = spark.createDataFrame(
+        [("0xtoka", 0, "0xv3pool1", 1), ("0xtoka", 1, "0xv3pool2", 1),
+         ("0xtokb", 0, "0xv3pool2", 1)],
+        "token string, hop_idx int, pool string, sign int",
+    )
+    grid = t["univ3_events"].select("block_number", "tx_index").distinct()
+    return per_tx_path_ticks(state, paths, grid)

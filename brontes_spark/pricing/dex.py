@@ -79,3 +79,76 @@ def valid_pricing(
     return j.filter(
         F.col("trusted_price").isNull() | ~(deviant & thin)
     ).drop("trusted_price")
+
+
+def per_tx_path_ticks(
+    state: DataFrame,   # (pool, block_number, tx_index, tick_post) — G4 output
+    paths: DataFrame,   # (token, hop_idx, pool, sign) — driver-built dim
+    grid: DataFrame,    # (block_number, tx_index) — tx universe to price at
+) -> DataFrame:
+    """G5 full per-tx price emission (lib.rs:297-358 DexQuotes), exact
+    integer core: for every (token, block, tx) in the grid, the tick sum
+    along the token's verified pricing path, with each hop's pool state
+    forward-filled as-of that tx.
+
+    price_in_quote = 1.0001^path_tick (composition of per-hop V3 prices
+    1.0001^(sign·tick) — sign +1 when the hop runs token0→token1, −1
+    inverted). Emitting the tick SUM keeps the column exact-integer; the
+    caller exponentiates (per_tx_dex_quotes) where a double is wanted.
+
+    Plan shape: probes = grid × path-pools (broadcast nested-loop on a
+    bounded dim, no shuffle), unioned with the sparse state updates; ONE
+    window per pool forward-fills last-known tick; a broadcast join attaches
+    (token, sign) and one exact groupBy sums the path. At cluster scale the
+    only shuffles are the per-pool window and the final (token, block, tx)
+    aggregation."""
+    pool_dim = paths.select("pool").distinct()
+    probes = grid.join(F.broadcast(pool_dim)).select(
+        "pool", "block_number", "tx_index",
+        F.lit(None).cast("int").alias("tick_evt"), F.lit(1).alias("is_probe"),
+    )
+    updates = state.select(
+        "pool", "block_number", "tx_index",
+        F.col("tick_post").alias("tick_evt"), F.lit(0).alias("is_probe"),
+    )
+    # updates sort before probes at the same (block, tx): post-tx semantics
+    w = (
+        W.partitionBy("pool")
+        .orderBy("block_number", "tx_index", "is_probe")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = (
+        updates.unionByName(probes)
+        .withColumn("tick", F.last("tick_evt", ignorenulls=True).over(w))
+        .filter((F.col("is_probe") == 1) & F.col("tick").isNotNull())
+        .select("pool", "block_number", "tx_index", "tick")
+    )
+    hops = filled.join(
+        F.broadcast(paths.select("token", "hop_idx", "pool", "sign")), "pool"
+    )
+    n_hops = paths.groupBy("token").agg(F.countDistinct("hop_idx").alias("n_hops"))
+    return (
+        hops.groupBy("token", "block_number", "tx_index")
+        .agg(
+            F.sum(F.col("sign") * F.col("tick")).alias("path_tick"),
+            F.countDistinct("hop_idx").alias("hops_priced"),
+        )
+        .join(F.broadcast(n_hops), "token")
+        # a token is only priced once EVERY hop has seen state (the
+        # reference's lazy-subgraph readiness)
+        .filter(F.col("hops_priced") == F.col("n_hops"))
+        .select("token", "block_number", "tx_index", "path_tick")
+    )
+
+
+def per_tx_dex_quotes(
+    state: DataFrame, paths: DataFrame, grid: DataFrame
+) -> DataFrame:
+    """G5 DexQuotes: per (token, block, tx) price in the path's quote asset
+    as a double — 1.0001^path_tick (the V3 calculate_price composition,
+    uniswap_v3/mod.rs:189-211). Decimal shifts between hop tokens cancel
+    telescopically except at the endpoints; apply any endpoint shift in the
+    caller's valuation join."""
+    return per_tx_path_ticks(state, paths, grid).withColumn(
+        "price_in_quote", F.pow(F.lit(1.0001), F.col("path_tick"))
+    )

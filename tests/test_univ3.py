@@ -133,3 +133,28 @@ def F_lit_dec(v):
     from pyspark.sql import functions as F
 
     return F.lit(Decimal(v)).cast("decimal(38,0)")
+
+
+def test_g5_per_tx_dex_quotes(spark):
+    """G5 DexQuotes double wrapper over the exact tick-sum core."""
+    from brontes_spark.pricing.dex import per_tx_dex_quotes
+    from brontes_spark.pricing.univ3 import univ3_pool_state
+
+    t = load_fixtures(spark)
+    state = univ3_pool_state(t["univ3_events"], t["univ3_initial"]).select(
+        "pool", "block_number", "tx_index", "tick_post"
+    )
+    paths = spark.createDataFrame(
+        [("0xtoka", 0, "0xv3pool1", 1), ("0xtoka", 1, "0xv3pool2", 1)],
+        "token string, hop_idx int, pool string, sign int",
+    )
+    grid = spark.createDataFrame(
+        [(200, 2), (201, 0)], "block_number long, tx_index int"
+    )
+    got = {
+        (r["block_number"], r["tx_index"]): (r["path_tick"], r["price_in_quote"])
+        for r in per_tx_dex_quotes(state, paths, grid).collect()
+    }
+    # A→B→USD: (200,2) ticks -30 + -30; (201,0) ticks -30 + 15
+    assert got[(200, 2)] == (-60, 1.0001**-60)
+    assert got[(201, 0)] == (-15, 1.0001**-15)
