@@ -44,6 +44,7 @@ HEADLINE = [
     "txt_quality_score",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
 ]
 
 

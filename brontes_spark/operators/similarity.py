@@ -130,3 +130,127 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = 8) -> Da
         .agg(F.sum("bitval").cast("long").alias("bucket"))
         .select(F.col("id"), F.col("bucket"))
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: Column,
+    k: int = 5,
+    k_clusters: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed ANN: the inverted-file variant of the scale path.
+
+    Index: `k_clusters` centroids chosen as the vectors ranking first by
+    md5(id) (deterministic pseudo-random sample; no Lloyd iterations, so
+    the whole index is a closed-form relational plan — and an exact SQL
+    oracle twin exists). Every vector is assigned to its max-cosine
+    centroid (exact-decimal dots; ties to the smaller centroid id).
+
+    Query: probe the `nprobe` nearest centroids, then exact cosine top-k
+    over only the probed clusters' members — the candidate set shrinks by
+    ~k_clusters/nprobe vs brute force, which is the IVF scaling story
+    (recall trades off when a true neighbour lives outside probed cells).
+
+    All centroid-side relations are K×dim and broadcast; the only wide
+    shuffles are the per-vector assignment aggregation and the final
+    (query, candidate) dot-product aggregation.
+    """
+    comp = _components(df, id_col, vec_col)
+    norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
+
+    # first-K-by-md5 via sort+limit: Spark plans TakeOrderedAndProject
+    # (per-partition partial top-K, driver merge) — no single-partition
+    # global window even at billions of ids
+    seeds = (
+        comp.select("id")
+        .distinct()
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k_clusters)
+        .select(F.col("id").alias("cid_seed"))
+    )
+    cents = F.broadcast(
+        comp.join(seeds, comp["id"] == seeds["cid_seed"]).select(
+            "cid_seed", "pos", F.col("comp").alias("ccomp")
+        )
+    )
+    cnorms = F.broadcast(
+        norms.join(seeds, norms["id"] == seeds["cid_seed"]).select(
+            "cid_seed", F.col("n2").alias("cn2")
+        )
+    )
+
+    def sims_to_centroids(side: DataFrame) -> DataFrame:
+        # (id, cid_seed, sim): exact-decimal dot, deterministic double div
+        return (
+            side.join(cents, "pos")
+            .groupBy("id", "cid_seed")
+            .agg(F.sum(F.col("comp") * F.col("ccomp")).alias("dot"))
+            .join(norms, "id")
+            .join(cnorms, "cid_seed")
+            .withColumn(
+                "sim",
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
+            )
+        )
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    asg = (
+        sims_to_centroids(comp.repartition(n_part, F.col("id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid_seed").alias("cluster"))
+    )
+
+    qids = df.filter(query_pred).select(F.col(id_col).alias("qid"))
+    qcomp = comp.join(qids, comp["id"] == qids["qid"]).select("id", "pos", "comp")
+    probes = (
+        sims_to_centroids(qcomp)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("id").alias("qid"), F.col("cid_seed").alias("cluster"))
+    )
+
+    cand = F.broadcast(probes).join(asg, "cluster").filter(
+        F.col("id") != F.col("qid")
+    ).select("qid", F.col("id").alias("cid"))
+    q = comp.join(qids, comp["id"] == qids["qid"]).select(
+        F.col("qid"), "pos", F.col("comp").alias("qc")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc")), "pos")
+        .join(cand, ["qid", "cid"], "left_semi")
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot"))
+    )
+    out = (
+        dots.join(F.broadcast(norms.select(F.col("id").alias("qid"), F.col("n2").alias("qn2"))), "qid")
+        .join(F.broadcast(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2"))), "cid")
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "rnk", F.col("cid").alias("neighbor_id"), "sim"
+        )
+    )

@@ -432,3 +432,74 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, "id_a", "id_b", vertices=docs.select(F.col("doc_id").alias("id_a"))
     ).select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id),
+    seeds AS (
+      SELECT id AS cid_seed FROM (
+        SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        FROM (SELECT DISTINCT id FROM comp))
+      WHERE rn <= 8),
+    cents AS (
+      SELECT s.cid_seed, c.pos, c.comp AS ccomp
+      FROM seeds s JOIN comp c ON c.id = s.cid_seed),
+    cnorms AS (
+      SELECT s.cid_seed, n.n2 AS cn2 FROM seeds s JOIN norms n ON n.id = s.cid_seed),
+    csim AS (
+      SELECT v.id, t.cid_seed,
+             CAST(t.dot AS DOUBLE) / sqrt(CAST(v.n2 AS DOUBLE) * CAST(cn.cn2 AS DOUBLE)) AS sim
+      FROM (
+        SELECT c.id, ct.cid_seed, SUM(c.comp * ct.ccomp) AS dot
+        FROM comp c JOIN cents ct ON c.pos = ct.pos
+        GROUP BY 1, 2) t
+      JOIN norms v ON v.id = t.id
+      JOIN cnorms cn ON cn.cid_seed = t.cid_seed),
+    asg AS (
+      SELECT id, cid_seed AS cluster FROM (
+        SELECT id, cid_seed,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid_seed ASC) AS rn
+        FROM csim)
+      WHERE rn = 1),
+    probes AS (
+      SELECT id AS qid, cid_seed AS cluster FROM (
+        SELECT id, cid_seed,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid_seed ASC) AS rn
+        FROM csim WHERE id % 100 = 0)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT p.qid, a.id AS cid FROM probes p JOIN asg a USING (cluster)
+      WHERE a.id != p.qid),
+    dots AS (
+      SELECT q.id AS qid, c.id AS cid, SUM(q.comp * c.comp) AS dot
+      FROM comp q JOIN comp c ON q.pos = c.pos
+      JOIN cand ON cand.qid = q.id AND cand.cid = c.id
+      WHERE q.id % 100 = 0
+      GROUP BY 1, 2),
+    sims AS (
+      SELECT d.qid, d.cid,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS sim
+      FROM dots d
+      JOIN norms nq ON nq.id = d.qid
+      JOIN norms nc ON nc.id = d.cid),
+    ranked AS (
+      SELECT qid AS query_id, cid AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      FROM sims)
+    SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="ANN scale path #2: IVF (inverted-file) bucketing — "
+    "md5-seeded deterministic centroids, max-cosine assignment, nprobe=2 "
+    "probing; candidate set shrinks ~k_clusters/nprobe vs brute force",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", query_pred=F.col("vec_id") % 100 == 0,
+        k=5, k_clusters=8, nprobe=2,
+    )
