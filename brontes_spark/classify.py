@@ -39,6 +39,18 @@ AMOUNT = "decimal(38,18)"
 TRANSFER_SELECTORS = ["0xa9059cbb", "0x23b872dd"]  # transfer / transferFrom
 SWAP_PROTOCOLS = ["UniswapV2", "UniswapV3"]
 
+#: protocol families (protocol.rs:66-105) routed to the decoders below
+CURVE_PROTOCOLS = [
+    "CurveBasePool2", "CurveBasePool3", "CurveBasePool4",
+    "CurveV1MetaPool", "CurveV1MetapoolImpl",
+    "CurveV2MetaPool", "CurveV2MetapoolImpl",
+    "CurveV2PlainPool", "CurveV2PlainPoolImpl",
+    "CurvecrvUSDMetaPool", "CurvecrvUSDMetapoolImpl",
+    "CurvecrvUSDPlainPool", "CurvecrvUSDPlainPoolImpl",
+    "CurveCryptoSwapPool", "CurveTriCryptoPool",
+]
+AAVE_PROTOCOLS = ["AaveV2", "AaveV3"]
+
 
 # ---------------------------------------------------------------------------
 # Decoder registry — the `action_impl!` macro analog
@@ -54,6 +66,11 @@ SWAP_PROTOCOLS = ["UniswapV2", "UniswapV3"]
 @dataclass(frozen=True)
 class DecodeCtx:
     token_decimals: DataFrame  # (address, decimals), broadcast-ready
+    #: (pool, idx, token) — coin lists for index-addressed protocols (Curve
+    #: exchange i/j, PSM dai/gem at idx 0/1, cToken→underlying at idx 0);
+    #: the analog of the reference's pool-tokens dim used by curve
+    #: classifiers to resolve `coins(i)` without an RPC call
+    pool_coins: DataFrame | None = None
 
     def scaled_by_token(self, df: DataFrame, token: F.Column, raw: F.Column, tag: str):
         """Join token decimals for `token` and return (df', scaled amount)."""
@@ -179,6 +196,148 @@ def decode_mint_burn(df: DataFrame, ctx: DecodeCtx):
     return df, struct
 
 
+def _coin_at(ctx: DecodeCtx, df: DataFrame, pool: F.Column, idx: F.Column, tag: str):
+    """Resolve a coin index against the pool_coins dim (`coins(i)` without
+    the reference's RPC batch request). Returns (df', token_col)."""
+    dim = F.broadcast(
+        ctx.pool_coins.select(
+            F.col("pool").alias(f"__cp_{tag}"),
+            F.col("idx").alias(f"__cix_{tag}"),
+            F.col("token").alias(f"__ct_{tag}"),
+        )
+    )
+    out = df.join(
+        dim,
+        (pool == F.col(f"__cp_{tag}")) & (idx.cast("int") == F.col(f"__cix_{tag}")),
+        "left",
+    )
+    return out, F.col(f"__ct_{tag}")
+
+
+def _log_param(name: str) -> F.Column:
+    """First log carrying `name` in data_params (the reference reads these
+    from decoded return data / logs in each action_impl! body)."""
+    return F.try_element_at(
+        F.filter(F.col("logs"), lambda x: x["data_params"][name].isNotNull()),
+        F.lit(1),
+    )["data_params"][name]
+
+
+@action_impl(CURVE_PROTOCOLS, ["exchange", "exchange_underlying"], "swap", "swap")
+def decode_curve_exchange(df: DataFrame, ctx: DecodeCtx):
+    """Curve StableSwap/CryptoSwap exchange (classifiers/curve/swaps/*,
+    e.g. v2_meta.rs): i/j coin indices resolve via the pool-coins dim;
+    realized amount_out reads the TokenExchange log's tokens_bought,
+    falling back to the calldata min_dy floor."""
+    p = F.col("decoded.params")
+    df, token_in = _coin_at(ctx, df, F.col("to_address"), p["i"], "i")
+    df, token_out = _coin_at(ctx, df, F.col("to_address"), p["j"], "j")
+    df, amount_in = ctx.scaled_by_token(df, token_in, p["dx"], "in")
+    out_raw = F.coalesce(_log_param("tokens_bought"), p["min_dy"])
+    df, amount_out = ctx.scaled_by_token(df, token_out, out_raw, "out")
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("msg_sender").alias("recipient"),
+        F.col("to_address").alias("pool"),
+        token_in.alias("token_in"),
+        token_out.alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(AAVE_PROTOCOLS, ["liquidationCall"], "liquidation", "liquidation")
+def decode_aave_liquidation(df: DataFrame, ctx: DecodeCtx):
+    """Aave V2/V3 liquidationCall (classifiers/aave/liquidation.rs):
+    collateral/debt assets straight from calldata; seized collateral reads
+    the LiquidationCall log's liquidated_collateral_amount (0 if absent)."""
+    p = F.col("decoded.params")
+    df, covered = ctx.scaled_by_token(df, p["debt_asset"], p["debt_to_cover"], "debt")
+    seized_raw = F.coalesce(_log_param("liquidated_collateral_amount"), F.lit("0"))
+    df, seized = ctx.scaled_by_token(df, p["collateral_asset"], seized_raw, "col")
+    struct = F.struct(
+        F.col("to_address").alias("pool"),
+        F.col("msg_sender").alias("liquidator"),
+        p["user"].alias("debtor"),
+        p["collateral_asset"].alias("collateral_asset"),
+        p["debt_asset"].alias("debt_asset"),
+        covered.alias("covered_debt"),
+        seized.alias("liquidated_collateral"),
+    )
+    return df, struct
+
+
+@action_impl(["CompoundV2"], ["liquidateBorrow"], "liquidation", "liquidation")
+def decode_compound_liquidation(df: DataFrame, ctx: DecodeCtx):
+    """Compound V2 liquidateBorrow (classifiers/compound/*): the called
+    cToken's underlying resolves via pool_coins idx 0 (the reference keeps
+    a cToken→underlying dim); seized collateral stays in cToken units from
+    the LiquidateBorrow log's seize_tokens."""
+    p = F.col("decoded.params")
+    df, debt_asset = _coin_at(ctx, df, F.col("to_address"), F.lit(0), "u")
+    df, covered = ctx.scaled_by_token(df, debt_asset, p["repay_amount"], "debt")
+    seized_raw = F.coalesce(_log_param("seize_tokens"), F.lit("0"))
+    df, seized = ctx.scaled_by_token(df, p["c_token_collateral"], seized_raw, "col")
+    struct = F.struct(
+        F.col("to_address").alias("pool"),
+        F.col("msg_sender").alias("liquidator"),
+        p["borrower"].alias("debtor"),
+        p["c_token_collateral"].alias("collateral_asset"),
+        debt_asset.alias("debt_asset"),
+        covered.alias("covered_debt"),
+        seized.alias("liquidated_collateral"),
+    )
+    return df, struct
+
+
+@action_impl(["MakerPSM"], ["buyGem", "sellGem"], "swap", "swap")
+def decode_maker_psm(df: DataFrame, ctx: DecodeCtx):
+    """Maker PSM buy/sellGem (classifiers/maker/*): dai at coin idx 0, gem
+    at idx 1; amounts convert 1:1 at the peg in each token's own decimals
+    (the reference additionally nets the tin/tout fee read from storage —
+    documented divergence: fee-exclusive amounts here)."""
+    p = F.col("decoded.params")
+    df, dai = _coin_at(ctx, df, F.col("to_address"), F.lit(0), "dai")
+    df, gem = _coin_at(ctx, df, F.col("to_address"), F.lit(1), "gem")
+    is_buy = F.col("decoded.function") == "buyGem"
+    token_in = F.when(is_buy, dai).otherwise(gem)
+    token_out = F.when(is_buy, gem).otherwise(dai)
+    df, gem_amt = ctx.scaled_by_token(df, gem, p["gem_amt"], "g")
+    dai_amt = gem_amt.cast(AMOUNT)  # 1:1 peg, 18-dec dai == scaled gem amount
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        p["usr"].alias("recipient"),
+        F.col("to_address").alias("pool"),
+        token_in.alias("token_in"),
+        token_out.alias("token_out"),
+        F.when(is_buy, dai_amt).otherwise(gem_amt).alias("amount_in"),
+        F.when(is_buy, gem_amt).otherwise(dai_amt).alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(["BalancerV1"], ["swapExactAmountIn"], "swap", "swap")
+def decode_balancer_v1_swap(df: DataFrame, ctx: DecodeCtx):
+    """Balancer V1 swapExactAmountIn (classifiers/balancer/*): both tokens
+    explicit in calldata; realized out from the LOG_SWAP log's
+    token_amount_out, falling back to the min_amount_out floor."""
+    p = F.col("decoded.params")
+    df, amount_in = ctx.scaled_by_token(df, p["token_in"], p["token_amount_in"], "in")
+    out_raw = F.coalesce(_log_param("token_amount_out"), p["min_amount_out"])
+    df, amount_out = ctx.scaled_by_token(df, p["token_out"], out_raw, "out")
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("msg_sender").alias("recipient"),
+        F.col("to_address").alias("pool"),
+        p["token_in"].alias("token_in"),
+        p["token_out"].alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
 def lift_delegated_logs(traces: DataFrame) -> DataFrame:
     """C5 (tree_builder/mod.rs:372-388): for every call frame R, append the
     logs of descendant delegatecall frames whose `from` is R's target — the
@@ -249,8 +408,13 @@ def classify_traces(
     address_to_protocol: DataFrame,
     token_decimals: DataFrame,
     block_info: DataFrame,
+    pool_coins: DataFrame | None = None,
 ) -> DataFrame:
     """Full classification pass: returns the normalized `actions` frame."""
+    if pool_coins is None:  # index-addressed decoders then resolve to null
+        pool_coins = traces.sparkSession.createDataFrame(
+            [], "pool string, idx int, token string"
+        )
     # C5: lift proxy-delegated logs before any decoder sees the frames
     traces = lift_delegated_logs(traces)
 
@@ -270,7 +434,7 @@ def classify_traces(
     routed = ok.join(dim, "to_address", "left")
 
     dec = F.broadcast(token_decimals.select("address", "decimals"))
-    ctx = DecodeCtx(token_decimals=token_decimals)
+    ctx = DecodeCtx(token_decimals=token_decimals, pool_coins=pool_coins)
     p = F.col("decoded.params")
 
     # ---- C2: run every registered decoder ----------------------------------

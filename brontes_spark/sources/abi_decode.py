@@ -202,3 +202,66 @@ def decode_traces(traces: DataFrame, calldata_col: str = "calldata") -> DataFram
             yield out
 
     return traces.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Wider protocol surface (protocol.rs:66-105): selectors DERIVED from the
+# human-readable signatures via functions/keccak (not hardcoded), exactly as
+# the reference's sol! macro derives them at compile time.
+# ---------------------------------------------------------------------------
+
+from ..functions.keccak import selector as _sel  # noqa: E402
+
+# Curve StableSwap family (classifiers/curve/swaps/*): int128-indexed
+# exchange on V1/base pools, uint256-indexed on CryptoSwap V2 pools
+for _sig, _idx_t in (
+    ("exchange(int128,int128,uint256,uint256)", "int128"),
+    ("exchange(uint256,uint256,uint256,uint256)", "uint256"),
+):
+    register_abi(
+        _sel(_sig), "exchange",
+        [("i", _idx_t), ("j", _idx_t), ("dx", "uint256"), ("min_dy", "uint256")],
+    )
+register_abi(
+    _sel("exchange_underlying(int128,int128,uint256,uint256)"),
+    "exchange_underlying",
+    [("i", "int128"), ("j", "int128"), ("dx", "uint256"), ("min_dy", "uint256")],
+)
+
+# Aave V2/V3 liquidations (classifiers/aave/liquidation.rs)
+register_abi(
+    _sel("liquidationCall(address,address,address,uint256,bool)"),
+    "liquidationCall",
+    [
+        ("collateral_asset", "address"), ("debt_asset", "address"),
+        ("user", "address"), ("debt_to_cover", "uint256"),
+        ("receive_a_token", "bool"),
+    ],
+)
+
+# Compound V2 liquidations (classifiers/compound/*)
+register_abi(
+    _sel("liquidateBorrow(address,uint256,address)"),
+    "liquidateBorrow",
+    [
+        ("borrower", "address"), ("repay_amount", "uint256"),
+        ("c_token_collateral", "address"),
+    ],
+)
+
+# Maker PSM (classifiers/maker/*): USDC<->DAI at peg
+register_abi(_sel("buyGem(address,uint256)"), "buyGem",
+             [("usr", "address"), ("gem_amt", "uint256")])
+register_abi(_sel("sellGem(address,uint256)"), "sellGem",
+             [("usr", "address"), ("gem_amt", "uint256")])
+
+# Balancer V1 (classifiers/balancer/*)
+register_abi(
+    _sel("swapExactAmountIn(address,uint256,address,uint256,uint256)"),
+    "swapExactAmountIn",
+    [
+        ("token_in", "address"), ("token_amount_in", "uint256"),
+        ("token_out", "address"), ("min_amount_out", "uint256"),
+        ("max_price", "uint256"),
+    ],
+)

@@ -100,3 +100,128 @@ def test_landing_pass_feeds_classify(spark):
     # 100e18 raw at 6 decimals = 1e14
     assert t["amount"] == Decimal(100 * E18) / Decimal(10**6)
     assert t["to"] == U2 and t["token"] == "0xtok"
+
+
+def test_derived_selectors_roundtrip():
+    """functions/keccak: known vectors + the registered wide-protocol set."""
+    from brontes_spark.functions.keccak import keccak256, selector, topic0
+
+    assert (
+        keccak256(b"").hex()
+        == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert selector("transfer(address,uint256)") == "0xa9059cbb"
+    assert selector("exchange(int128,int128,uint256,uint256)") == "0x3df02124"
+    assert selector("liquidationCall(address,address,address,uint256,bool)") == "0x00a718a9"
+    assert topic0("Transfer(address,address,uint256)") == (
+        "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    )
+
+
+def test_decode_curve_exchange_and_liquidation_calldata():
+    cd = "0x3df02124" + _w_int(0) + _w_int(1) + _w_uint(5 * E18) + _w_uint(4 * E18)
+    fn, params = decode_calldata(cd)
+    assert fn == "exchange"
+    assert params == {"i": "0", "j": "1", "dx": str(5 * E18), "min_dy": str(4 * E18)}
+
+    cd = (
+        "0x00a718a9" + _w_addr(U2) + _w_addr(U3) + _w_addr("0x" + "04" * 20)
+        + _w_uint(100 * E18) + _w_uint(0)
+    )
+    fn, params = decode_calldata(cd)
+    assert fn == "liquidationCall"
+    assert params["collateral_asset"] == U2 and params["debt_asset"] == U3
+    assert params["receive_a_token"] == "false"
+
+
+_TRACE_DDL = (
+    "block_number long, tx_hash string, tx_index long, trace_idx long, "
+    "trace_address array<int>, action_kind string, call_type string, "
+    "from_address string, to_address string, msg_sender string, "
+    "msg_value string, calldata_selector string, calldata string, "
+    "decoded struct<function:string, params:map<string,string>>, "
+    "logs array<struct<address:string, topic0:string, data_params:map<string,string>>>, "
+    "error string, is_success boolean"
+)
+
+
+def _trace(bn, tx, idx, to, calldata, logs=None, sender="0xu1"):
+    return dict(
+        block_number=bn, tx_hash=tx, tx_index=0, trace_idx=idx,
+        trace_address=[idx], action_kind="call", call_type="call",
+        from_address=sender, to_address=to, msg_sender=sender,
+        msg_value="0", calldata_selector=calldata[:10], calldata=calldata,
+        decoded=None, logs=logs or [], error=None, is_success=True,
+    )
+
+
+def test_wide_protocols_end_to_end(spark):
+    """Curve exchange, Aave liquidation, MakerPSM sellGem, Balancer V1 swap:
+    raw hex → decode_traces → classify_traces with the pool_coins dim."""
+    from brontes_spark.classify import classify_traces
+
+    CRV, AAVE, PSM, BAL = "0xcurvepool", "0xaavepool", "0xpsm", "0xbal"
+    # ABI-encoded addresses must be real 20-byte hex
+    DAI, USDC, WETH = "0x" + "aa" * 20, "0x" + "bb" * 20, "0x" + "cc" * 20
+
+    curve_cd = "0x3df02124" + _w_int(0) + _w_int(1) + _w_uint(5 * E18) + _w_uint(1)
+    curve_logs = [dict(address=CRV, topic0="0xte",
+                       data_params={"tokens_bought": str(4_990_000)})]
+    aave_cd = (
+        "0x00a718a9" + _w_addr(WETH) + _w_addr(DAI) + _w_addr("0x" + "04" * 20)
+        + _w_uint(100 * E18) + _w_uint(0)
+    )
+    aave_logs = [dict(address=AAVE, topic0="0xlc",
+                      data_params={"liquidated_collateral_amount": str(2 * E18)})]
+    psm_cd = "0x95991276" + _w_addr(U2) + _w_uint(7_000_000)  # sellGem 7 USDC
+    bal_cd = (
+        "0x8201aa3f" + _w_addr(WETH) + _w_uint(3 * E18) + _w_addr(DAI)
+        + _w_uint(1) + _w_uint(2**100)
+    )
+    bal_logs = [dict(address=BAL, topic0="0xls",
+                     data_params={"token_amount_out": str(6000 * E18)})]
+
+    traces = decode_traces(spark.createDataFrame(
+        [
+            _trace(1, "0xt1", 0, CRV, curve_cd, curve_logs),
+            _trace(1, "0xt2", 0, AAVE, aave_cd, aave_logs),
+            _trace(1, "0xt3", 0, PSM, psm_cd),
+            _trace(1, "0xt4", 0, BAL, bal_cd, bal_logs),
+        ],
+        _TRACE_DDL,
+    ))
+    a2p = spark.createDataFrame(
+        [(CRV, "CurveBasePool2"), (AAVE, "AaveV3"), (PSM, "MakerPSM"),
+         (BAL, "BalancerV1")],
+        "address string, protocol string",
+    )
+    tok = spark.createDataFrame(
+        [(DAI, 18), (USDC, 6), (WETH, 18)], "address string, decimals int"
+    )
+    coins = spark.createDataFrame(
+        [(CRV, 0, DAI), (CRV, 1, USDC), (PSM, 0, DAI), (PSM, 1, USDC)],
+        "pool string, idx int, token string",
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = {r["tx_hash"]: r for r in
+            classify_traces(traces, a2p, tok, binfo, pool_coins=coins).collect()}
+
+    crv = acts["0xt1"]["swap"]
+    assert acts["0xt1"]["protocol"] == "CurveBasePool2"
+    assert crv["token_in"] == DAI and crv["token_out"] == USDC
+    assert crv["amount_in"] == Decimal(5)
+    assert crv["amount_out"] == Decimal("4.99")  # log-realized, 6 decimals
+
+    aave = acts["0xt2"]["liquidation"]
+    assert acts["0xt2"]["action_type"] == "liquidation"
+    assert aave["debt_asset"] == DAI and aave["collateral_asset"] == WETH
+    assert aave["covered_debt"] == Decimal(100)
+    assert aave["liquidated_collateral"] == Decimal(2)
+
+    psm = acts["0xt3"]["swap"]
+    assert psm["token_in"] == USDC and psm["token_out"] == DAI
+    assert psm["amount_in"] == Decimal(7) and psm["amount_out"] == Decimal(7)
+
+    bal = acts["0xt4"]["swap"]
+    assert bal["token_in"] == WETH and bal["token_out"] == DAI
+    assert bal["amount_in"] == Decimal(3) and bal["amount_out"] == Decimal(6000)
