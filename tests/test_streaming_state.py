@@ -1,0 +1,80 @@
+"""Streaming G4: applyInPandasWithState V3 pool-state tracker
+(streaming/state.py) — parity with the batch window replay across a
+checkpoint RESTART (state must survive the stream stopping)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from brontes_spark import schemas as S
+from brontes_spark.pricing.univ3 import univ3_pool_state
+from brontes_spark.sources.fixtures import (
+    load_fixtures,
+    univ3_events_rows,
+    univ3_initial_rows,
+)
+from brontes_spark.streaming.state import univ3_state_stream
+
+
+def _write_batch(spark, rows, path):
+    spark.createDataFrame(rows, S.UNIV3_EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _drain(spark, src_dir, ckpt, initial, out_dir):
+    # file sink (not memory): the memory sink cannot recover from a
+    # checkpoint, and surviving restart is exactly what this test checks
+    stream = spark.readStream.schema(S.UNIV3_EVENTS_SCHEMA).parquet(src_dir)
+    q = (
+        univ3_state_stream(stream, initial, ckpt)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_state_matches_batch_across_restart(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    initial = {
+        r["pool"]: (
+            int(r["sqrt_price_x96"]), int(r["liquidity"]), r["tick"],
+            int(r["r0"]), int(r["r1"]),
+        )
+        for r in univ3_initial_rows()
+    }
+    rows = univ3_events_rows()
+    first = [r for r in rows if r["block_number"] == 200]
+    rest = [r for r in rows if r["block_number"] > 200]
+
+    # batch 1 → stream → stop; batch 2 → RESTARTED stream with same
+    # checkpoint: the per-pool state must carry over
+    out = str(tmp_path / "out")
+    _write_batch(spark, first, src)
+    _drain(spark, src, ckpt, initial, out)
+    _write_batch(spark, rest, src)
+    _drain(spark, src, ckpt, initial, out)
+
+    got = {
+        (r["pool"], r["block_number"], r["tx_index"]): r.asDict()
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(rows)
+
+    t = load_fixtures(spark)
+    want = {
+        (r["pool"], r["block_number"], r["tx_index"]): r.asDict()
+        for r in univ3_pool_state(t["univ3_events"], t["univ3_initial"]).collect()
+    }
+    for k, wrow in want.items():
+        grow = got[k]
+        assert Decimal(grow["liquidity_post"]) == wrow["liquidity_post"], k
+        assert grow["tick_post"] == wrow["tick_post"], k
+        assert Decimal(grow["sqrt_price_post"]) == wrow["sqrt_price_post"], k
+        assert Decimal(grow["r0_post"]) == wrow["r0_post"], k
+        assert Decimal(grow["r1_post"]) == wrow["r1_post"], k
