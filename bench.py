@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -179,3 +179,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         .groupBy("id")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic stratified sampling — per-stratum keep rates via an
+    md5 threshold on the row id (the standard reproducible-sampling trick
+    for training-corpus mixing: same salt ⇒ same sample on any engine, any
+    partitioning, any run).
+
+    keep ⇔ first 15 md5 hex chars of (salt|id), read as an integer, fall
+    under rate·16^15. Pure column math, no RNG state, no shuffle — the
+    filter runs at the scan."""
+    entries = [e for r in rates.items() for e in r]
+    rate = F.coalesce(
+        F.create_map(*[F.lit(x) for x in entries])[F.col(stratum_col)],
+        F.lit(default_rate),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("decimal(20,0)")
+    return df.filter(bucket < (rate * F.lit(float(16**15))).cast("decimal(20,0)"))

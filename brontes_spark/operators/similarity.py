@@ -254,3 +254,52 @@ def ivf_topk(
             F.col("qid").alias("query_id"), "rnk", F.col("cid").alias("neighbor_id"), "sim"
         )
     )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family member of
+    the similarity stack): candidate pairs come from the LSH bucket
+    equality join (same random-hyperplane buckets as lsh_buckets — near-
+    identical vectors collide with high probability), then the exact
+    decimal cosine keeps pairs at/above `threshold`.
+
+    Recall caveat (documented, same as any LSH dedup): a true near-dup pair
+    split across buckets is missed; raise `planes`' complement (fewer
+    planes → bigger buckets → higher recall, more candidates) to trade
+    cost for recall. At 100 TB the bucket join IS the plan — brute-force
+    n² is not."""
+    comp = _components(df, id_col, vec_col)
+    norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
+    buckets = lsh_buckets(df, id_col, vec_col, planes=planes)
+    a = buckets.select(F.col("id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    ca = comp.select(F.col("id").alias("id_a"), "pos", F.col("comp").alias("c_a"))
+    cb = comp.select(F.col("id").alias("id_b"), "pos", F.col("comp").alias("c_b"))
+    dots = (
+        cand.join(ca, "id_a")
+        .join(cb, ["id_b", "pos"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )

@@ -503,3 +503,75 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", query_pred=F.col("vec_id") % 100 == 0,
         k=5, k_clusters=8, nprobe=2,
     )
+
+
+#: DuckDB twin of operators.similarity.lsh_buckets as a reusable CTE body
+_SQL_BUCKETS = """
+    proj AS (
+      SELECT c.id, p.j AS plane,
+             SUM(c.comp * (CASE WHEN ('0x' || substr(md5(CAST(p.j AS VARCHAR) || '-' || CAST(c.pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 1
+                           THEN 1 ELSE -1 END)) AS pr
+      FROM comp c, range(0, 8) p(j)
+      GROUP BY c.id, p.j),
+    buckets AS (
+      SELECT id,
+             CAST(SUM(CASE WHEN pr > 0 THEN 1::BIGINT << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY id)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id),
+    {_SQL_BUCKETS},
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b USING (bucket)
+      WHERE a.id < b.id),
+    dots AS (
+      SELECT cand.id_a, cand.id_b, SUM(ca.comp * cb.comp) AS dot
+      FROM cand
+      JOIN comp ca ON ca.id = cand.id_a
+      JOIN comp cb ON cb.id = cand.id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2)
+    SELECT d.id_a, d.id_b,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim
+    FROM dots d
+    JOIN norms na ON na.id = d.id_a
+    JOIN norms nb ON nb.id = d.id_b
+    WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.3
+    """,
+    survey_ref="embedding-cosine near-dup pairs: LSH-bucket candidate "
+    "blocking + exact decimal cosine (threshold 0.3 exercises the plan on "
+    "the synthetic vectors, which carry no planted dups — the threshold is "
+    "a parameter in production)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=8)
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+                 * 1152921504606846976.0 AS BIGINT)
+    """,
+    survey_ref="deterministic stratified sampling: per-stratum md5-threshold "
+    "keep rates (reproducible corpus mixing; filter runs at the scan, no "
+    "shuffle, no RNG state)",
+)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang")
