@@ -434,3 +434,116 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_dbl("sum_qty").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey_ref="§2.9 TPC-H q10 shape: selective fact filter + dim joins + "
+    "top-k (TakeOrdered, distributed partial sort)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(to_dbl(F.sum(_disc_price())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+    survey_ref="§2.9 TPC-H q7 shape: fact-fact join + double dim alias join "
+    "with cross-nation predicate",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    cn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(to_dbl(F.sum(_disc_price())).alias("volume"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS a FROM customer
+      WHERE c_acctbal > 0),
+    no_orders AS (
+      SELECT c.* FROM customer c
+      ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON o.o_custkey = c.c_custkey)
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS totacctbal
+    FROM no_orders, avg_bal
+    WHERE CAST(c_acctbal AS DOUBLE) > a
+    GROUP BY c_mktsegment
+    """,
+    survey_ref="§2.9 TPC-H q22 shape: scalar-subquery broadcast + anti-join "
+    "(customers above average balance with no urgent orders — the base anti-join is vacuous on this dense testdata)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("a")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(avg_bal))  # 1-row scalar, broadcast cross
+        .filter(F.col("c_acctbal").cast("double") > F.col("a"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("decimal(38,6)").alias("totacctbal"),
+        )
+    )
