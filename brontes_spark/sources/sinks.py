@@ -48,3 +48,24 @@ def searcher_stats(bundles: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("mev_family", "n")))
         ).alias("bundle_counts"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed table writer — the co-location strategy for the engine's
+    hottest repeated join keys (tx_hash between actions/tx_info, pool
+    between events/state). Two tables bucketed the same way join WITHOUT a
+    shuffle: Spark reads both sides already hash-distributed on the key, so
+    at 100 TB the join cost drops from 2 full shuffles to 0 (the bucketed
+    scan IS the exchange). Pair with `spark.sql.sources.bucketing.enabled`
+    (default on) and matching n_buckets on both sides."""
+    w = df.write.mode("overwrite").format("parquet").option("compression", "zstd")
+    w = w.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
