@@ -244,6 +244,7 @@ def block_analysis_wide(
         F.count(F.lit(1)).alias("bundle_count"),
         F.sum("profit_usd").cast(DEC).alias("total_profit"),
         F.sum("revenue_usd").cast(DEC).alias("total_revenue"),
+        F.sum("gas_usd").cast(DEC).alias("total_bribe"),
         F.avg(F.when(F.col("gas_usd") != 0, margin)).alias("avg_profit_margin"),
         F.countDistinct("eoa").alias("searcher_count"),
         F.countDistinct("mev_contract").alias("mev_contract_count"),
@@ -342,8 +343,15 @@ def block_analysis_wide(
             F.col("vprofit").alias(f"most_arbed_{col}_profit"),
         )
 
+    pool_counts = (
+        venues.filter(F.col("pool").isNotNull())
+        .groupBy("block_number", "fam")
+        .agg(F.countDistinct("pool").alias("arbed_pool_count"))
+    )
+
     grain = (
         scal.join(top_prof, ["block_number", "fam"], "left")
+        .join(pool_counts, ["block_number", "fam"], "left")
         .join(top_rev, ["block_number", "fam"], "left")
         .join(top_fund, ["block_number", "fam"], "left")
         .join(biggest, ["block_number", "fam"], "left")

@@ -248,8 +248,15 @@ def test_block_analysis_wide(tables):
     )
     rows = {r["block_number"]: r.asDict() for r in wide.collect()}
 
-    # 21 metrics x 8 families + block_number
-    assert len(wide.columns) == 1 + 21 * len(ANALYSIS_FAMILIES)
+    # 23 metrics x 8 families + block_number
+    assert len(wide.columns) == 1 + 23 * len(ANALYSIS_FAMILIES)
+
+    # bribe totals + distinct venue counts (block_analysis.rs bribe blocks)
+    assert rows[100]["all_total_bribe"] == Decimal("2")
+    assert rows[108]["sandwich_total_bribe"] == Decimal("4")  # 2 bundles à $2
+    assert rows[100]["all_arbed_pool_count"] == 1
+    assert rows[103]["liquidation_arbed_pool_count"] == 1
+    assert rows[103]["all_arbed_pool_count"] is None  # liquidation excluded
 
     b100 = rows[100]
     assert b100["all_bundle_count"] == 1 and b100["sandwich_bundle_count"] == 1
