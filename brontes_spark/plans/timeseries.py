@@ -447,3 +447,52 @@ def o4_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value"
         ),
     )
+
+
+@register(
+    "x8_sessionize",
+    oracle=f"""
+    WITH {EV_CTE},
+    flagged AS (
+      SELECT user_id, event_id, ts_ns,
+             CASE WHEN ts_ns - lag(ts_ns) OVER w > 1800000000000 OR
+                       lag(ts_ns) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts_ns,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts_ns) AS session_start_ns, MAX(ts_ns) AS session_end_ns,
+           MAX(ts_ns) - MIN(ts_ns) AS duration_ns
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    survey_ref="gap-based sessionization (30-min inactivity): the classic "
+    "large-scale event-pipeline op — one per-user window + one hash agg, "
+    "both on the same user_id shuffle",
+)
+def x8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    GAP_NS = 30 * 60 * 1_000_000_000
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    prev = F.lag("ts_ns").over(w)
+    flagged = ev.select("user_id", "event_id", "ts_ns").withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("ts_ns") - prev > GAP_NS), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_seq", F.sum("new_sess").over(w_cum))
+        .groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ns").alias("session_start_ns"),
+            F.max("ts_ns").alias("session_end_ns"),
+            (F.max("ts_ns") - F.min("ts_ns")).alias("duration_ns"),
+        )
+    )
