@@ -158,7 +158,9 @@ def ivf_topk(
     shuffles are the per-vector assignment aggregation and the final
     (query, candidate) dot-product aggregation.
     """
-    comp = _components(df, id_col, vec_col)
+    # comp feeds assignment, probing, and the final dot pass — cache it
+    # (spills to disk at scale; 3 recomputed parquet explodes cost more)
+    comp = _components(df, id_col, vec_col).cache()
     norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
 
     # first-K-by-md5 via sort+limit: Spark plans TakeOrderedAndProject
@@ -230,10 +232,16 @@ def ivf_topk(
     q = comp.join(qids, comp["id"] == qids["qid"]).select(
         F.col("qid"), "pos", F.col("comp").alias("qc")
     )
+    # candidate-FIRST join order: expand the candidate list to components
+    # (|cand|·dim rows ≈ Q·N·nprobe/k_clusters·dim), then attach the
+    # broadcast query components. Joining q×comp on pos first would cost
+    # full brute-force Q·N·dim and throw the IVF pruning away.
     dots = (
-        F.broadcast(q)
-        .join(comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc")), "pos")
-        .join(cand, ["qid", "cid"], "left_semi")
+        cand.join(
+            comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc")),
+            "cid",
+        )
+        .join(F.broadcast(q), ["qid", "pos"])
         .groupBy("qid", "cid")
         .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot"))
     )
@@ -274,7 +282,8 @@ def cosine_dup_pairs(
     planes → bigger buckets → higher recall, more candidates) to trade
     cost for recall. At 100 TB the bucket join IS the plan — brute-force
     n² is not."""
-    comp = _components(df, id_col, vec_col)
+    # comp feeds buckets, dots, and norms — cache (see ivf_topk note)
+    comp = _components(df, id_col, vec_col).cache()
     norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
     buckets = lsh_buckets(df, id_col, vec_col, planes=planes)
     a = buckets.select(F.col("id").alias("id_a"), "bucket")
