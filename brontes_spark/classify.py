@@ -513,10 +513,11 @@ def classify_traces(
         "block_number", "tx_hash", "tx_index", "trace_idx", "trace_address",
         F.col("to_address").alias("created_addr"),
     )
-    parents = ok.select(
+    parents = routed.select(
         F.col("tx_hash").alias("p_tx"),
         F.col("trace_address").alias("p_path"),
         F.col("decoded").alias("p_decoded"),
+        F.col("proto").alias("p_proto"),
     )
     disc = creates.join(
         parents,
@@ -529,7 +530,13 @@ def classify_traces(
             )
         ),
     ).filter(F.col("p_decoded.function") == "create_pool")
-    disc_cols = _core(disc, F.lit("new_pool"), F.col("p_decoded.params")["protocol"])
+    # protocol: explicit in pre-decoded fixtures, else the factory address's
+    # dim protocol (raw-hex createPair/createPool carry no protocol field)
+    disc_cols = _core(
+        disc,
+        F.lit("new_pool"),
+        F.coalesce(F.col("p_decoded.params")["protocol"], F.col("p_proto")),
+    )
     disc_cols["mint_burn_collect"] = F.struct(
         F.lit(None).cast("string").alias("from"),
         F.lit(None).cast("string").alias("recipient"),

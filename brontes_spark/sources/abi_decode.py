@@ -265,3 +265,11 @@ register_abi(
         ("max_price", "uint256"),
     ],
 )
+
+# Factory discovery (C6, classifiers/*/discovery.rs): both register under
+# the normalized name `create_pool` with token0/token1 param names, so the
+# discovery join (classify.py C6) consumes raw-hex factories directly
+register_abi(_sel("createPair(address,address)"), "create_pool",
+             [("token0", "address"), ("token1", "address")])
+register_abi(_sel("createPool(address,address,uint24)"), "create_pool",
+             [("token0", "address"), ("token1", "address"), ("fee", "uint24")])

@@ -225,3 +225,34 @@ def test_wide_protocols_end_to_end(spark):
     bal = acts["0xt4"]["swap"]
     assert bal["token_in"] == WETH and bal["token_out"] == DAI
     assert bal["amount_in"] == Decimal(3) and bal["amount_out"] == Decimal(6000)
+
+
+def test_factory_discovery_from_raw_hex(spark):
+    """C6 end-to-end from calldata: createPair on a dim-mapped factory +
+    CREATE child trace → new_pool action with the factory's protocol."""
+    from brontes_spark.classify import classify_traces
+
+    FACT = "0xfactory"
+    T0, T1 = "0x" + "aa" * 20, "0x" + "bb" * 20
+    cd = "0xc9c65396" + _w_addr(T0) + _w_addr(T1)
+    factory_call = _trace(1, "0xt9", 0, FACT, cd)
+    child_create = dict(
+        _trace(1, "0xt9", 1, "0xnewpair", "0x"),
+        action_kind="create", trace_address=[0, 0], calldata_selector=None,
+        calldata=None,
+    )
+    traces = decode_traces(spark.createDataFrame(
+        [dict(factory_call, trace_address=[0]), child_create], _TRACE_DDL
+    ))
+    a2p = spark.createDataFrame(
+        [(FACT, "UniswapV2")], "address string, protocol string"
+    )
+    tok = spark.createDataFrame([(T0, 18)], "address string, decimals int")
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = classify_traces(traces, a2p, tok, binfo).collect()
+    pools = [r for r in acts if r["action_type"] == "new_pool"]
+    assert len(pools) == 1
+    np = pools[0]
+    assert np["protocol"] == "UniswapV2"
+    assert np["mint_burn_collect"]["pool"] == "0xnewpair"
+    assert np["mint_burn_collect"]["tokens"] == [T0, T1]
