@@ -575,3 +575,24 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(
         docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1
     ).select("doc_id", "lang")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS item_id,
+           unnest(range(0, greatest(n_chars - 1, 0) + 1, 30)) AS frame_idx
+    FROM documents
+    """,
+    survey_ref="multimodal frame-sampling plan (operators/multimodal."
+    "frame_sample_plan): sampled indices are pure JVM column math; only the "
+    "decode of SAMPLED frames crosses the Python boundary (documents stand "
+    "in as media metadata: n_frames := n_chars)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"), F.col("n_chars").alias("n_frames")
+    )
+    return frame_sample_plan(docs, "item_id", "n_frames", every_k=30)
