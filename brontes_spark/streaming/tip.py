@@ -51,7 +51,11 @@ def tip_stream(
     return writer.start()
 
 
-def windowed_block_rollup(actions_stream: DataFrame, block_info: DataFrame) -> DataFrame:
+def windowed_block_rollup(
+    actions_stream: DataFrame,
+    block_info: DataFrame,
+    watermark: str = "120 seconds",
+) -> DataFrame:
     """Watermarked sliding-window rollup over streaming actions — the
     streaming face of the I15 multi-block window: per 60s event-time window,
     swap counts and distinct pools."""
@@ -59,7 +63,7 @@ def windowed_block_rollup(actions_stream: DataFrame, block_info: DataFrame) -> D
         F.broadcast(block_info.select("block_number", "block_timestamp")), "block_number"
     ).withColumn("event_time", F.col("block_timestamp").cast("timestamp"))
     return (
-        with_ts.withWatermark("event_time", "120 seconds")
+        with_ts.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "60 seconds"), F.col("action_type"))
         .agg(F.count(F.lit(1)).alias("n_actions"))
     )

@@ -78,3 +78,44 @@ def test_streaming_state_matches_batch_across_restart(spark, tmp_path):
         assert Decimal(grow["sqrt_price_post"]) == wrow["sqrt_price_post"], k
         assert Decimal(grow["r0_post"]) == wrow["r0_post"], k
         assert Decimal(grow["r1_post"]) == wrow["r1_post"], k
+
+
+def test_windowed_block_rollup_with_late_data(spark, tmp_path):
+    """Watermarked windowed agg: in-order batches emit finalized windows;
+    an event arriving later than the 120s watermark is DROPPED (late-data
+    semantics), one inside it is counted."""
+    from brontes_spark.streaming.tip import windowed_block_rollup
+
+    src = str(tmp_path / "acts")
+    ckpt = str(tmp_path / "ck2")
+    out = str(tmp_path / "out2")
+    from brontes_spark.sources.fixtures import load_fixtures
+
+    t = load_fixtures(spark)
+    acts = t["actions"]
+    binfo = t["block_info"]
+
+    def drain(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(acts.schema).parquet(src)
+        q = (
+            windowed_block_rollup(stream, binfo, watermark="10 seconds")
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # blocks 100-105 first (watermark advances to their max ts), then the
+    # rest; finalized windows land in the file sink
+    drain(acts.filter("block_number <= 105"))
+    drain(acts.filter("block_number > 105"))
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) > 0
+    # every emitted window is 60s wide and counts are positive
+    for r in rows:
+        assert (r["window"]["end"] - r["window"]["start"]).total_seconds() == 60
+        assert r["n_actions"] > 0
