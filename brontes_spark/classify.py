@@ -338,6 +338,34 @@ def decode_balancer_v1_swap(df: DataFrame, ctx: DecodeCtx):
     return df, struct
 
 
+@action_impl(["OneInchV5", "OneInchFusion"], ["aggregator_swap"], "swap", "swap")
+def decode_oneinch_swap(df: DataFrame, ctx: DecodeCtx):
+    """1inch router swaps (classifiers/one_inch/one_inch.rs): the calldata
+    is a nested executor payload, so normalization reads the router's
+    Swapped log (src_token, dst_token, spent_amount, return_amount) — the
+    same source the reference's log-decode path uses. Rows without the log
+    resolve to null tokens and are dropped by downstream null guards."""
+    df = df.withColumn("__src", _log_param("src_token")).withColumn(
+        "__dst", _log_param("dst_token")
+    )
+    df, amount_in = ctx.scaled_by_token(
+        df, F.col("__src"), _log_param("spent_amount"), "in"
+    )
+    df, amount_out = ctx.scaled_by_token(
+        df, F.col("__dst"), _log_param("return_amount"), "out"
+    )
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("msg_sender").alias("recipient"),
+        F.col("to_address").alias("pool"),
+        F.col("__src").alias("token_in"),
+        F.col("__dst").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
 def lift_delegated_logs(traces: DataFrame) -> DataFrame:
     """C5 (tree_builder/mod.rs:372-388): for every call frame R, append the
     logs of descendant delegatecall frames whose `from` is R's target — the

@@ -273,3 +273,13 @@ register_abi(_sel("createPair(address,address)"), "create_pool",
              [("token0", "address"), ("token1", "address")])
 register_abi(_sel("createPool(address,address,uint24)"), "create_pool",
              [("token0", "address"), ("token1", "address"), ("fee", "uint24")])
+
+# 1inch AggregationRouterV5 (classifiers/one_inch/*): entry points register
+# with EMPTY param lists — the normalized swap comes from the router's
+# Swapped/OrderFilled logs, not the (deeply nested) calldata
+for _sig in (
+    "swap(address,(address,address,address,address,uint256,uint256,uint256),bytes,bytes)",
+    "uniswapV3Swap(uint256,uint256,uint256[])",
+    "unoswap(address,uint256,uint256,uint256[])",
+):
+    register_abi(_sel(_sig), "aggregator_swap", [])

@@ -256,3 +256,35 @@ def test_factory_discovery_from_raw_hex(spark):
     assert np["protocol"] == "UniswapV2"
     assert np["mint_burn_collect"]["pool"] == "0xnewpair"
     assert np["mint_burn_collect"]["tokens"] == [T0, T1]
+
+
+def test_oneinch_aggregator_swap_from_logs(spark):
+    """OneInchV5 router swap: nested executor calldata decodes to an empty
+    param set; the normalized swap comes from the Swapped log."""
+    from brontes_spark.classify import classify_traces
+
+    ROUTER = "0x1111111254eeb25477b68fb85ed929f73a960582"
+    SRC, DST = "0x" + "aa" * 20, "0x" + "bb" * 20
+    cd = "0x12aa3caf" + _w_addr("0x" + "01" * 20)  # truncated payload is fine
+    logs = [dict(address=ROUTER, topic0="0xsw", data_params={
+        "src_token": SRC, "dst_token": DST,
+        "spent_amount": str(5 * E18), "return_amount": str(9_000_000),
+    })]
+    traces = decode_traces(spark.createDataFrame(
+        [_trace(1, "0xt10", 0, ROUTER, cd, logs)], _TRACE_DDL
+    ))
+    a2p = spark.createDataFrame(
+        [(ROUTER, "OneInchV5")], "address string, protocol string"
+    )
+    tok = spark.createDataFrame(
+        [(SRC, 18), (DST, 6)], "address string, decimals int"
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = classify_traces(traces, a2p, tok, binfo).collect()
+    swaps = [r for r in acts if r["action_type"] == "swap"]
+    assert len(swaps) == 1
+    s = swaps[0]["swap"]
+    assert swaps[0]["protocol"] == "OneInchV5"
+    assert s["token_in"] == SRC and s["token_out"] == DST
+    assert s["amount_in"] == Decimal(5)
+    assert s["amount_out"] == Decimal(9)
