@@ -596,3 +596,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("item_id"), F.col("n_chars").alias("n_frames")
     )
     return frame_sample_plan(docs, "item_id", "n_frames", every_k=30)
+
+
+@register(
+    "corpus_select",
+    oracle="""
+    WITH canon AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text))
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN canon ON canon.fp = md5(d.text) AND canon.keep_id = d.doc_id
+    WHERE d.n_chars >= 100
+      AND d.lang IN ('en', 'de', 'fr')
+      AND ('0x' || substr(md5('corpus-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST((CASE d.lang WHEN 'en' THEN 0.8 ELSE 0.5 END)
+                 * 1152921504606846976.0 AS BIGINT)
+    """,
+    survey_ref="end-to-end corpus selection: exact-dedup keep-one + length "
+    "floor + language whitelist + deterministic per-language sampling — the "
+    "composed filter a real training-data pipeline runs before tokenization",
+)
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    kept = docs.join(
+        canon,
+        (F.md5(docs["text"]) == canon["fp"]) & (docs["doc_id"] == canon["keep_id"]),
+        "left_semi",
+    )
+    filtered = kept.filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "de", "fr")
+    )
+    return sample_stratified(
+        filtered, "doc_id", "lang", {"en": 0.8}, default_rate=0.5,
+        salt="corpus-v1",
+    ).select("doc_id", "lang", "n_chars")

@@ -282,3 +282,41 @@ def mev_block_analysis_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sandwich_bundle_count", "sandwich_total_profit",
         "searcher_tx_bundle_count", "searcher_tx_total_profit",
     )
+
+
+def _searcher_stats_values() -> str:
+    rows = [
+        ("'0xliquidator'", 1, "19", "1"),
+        ("'0xsearcher1'", 3, "121", "4"),
+        ("'0xsearcher2'", 3, "70", "5"),
+        ("'0xsearcher3'", 1, "97", "3"),
+        ("'0xsearcher4'", 2, "6", "4"),
+    ]
+    values = ",\n      ".join(
+        f"({eoa}, {n}, CAST({p} AS {_DEC}), CAST({b} AS {_DEC}))"
+        for (eoa, n, p, b) in rows
+    )
+    return f"""
+    SELECT eoa, CAST(n AS BIGINT) AS n_bundles,
+           p AS total_profit_usd, b AS total_bribe_usd
+    FROM (VALUES
+      {values}
+    ) AS t(eoa, n, p, b)
+    """
+
+
+@register(
+    "mev_searcher_stats",
+    oracle=_searcher_stats_values(),
+    survey_ref="S10 searcher-stats upsert as idempotent recompute "
+    "(processors/mev.rs:111-148): per-eoa bundle counts + PnL totals over "
+    "the composed bundle set (bundle_counts map pytest-gated — map string "
+    "reprs differ across engines)",
+)
+def mev_searcher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import searcher_stats
+
+    _tables, out = _composed(spark)
+    return searcher_stats(out["bundles"]).select(
+        "eoa", "n_bundles", "total_profit_usd", "total_bribe_usd"
+    )
