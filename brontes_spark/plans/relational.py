@@ -159,9 +159,17 @@ def q3_top_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_disc_price()).alias("rev"))
     )
-    top = rank_by_group(rev, [], F.col("rev"), "l_orderkey", top_k=10, rank_col="rn")
-    return top.select(
-        "l_orderkey", "orderdate", "o_orderpriority", to_dbl("rev").alias("revenue")
+    # global top-k via sort+limit: plans as TakeOrderedAndProject (per-
+    # partition partial top-k, driver merge) instead of a single-partition
+    # global window — the rank column isn't in the output, so the row set
+    # is identical
+    return (
+        rev.orderBy(F.col("rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey", "orderdate", "o_orderpriority",
+            to_dbl("rev").alias("revenue"),
+        )
     )
 
 
