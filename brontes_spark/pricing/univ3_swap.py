@@ -1,0 +1,186 @@
+"""UniswapV3 tick-crossing swap simulation — the price-math half of G4
+(SURVEY.md §2.6 "exact UniV2 (x*y=k) & UniV3 (tick-crossing) price math";
+reference uniswap_v3_math/{tick_math,tick_bitmap,bit_math}.rs provide the
+primitives, the pool struct holds the per-tick liquidity table it walks).
+
+Exact integer math throughout (Python ints = unbounded, matching U256
+semantics); rounding directions mirror the published SqrtPriceMath
+conventions: prices round AGAINST the swapper (next-sqrt-price rounds up
+when price falls, down when it rises) and output amounts round down.
+Fees are charged on the input consumed per step at `fee_pips`/1e6 (the
+pool-fee model; protocol-fee split not modeled — documented divergence).
+
+Driver-side single-quote function + an Arrow-batched `mapInPandas` wrapper
+for bulk quoting: the per-pool tick tables ride in a broadcast-style dict
+closure (tick tables are the pool dimension — MBs at mainnet scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from .univ3 import MAX_TICK, MIN_TICK, Q96, get_sqrt_ratio_at_tick
+
+FEE_DENOM = 1_000_000
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _amount0_delta(sqrt_a: int, sqrt_b: int, liquidity: int, round_up: bool) -> int:
+    """token0 between two sqrt prices: L·Q96·(√Pb−√Pa)/(√Pb·√Pa)."""
+    if sqrt_a > sqrt_b:
+        sqrt_a, sqrt_b = sqrt_b, sqrt_a
+    num = liquidity * Q96 * (sqrt_b - sqrt_a)
+    den = sqrt_b * sqrt_a
+    return _ceil_div(num, den) if round_up else num // den
+
+
+def _amount1_delta(sqrt_a: int, sqrt_b: int, liquidity: int, round_up: bool) -> int:
+    """token1 between two sqrt prices: L·(√Pb−√Pa)/Q96."""
+    if sqrt_a > sqrt_b:
+        sqrt_a, sqrt_b = sqrt_b, sqrt_a
+    num = liquidity * (sqrt_b - sqrt_a)
+    return _ceil_div(num, Q96) if round_up else num // Q96
+
+
+def _next_sqrt_from_amount0_in(sqrt_p: int, liquidity: int, amount: int) -> int:
+    # price falls; round UP (against the swapper)
+    num = liquidity * Q96 * sqrt_p
+    den = liquidity * Q96 + amount * sqrt_p
+    return _ceil_div(num, den)
+
+
+def _next_sqrt_from_amount1_in(sqrt_p: int, liquidity: int, amount: int) -> int:
+    # price rises; round DOWN
+    return sqrt_p + (amount * Q96) // liquidity
+
+
+def univ3_swap_exact_in(
+    amount_in: int,
+    zero_for_one: bool,
+    sqrt_price_x96: int,
+    liquidity: int,
+    tick: int,
+    tick_liquidity: list[tuple[int, int]],
+    fee_pips: int = 3000,
+) -> dict:
+    """Simulate an exact-input swap with tick crossing.
+
+    `tick_liquidity`: [(tick, liquidity_net), ...] — the per-pool table
+    from pricing.univ3.univ3_tick_liquidity (liquidity_net added when the
+    price crosses the tick moving UP, subtracted moving DOWN).
+
+    Returns dict(amount_out, fee_paid, sqrt_price_after, tick_after,
+    liquidity_after, ticks_crossed).
+    """
+    ticks = sorted(tick_liquidity)
+    sqrt_p, liq = sqrt_price_x96, liquidity
+    remaining = amount_in
+    out = fee_total = crossed = 0
+
+    while remaining > 0 and liq > 0:
+        if zero_for_one:
+            below = [t for t, _ in ticks if t <= tick]
+            next_tick = max(below) if below else MIN_TICK
+            boundary = get_sqrt_ratio_at_tick(next_tick)
+        else:
+            above = [t for t, _ in ticks if t > tick]
+            next_tick = min(above) if above else MAX_TICK
+            boundary = get_sqrt_ratio_at_tick(next_tick)
+
+        # input needed (pre-fee) to push the price to the boundary
+        if zero_for_one:
+            in_to_boundary = _amount0_delta(boundary, sqrt_p, liq, round_up=True)
+        else:
+            in_to_boundary = _amount1_delta(sqrt_p, boundary, liq, round_up=True)
+        in_after_fee = (remaining * (FEE_DENOM - fee_pips)) // FEE_DENOM
+
+        if in_after_fee >= in_to_boundary and next_tick not in (MIN_TICK, MAX_TICK):
+            # full step to the boundary, cross the tick
+            step_in = in_to_boundary
+            new_sqrt = boundary
+            if zero_for_one:
+                out += _amount1_delta(new_sqrt, sqrt_p, liq, round_up=False)
+            else:
+                out += _amount0_delta(sqrt_p, new_sqrt, liq, round_up=False)
+            # fee on the consumed input, rounded against the swapper
+            fee = _ceil_div(step_in * fee_pips, FEE_DENOM - fee_pips)
+            remaining -= step_in + fee
+            fee_total += fee
+            net = dict(ticks)[next_tick] if next_tick in dict(ticks) else 0
+            liq += -net if zero_for_one else net
+            tick = next_tick - 1 if zero_for_one else next_tick
+            sqrt_p = new_sqrt
+            crossed += 1
+        else:
+            # final partial step inside the current range
+            step_in = in_after_fee
+            if step_in <= 0:
+                break
+            if zero_for_one:
+                new_sqrt = _next_sqrt_from_amount0_in(sqrt_p, liq, step_in)
+                out += _amount1_delta(new_sqrt, sqrt_p, liq, round_up=False)
+            else:
+                new_sqrt = _next_sqrt_from_amount1_in(sqrt_p, liq, step_in)
+                out += _amount0_delta(sqrt_p, new_sqrt, liq, round_up=False)
+            fee_total += remaining - step_in
+            remaining = 0
+            sqrt_p = new_sqrt
+    return dict(
+        amount_out=out,
+        fee_paid=fee_total,
+        sqrt_price_after=sqrt_p,
+        tick_after=tick,
+        liquidity_after=liq,
+        ticks_crossed=crossed,
+    )
+
+
+def univ3_quote_batch(
+    requests: DataFrame,
+    pool_state: dict[str, tuple[int, int, int]],
+    pool_ticks: dict[str, list[tuple[int, int]]],
+    fee_pips: int = 3000,
+) -> DataFrame:
+    """Bulk quoting: `requests` (pool string, amount_in decimal(38,0),
+    zero_for_one boolean) → per-request quote columns. Pool state/tick
+    dicts ship in the task closure (dimension-sized); the simulation runs
+    Arrow-batched per partition — the mapInPandas shape for math Spark
+    expressions can't express (an iterative walk per row)."""
+    import pandas as pd
+
+    out_schema = (
+        "pool string, amount_in decimal(38,0), zero_for_one boolean, "
+        "amount_out decimal(38,0), fee_paid decimal(38,0), "
+        "tick_after int, liquidity_after decimal(38,0), ticks_crossed int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sqrt_p, liq, tick = pool_state[r.pool]
+                q = univ3_swap_exact_in(
+                    int(r.amount_in), bool(r.zero_for_one), sqrt_p, liq, tick,
+                    pool_ticks.get(r.pool, []), fee_pips,
+                )
+                rows.append(
+                    dict(
+                        pool=r.pool, amount_in=Decimal(int(r.amount_in)),
+                        zero_for_one=bool(r.zero_for_one),
+                        amount_out=Decimal(q["amount_out"]),
+                        fee_paid=Decimal(q["fee_paid"]),
+                        tick_after=q["tick_after"],
+                        liquidity_after=Decimal(q["liquidity_after"]),
+                        ticks_crossed=q["ticks_crossed"],
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return requests.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,89 @@
+"""G4 tick-crossing swap simulation (pricing/univ3_swap.py): AMM
+invariants, crossing semantics, fee accounting, and the Arrow-batched
+bulk-quote wrapper."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from brontes_spark.pricing.univ3 import Q96, get_sqrt_ratio_at_tick
+from brontes_spark.pricing.univ3_swap import univ3_swap_exact_in
+
+L = 10**18
+
+
+def _virtual_reserves(sqrt_p: int, liq: int) -> tuple[float, float]:
+    return liq * Q96 / sqrt_p, liq * sqrt_p / Q96
+
+
+def test_single_range_swap_constant_product_invariant():
+    q = univ3_swap_exact_in(
+        amount_in=10**15, zero_for_one=True, sqrt_price_x96=Q96,
+        liquidity=L, tick=0, tick_liquidity=[], fee_pips=0,
+    )
+    # price falls, token1 comes out
+    assert q["sqrt_price_after"] < Q96 and q["amount_out"] > 0
+    assert q["ticks_crossed"] == 0 and q["fee_paid"] == 0
+    # x·y = L² holds before and (up to pool-favoring rounding) after
+    x0, y0 = _virtual_reserves(Q96, L)
+    x1, y1 = _virtual_reserves(q["sqrt_price_after"], L)
+    k0, k1 = x0 * y0, (x0 + 10**15) * (y0 - q["amount_out"])
+    assert k1 >= k0 * (1 - 1e-12)  # rounding never favors the swapper
+    assert abs(k1 - k0) / k0 < 1e-6
+    # tiny swap executes ~at spot (price 1.0 at tick 0)
+    assert abs(q["amount_out"] / 10**15 - 1.0) < 1e-3
+
+
+def test_direction_and_monotonicity():
+    up = univ3_swap_exact_in(10**15, False, Q96, L, 0, [], fee_pips=0)
+    assert up["sqrt_price_after"] > Q96
+    small = univ3_swap_exact_in(10**14, True, Q96, L, 0, [], fee_pips=0)
+    big = univ3_swap_exact_in(10**16, True, Q96, L, 0, [], fee_pips=0)
+    assert big["amount_out"] > small["amount_out"] > 0
+
+
+def test_tick_crossing_drops_inner_liquidity():
+    # inner position [-60, 60] adds N on top of background L
+    N = 5 * 10**17
+    ticks = [(-60, N), (60, -N)]
+    # swap down far enough to cross -60
+    q = univ3_swap_exact_in(
+        amount_in=6 * 10**15, zero_for_one=True, sqrt_price_x96=Q96,
+        liquidity=L + N, tick=0, tick_liquidity=ticks, fee_pips=0,
+    )
+    assert q["ticks_crossed"] == 1
+    assert q["liquidity_after"] == L  # inner N gone below -60
+    assert q["sqrt_price_after"] < get_sqrt_ratio_at_tick(-60)
+    assert q["tick_after"] <= -61
+
+    # same swap UP crosses +60 and also sheds N
+    q2 = univ3_swap_exact_in(
+        amount_in=6 * 10**15, zero_for_one=False, sqrt_price_x96=Q96,
+        liquidity=L + N, tick=0, tick_liquidity=ticks, fee_pips=0,
+    )
+    assert q2["ticks_crossed"] == 1 and q2["liquidity_after"] == L
+    assert q2["sqrt_price_after"] > get_sqrt_ratio_at_tick(60)
+
+
+def test_fee_accounting():
+    free = univ3_swap_exact_in(10**15, True, Q96, L, 0, [], fee_pips=0)
+    paid = univ3_swap_exact_in(10**15, True, Q96, L, 0, [], fee_pips=3000)
+    assert paid["amount_out"] < free["amount_out"]
+    # 30 bps of input, and the fee leaves the swappable amount exactly
+    assert abs(paid["fee_paid"] - 10**15 * 0.003) / 10**15 < 1e-4
+
+
+def test_bulk_quote_wrapper(spark):
+    from brontes_spark.pricing.univ3_swap import univ3_quote_batch
+
+    state = {"0xp": (Q96, L, 0)}
+    ticks = {"0xp": [(-60, 5 * 10**17), (60, -5 * 10**17)]}
+    reqs = spark.createDataFrame(
+        [("0xp", Decimal(10**15), True), ("0xp", Decimal(10**15), False)],
+        "pool string, amount_in decimal(38,0), zero_for_one boolean",
+    )
+    got = {r["zero_for_one"]: r for r in
+           univ3_quote_batch(reqs, state, ticks, fee_pips=0).collect()}
+    ref_down = univ3_swap_exact_in(10**15, True, Q96, L + 0, 0, ticks["0xp"], 0)
+    assert got[True]["amount_out"] == Decimal(ref_down["amount_out"])
+    assert got[False]["amount_out"] > 0
