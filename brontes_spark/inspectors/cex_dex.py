@@ -2,10 +2,15 @@
 `mev_inspectors/cex_dex/markout/cex_dex_markout.rs:105-745`, priced with the
 X4 expanding-window VWAP (operators/vwap.py ↔ time_window_vwam.rs:94-520).
 
-Per DEX swap selling token T: the CEX markout price of T is the VWAP of CEX
-trades in the expanding window around the block timestamp, grown until trade
-volume covers the swap's volume. Markout revenue = amount_in·vwap(T) −
-USD value given up (amount_out·dex price); profit = revenue − gas.
+Per DEX swap selling token T for the quote asset: the CEX markout price of
+T is the VWAP of CEX trades in the expanding window around the block
+timestamp, grown until trade volume covers the swap's volume. Markout
+revenue follows the reference profit classifier (cex_dex_markout.rs:433-485):
+pnl = cex_output_of(amount_out) − amount_in, valued in USD — i.e. the swap
+sells T on the DEX for amount_out quote units; buying amount_in of T back
+on the CEX costs amount_in·vwap(T), so
+revenue = amount_out·price(quote→USD) − amount_in·vwap(T).
+Positive exactly when the DEX sale price beats the CEX benchmark.
 """
 
 from __future__ import annotations
@@ -63,7 +68,7 @@ def cex_dex_quotes_bundles(
     priced = swaps.join(quoted, "tx_hash").withColumn(
         "revenue_usd",
         (
-            F.col("amount_in") * F.col("cex_price") - F.col("amount_out")
+            F.col("amount_out") - F.col("amount_in") * F.col("cex_price")
         ).cast("decimal(38,18)"),
     )
     return (
@@ -138,8 +143,8 @@ def cex_dex_bundles(
         .withColumn(
             "revenue_usd",
             (
-                F.col("amount_in") * F.col("cex_price")
-                - F.col("amount_out") * F.col("quote_price")
+                F.col("amount_out") * F.col("quote_price")
+                - F.col("amount_in") * F.col("cex_price")
             ).cast("decimal(38,18)"),
         )
     )

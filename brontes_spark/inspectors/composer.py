@@ -152,13 +152,34 @@ def searcher_activity_bundles(
 
 
 def dedup_by_precedence(bundles: DataFrame) -> DataFrame:
-    """O3: drop subordinate bundles sharing a tx with a dominant bundle."""
+    """O3: drop subordinate bundles sharing a tx with a dominant bundle.
+
+    The tie-break among equal-priority bundles sharing a tx is content-derived
+    (mev_type, first tx hash, content hash) — never monotonically_increasing_id,
+    which is partition-dependent and run-to-run nondeterministic (and unsafe as
+    a self-join key because the plan is evaluated twice).
+    """
     prio = F.create_map(*[F.lit(x) for kv in PRIORITY.items() for x in kv])
     b = bundles.withColumn("priority", prio[F.col("mev_type")]).withColumn(
-        "bundle_id", F.monotonically_increasing_id()
+        "bundle_id",
+        F.xxhash64(
+            "mev_type",
+            F.concat_ws(",", "tx_hashes"),
+            F.col("profit_usd").cast("string"),
+            F.col("revenue_usd").cast("string"),
+            "eoa",
+        ),
     )
-    exploded = b.select("bundle_id", "priority", F.explode("tx_hashes").alias("tx_hash"))
-    w = W.partitionBy("tx_hash").orderBy(F.col("priority").asc(), F.col("bundle_id").asc())
+    exploded = b.select(
+        "bundle_id", "priority", "mev_type", "tx_hashes",
+        F.explode("tx_hashes").alias("tx_hash"),
+    )
+    w = W.partitionBy("tx_hash").orderBy(
+        F.col("priority").asc(),
+        F.col("mev_type").asc(),
+        F.array_min("tx_hashes").asc(),
+        F.col("bundle_id").asc(),
+    )
     dominated = (
         exploded.withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") > 1)

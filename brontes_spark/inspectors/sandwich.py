@@ -39,7 +39,11 @@ MAX_SHRINK = 6
 
 def _candidate_segments(swaps: DataFrame, tx_info: DataFrame) -> DataFrame:
     """I1+I2: per (block, actor): maximal searcher-tx chains split at empty
-    victim gaps; one row per segment with the ordered searcher tx array."""
+    victim gaps; one row per segment with the ordered searcher tx array.
+
+    The gap test counts ALL txs between consecutive searcher txs (not only
+    swap txs) — mod.rs:902-953 partitions on empty tx intervals, so a
+    non-swap tx in the gap keeps the chain joined."""
     swap_txs = swaps.select("block_number", "tx_hash").distinct()
     actors = (
         tx_info.withColumn("actor", F.coalesce("mev_contract", "eoa"))
@@ -54,7 +58,7 @@ def _candidate_segments(swaps: DataFrame, tx_info: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_chain") >= 2)
     )
-    victims = swaps.select(
+    victims = tx_info.select(
         F.col("block_number").alias("v_block"),
         F.col("tx_hash").alias("v_hash"),
         F.col("tx_index").alias("v_index"),
@@ -169,13 +173,14 @@ def sandwich_bundles(
     )
     front_pools = fronts.select(*ckeys, "f_pool", "f_in").distinct()
 
-    # victims inside the candidate interval, excluding the searcher's own txs
-    victims = swaps.select(
+    # victims inside the candidate interval = ALL txs between first and back
+    # searcher tx (mod.rs PossibleSandwich victim sets list every in-between
+    # tx), excluding the searcher's own txs; the ≥50% overlap ratio is still
+    # computed over the victims that swap (verify_sandwich_victims)
+    victims = tx_info.select(
         F.col("block_number").alias("v_block"),
         F.col("tx_hash").alias("v_hash"),
         F.col("tx_index").alias("v_index"),
-        F.col("pool").alias("v_pool"),
-        F.col("token_in").alias("v_in"),
     ).distinct()
     searcher_txs = cand.select(
         *ckeys, F.explode(F.transform("sub_chain", lambda s: s["tx_hash"])).alias("s_hash")
@@ -192,13 +197,27 @@ def sandwich_bundles(
             [*ckeys, "v_hash"],
             "left_anti",
         )
-        .select(*ckeys, "v_hash", "v_pool", "v_in")
+        .select(*ckeys, "v_hash", "v_index")
     )
     all_victims = in_interval.groupBy(*ckeys).agg(
+        F.transform(
+            F.sort_array(F.collect_set(F.struct("v_index", "v_hash"))),
+            lambda s: s["v_hash"],
+        ).alias("victim_hashes")
+    )
+    victim_swaps = in_interval.join(
+        swaps.select(
+            F.col("tx_hash").alias("v_hash"),
+            F.col("pool").alias("v_pool"),
+            F.col("token_in").alias("v_in"),
+        ).distinct(),
+        "v_hash",
+    )
+    swap_victim_counts = victim_swaps.groupBy(*ckeys).agg(
         F.countDistinct("v_hash").alias("n_victims")
     )
     overlap = (
-        in_interval.join(
+        victim_swaps.join(
             front_pools.withColumnRenamed("f_pool", "v_pool").withColumnRenamed(
                 "f_in", "v_in"
             ),
@@ -206,14 +225,12 @@ def sandwich_bundles(
             "left_semi",
         )
         .groupBy(*ckeys)
-        .agg(
-            F.countDistinct("v_hash").alias("n_overlap"),
-            F.sort_array(F.collect_set("v_hash")).alias("victim_hashes"),
-        )
+        .agg(F.countDistinct("v_hash").alias("n_overlap"))
     )
     validated = (
         cand.join(reversed_ok, ckeys, "left_semi")
         .join(overlap, ckeys)
+        .join(swap_victim_counts, ckeys)
         .join(all_victims, ckeys)
         .filter((F.col("n_victims") > 0) & (F.col("n_overlap") * 2 >= F.col("n_victims")))
     )

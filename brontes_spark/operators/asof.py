@@ -65,14 +65,14 @@ def asof_join(
         order = [F.col("__t"), F.col("__tag"), F.col("__tb").asc_nulls_last()]
     w = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=False)
-    joined = (
-        unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == 1)
-        .select(
-            *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-            *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in r_payload],
-        )
-    )
+    matched = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
     if how == "inner":
-        joined = joined.filter(F.col(f"{payload_prefix}{r_payload[0]}").isNotNull())
-    return joined
+        # test the struct itself, not its first field — a matched right row
+        # whose first payload column is legitimately NULL must survive
+        matched = matched.filter(F.col("__match").isNotNull())
+    return matched.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in r_payload],
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.decimals import to_dbl
 from ..inspectors.composer import mev_block_header, run_composer
 from ..sources.fixtures import load_fixtures
 from .registry import register
@@ -42,30 +43,32 @@ _DEC = "DECIMAL(38,18)"
 
 
 def _bundle_values() -> str:
+    # tx_hashes is the comma-joined ordered list (the driver's canonicalizer
+    # hashes scalar cells, so array cells ride as strings on both sides)
     rows = [
-        ("100", "['0xf0','0xv1','0xv2','0xb0']", "'0xsearcher1'", "'0xmev1'",
+        ("100", "'0xf0,0xv1,0xv2,0xb0'", "'0xsearcher1'", "'0xmev1'",
          "'sandwich'", "88", "90", "2"),
-        ("101", "['0xarb']", "'0xsearcher2'", "NULL", "'atomic_arb:triangle'",
+        ("101", "'0xarb'", "'0xsearcher2'", "NULL", "'atomic_arb:triangle'",
          "49", "50", "1"),
-        ("102", "['0xjf','0xjv','0xjb']", "'0xsearcher2'", "'0xmev2'", "'jit'",
+        ("102", "'0xjf,0xjv,0xjb'", "'0xsearcher2'", "'0xmev2'", "'jit'",
          "4", "6", "2"),
-        ("103", "['0xliq']", "'0xliquidator'", "NULL", "'liquidation'",
+        ("103", "'0xliq'", "'0xliquidator'", "NULL", "'liquidation'",
          "19", "20", "1"),
-        ("104", "['0xcd']", "'0xsearcher1'", "NULL", "'cex_dex'", "4", "5", "1"),
-        ("107", "['0xbm_f1','0xbm_f2','0xbm_v1','0xbm_v2','0xbm_b']",
+        ("104", "'0xcd'", "'0xsearcher1'", "NULL", "'cex_dex'", "4", "5", "1"),
+        ("107", "'0xbm_f1,0xbm_f2,0xbm_v1,0xbm_v2,0xbm_b'",
          "'0xsearcher3'", "NULL", "'sandwich:big_mac'", "97", "100", "3"),
-        ("108", "['0xg_f1','0xg_v1','0xg_b1']", "'0xsearcher4'", "NULL",
+        ("108", "'0xg_f1,0xg_v1,0xg_b1'", "'0xsearcher4'", "NULL",
          "'sandwich'", "3", "5", "2"),
-        ("108", "['0xg_f2','0xg_v2','0xg_b2']", "'0xsearcher4'", "NULL",
+        ("108", "'0xg_f2,0xg_v2,0xg_b2'", "'0xsearcher4'", "NULL",
          "'sandwich'", "3", "5", "2"),
-        ("109", "['0xjs_b','0xjs_f','0xjs_v']", "'0xsearcher2'", "NULL",
+        ("109", "'0xjs_b,0xjs_f,0xjs_v'", "'0xsearcher2'", "NULL",
          "'jit_sandwich'", "17", "19", "2"),
-        ("110", "['0xsa']", "'0xsearcher1'", "NULL", "'searcher_tx'",
+        ("110", "'0xsa'", "'0xsearcher1'", "NULL", "'searcher_tx'",
          "29", "30", "1"),
     ]
     values = ",\n      ".join(
         f"({bn}, {txs}, {eoa}, {mc}, {mt}, "
-        f"CAST({p} AS {_DEC}), CAST({r} AS {_DEC}), CAST({g} AS {_DEC}))"
+        f"CAST({p} AS DOUBLE), CAST({r} AS DOUBLE), CAST({g} AS DOUBLE))"
         for (bn, txs, eoa, mc, mt, p, r, g) in rows
     )
     return f"""
@@ -89,30 +92,34 @@ def mev_composer_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blockchain-shaped tables, mirroring the reference's golden-fixture tests
     _, out = _composed(spark)
     return out["bundles"].select(
-        "block_number", "tx_hashes", "eoa", "mev_contract", "mev_type",
-        "profit_usd", "revenue_usd", "gas_usd",
+        "block_number",
+        F.concat_ws(",", "tx_hashes").alias("tx_hashes"),
+        "eoa", "mev_contract", "mev_type",
+        to_dbl("profit_usd").alias("profit_usd"),
+        to_dbl("revenue_usd").alias("revenue_usd"),
+        to_dbl("gas_usd").alias("gas_usd"),
     )
 
 
 @register(
     "mev_block_headers",
-    oracle=f"""
+    oracle="""
     SELECT CAST(bn AS BIGINT) AS block_number,
            CAST(n_bundles AS BIGINT) AS n_bundles,
-           CAST(profit AS {_DEC}) AS total_profit_usd,
-           CAST(gas AS {_DEC}) AS builder_gas_usd
+           CAST(profit AS DOUBLE) AS total_profit_usd,
+           CAST(gas AS DOUBLE) AS builder_gas_usd
     FROM (VALUES
-      (100, 1, CAST(88 AS {_DEC}), CAST(4 AS {_DEC})),
-      (101, 1, CAST(49 AS {_DEC}), CAST(2 AS {_DEC})),
-      (102, 1, CAST(4 AS {_DEC}),  CAST(3 AS {_DEC})),
-      (103, 1, CAST(19 AS {_DEC}), CAST(1 AS {_DEC})),
-      (104, 1, CAST(4 AS {_DEC}),  CAST(1 AS {_DEC})),
+      (100, 1, 88, 4),
+      (101, 1, 49, 2),
+      (102, 1, 4,  3),
+      (103, 1, 19, 1),
+      (104, 1, 4,  1),
       (105, 0, NULL, NULL),
       (106, 0, NULL, NULL),
-      (107, 1, CAST(97 AS {_DEC}), CAST(5 AS {_DEC})),
-      (108, 2, CAST(6 AS {_DEC}),  CAST(6 AS {_DEC})),
-      (109, 1, CAST(17 AS {_DEC}), CAST(3 AS {_DEC})),
-      (110, 1, CAST(29 AS {_DEC}), CAST(1 AS {_DEC}))
+      (107, 1, 97, 5),
+      (108, 2, 6,  6),
+      (109, 1, 17, 3),
+      (110, 1, 29, 1)
     ) AS t(bn, n_bundles, profit, gas)
     """,
     survey_ref="O4 MevBlock header build (composer/utils.rs:15-242)",
@@ -122,13 +129,14 @@ def mev_block_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     header = mev_block_header(out["bundles"], tables["tx_info"], tables["block_info"])
     return header.select(
         "block_number", "n_bundles",
-        F.col("total_profit_usd"), F.col("builder_gas_usd"),
+        to_dbl("total_profit_usd").alias("total_profit_usd"),
+        to_dbl("builder_gas_usd").alias("builder_gas_usd"),
     )
 
 
 @register(
     "mev_block_analysis",
-    oracle=f"""
+    oracle="""
     SELECT CAST(bn AS BIGINT) AS block_number,
            CAST(nb AS BIGINT) AS n_bundles,
            CAST(nsw AS BIGINT) AS n_sandwich, CAST(njs AS BIGINT) AS n_jit_sandwich,
@@ -136,9 +144,9 @@ def mev_block_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ncd AS BIGINT) AS n_cex_dex, CAST(nliq AS BIGINT) AS n_liquidation,
            CAST(nsa AS BIGINT) AS n_searcher_tx,
            top_eoa AS top_searcher,
-           CAST(topp AS {_DEC}) AS top_searcher_profit_usd,
-           CAST(totp AS {_DEC}) AS total_profit_usd,
-           CAST(totb AS {_DEC}) AS total_bribe_usd
+           CAST(topp AS DOUBLE) AS top_searcher_profit_usd,
+           CAST(totp AS DOUBLE) AS total_profit_usd,
+           CAST(totb AS DOUBLE) AS total_bribe_usd
     FROM (VALUES
       (100, 1, 1,0,0,0,0,0,0, '0xsearcher1', 88, 88, 2),
       (101, 1, 0,0,0,1,0,0,0, '0xsearcher2', 49, 49, 1),
@@ -182,8 +190,10 @@ def mev_block_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_number", "n_bundles",
         "n_sandwich", "n_jit_sandwich", "n_jit", "n_atomic_arb",
         "n_cex_dex", "n_liquidation", "n_searcher_tx",
-        "top_searcher", "top_searcher_profit_usd",
-        "total_profit_usd", "total_bribe_usd",
+        "top_searcher",
+        to_dbl("top_searcher_profit_usd").alias("top_searcher_profit_usd"),
+        to_dbl("total_profit_usd").alias("total_profit_usd"),
+        to_dbl("total_bribe_usd").alias("total_bribe_usd"),
     )
 
 
@@ -227,27 +237,27 @@ def _wide_values() -> str:
     return f"""
     SELECT CAST(bn AS BIGINT) AS block_number,
            CAST(anb AS BIGINT) AS all_bundle_count,
-           CAST(ap AS {_DEC}) AS all_total_profit,
-           CAST(ar AS {_DEC}) AS all_total_revenue,
+           CAST(ap AS DOUBLE) AS all_total_profit,
+           CAST(ar AS DOUBLE) AS all_total_revenue,
            tsp AS all_top_searcher_profit,
-           CAST(tspa AS {_DEC}) AS all_top_searcher_profit_amt,
+           CAST(tspa AS DOUBLE) AS all_top_searcher_profit_amt,
            tsr AS all_top_searcher_rev,
-           CAST(tsra AS {_DEC}) AS all_top_searcher_rev_amt,
+           CAST(tsra AS DOUBLE) AS all_top_searcher_rev_amt,
            fnd AS all_top_fund_profit,
-           CAST(fnda AS {_DEC}) AS all_top_fund_profit_amt,
+           CAST(fnda AS DOUBLE) AS all_top_fund_profit_amt,
            CAST(fc AS BIGINT) AS all_fund_count,
            CAST(sc AS BIGINT) AS all_searcher_count,
            CAST(cc AS BIGINT) AS all_mev_contract_count,
            btx AS all_biggest_arb_tx,
-           CAST(bpa AS {_DEC}) AS all_biggest_arb_profit,
+           CAST(bpa AS DOUBLE) AS all_biggest_arb_profit,
            pool AS all_most_arbed_pool,
-           CAST(poolp AS {_DEC}) AS all_most_arbed_pool_profit,
+           CAST(poolp AS DOUBLE) AS all_most_arbed_pool_profit,
            pair AS all_most_arbed_pair,
            dex AS all_most_arbed_dex,
            CAST(snb AS BIGINT) AS sandwich_bundle_count,
-           CAST(sp AS {_DEC}) AS sandwich_total_profit,
+           CAST(sp AS DOUBLE) AS sandwich_total_profit,
            CAST(xnb AS BIGINT) AS searcher_tx_bundle_count,
-           CAST(xp AS {_DEC}) AS searcher_tx_total_profit
+           CAST(xp AS DOUBLE) AS searcher_tx_total_profit
     FROM (VALUES
       {values}
     ) AS t(bn, anb, ap, ar, tsp, tspa, tsr, tsra, fnd, fnda, fc, sc, cc,
@@ -269,18 +279,19 @@ def mev_block_analysis_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = block_analysis_wide(
         out["bundles"], tables["actions"], tables["searcher_info"]
     )
+    d = lambda c: to_dbl(c).alias(c)  # noqa: E731
     return wide.select(
         "block_number",
-        "all_bundle_count", "all_total_profit", "all_total_revenue",
-        "all_top_searcher_profit", "all_top_searcher_profit_amt",
-        "all_top_searcher_rev", "all_top_searcher_rev_amt",
-        "all_top_fund_profit", "all_top_fund_profit_amt",
+        "all_bundle_count", d("all_total_profit"), d("all_total_revenue"),
+        "all_top_searcher_profit", d("all_top_searcher_profit_amt"),
+        "all_top_searcher_rev", d("all_top_searcher_rev_amt"),
+        "all_top_fund_profit", d("all_top_fund_profit_amt"),
         "all_fund_count", "all_searcher_count", "all_mev_contract_count",
-        "all_biggest_arb_tx", "all_biggest_arb_profit",
-        "all_most_arbed_pool", "all_most_arbed_pool_profit",
+        "all_biggest_arb_tx", d("all_biggest_arb_profit"),
+        "all_most_arbed_pool", d("all_most_arbed_pool_profit"),
         "all_most_arbed_pair", "all_most_arbed_dex",
-        "sandwich_bundle_count", "sandwich_total_profit",
-        "searcher_tx_bundle_count", "searcher_tx_total_profit",
+        "sandwich_bundle_count", d("sandwich_total_profit"),
+        "searcher_tx_bundle_count", d("searcher_tx_total_profit"),
     )
 
 
@@ -293,7 +304,7 @@ def _searcher_stats_values() -> str:
         ("'0xsearcher4'", 2, "6", "4"),
     ]
     values = ",\n      ".join(
-        f"({eoa}, {n}, CAST({p} AS {_DEC}), CAST({b} AS {_DEC}))"
+        f"({eoa}, {n}, CAST({p} AS DOUBLE), CAST({b} AS DOUBLE))"
         for (eoa, n, p, b) in rows
     )
     return f"""
@@ -318,5 +329,7 @@ def mev_searcher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _tables, out = _composed(spark)
     return searcher_stats(out["bundles"]).select(
-        "eoa", "n_bundles", "total_profit_usd", "total_bribe_usd"
+        "eoa", "n_bundles",
+        to_dbl("total_profit_usd").alias("total_profit_usd"),
+        to_dbl("total_bribe_usd").alias("total_bribe_usd"),
     )

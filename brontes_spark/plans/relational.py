@@ -520,17 +520,18 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_global_sales_opportunity",
     oracle="""
-    WITH avg_bal AS (
-      SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS a FROM customer
-      WHERE c_acctbal > 0),
+    WITH bal_stats AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0),
     no_orders AS (
       SELECT c.* FROM customer c
       ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
       ON o.o_custkey = c.c_custkey)
     SELECT c_mktsegment, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS totacctbal
-    FROM no_orders, avg_bal
-    WHERE CAST(c_acctbal AS DOUBLE) > a
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS DOUBLE) AS totacctbal
+    FROM no_orders, bal_stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > s
     GROUP BY c_mktsegment
     """,
     survey_ref="§2.9 TPC-H q22 shape: scalar-subquery broadcast + anti-join "
@@ -539,19 +540,22 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg(F.col("c_acctbal").cast("double")).alias("a")
+    # exact-decimal threshold via cross-multiplication (bal·n > Σbal):
+    # a double avg would be partition-order dependent and can flip a
+    # boundary customer run-to-run — bit-exact determinism policy
+    bal_stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
     )
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     no_orders = cust.join(
         urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti"
     )
     return (
-        no_orders.join(F.broadcast(avg_bal))  # 1-row scalar, broadcast cross
-        .filter(F.col("c_acctbal").cast("double") > F.col("a"))
+        no_orders.join(F.broadcast(bal_stats))  # 1-row scalar, broadcast cross
+        .filter(dec("c_acctbal") * F.col("n") > F.col("s"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(dec("c_acctbal")).cast("decimal(38,6)").alias("totacctbal"),
+            to_dbl(F.sum(dec("c_acctbal"))).alias("totacctbal"),
         )
     )

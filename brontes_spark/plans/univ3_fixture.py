@@ -11,12 +11,11 @@ accounting, and pre-state lags all computed exactly the planted numbers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..pricing.univ3 import univ3_pool_state, univ3_tick_liquidity
 from ..sources.fixtures import load_fixtures
 from .registry import register
-
-_RAW = "DECIMAL(38,0)"
 
 _SQRT_T0 = "79228162514264337593543950336"
 _SQRT_M30 = "79109415290437042302807587395"
@@ -51,10 +50,12 @@ def _state_values() -> str:
         ("'0xv3pool2'", 202, 0, "'burn'", "540000000000000000", "570000000000000000",
          "140000", "40000", 15, 15, _SQRT_P15),
     ]
+    # U256-scale cells ride as exact STRINGS on both sides: they exceed
+    # 2^53, and the driver's canonicalizer renders decimals through pandas
+    # where engine representations diverge (float64 vs Decimal objects)
     values = ",\n      ".join(
-        f"({p}, {bn}, {tx}, {k}, CAST('{r0}' AS {_RAW}), CAST('{r1}' AS {_RAW}), "
-        f"CAST('{lpre}' AS {_RAW}), CAST('{lpost}' AS {_RAW}), {tpre}, {tpost}, "
-        f"CAST('{sq}' AS {_RAW}))"
+        f"({p}, {bn}, {tx}, {k}, '{r0}', '{r1}', "
+        f"'{lpre}', '{lpost}', {tpre}, {tpost}, '{sq}')"
         for (p, bn, tx, k, r0, r1, lpre, lpost, tpre, tpost, sq) in rows
     )
     return f"""
@@ -79,10 +80,11 @@ def _state_values() -> str:
 )
 def g4_univ3_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_fixtures(spark)
+    s = lambda c: F.col(c).cast("string").alias(c)  # noqa: E731
     return univ3_pool_state(t["univ3_events"], t["univ3_initial"]).select(
-        "pool", "block_number", "tx_index", "kind", "r0_post", "r1_post",
-        "liquidity_pre", "liquidity_post", "tick_pre", "tick_post",
-        "sqrt_price_post",
+        "pool", "block_number", "tx_index", "kind", s("r0_post"), s("r1_post"),
+        s("liquidity_pre"), s("liquidity_post"), "tick_pre", "tick_post",
+        s("sqrt_price_post"),
     )
 
 
@@ -93,9 +95,7 @@ def _tick_values() -> str:
         ("'0xv3pool2'", -30, "40000"),
         ("'0xv3pool2'", 30, "-40000"),
     ]
-    values = ",\n      ".join(
-        f"({p}, {t}, CAST('{n}' AS {_RAW}))" for (p, t, n) in rows
-    )
+    values = ",\n      ".join(f"({p}, {t}, '{n}')" for (p, t, n) in rows)
     return f"""
     SELECT pool, CAST(tick AS INTEGER) AS tick, liquidity_net
     FROM (VALUES
@@ -113,7 +113,9 @@ def _tick_values() -> str:
 )
 def g4_univ3_tick_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_fixtures(spark)
-    return univ3_tick_liquidity(t["univ3_events"])
+    return univ3_tick_liquidity(t["univ3_events"]).select(
+        "pool", "tick", F.col("liquidity_net").cast("string").alias("liquidity_net")
+    )
 
 
 def _g5_values() -> str:

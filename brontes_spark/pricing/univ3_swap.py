@@ -21,7 +21,13 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
-from .univ3 import MAX_TICK, MIN_TICK, Q96, get_sqrt_ratio_at_tick
+from .univ3 import (
+    MAX_TICK,
+    MIN_TICK,
+    Q96,
+    get_sqrt_ratio_at_tick,
+    get_tick_at_sqrt_ratio,
+)
 
 FEE_DENOM = 1_000_000
 
@@ -99,8 +105,8 @@ def univ3_swap_exact_in(
             in_to_boundary = _amount1_delta(sqrt_p, boundary, liq, round_up=True)
         in_after_fee = (remaining * (FEE_DENOM - fee_pips)) // FEE_DENOM
 
-        if in_after_fee >= in_to_boundary and next_tick not in (MIN_TICK, MAX_TICK):
-            # full step to the boundary, cross the tick
+        if in_after_fee >= in_to_boundary:
+            # full step to the boundary (consume exactly in_to_boundary)
             step_in = in_to_boundary
             new_sqrt = boundary
             if zero_for_one:
@@ -111,10 +117,15 @@ def univ3_swap_exact_in(
             fee = _ceil_div(step_in * fee_pips, FEE_DENOM - fee_pips)
             remaining -= step_in + fee
             fee_total += fee
+            sqrt_p = new_sqrt
+            if next_tick in (MIN_TICK, MAX_TICK):
+                # tick table exhausted: the pool clamps at MIN/MAX_SQRT_RATIO;
+                # leftover input is NOT consumed past the boundary
+                tick = get_tick_at_sqrt_ratio(sqrt_p)
+                break
             net = dict(ticks)[next_tick] if next_tick in dict(ticks) else 0
             liq += -net if zero_for_one else net
             tick = next_tick - 1 if zero_for_one else next_tick
-            sqrt_p = new_sqrt
             crossed += 1
         else:
             # final partial step inside the current range
@@ -130,6 +141,7 @@ def univ3_swap_exact_in(
             fee_total += remaining - step_in
             remaining = 0
             sqrt_p = new_sqrt
+            tick = get_tick_at_sqrt_ratio(sqrt_p)
     return dict(
         amount_out=out,
         fee_paid=fee_total,

@@ -21,8 +21,10 @@ Planted blocks:
         gas $2 ⇒ profit $4.
   103 — liquidation: covered_debt 100 DAI, seized collateral 60 A
         (A=$2 ⇒ revenue = 120-100 = $20).
-  104 — CEX-DEX: swap 100 A→101 USD on P1 while CEX mid for A averages
-        $1.06 across the markout window ⇒ maker rev = 100*1.06 - 101 = $5.
+  104 — CEX-DEX: swap 100 A→111 USD on P1 while CEX VWAP for A averages
+        $1.06 across the markout window ⇒ rev = 111 - 100*1.06 = $5
+        (sell high on the DEX, buy back cheaper on the CEX,
+        cex_dex_markout.rs:433-485).
   105 — empty control block (no MEV).
   107 — "Big Mac" sandwich: F1 V1 F2 V2 B by searcher 0xsearcher3 — two
         frontruns with victims in both gaps; net +100 A ⇒ rev $100,
@@ -177,7 +179,7 @@ def actions_rows() -> list[dict]:
     ]
     # block 104 — CEX-DEX single swap (cex_dex_markout.rs:105-745)
     rows += [
-        _swap(104, "0xcd", 0, 0, S1, P1, A, USD, "100", "101"),
+        _swap(104, "0xcd", 0, 0, S1, P1, A, USD, "100", "111"),
     ]
     # block 107 — Big Mac (two frontruns, sandwich/mod.rs "Big Mac" shape)
     rows += [
@@ -302,7 +304,7 @@ def cex_trades_rows() -> list[dict]:
 
 def cex_quotes_rows() -> list[dict]:
     """X1-grid quotes for token A around block 104: mid = (1.08+1.06)/2 =
-    1.07 => quotes-variant revenue = 100*1.07 - 101 = $6 (subordinate to the
+    1.07 => quotes-variant revenue = 111 - 100*1.07 = $4 (subordinate to the
     markout variant's $5 bundle in the composer)."""
     ts0 = BLOCK_TS[104] * 1_000_000
     return [

@@ -92,8 +92,9 @@ def test_cex_dex_markout(tables):
     )
     row = _one(b, block_number=104)
     # expanding window widens to step 3: vwap = (40·1.05+40·1.06+20·1.08)/100
-    # = 1.06; revenue = 100·1.06 − 101·1 = $5; the $5.00 print at +9s is
-    # outside the cutoff and must not contaminate the vwap
+    # = 1.06; sell 100 A for 111 USD on the DEX, buy back at the CEX vwap:
+    # revenue = 111·1 − 100·1.06 = $5 (cex_dex_markout.rs:433-485); the $5.00
+    # print at +9s is outside the cutoff and must not contaminate the vwap
     assert row["revenue_usd"] == Decimal("5")
     assert row["profit_usd"] == Decimal("4")
 
@@ -131,10 +132,10 @@ def test_cex_dex_quotes_variant(tables):
     )
     row = _one(b, block_number=104)
     # X1 as-of picks the -0.5s quote (the -3.5s print is stale):
-    # mid = (1.08+1.06)/2 = 1.07 → rev = 100*1.07 − 101 = $6
+    # mid = (1.08+1.06)/2 = 1.07 → rev = 111 − 100·1.07 = $4
     assert row["mev_type"] == "cex_dex_quotes"
-    assert row["revenue_usd"] == Decimal("6")
-    assert row["profit_usd"] == Decimal("5")
+    assert row["revenue_usd"] == Decimal("4")
+    assert row["profit_usd"] == Decimal("3")
 
 
 def test_composer_end_to_end(tables):
