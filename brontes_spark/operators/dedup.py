@@ -36,13 +36,20 @@ def exact_dedup(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word-n-gram shingles per doc: (id, shingle).
+    """Distinct word-n-gram shingles per doc, as 60-bit md5 hashes:
+    (id, shingle_h bigint).
 
     Formulated as posexplode + window `lead`s rather than array lambdas:
     Spark evaluates higher-order-function lambdas interpreted (outside
     whole-stage codegen), which measured ~18s for 5k docs at sf0.1; the
     window formulation is pure codegen expressions and one (id)-shuffle —
     and at 100 TB it stays a single narrow shuffle per document batch.
+
+    Hashing BEFORE the distinct keeps every downstream shuffle (dedup, the
+    inverted-index self-join, MinHash) on fixed-width longs instead of
+    ~n·word-length strings — at 100 TB that's the dominant shuffle-byte
+    saving of the whole dedup family. 60-bit space makes collisions
+    negligible (~2^-18 for a billion distinct shingles per block).
     """
     from pyspark.sql import Window as W
 
@@ -54,7 +61,10 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return (
         toks.select("id", *[p.alias(f"t{j}") for j, p in enumerate(parts)])
         .filter(F.col(f"t{n-1}").isNotNull())
-        .select("id", F.concat_ws(" ", *[f"t{j}" for j in range(n)]).alias("shingle"))
+        .select(
+            "id",
+            md5_long(F.concat_ws(" ", *[f"t{j}" for j in range(n)])).alias("shingle_h"),
+        )
         .distinct()
     )
 
@@ -69,10 +79,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams, within a blocking key.
 
-    Plan: shingle-explode (distinct) → self-join on (block, shingle) with
-    id_a < id_b → group to intersection size → join per-doc set sizes →
-    jac = inter / (|A| + |B| - inter). Integer sizes → exact; the final
-    division is a single double op, deterministic everywhere.
+    Plan: shingle-explode (distinct 60-bit hashes) → self-join on
+    (block, shingle_h) with id_a < id_b → group to intersection size → join
+    per-doc set sizes → jac = inter / (|A| + |B| - inter). Integer sizes →
+    exact; the final division is a single double op, deterministic
+    everywhere.
     """
     blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
     sh = (
@@ -81,10 +92,10 @@ def ngram_jaccard_pairs(
         .cache()  # consumed 3x below (both join sides + sizes)
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("blk"), F.col("shingle"), F.col("id").alias("id_a"))
-    b = sh.select(F.col("blk"), F.col("shingle"), F.col("id").alias("id_b"))
+    a = sh.select(F.col("blk"), F.col("shingle_h"), F.col("id").alias("id_a"))
+    b = sh.select(F.col("blk"), F.col("shingle_h"), F.col("id").alias("id_b"))
     inter = (
-        a.join(b, ["blk", "shingle"])
+        a.join(b, ["blk", "shingle_h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -120,32 +131,41 @@ def minhash_lsh_pairs(
     # one md5 per shingle; the hash family is affine mod a Mersenne prime
     # (h_i = (2i+1)·b + c_i mod 2^31-1) — the classic MinHash construction,
     # 16x cheaper than hashing per-seed, and overflow-free in both engines
-    # (operands < 2^31 so products fit a checked BIGINT).
-    sh = (
-        _doc_shingles(df, id_col, text_col, n)
-        .withColumn("b31", md5_long(F.col("shingle")) % F.lit(2147483647))
-        .cache()  # the signature/band stages traverse this several times
+    # (operands < 2^31 so products fit a checked BIGINT). All `num_hashes`
+    # minima fold into ONE groupBy(id) as parallel min columns — no seed
+    # explode, so shuffle volume is |shingles| rows, not |shingles|·seeds.
+    sh = _doc_shingles(df, id_col, text_col, n).withColumn(
+        "b31", F.col("shingle_h") % F.lit(2147483647)
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select("id", "b31", seeds).withColumn(
-        "hv",
-        (
-            (2 * F.col("seed") + 1) * F.col("b31")
-            + (F.col("seed") * 1000003 + 12345)
+
+    def hv(seed: int) -> Column:
+        return ((2 * seed + 1) * F.col("b31") + (seed * 1000003 + 12345)) % F.lit(
+            2147483647
         )
-        % F.lit(2147483647),
+
+    sig = sh.groupBy("id").agg(
+        *[F.min(hv(s)).alias(f"mh{s}") for s in range(num_hashes)]
     )
-    sig = hashed.groupBy("id", "seed").agg(F.min("hv").alias("mh"))
-    banded = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("vals"))
-        .withColumn(
-            "band_sig",
-            F.md5(F.concat_ws(",", F.transform(F.col("vals"), lambda s: s["mh"].cast("string")))),
+    # band signature = md5 of the ordered in-band minima; unpivot the wide
+    # signature row into (id, band, band_sig) via a small literal explode
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{s}").cast("string")
+                        for s in range(b * band_size, (b + 1) * band_size)
+                    ],
+                )
+            ).alias("band_sig"),
         )
-        .select("id", "band", "band_sig")
-    )
+        for b in range(num_hashes // band_size)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*bands)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = banded.select("band", "band_sig", F.col("id").alias("id_a"))
     b = banded.select("band", "band_sig", F.col("id").alias("id_b"))
     return (

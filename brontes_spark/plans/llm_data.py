@@ -37,7 +37,8 @@ from .registry import register
 #: DuckDB twin of functions.text.ws_tokens
 _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
-#: DuckDB twin of operators.dedup._doc_shingles (word 5-grams, distinct).
+#: DuckDB twin of operators.dedup._doc_shingles (word 5-grams, distinct
+#: 60-bit md5 hashes — fixed-width longs in every downstream shuffle).
 #: 5-grams (not 3) keep shingle document-frequency ~1 on small-vocab text, so
 #: the inverted-index join stays linear in corpus size — the scaling lever
 #: real n-gram dedup pipelines use (long shingles, e.g. 13-grams in Gopher).
@@ -48,7 +49,7 @@ _SQL_SHINGLES = f"""
       FROM tok WHERE len(toks) >= 5),
     sh AS (
       SELECT DISTINCT doc_id,
-             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15))::BIGINT AS shingle_h
       FROM idx)
 """
 
@@ -71,12 +72,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHINGLES},
-    bsh AS (SELECT s.doc_id, d.lang AS blk, s.shingle
+    bsh AS (SELECT s.doc_id, d.lang AS blk, s.shingle_h
             FROM sh s JOIN documents d USING (doc_id)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM bsh a JOIN bsh b ON a.blk = b.blk AND a.shingle = b.shingle
+      FROM bsh a JOIN bsh b ON a.blk = b.blk AND a.shingle_h = b.shingle_h
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2),
     j AS (
@@ -104,7 +105,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_SHINGLES},
     based AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS b31
+      SELECT doc_id, shingle_h % 2147483647 AS b31
       FROM sh),
     hashed AS (
       SELECT doc_id, seed.i AS seed,
@@ -317,11 +318,13 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB twin of operators.similarity._components (decimal(9,6) components)
+#: DuckDB twin of operators.similarity._components (6dp micro-unit BIGINTs:
+#: the decimal(9,6) cast does the engine-agnostic rounding, ×10^6 is exact)
 _SQL_COMP = """
     comp AS (
       SELECT vec_id AS id, i.i - 1 AS pos,
-             CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(9,6)) AS comp
+             CAST(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(9,6))
+                  * 1000000 AS BIGINT) AS comp
       FROM embeddings, range(1, 65) i(i))
 """
 
@@ -387,12 +390,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup_ngram_jaccard's oracle, pairs only)
 _SQL_DUP_PAIRS = f"""
     {_SQL_SHINGLES},
-    bsh AS (SELECT s.doc_id, d.lang AS blk, s.shingle
+    bsh AS (SELECT s.doc_id, d.lang AS blk, s.shingle_h
             FROM sh s JOIN documents d USING (doc_id)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM bsh a JOIN bsh b ON a.blk = b.blk AND a.shingle = b.shingle
+      FROM bsh a JOIN bsh b ON a.blk = b.blk AND a.shingle_h = b.shingle_h
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
