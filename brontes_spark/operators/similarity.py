@@ -190,28 +190,38 @@ def ivf_topk(
     (query, candidate) dot-product aggregation.
     """
     # comp feeds assignment, probing, and the final dot pass — cache it
-    # (spills to disk at scale; 3 recomputed parquet explodes cost more)
+    # (spills to disk at scale; 3 recomputed parquet explodes cost more).
+    # norms feeds assignment, probing, and the final similarity — cache too,
+    # so the repeated broadcasts don't re-aggregate the full corpus.
     comp = _components(df, id_col, vec_col).cache()
-    norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
+    norms = (
+        comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2")).cache()
+    )
 
-    # first-K-by-md5 via sort+limit: Spark plans TakeOrderedAndProject
-    # (per-partition partial top-K, driver merge) — no single-partition
-    # global window even at billions of ids
+    # first-K-by-md5 via sort+limit over the SOURCE ids (one row per vector,
+    # no component explode): Spark plans TakeOrderedAndProject (per-partition
+    # partial top-K, driver merge) — no single-partition global window even
+    # at billions of ids
     seeds = (
-        comp.select("id")
+        df.select(F.col(id_col).alias("id"))
         .distinct()
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(k_clusters)
         .select(F.col("id").alias("cid_seed"))
     )
-    cents = F.broadcast(
-        comp.join(seeds, comp["id"] == seeds["cid_seed"]).select(
-            "cid_seed", "pos", F.col("comp").alias("ccomp")
-        )
+    # K×dim rows; cache before broadcasting so cnorms derives without
+    # re-running the seed join
+    cents_df = (
+        comp.join(F.broadcast(seeds), comp["id"] == seeds["cid_seed"])
+        .select("cid_seed", "pos", F.col("comp").alias("ccomp"))
+        .cache()
     )
+    cents = F.broadcast(cents_df)
+    # centroid norms from the cached centroid components (identical values
+    # to joining the full norms table — same components, exact integer sum)
     cnorms = F.broadcast(
-        norms.join(seeds, norms["id"] == seeds["cid_seed"]).select(
-            "cid_seed", F.col("n2").alias("cn2")
+        cents_df.groupBy("cid_seed").agg(
+            F.sum(F.col("ccomp") * F.col("ccomp")).alias("cn2")
         )
     )
 

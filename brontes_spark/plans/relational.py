@@ -559,3 +559,209 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_dbl(F.sum(dec("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q4_priority_ontime",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="§2.9 TPC-H q4 shape: EXISTS semi-join feeding an aggregate "
+    "(T8 tx_must_contain_action, tree/mod.rs:50-55, at the order grain)",
+)
+def q4_priority_ontime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 365 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q12_priority_pivot",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    survey_ref="§2.9 TPC-H q12 shape: fact-fact shuffle join + conditional "
+    "CASE pivot aggregation (I3 conditional agg, sandwich/mod.rs:556-740)",
+)
+def q12_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+        ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    survey_ref="§2.9 TPC-H q13 shape: outer join + two-level aggregation "
+    "(count-of-counts histogram; O4 header counts analog)",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) bad
+      ON bad.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand, p.p_type
+    """,
+    survey_ref="§2.9 TPC-H q16 shape: NOT-IN as anti-join + distinct "
+    "aggregation (O3 anti-join precedence dedup analog)",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_small
+    FROM lineitem l JOIN stats s ON s.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * s.cnt < s.sq
+    """,
+    survey_ref="§2.9 TPC-H q17 shape: correlated per-group average threshold, "
+    "made exact via decimal cross-multiplication (qty·5·n < Σqty ⟺ "
+    "qty < 0.2·avg; same determinism policy as q22)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(stats, li["l_partkey"] == stats["sp_partkey"])
+        .filter(dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sq"))
+        .agg(
+            to_dbl(F.sum(dec("l_extendedprice"))).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH fo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(is_late) AS n_late,
+             MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+      FROM fo GROUP BY l_orderkey)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_supp
+    WHERE p.n_supp >= 2 AND p.n_late = 1
+    GROUP BY s.s_name
+    """,
+    survey_ref="§2.9 TPC-H q21 shape: nested exists/not-exists — the sole "
+    "late supplier among multi-supplier finished orders (two-level grouped "
+    "semi/anti logic; I10 JIT candidate counting analog)",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    fo = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = fo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), per_order["late_supp"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -496,3 +496,111 @@ def x8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_ns") - F.min("ts_ns")).alias("duration_ns"),
         )
     )
+
+
+@register(
+    "x6_optimistic_vwap",
+    oracle=f"""
+    WITH {EV_CTE},
+    anchors AS (
+      SELECT event_id AS anchor_id, user_id AS key, ts_ns AS anchor_ts,
+             CAST(value AS DECIMAL(18,6)) AS required_vol
+      FROM ev WHERE event_type = 'purchase'),
+    ticks AS (
+      SELECT user_id AS key, ts_ns AS tick_ts,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DECIMAL(18,6)) AS price,
+             CAST(value AS DECIMAL(18,6)) AS vol,
+             event_id AS tick_id
+      FROM ev WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT a.anchor_id, a.required_vol, t.price, t.vol, t.tick_id
+      FROM anchors a JOIN ticks t ON a.key = t.key
+       AND t.tick_ts >= a.anchor_ts - 1800000000000
+       AND t.tick_ts <= a.anchor_ts + 1800000000000),
+    cum AS (
+      SELECT *, SUM(vol) OVER (PARTITION BY anchor_id
+                               ORDER BY price ASC, tick_id ASC) AS cum_vol
+      FROM j),
+    taken AS (SELECT * FROM cum WHERE cum_vol - vol < required_vol)
+    SELECT anchor_id AS purchase_id,
+           CAST(CAST(required_vol AS DECIMAL(38,6)) AS DOUBLE) AS required_vol,
+           CAST(CAST(SUM(price * vol) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(vol) AS DECIMAL(38,6)) AS DOUBLE) AS optimistic_price,
+           COUNT(*) AS n_trades
+    FROM taken
+    GROUP BY anchor_id, required_vol
+    HAVING MAX(cum_vol) >= required_vol
+    """,
+    survey_ref="X6 optimistic VWAP (db/cex/trades/optimistic.rs:41-398): "
+    "cheapest-trades-first idealized execution — one range join + one "
+    "price-ordered cumulative window, no iteration",
+)
+def x6_optimistic_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cex_quotes import optimistic_vwap
+
+    ev = load_events(spark, sf_dir)
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("key"),
+        F.col("ts_ns").alias("anchor_ts"),
+        dec("value").alias("required_vol"),
+    )
+    ticks = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("key"),
+        F.col("ts_ns").alias("tick_ts"),
+        dec(F.regexp_extract("props", '"k": ([0-9]+)', 1)).alias("price"),
+        dec("value").alias("vol"),
+        F.col("event_id").alias("tick_id"),
+    )
+    out = optimistic_vwap(anchors, ticks, window_us=1_800_000_000_000)
+    return out.select(
+        F.col("anchor_id").alias("purchase_id"),
+        to_dbl("required_vol").alias("required_vol"),
+        "optimistic_price",
+        "n_trades",
+    )
+
+
+@register(
+    "x5_intermediary_price",
+    oracle="""
+    WITH legs AS (
+      SELECT n.n_name AS base_token, r.r_name AS quote_token,
+             CAST(n.n_nationkey + 1 AS DECIMAL(18,6)) AS price
+      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+      UNION ALL
+      SELECT r.r_name, 'WORLD', CAST(r.r_regionkey + 2 AS DECIMAL(18,6))
+      FROM region r),
+    a AS (SELECT base_token AS from_token, quote_token AS mid_token, price AS p0 FROM legs),
+    b AS (SELECT base_token AS mid_token, quote_token AS to_token, price AS p1 FROM legs)
+    SELECT a.from_token, b.to_token, a.mid_token,
+           CAST(CAST(a.p0 * b.p1 AS DECIMAL(38,6)) AS DOUBLE) AS price
+    FROM a JOIN b USING (mid_token)
+    WHERE a.from_token <> b.to_token
+    """,
+    survey_ref="X5 intermediary-leg pricing (time_window_vwam.rs:168-300): "
+    "price(A,B) = price(A,X)·price(X,B) over every shared intermediary — "
+    "the leg relation here derives from the nation→region→WORLD dims",
+)
+def x5_intermediary_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cex_quotes import intermediary_price
+    from ..sources.testdata import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    leg_a = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        F.col("n_name").alias("base_token"),
+        F.col("r_name").alias("quote_token"),
+        (F.col("n_nationkey") + 1).cast("decimal(18,6)").alias("price"),
+    )
+    leg_b = region.select(
+        F.col("r_name").alias("base_token"),
+        F.lit("WORLD").alias("quote_token"),
+        (F.col("r_regionkey") + 2).cast("decimal(18,6)").alias("price"),
+    )
+    out = intermediary_price(leg_a.unionByName(leg_b))
+    return out.select(
+        "from_token", "to_token", "mid_token", to_dbl("price").alias("price")
+    )
