@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 AMOUNT = "decimal(38,18)"
 
 TRANSFER_SELECTORS = ["0xa9059cbb", "0x23b872dd"]  # transfer / transferFrom
-SWAP_PROTOCOLS = ["UniswapV2", "UniswapV3"]
+#: Sushi/Pancake forks share the Uniswap pool ABIs byte-for-byte
+#: (classifier-abis/{SushiSwap,PancakeSwap}V{2,3}.json; classifiers/
+#: sushiswap + pancakeswap mirror classifiers/uniswap)
+SWAP_PROTOCOLS = [
+    "UniswapV2", "SushiSwapV2", "PancakeSwapV2",
+    "UniswapV3", "SushiSwapV3", "PancakeSwapV3",
+]
 
 #: protocol families (protocol.rs:66-105) routed to the decoders below
 CURVE_PROTOCOLS = [
@@ -360,6 +366,144 @@ def decode_oneinch_swap(df: DataFrame, ctx: DecodeCtx):
         F.col("to_address").alias("pool"),
         F.col("__src").alias("token_in"),
         F.col("__dst").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(["BalancerV2"], ["vault_swap"], "swap", "swap")
+def decode_balancer_v2_swap(df: DataFrame, ctx: DecodeCtx):
+    """Balancer V2 Vault swap/batchSwap (classifiers/balancer/
+    balancer_v2.rs:20-76): normalized from the Vault's Swap log
+    (pool_id, token_in, token_out, amount_in, amount_out); pool address =
+    first 20 bytes of the 32-byte poolId (pool_id_to_address,
+    balancer_v2.rs:223)."""
+    pool = F.concat(F.lit("0x"), F.substring(_log_param("pool_id"), 3, 40))
+    df = df.withColumn("__tin", _log_param("token_in")).withColumn(
+        "__tout", _log_param("token_out")
+    )
+    df, amount_in = ctx.scaled_by_token(
+        df, F.col("__tin"), _log_param("amount_in"), "in"
+    )
+    df, amount_out = ctx.scaled_by_token(
+        df, F.col("__tout"), _log_param("amount_out"), "out"
+    )
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("msg_sender").alias("recipient"),
+        pool.alias("pool"),
+        F.col("__tin").alias("token_in"),
+        F.col("__tout").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(["Dodo"], ["sellBase", "sellQuote"], "swap", "swap")
+def decode_dodo_swap(df: DataFrame, ctx: DecodeCtx):
+    """Dodo V2 DPP/DSP sellBase/sellQuote (classifiers/dodo/dodo_v2.rs:9-70):
+    the DODOSwap log carries (from_token, to_token, from_amount, to_amount);
+    the calldata `to` is the receiver."""
+    p = F.col("decoded.params")
+    df = df.withColumn("__tin", _log_param("from_token")).withColumn(
+        "__tout", _log_param("to_token")
+    )
+    df, amount_in = ctx.scaled_by_token(
+        df, F.col("__tin"), _log_param("from_amount"), "in"
+    )
+    df, amount_out = ctx.scaled_by_token(
+        df, F.col("__tout"), _log_param("to_amount"), "out"
+    )
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.coalesce(p["to"], F.col("msg_sender")).alias("recipient"),
+        F.col("to_address").alias("pool"),
+        F.col("__tin").alias("token_in"),
+        F.col("__tout").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(["Cowswap"], ["cow_settle"], "swap", "swap")
+def decode_cowswap_fill(df: DataFrame, ctx: DecodeCtx):
+    """Cowswap GPv2Settlement settle/swap (classifiers/cowswap/mod.rs:15-66):
+    each fill normalizes from a Trade log (owner, sell_token, buy_token,
+    sell_amount, buy_amount); the settlement contract is the pool."""
+    df = (
+        df.withColumn("__owner", _log_param("owner"))
+        .withColumn("__tin", _log_param("sell_token"))
+        .withColumn("__tout", _log_param("buy_token"))
+    )
+    df, amount_in = ctx.scaled_by_token(
+        df, F.col("__tin"), _log_param("sell_amount"), "in"
+    )
+    df, amount_out = ctx.scaled_by_token(
+        df, F.col("__tout"), _log_param("buy_amount"), "out"
+    )
+    struct = F.struct(
+        F.coalesce(F.col("__owner"), F.col("msg_sender")).alias("from"),
+        F.coalesce(F.col("__owner"), F.col("msg_sender")).alias("recipient"),
+        F.col("to_address").alias("pool"),
+        F.col("__tin").alias("token_in"),
+        F.col("__tout").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(["ClipperExchange"], ["clipper_swap"], "swap", "swap")
+def decode_clipper_swap(df: DataFrame, ctx: DecodeCtx):
+    """ClipperExchange swap family (classifiers/clipper/
+    clipper_exchange.rs:7-130): all variants normalize from the Swapped log
+    (in_asset, out_asset, recipient, in_amount, out_amount)."""
+    df = (
+        df.withColumn("__tin", _log_param("in_asset"))
+        .withColumn("__tout", _log_param("out_asset"))
+        .withColumn("__rcpt", _log_param("recipient"))
+    )
+    df, amount_in = ctx.scaled_by_token(
+        df, F.col("__tin"), _log_param("in_amount"), "in"
+    )
+    df, amount_out = ctx.scaled_by_token(
+        df, F.col("__tout"), _log_param("out_amount"), "out"
+    )
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.coalesce(F.col("__rcpt"), F.col("msg_sender")).alias("recipient"),
+        F.col("to_address").alias("pool"),
+        F.col("__tin").alias("token_in"),
+        F.col("__tout").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
+@action_impl(["ZeroX"], ["transformERC20"], "swap", "swap")
+def decode_zerox_transform(df: DataFrame, ctx: DecodeCtx):
+    """0x transformERC20 (classifiers/zerox/mod.rs:88-106): input token +
+    amount from the static calldata head; realized output from the
+    TransformedERC20 log's output_token_amount, falling back to the
+    min_output_token_amount floor."""
+    p = F.col("decoded.params")
+    df, amount_in = ctx.scaled_by_token(
+        df, p["input_token"], p["input_token_amount"], "in"
+    )
+    out_raw = F.coalesce(
+        _log_param("output_token_amount"), p["min_output_token_amount"]
+    )
+    df, amount_out = ctx.scaled_by_token(df, p["output_token"], out_raw, "out")
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("msg_sender").alias("recipient"),
+        F.col("to_address").alias("pool"),
+        p["input_token"].alias("token_in"),
+        p["output_token"].alias("token_out"),
         amount_in.alias("amount_in"),
         amount_out.alias("amount_out"),
     )

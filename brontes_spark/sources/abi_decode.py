@@ -147,15 +147,17 @@ def decode_calldata(calldata_hex: str | None) -> tuple[str, dict[str, str]] | No
         try:
             vals = _eth_abi_decode(types, data)
         except Exception:
-            return None
-        out = {}
-        for (name, typ), v in zip(fn.params, vals):
-            if isinstance(v, bytes):
-                v = "0x" + v.hex()
-            elif isinstance(v, bool):
-                v = str(v).lower()
-            out[name] = str(v)
-        return fn.name, out
+            vals = None  # e.g. registry lists only the static head params —
+            # fall through to the word decoder, which reads heads positionally
+        if vals is not None:
+            out = {}
+            for (name, typ), v in zip(fn.params, vals):
+                if isinstance(v, bytes):
+                    v = "0x" + v.hex()
+                elif isinstance(v, bool):
+                    v = str(v).lower()
+                out[name] = str(v)
+            return fn.name, out
     # fallback: head words are 32 bytes each, dynamic types point past head
     if len(data) < 32 * len(types):
         return None
@@ -283,3 +285,63 @@ for _sig in (
     "unoswap(address,uint256,uint256,uint256[])",
 ):
     register_abi(_sel(_sig), "aggregator_swap", [])
+
+# SushiSwapV2/V3 and PancakeSwapV2/V3 share the UniswapV2/V3 pool ABIs
+# (classifier-abis/{SushiSwap,PancakeSwap}V{2,3}.json are byte-identical
+# interfaces) — the Uniswap selectors above already cover them; routing is by
+# the protocol dim (classify.py SWAP_PROTOCOLS).
+
+# Balancer V2 Vault (classifiers/balancer/balancer_v2.rs; signatures from
+# classifier-abis/balancer/BalancerV2Vault.json). Log-normalized: the Vault's
+# Swap event carries (pool_id, token_in, token_out, amount_in, amount_out).
+for _sig in (
+    "swap((bytes32,uint8,address,address,uint256,bytes),"
+    "(address,bool,address,bool),uint256,uint256)",
+    "batchSwap(uint8,(bytes32,uint256,uint256,uint256,bytes)[],address[],"
+    "(address,bool,address,bool),int256[],uint256)",
+):
+    register_abi(_sel(_sig), "vault_swap", [])
+
+# Dodo V2 DPP/DSP/DVM pools (classifiers/dodo/dodo_v2.rs;
+# classifier-abis/dodo/DPPPool.json): amounts from the DODOSwap log
+register_abi(_sel("sellBase(address)"), "sellBase", [("to", "address")])
+register_abi(_sel("sellQuote(address)"), "sellQuote", [("to", "address")])
+
+# Cowswap GPv2Settlement (classifiers/cowswap/mod.rs;
+# classifier-abis/cowswap/GPv2Settlement.json): fills normalize from the
+# settlement's Trade logs (owner, sell/buy token + amounts)
+for _sig in (
+    "settle(address[],uint256[],(uint256,uint256,address,uint256,uint256,"
+    "uint32,bytes32,uint256,uint256,uint256,bytes)[],(address,uint256,bytes)[][3])",
+    "swap((bytes32,uint256,uint256,uint256,bytes)[],address[],(uint256,uint256,"
+    "address,uint256,uint256,uint32,bytes32,uint256,uint256,uint256,bytes))",
+):
+    register_abi(_sel(_sig), "cow_settle", [])
+
+# ClipperExchange (classifiers/clipper/clipper_exchange.rs;
+# classifier-abis/ClipperExchange.json): Swapped log carries
+# (in_asset, out_asset, recipient, in_amount, out_amount)
+for _sig in (
+    "swap(address,address,uint256,uint256,uint256,address,"
+    "(uint8,bytes32,bytes32),bytes)",
+    "sellEthForToken(address,uint256,uint256,uint256,address,"
+    "(uint8,bytes32,bytes32),bytes)",
+    "sellTokenForEth(address,uint256,uint256,uint256,address,"
+    "(uint8,bytes32,bytes32),bytes)",
+):
+    register_abi(_sel(_sig), "clipper_swap", [])
+
+# 0x TransformERC20 (classifiers/zerox/mod.rs;
+# classifier-abis/zero-x/ZeroXTransformERC20Feature.json): the four static
+# head params are calldata-decodable; realized output reads the
+# TransformedERC20 log (the trailing transformations array is skipped — the
+# word decoder reads heads positionally)
+register_abi(
+    _sel("transformERC20(address,address,uint256,uint256,(uint32,bytes)[])"),
+    "transformERC20",
+    [
+        ("input_token", "address"), ("output_token", "address"),
+        ("input_token_amount", "uint256"),
+        ("min_output_token_amount", "uint256"),
+    ],
+)

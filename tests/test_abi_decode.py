@@ -288,3 +288,104 @@ def test_oneinch_aggregator_swap_from_logs(spark):
     assert s["token_in"] == SRC and s["token_out"] == DST
     assert s["amount_in"] == Decimal(5)
     assert s["amount_out"] == Decimal(9)
+
+
+def test_new_protocol_families_end_to_end(spark):
+    """BalancerV2 vault, Dodo sellBase, Cowswap settle, Clipper swap,
+    ZeroX transformERC20, and a SushiSwapV2 alias: raw hex →
+    decode_traces → classify_traces → normalized swaps."""
+    from brontes_spark.classify import classify_traces
+    from brontes_spark.functions.keccak import selector
+
+    VAULT, DODO, COW, CLIP, ZRX, SUSHI = (
+        "0xvault", "0xdodo", "0xcow", "0xclip", "0xzrx", "0xsushi"
+    )
+    DAI, USDC, WETH = "0x" + "aa" * 20, "0x" + "bb" * 20, "0x" + "cc" * 20
+    POOL_ID = "0x" + "ee" * 20 + "0" * 24  # 32-byte poolId, pool = first 20
+
+    bal_cd = selector(
+        "swap((bytes32,uint8,address,address,uint256,bytes),"
+        "(address,bool,address,bool),uint256,uint256)"
+    ) + _w_uint(0) * 8
+    bal_logs = [dict(address=VAULT, topic0="0xsw", data_params={
+        "pool_id": POOL_ID, "token_in": WETH, "token_out": DAI,
+        "amount_in": str(2 * E18), "amount_out": str(4000 * E18)})]
+
+    dodo_cd = selector("sellBase(address)") + _w_addr(U2)
+    dodo_logs = [dict(address=DODO, topic0="0xds", data_params={
+        "from_token": WETH, "to_token": USDC,
+        "from_amount": str(1 * E18), "to_amount": str(2_000_000_000)})]
+
+    cow_cd = selector(
+        "settle(address[],uint256[],(uint256,uint256,address,uint256,uint256,"
+        "uint32,bytes32,uint256,uint256,uint256,bytes)[],(address,uint256,bytes)[][3])"
+    ) + _w_uint(0) * 4
+    cow_logs = [dict(address=COW, topic0="0xtr", data_params={
+        "owner": U3, "sell_token": DAI, "buy_token": WETH,
+        "sell_amount": str(4100 * E18), "buy_amount": str(2 * E18)})]
+
+    clip_cd = selector(
+        "swap(address,address,uint256,uint256,uint256,address,"
+        "(uint8,bytes32,bytes32),bytes)"
+    ) + _w_uint(0) * 8
+    clip_logs = [dict(address=CLIP, topic0="0xcs", data_params={
+        "in_asset": USDC, "out_asset": DAI, "recipient": U2,
+        "in_amount": str(5_000_000), "out_amount": str(5 * E18)})]
+
+    zrx_cd = (
+        selector("transformERC20(address,address,uint256,uint256,(uint32,bytes)[])")
+        + _w_addr(USDC) + _w_addr(WETH) + _w_uint(6_000_000) + _w_uint(1)
+        + _w_uint(5 * 32)
+    )
+    zrx_logs = [dict(address=ZRX, topic0="0xtf", data_params={
+        "output_token_amount": str(3 * 10**15)})]
+
+    # SushiSwapV2 pair uses the UniswapV2 swap selector; decoded params come
+    # from the landing pass param map (pre-decoded fixture convention)
+    sushi_cd = "0x022c0d9f" + _w_uint(0) + _w_uint(0) + _w_addr(U2) + _w_uint(4 * 32)
+
+    traces = decode_traces(spark.createDataFrame(
+        [
+            _trace(1, "0xb2", 0, VAULT, bal_cd, bal_logs),
+            _trace(1, "0xdd", 0, DODO, dodo_cd, dodo_logs),
+            _trace(1, "0xcw", 0, COW, cow_cd, cow_logs),
+            _trace(1, "0xcl", 0, CLIP, clip_cd, clip_logs),
+            _trace(1, "0xzx", 0, ZRX, zrx_cd, zrx_logs),
+        ],
+        _TRACE_DDL,
+    ))
+    a2p = spark.createDataFrame(
+        [(VAULT, "BalancerV2"), (DODO, "Dodo"), (COW, "Cowswap"),
+         (CLIP, "ClipperExchange"), (ZRX, "ZeroX"), (SUSHI, "SushiSwapV2")],
+        "address string, protocol string",
+    )
+    tok = spark.createDataFrame(
+        [(DAI, 18), (USDC, 6), (WETH, 18)], "address string, decimals int"
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = {r["tx_hash"]: r for r in
+            classify_traces(traces, a2p, tok, binfo).collect()}
+
+    b2 = acts["0xb2"]["swap"]
+    assert acts["0xb2"]["protocol"] == "BalancerV2"
+    assert b2["pool"] == "0x" + "ee" * 20  # first 20 bytes of poolId
+    assert b2["token_in"] == WETH and b2["token_out"] == DAI
+    assert b2["amount_in"] == Decimal(2) and b2["amount_out"] == Decimal(4000)
+
+    dd = acts["0xdd"]["swap"]
+    assert dd["token_in"] == WETH and dd["token_out"] == USDC
+    assert dd["amount_in"] == Decimal(1) and dd["amount_out"] == Decimal(2000)
+    assert dd["recipient"] == U2
+
+    cw = acts["0xcw"]["swap"]
+    assert cw["from"] == U3 and cw["token_in"] == DAI
+    assert cw["amount_in"] == Decimal(4100) and cw["amount_out"] == Decimal(2)
+
+    cl = acts["0xcl"]["swap"]
+    assert cl["token_in"] == USDC and cl["amount_in"] == Decimal(5)
+    assert cl["amount_out"] == Decimal(5) and cl["recipient"] == U2
+
+    zx = acts["0xzx"]["swap"]
+    assert zx["token_in"] == USDC and zx["token_out"] == WETH
+    assert zx["amount_in"] == Decimal(6)
+    assert zx["amount_out"] == Decimal("0.003")  # log-realized
