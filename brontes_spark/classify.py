@@ -484,6 +484,37 @@ def decode_clipper_swap(df: DataFrame, ctx: DecodeCtx):
     return df, struct
 
 
+@action_impl(["UniswapX"], ["dutch_fill"], "swap", "swap")
+def decode_uniswapx_fill(df: DataFrame, ctx: DecodeCtx):
+    """UniswapX Dutch-order fills (classifiers/uniswap/uniswap_x.rs:13-100):
+    the reference rebuilds each fill's swap from the signed order payload +
+    settlement transfers (Fill::into_swap); here the landing pass surfaces
+    the settled fields (swapper, token_in/out, amounts) as Fill-log
+    data_params — same normalized output, documented divergence on where
+    the fields are read from."""
+    df = (
+        df.withColumn("__swapper", _log_param("swapper"))
+        .withColumn("__tin", _log_param("token_in"))
+        .withColumn("__tout", _log_param("token_out"))
+    )
+    df, amount_in = ctx.scaled_by_token(
+        df, F.col("__tin"), _log_param("amount_in"), "in"
+    )
+    df, amount_out = ctx.scaled_by_token(
+        df, F.col("__tout"), _log_param("amount_out"), "out"
+    )
+    struct = F.struct(
+        F.coalesce(F.col("__swapper"), F.col("msg_sender")).alias("from"),
+        F.coalesce(F.col("__swapper"), F.col("msg_sender")).alias("recipient"),
+        F.col("to_address").alias("pool"),
+        F.col("__tin").alias("token_in"),
+        F.col("__tout").alias("token_out"),
+        amount_in.alias("amount_in"),
+        amount_out.alias("amount_out"),
+    )
+    return df, struct
+
+
 @action_impl(["ZeroX"], ["transformERC20"], "swap", "swap")
 def decode_zerox_transform(df: DataFrame, ctx: DecodeCtx):
     """0x transformERC20 (classifiers/zerox/mod.rs:88-106): input token +

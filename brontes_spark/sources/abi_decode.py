@@ -331,6 +331,20 @@ for _sig in (
 ):
     register_abi(_sel(_sig), "clipper_swap", [])
 
+# UniswapX ExclusiveDutchOrderReactor (classifiers/uniswap/uniswap_x.rs;
+# classifier-abis/UniswapXExclusiveDutchOrderReactor.json): the reference
+# reconstructs each fill's swap from the signed order payload + settlement
+# transfers (Fill::into_swap); our landing convention surfaces those settled
+# fields as data_params on the Fill log, so the entry points register
+# log-normalized
+for _sig in (
+    "execute((bytes,bytes))",
+    "executeWithCallback((bytes,bytes),bytes)",
+    "executeBatch((bytes,bytes)[])",
+    "executeBatchWithCallback((bytes,bytes)[],bytes)",
+):
+    register_abi(_sel(_sig), "dutch_fill", [])
+
 # 0x TransformERC20 (classifiers/zerox/mod.rs;
 # classifier-abis/zero-x/ZeroXTransformERC20Feature.json): the four static
 # head params are calldata-decodable; realized output reads the

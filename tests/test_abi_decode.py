@@ -389,3 +389,26 @@ def test_new_protocol_families_end_to_end(spark):
     assert zx["token_in"] == USDC and zx["token_out"] == WETH
     assert zx["amount_in"] == Decimal(6)
     assert zx["amount_out"] == Decimal("0.003")  # log-realized
+
+
+def test_uniswapx_fill_end_to_end(spark):
+    from brontes_spark.classify import classify_traces
+    from brontes_spark.functions.keccak import selector
+
+    RX = "0xreactor"
+    DAI, WETH = "0x" + "aa" * 20, "0x" + "cc" * 20
+    cd = selector("execute((bytes,bytes))") + _w_uint(32) * 2
+    logs = [dict(address=RX, topic0="0xfl", data_params={
+        "swapper": U3, "token_in": WETH, "token_out": DAI,
+        "amount_in": str(1 * E18), "amount_out": str(2000 * E18)})]
+    traces = decode_traces(spark.createDataFrame(
+        [_trace(1, "0xux", 0, RX, cd, logs)], _TRACE_DDL
+    ))
+    a2p = spark.createDataFrame([(RX, "UniswapX")], "address string, protocol string")
+    tok = spark.createDataFrame([(DAI, 18), (WETH, 18)], "address string, decimals int")
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = classify_traces(traces, a2p, tok, binfo).collect()
+    assert len(acts) == 1
+    s = acts[0]["swap"]
+    assert s["from"] == U3 and s["token_in"] == WETH
+    assert s["amount_in"] == Decimal(1) and s["amount_out"] == Decimal(2000)
