@@ -141,6 +141,10 @@ def _empty_variant_cols():
             "struct<pool:string,liquidator:string,debtor:string,collateral_asset:string,"
             "debt_asset:string,covered_debt:decimal(38,18),liquidated_collateral:decimal(38,18)>"
         ),
+        flash_loan=F.lit(None).cast(
+            "struct<from:string,pool:string,receiver_contract:string,"
+            "assets:array<string>,amounts:array<decimal(38,18)>>"
+        ),
     )
 
 
@@ -162,7 +166,7 @@ def _finish(df: DataFrame, cols: dict) -> DataFrame:
     order = [
         "block_number", "tx_hash", "tx_index", "trace_idx", "trace_address",
         "action_type", "protocol", "swap", "transfer", "mint_burn_collect",
-        "liquidation",
+        "liquidation", "flash_loan",
     ]
     return df.select(*[cols[c].alias(c) for c in order])
 
@@ -482,6 +486,66 @@ def decode_clipper_swap(df: DataFrame, ctx: DecodeCtx):
         amount_out.alias("amount_out"),
     )
     return df, struct
+
+
+@action_impl(
+    [*AAVE_PROTOCOLS, "MakerDssFlash"],
+    ["flashLoan", "flashLoanSimple"],
+    "flash_loan",
+    "flash_loan",
+)
+def decode_flash_loan(df: DataFrame, ctx: DecodeCtx):
+    """Aave V2/V3 flashLoan/flashLoanSimple (classifiers/aave/v2.rs:40-76)
+    and Maker DssFlash ERC-3156 flash mint (classifiers/maker/dss_flash.rs):
+    borrowed assets/amounts from calldata (multi-asset arrays decode
+    comma-joined). The loan row is metadata only — flashloan.rs:38-44
+    accounts the CHILD actions' deltas, which in this flat model remain
+    their own rows (absorb-then-reemit ≡ leave-in-place)."""
+    p = F.col("decoded.params")
+    assets = F.split(F.coalesce(p["assets"], p["asset"]), ",")
+    raw_amounts = F.split(F.coalesce(p["amounts"], p["amount"]), ",")
+    # per-asset decimal scaling: explode the (asset, raw) pairs, join the
+    # token dim, regroup in position order — flash loans are rare rows, so
+    # the extra keyed shuffle is noise at any scale
+    keyed = df.select(
+        "block_number", "tx_hash", "tx_index", "trace_idx", "trace_address",
+        "msg_sender", "to_address", "proto", p["receiver"].alias("__recv"),
+        F.posexplode(F.arrays_zip(assets.alias("t"), raw_amounts.alias("a"))).alias(
+            "__pos", "__ar"
+        ),
+    )
+    dim = F.broadcast(
+        ctx.token_decimals.select(
+            F.col("address").alias("__fl_t"), F.col("decimals").alias("__fl_d")
+        )
+    )
+    keyed = keyed.join(dim, keyed["__ar.t"] == F.col("__fl_t"), "left")
+    scaled = _scaled(F.col("__ar.a"), F.coalesce(F.col("__fl_d"), F.lit(18)))
+    regrouped = (
+        keyed.withColumn("__amt", scaled)
+        .groupBy(
+            "block_number", "tx_hash", "tx_index", "trace_idx", "trace_address",
+            "msg_sender", "to_address", "proto", "__recv",
+        )
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("__pos", F.col("__ar.t").alias("t"), F.col("__amt").alias("a"))
+                    )
+                ),
+                lambda s: F.struct(s["t"].alias("t"), s["a"].alias("a")),
+            ).alias("__ta")
+        )
+    )
+    struct = F.struct(
+        F.col("msg_sender").alias("from"),
+        F.col("to_address").alias("pool"),
+        F.col("__recv").alias("receiver_contract"),
+        F.transform(F.col("__ta"), lambda s: s["t"]).alias("assets"),
+        F.transform(F.col("__ta"), lambda s: s["a"]).alias("amounts"),
+    )
+    return regrouped, struct
 
 
 @action_impl(["UniswapX"], ["dutch_fill"], "swap", "swap")

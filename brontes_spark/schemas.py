@@ -94,6 +94,22 @@ ACTIONS_SCHEMA = StructType(
                 ]
             ),
         ),
+        # flashloan.rs:38-44: the loan itself contributes NO deltas — its
+        # absorbed children's deltas are re-emitted, which in this flat
+        # model means child action rows stay in place and this row is
+        # metadata only (from/pool/receiver + borrowed assets/amounts)
+        _f(
+            "flash_loan",
+            StructType(
+                [
+                    _f("from", StringType()),
+                    _f("pool", StringType()),
+                    _f("receiver_contract", StringType()),
+                    _f("assets", ArrayType(StringType())),
+                    _f("amounts", ArrayType(AMOUNT)),
+                ]
+            ),
+        ),
     ]
 )
 

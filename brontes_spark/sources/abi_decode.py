@@ -104,6 +104,17 @@ def register_abi(selector: str, name: str, params: list[tuple[str, str]]) -> Non
 
 
 def _decode_word(typ: str, word: bytes, data: bytes, offset_base: int) -> str:
+    if typ.endswith("[]"):
+        # dynamic array of a static element type: offset → length → items;
+        # rendered comma-joined (the decoded params map is string-valued)
+        elem = typ[:-2]
+        off = int.from_bytes(word, "big")
+        ln = int.from_bytes(data[offset_base + off : offset_base + off + 32], "big")
+        items = []
+        for k in range(ln):
+            start = offset_base + off + 32 * (k + 1)
+            items.append(_decode_word(elem, data[start : start + 32], data, 0))
+        return ",".join(items)
     if typ == "address":
         return "0x" + word[12:].hex()
     if typ == "bool":
@@ -330,6 +341,37 @@ for _sig in (
     "(uint8,bytes32,bytes32),bytes)",
 ):
     register_abi(_sel(_sig), "clipper_swap", [])
+
+# Flash loans (classifiers/aave/v2.rs:40-76 + v3.rs, classifiers/maker/
+# dss_flash.rs): Aave pool flashLoan/flashLoanSimple + Maker's ERC-3156
+# flash mint. Dynamic address[]/uint256[] params decode comma-joined.
+register_abi(
+    _sel("flashLoan(address,address[],uint256[],uint256[],address,bytes,uint16)"),
+    "flashLoan",
+    [
+        ("receiver", "address"), ("assets", "address[]"),
+        ("amounts", "uint256[]"), ("modes", "uint256[]"),
+        ("on_behalf_of", "address"), ("params", "bytes"),
+        ("referral_code", "uint16"),
+    ],
+)
+register_abi(
+    _sel("flashLoanSimple(address,address,uint256,bytes,uint16)"),
+    "flashLoanSimple",
+    [
+        ("receiver", "address"), ("asset", "address"),
+        ("amount", "uint256"), ("params", "bytes"),
+        ("referral_code", "uint16"),
+    ],
+)
+register_abi(
+    _sel("flashLoan(address,address,uint256,bytes)"),
+    "flashLoan",
+    [
+        ("receiver", "address"), ("asset", "address"),
+        ("amount", "uint256"), ("data", "bytes"),
+    ],
+)
 
 # UniswapX ExclusiveDutchOrderReactor (classifiers/uniswap/uniswap_x.rs;
 # classifier-abis/UniswapXExclusiveDutchOrderReactor.json): the reference

@@ -412,3 +412,74 @@ def test_uniswapx_fill_end_to_end(spark):
     s = acts[0]["swap"]
     assert s["from"] == U3 and s["token_in"] == WETH
     assert s["amount_in"] == Decimal(1) and s["amount_out"] == Decimal(2000)
+
+
+def _w_dynarr(vals: list[str], kind: str) -> str:
+    """ABI-encode a dynamic array tail: length word + items."""
+    out = _w_uint(len(vals))
+    for v in vals:
+        out += _w_addr(v) if kind == "address" else _w_uint(int(v))
+    return out
+
+
+def test_flash_loan_end_to_end(spark):
+    """Aave multi-asset flashLoan + Maker DssFlash single-asset flash mint:
+    raw hex (dynamic arrays) → flash_loan actions with per-asset scaling;
+    the row carries metadata only (no deltas — flashloan.rs:38-44)."""
+    from brontes_spark.classify import classify_traces
+    from brontes_spark.functions.keccak import selector
+
+    AAVE, MKR = "0xaavepool", "0xdssflash"
+    DAI, USDC = "0x" + "aa" * 20, "0x" + "bb" * 20
+    RECV = "0x" + "05" * 20
+
+    # flashLoan(receiver, assets[], amounts[], modes[], onBehalfOf, params, code)
+    # head: 7 words; tails at offsets
+    h = 7 * 32
+    assets_tail = _w_dynarr([DAI, USDC], "address")
+    amounts_tail = _w_dynarr([str(1000 * E18), str(2_000_000)], "uint")
+    modes_tail = _w_dynarr(["0", "0"], "uint")
+    params_tail = _w_uint(0)
+    aave_cd = (
+        selector("flashLoan(address,address[],uint256[],uint256[],address,bytes,uint16)")
+        + _w_addr(RECV)
+        + _w_uint(h)                                     # assets offset
+        + _w_uint(h + len(assets_tail) // 2)             # amounts offset
+        + _w_uint(h + (len(assets_tail) + len(amounts_tail)) // 2)  # modes
+        + _w_addr(U2)
+        + _w_uint(h + (len(assets_tail) + len(amounts_tail) + len(modes_tail)) // 2)
+        + _w_uint(0)
+        + assets_tail + amounts_tail + modes_tail + params_tail
+    )
+    mkr_cd = (
+        selector("flashLoan(address,address,uint256,bytes)")
+        + _w_addr(RECV) + _w_addr(DAI) + _w_uint(5000 * E18) + _w_uint(4 * 32)
+        + _w_uint(0)
+    )
+    traces = decode_traces(spark.createDataFrame(
+        [
+            _trace(1, "0xfa", 0, AAVE, aave_cd),
+            _trace(1, "0xfm", 0, MKR, mkr_cd),
+        ],
+        _TRACE_DDL,
+    ))
+    a2p = spark.createDataFrame(
+        [(AAVE, "AaveV3"), (MKR, "MakerDssFlash")], "address string, protocol string"
+    )
+    tok = spark.createDataFrame(
+        [(DAI, 18), (USDC, 6)], "address string, decimals int"
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = {r["tx_hash"]: r for r in
+            classify_traces(traces, a2p, tok, binfo).collect()}
+
+    fa = acts["0xfa"]
+    assert fa["action_type"] == "flash_loan" and fa["protocol"] == "AaveV3"
+    fl = fa["flash_loan"]
+    assert fl["receiver_contract"] == RECV
+    assert fl["assets"] == [DAI, USDC]
+    assert fl["amounts"] == [Decimal(1000), Decimal(2)]  # per-asset decimals
+
+    fm = acts["0xfm"]["flash_loan"]
+    assert fm["assets"] == [DAI] and fm["amounts"] == [Decimal(5000)]
+    assert fm["pool"] == MKR
