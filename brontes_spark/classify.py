@@ -676,8 +676,14 @@ def classify_traces(
     token_decimals: DataFrame,
     block_info: DataFrame,
     pool_coins: DataFrame | None = None,
+    include_unclassified: bool = False,
 ) -> DataFrame:
-    """Full classification pass: returns the normalized `actions` frame."""
+    """Full classification pass: returns the normalized `actions` frame.
+
+    ``include_unclassified=True`` additionally emits an `unclassified` row
+    for every successful frame no classifier claims (the reference keeps
+    these in the tree, tree_builder/mod.rs:352-608); off by default because
+    most analyses filter by action type anyway."""
     if pool_coins is None:  # index-addressed decoders then resolve to null
         pool_coins = traces.sparkSession.createDataFrame(
             [], "pool string, idx int, token string"
@@ -798,10 +804,18 @@ def classify_traces(
         ),
     ).filter(F.col("p_decoded.function") == "create_pool")
     # protocol: explicit in pre-decoded fixtures, else the factory address's
-    # dim protocol (raw-hex createPair/createPool carry no protocol field)
+    # dim protocol (raw-hex createPair/createPool carry no protocol field).
+    # A created address ALREADY in the protocol dim is a re-initialization →
+    # pool_config_update (pool.rs:14-32 TryFrom<NormalizedNewPool>)
+    known = F.broadcast(
+        address_to_protocol.select(F.col("address").alias("__known_addr"))
+    )
+    disc = disc.join(known, disc["created_addr"] == F.col("__known_addr"), "left")
     disc_cols = _core(
         disc,
-        F.lit("new_pool"),
+        F.when(
+            F.col("__known_addr").isNotNull(), F.lit("pool_config_update")
+        ).otherwise(F.lit("new_pool")),
         F.coalesce(F.col("p_decoded.params")["protocol"], F.col("p_proto")),
     )
     disc_cols["mint_burn_collect"] = F.struct(
@@ -819,13 +833,37 @@ def classify_traces(
     rev_cols = _core(reverts, F.lit("revert"))
     rev_actions = _finish(reverts, rev_cols)
 
+    # ---- selfdestruct rows (tree_builder/mod.rs:350; self_destruct.rs) -----
+    # the refunded balance rides the transfer struct for inspection, but the
+    # action_type keeps it out of delta accounting — matching the reference,
+    # where SelfdestructWithIndex implements no TokenAccounting
+    sd = ok.filter(F.col("action_kind").isin("selfdestruct", "suicide"))
+    sd_cols = _core(sd, F.lit("self_destruct"))
+    sd_cols["transfer"] = F.struct(
+        F.col("from_address").alias("from"),
+        F.col("to_address").alias("to"),
+        F.lit("0xeth").alias("token"),
+        _scaled(F.coalesce(F.col("msg_value"), F.lit("0")), F.lit(18)).alias("amount"),
+        F.lit(0).cast(AMOUNT).alias("fee"),
+    )
+    sd_actions = _finish(sd, sd_cols)
+
     actions = (
         swap_and_mb
         .unionByName(tr_actions)
         .unionByName(eth_actions)
         .unionByName(disc_actions)
         .unionByName(rev_actions)
+        .unionByName(sd_actions)
     )
+    if include_unclassified:
+        # tree_builder/mod.rs:352-608: frames no classifier claims stay in
+        # the tree as Action::Unclassified; emitted here as bare rows so a
+        # user's per-tx action sets are complete
+        claimed = actions.select("tx_hash", "trace_idx").distinct()
+        un = ok.join(claimed, ["tx_hash", "trace_idx"], "left_anti")
+        un_cols = _core(un, F.lit("unclassified"))
+        actions = actions.unionByName(_finish(un, un_cols))
     return account_for_tax_tokens(actions)
 
 

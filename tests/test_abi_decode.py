@@ -483,3 +483,50 @@ def test_flash_loan_end_to_end(spark):
     fm = acts["0xfm"]["flash_loan"]
     assert fm["assets"] == [DAI] and fm["amounts"] == [Decimal(5000)]
     assert fm["pool"] == MKR
+
+
+def test_selfdestruct_pool_update_unclassified(spark):
+    """Action-enum completeness: selfdestruct frames, pool re-init as
+    pool_config_update, and opt-in unclassified passthrough."""
+    from brontes_spark.classify import classify_traces
+
+    FACT = "0xfactory"
+    T0, T1 = "0x" + "aa" * 20, "0x" + "bb" * 20
+    cd = "0xc9c65396" + _w_addr(T0) + _w_addr(T1)
+    rows = [
+        dict(_trace(1, "0xt1", 0, FACT, cd), trace_address=[0]),
+        dict(
+            _trace(1, "0xt1", 1, "0xknownpool", "0x"),
+            action_kind="create", trace_address=[0, 0],
+            calldata_selector=None, calldata=None,
+        ),
+        dict(
+            _trace(1, "0xt2", 0, "0xrefund", "0x"),
+            action_kind="selfdestruct", calldata_selector=None, calldata=None,
+            msg_value=str(3 * E18),
+        ),
+        # a call no classifier claims
+        dict(_trace(1, "0xt3", 0, "0xmystery", "0xdeadbeef" + _w_uint(0))),
+    ]
+    traces = decode_traces(spark.createDataFrame(rows, _TRACE_DDL))
+    a2p = spark.createDataFrame(
+        [(FACT, "UniswapV2"), ("0xknownpool", "UniswapV2")],
+        "address string, protocol string",
+    )
+    tok = spark.createDataFrame([(T0, 18)], "address string, decimals int")
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+
+    acts = classify_traces(traces, a2p, tok, binfo, include_unclassified=True).collect()
+    by_type = {}
+    for r in acts:
+        by_type.setdefault(r["action_type"], []).append(r)
+
+    # the created address is already dim-known → config update, not new_pool
+    assert "pool_config_update" in by_type and "new_pool" not in by_type
+    sd = by_type["self_destruct"][0]["transfer"]
+    assert sd["to"] == "0xrefund" and sd["amount"] == Decimal(3)
+    un = by_type["unclassified"]
+    assert {r["tx_hash"] for r in un} >= {"0xt3"}
+    # default mode stays quiet
+    quiet = classify_traces(traces, a2p, tok, binfo).collect()
+    assert all(r["action_type"] != "unclassified" for r in quiet)
