@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.vwap import expanding_vwap
+from ..operators.windows import keep_largest
 from .accounting import gas_usd
 
 PRE_STEP_US = 1_000_000
@@ -90,6 +91,14 @@ def cex_dex_quotes_bundles(
     )
 
 
+#: pricing-sanity spread cap (max_arb_delta, cex_dex_markout.rs:709-731):
+#: an implied CEX/DEX value ratio beyond base_diff=3 is bad pricing data,
+#: not an arb. The reference relaxes the cap for labelled cex-dex searchers
+#: (to up to 10×) — the base cap is applied here; labelled relaxation is a
+#: documented divergence (our tx_info carries no per-type searcher labels).
+MAX_ARB_DELTA = 3
+
+
 def cex_dex_bundles(
     actions: DataFrame,
     tx_info: DataFrame,
@@ -99,6 +108,12 @@ def cex_dex_bundles(
     quote_token: str = "0xusd",
     gas: DataFrame | None = None,
 ) -> DataFrame:
+    """I8: per swap, the GLOBAL (all-exchange) expanding-window VWAP and one
+    leg per exchange (process_global_vwam / process_per_exchange,
+    cex_dex_markout.rs:305-420) all price the markout; the most profitable
+    leg wins (the reference sorts per-exchange pnl and merges with global,
+    :619-630). Fixtures with one exchange collapse both legs to the same
+    number, keeping the golden values closed-form."""
     swaps = actions.filter(
         (F.col("action_type") == "swap") & (F.col("swap.token_out") == quote_token)
     ).select(
@@ -115,17 +130,44 @@ def cex_dex_bundles(
         (F.col("block_timestamp") * F.lit(1_000_000)).cast("long").alias("anchor_ts"),
         F.col("amount_in").alias("required_vol"),
     )
-    ticks = cex_trades.filter(F.col("quote_token") == quote_token).select(
+    trades = cex_trades.filter(F.col("quote_token") == quote_token)
+    global_ticks = trades.select(
         F.col("base_token").alias("key"),
         F.col("timestamp").alias("tick_ts"),
         F.col("price"),
         F.col("amount").alias("vol"),
         F.col("timestamp").alias("tick_id"),
     )
-    vwap = expanding_vwap(anchors, ticks, PRE_STEP_US, POST_STEP_US, MAX_STEPS).select(
+    global_vwap = expanding_vwap(
+        anchors, global_ticks, PRE_STEP_US, POST_STEP_US, MAX_STEPS
+    ).select(
         F.col("anchor_id").alias("tx_hash"),
         F.col("vwap").cast("decimal(38,18)").alias("cex_price"),
+        F.lit("global").alias("leg"),
     )
+    # per-exchange legs ride the SAME one-shot range-join kernel by keying
+    # anchors × exchange (exchange list is a broadcast dim)
+    exchanges = trades.select("exchange").distinct()
+    ex_anchors = anchors.join(F.broadcast(exchanges)).select(
+        F.concat_ws("|", "anchor_id", "exchange").alias("anchor_id"),
+        F.concat_ws("|", "exchange", "key").alias("key"),
+        "anchor_ts", "required_vol",
+    )
+    ex_ticks = trades.select(
+        F.concat_ws("|", "exchange", "base_token").alias("key"),
+        F.col("timestamp").alias("tick_ts"),
+        F.col("price"),
+        F.col("amount").alias("vol"),
+        F.col("timestamp").alias("tick_id"),
+    )
+    ex_vwap = expanding_vwap(
+        ex_anchors, ex_ticks, PRE_STEP_US, POST_STEP_US, MAX_STEPS
+    ).select(
+        F.split(F.col("anchor_id"), "\\|")[0].alias("tx_hash"),
+        F.col("vwap").cast("decimal(38,18)").alias("cex_price"),
+        F.concat(F.lit("ex:"), F.split(F.col("anchor_id"), "\\|")[1]).alias("leg"),
+    )
+    vwap = global_vwap.unionByName(ex_vwap)
     if gas is None:
         gas = gas_usd(tx_info, block_info)
     qprices = dex_prices.filter(F.col("token") == quote_token).select(
@@ -133,7 +175,7 @@ def cex_dex_bundles(
         F.col("tx_idx").alias("d_idx"),
         F.col("price_usd").alias("quote_price"),
     )
-    priced = (
+    legs = (
         swaps.join(vwap, "tx_hash")
         .join(
             qprices,
@@ -147,7 +189,23 @@ def cex_dex_bundles(
                 - F.col("amount_in") * F.col("cex_price")
             ).cast("decimal(38,18)"),
         )
+        # max_arb_delta guard: CEX-implied cost vs DEX proceeds within 3×
+        .withColumn("__cex_val", F.col("amount_in") * F.col("cex_price"))
+        .withColumn("__dex_val", F.col("amount_out") * F.col("quote_price"))
+        .filter(
+            F.least("__cex_val", "__dex_val") * MAX_ARB_DELTA
+            >= F.greatest("__cex_val", "__dex_val")
+        )
     )
+    # best leg per swap; ties prefer the global leg then lexicographic
+    priced = keep_largest(
+        legs.withColumn(
+            "__leg_rank", F.when(F.col("leg") == "global", F.lit("0")).otherwise(F.col("leg"))
+        ),
+        ["tx_hash"],
+        F.col("revenue_usd"),
+        "__leg_rank",
+    ).drop("__leg_rank", "__cex_val", "__dex_val")
     return (
         priced.join(gas.select("tx_hash", "eoa", "mev_contract", "gas_usd"), "tx_hash")
         .withColumn("profit_usd", (F.col("revenue_usd") - F.col("gas_usd")).cast("decimal(38,18)"))

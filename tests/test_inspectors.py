@@ -296,3 +296,62 @@ def test_block_analysis_wide(tables):
     assert b103["liquidation_most_arbed_pool"] == "0xaave"
     assert b103["all_most_arbed_pool"] is None
     assert b103["liquidation_most_arbed_dex"] == "AaveV3"
+
+
+def test_cex_dex_per_exchange_legs_and_guard(spark):
+    """I8 leg selection (cex_dex_markout.rs:305-420, :619-630): with two
+    exchanges, the most profitable per-exchange leg must beat the blended
+    global VWAP; and the max_arb_delta guard (:709) must drop a swap whose
+    DEX proceeds exceed 3x the CEX-implied value."""
+    from brontes_spark import schemas as S
+
+    A, USD = "0xtoka", "0xusd"
+    TS = 1_700_000_000
+
+    def swap_row(bn, txh, ain, aout):
+        return dict(
+            block_number=bn, tx_hash=txh, tx_index=0, trace_idx=0,
+            trace_address=[0], action_type="swap", protocol="UniswapV2",
+            swap={"from": "0xs", "recipient": "0xs", "pool": "0xp",
+                  "token_in": A, "token_out": USD,
+                  "amount_in": Decimal(ain), "amount_out": Decimal(aout)},
+            transfer=None, mint_burn_collect=None, liquidation=None,
+        )
+
+    actions = spark.createDataFrame(
+        [swap_row(1, "0xgood", "100", "111"), swap_row(1, "0xwild", "100", "400")],
+        S.ACTIONS_SCHEMA,
+    )
+    # cheapex prints A at 1.00, richex at 1.10 — global VWAP blends to 1.05;
+    # the cheapex leg is the best markout (buy back cheapest)
+    trades = spark.createDataFrame(
+        [
+            ("cheapex", A, USD, (TS - 1) * 1_000_000, Decimal("1.00"), Decimal("100")),
+            ("richex", A, USD, (TS + 1) * 1_000_000, Decimal("1.10"), Decimal("100")),
+        ],
+        S.CEX_TRADES_SCHEMA,
+    )
+    tx_info = spark.createDataFrame(
+        [
+            (1, 0, "0xgood", "0xs", None, 1_000_000, 10**12, 10**9, Decimal(0), False, True),
+            (1, 0, "0xwild", "0xs", None, 1_000_000, 10**12, 10**9, Decimal(0), False, True),
+        ],
+        S.TX_INFO_SCHEMA,
+    )
+    block_info = spark.createDataFrame(
+        [dict(block_number=1, block_timestamp=TS, beneficiary="0xb",
+              eth_price=Decimal(1), proposer_fee_recipient=None,
+              proposer_mev_reward=None)],
+        S.BLOCK_INFO_SCHEMA,
+    )
+    dex_prices = spark.createDataFrame(
+        [(1, 0, USD, Decimal(1), None, None), (1, 0, A, Decimal(1), None, None)],
+        S.DEX_PRICES_SCHEMA,
+    )
+    b = cex_dex_bundles(actions, tx_info, dex_prices, block_info, trades)
+    rows = {r["tx_hashes"][0]: r.asDict() for r in b.collect()}
+    # best leg = cheapex at 1.00: rev = 111 - 100*1.00 = 11 (global blend
+    # would give 111 - 105 = 6)
+    assert rows["0xgood"]["revenue_usd"] == Decimal("11")
+    # 400 USD out of a 100-105 USD CEX-implied value breaches the 3x cap
+    assert "0xwild" not in rows
