@@ -818,13 +818,25 @@ def classify_traces(
         ).otherwise(F.lit("new_pool")),
         F.coalesce(F.col("p_decoded.params")["protocol"], F.col("p_proto")),
     )
+    # token list: comma-joined `tokens` (Curve address[N] coin lists, padded
+    # with the zero address) when present, else token0/token1; zero/null
+    # entries drop out
+    zero_addr = "0x" + "0" * 40
+    token_list = F.filter(
+        F.coalesce(
+            F.split(F.col("p_decoded.params")["tokens"], ","),
+            F.array(
+                F.col("p_decoded.params")["token0"],
+                F.col("p_decoded.params")["token1"],
+            ),
+        ),
+        lambda t: t.isNotNull() & (t != zero_addr) & (t != ""),
+    )
     disc_cols["mint_burn_collect"] = F.struct(
         F.lit(None).cast("string").alias("from"),
         F.lit(None).cast("string").alias("recipient"),
         F.col("created_addr").alias("pool"),
-        F.array(
-            F.col("p_decoded.params")["token0"], F.col("p_decoded.params")["token1"]
-        ).alias("tokens"),
+        token_list.alias("tokens"),
         F.array().cast("array<decimal(38,18)>").alias("amounts"),
     )
     disc_actions = _finish(disc, disc_cols)

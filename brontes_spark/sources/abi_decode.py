@@ -103,7 +103,21 @@ def register_abi(selector: str, name: str, params: list[tuple[str, str]]) -> Non
 # ---------------------------------------------------------------------------
 
 
+def _head_words(typ: str) -> int:
+    """ABI head width in 32-byte words: static fixed-size arrays of static
+    elements occupy N inline words; everything else (incl. dynamic types,
+    whose head is their offset word) occupies one."""
+    if typ.endswith("]") and not typ.endswith("[]"):
+        n = int(typ[typ.rindex("[") + 1 : -1])
+        return n * _head_words(typ[: typ.rindex("[")])
+    return 1
+
+
 def _decode_word(typ: str, word: bytes, data: bytes, offset_base: int) -> str:
+    if typ.endswith("]") and not typ.endswith("[]"):
+        # static fixed-size array: N elements inline at the head — `word`
+        # passes the FIRST element's word; siblings follow in `data`
+        raise ValueError("static arrays are handled by the head loop")
     if typ.endswith("[]"):
         # dynamic array of a static element type: offset → length → items;
         # rendered comma-joined (the decoded params map is string-valued)
@@ -169,14 +183,27 @@ def decode_calldata(calldata_hex: str | None) -> tuple[str, dict[str, str]] | No
                     v = str(v).lower()
                 out[name] = str(v)
             return fn.name, out
-    # fallback: head words are 32 bytes each, dynamic types point past head
-    if len(data) < 32 * len(types):
+    # fallback: walk the head positionally; static fixed-size arrays occupy
+    # N inline words, dynamic types occupy their one offset word
+    if len(data) < 32 * sum(_head_words(t) for t in types):
         return None
     out = {}
     try:
-        for i, (name, typ) in enumerate(fn.params):
-            word = data[32 * i : 32 * (i + 1)]
-            out[name] = _decode_word(typ, word, data, 0)
+        w = 0
+        for name, typ in fn.params:
+            if typ.endswith("]") and not typ.endswith("[]"):
+                elem = typ[: typ.rindex("[")]
+                n = int(typ[typ.rindex("[") + 1 : -1])
+                vals = []
+                for k in range(n):
+                    word = data[32 * (w + k) : 32 * (w + k + 1)]
+                    vals.append(_decode_word(elem, word, data, 0))
+                out[name] = ",".join(vals)
+                w += n
+            else:
+                word = data[32 * w : 32 * (w + 1)]
+                out[name] = _decode_word(typ, word, data, 0)
+                w += 1
     except (ValueError, IndexError):
         return None
     return fn.name, out
@@ -279,13 +306,64 @@ register_abi(
     ],
 )
 
-# Factory discovery (C6, classifiers/*/discovery.rs): both register under
-# the normalized name `create_pool` with token0/token1 param names, so the
-# discovery join (classify.py C6) consumes raw-hex factories directly
+# Factory discovery (C6, classifiers/*/discovery.rs): every factory entry
+# point registers under the normalized name `create_pool` with token0/token1
+# (or a comma-joined `tokens` list), so the discovery join (classify.py C6)
+# consumes raw-hex factories directly
 register_abi(_sel("createPair(address,address)"), "create_pool",
              [("token0", "address"), ("token1", "address")])
 register_abi(_sel("createPool(address,address,uint24)"), "create_pool",
              [("token0", "address"), ("token1", "address"), ("fee", "uint24")])
+# PancakeSwapV3 pool deployer (classifier-abis/PancakeSwapV3PoolDeployer.json)
+register_abi(
+    _sel("deploy(address,address,address,uint24,int24)"), "create_pool",
+    [("factory", "address"), ("token0", "address"), ("token1", "address"),
+     ("fee", "uint24"), ("tick_spacing", "int24")],
+)
+# Curve factories (classifiers/curve/discovery.rs:33-118; signatures from
+# classifier-abis/Curve*Factory*.json). Plain pools carry an inline
+# address[4] coin list (zero-padded); metapools carry the new coin + the
+# base pool (base-pool coin expansion needs the pool_coins dim — C6 keeps
+# the base_pool param for that join)
+for _n_extra in (2, 3, 4):
+    _tail = ",".join(["uint256"] * _n_extra)
+    register_abi(
+        _sel(f"deploy_plain_pool(string,string,address[4],{_tail})"),
+        "create_pool",
+        [("name", "string"), ("symbol", "string"), ("tokens", "address[4]")],
+    )
+for _n_extra in (2, 3):
+    _tail = ",".join(["uint256"] * _n_extra)
+    register_abi(
+        _sel(f"deploy_metapool(address,string,string,address,{_tail})"),
+        "create_pool",
+        [("base_pool", "address"), ("name", "string"), ("symbol", "string"),
+         ("token0", "address")],
+    )
+register_abi(
+    _sel("deploy_pool(string,string,address[2]," + ",".join(["uint256"] * 11) + ")"),
+    "create_pool",
+    [("name", "string"), ("symbol", "string"), ("tokens", "address[2]")],
+)
+register_abi(
+    _sel(
+        "deploy_pool(string,string,address[3],address,"
+        + ",".join(["uint256"] * 10) + ",uint256[2])"
+    ),
+    "create_pool",
+    [("name", "string"), ("symbol", "string"), ("tokens", "address[3]")],
+)
+# Dodo factories (classifier-abis/dodo/{DVM,DSP}Factory.json)
+register_abi(
+    _sel("createDODOVendingMachine(address,address,uint256,uint256,uint256,bool)"),
+    "create_pool",
+    [("token0", "address"), ("token1", "address")],
+)
+register_abi(
+    _sel("createDODOStablePool(address,address,uint256,uint256,uint256,bool)"),
+    "create_pool",
+    [("token0", "address"), ("token1", "address")],
+)
 
 # 1inch AggregationRouterV5 (classifiers/one_inch/*): entry points register
 # with EMPTY param lists — the normalized swap comes from the router's

@@ -530,3 +530,61 @@ def test_selfdestruct_pool_update_unclassified(spark):
     # default mode stays quiet
     quiet = classify_traces(traces, a2p, tok, binfo).collect()
     assert all(r["action_type"] != "unclassified" for r in quiet)
+
+
+def test_curve_and_dodo_factory_discovery(spark):
+    """C6 over the widened factory surface: Curve deploy_plain_pool with an
+    inline address[4] coin list (zero-padded) and a Dodo vending-machine
+    factory, both from raw hex."""
+    from brontes_spark.classify import classify_traces
+    from brontes_spark.functions.keccak import selector
+
+    CRVF, DVMF = "0xcrvfactory", "0xdvmfactory"
+    T0, T1 = "0x" + "aa" * 20, "0x" + "bb" * 20
+    ZERO = "0x" + "00" * 20
+
+    # head: name_off, symbol_off, 4 inline coins, A, fee = 8 words
+    h = 8 * 32
+    name_tail = _w_uint(3) + "616263".ljust(64, "0")      # "abc"
+    crv_cd = (
+        selector("deploy_plain_pool(string,string,address[4],uint256,uint256)")
+        + _w_uint(h) + _w_uint(h + len(name_tail) // 2)
+        + _w_addr(T0) + _w_addr(T1) + _w_addr(ZERO) + _w_addr(ZERO)
+        + _w_uint(100) + _w_uint(4000000)
+        + name_tail + name_tail
+    )
+    dvm_cd = (
+        selector("createDODOVendingMachine(address,address,uint256,uint256,uint256,bool)")
+        + _w_addr(T0) + _w_addr(T1) + _w_uint(1) + _w_uint(2) + _w_uint(3) + _w_uint(0)
+    )
+    rows = [
+        dict(_trace(1, "0xc1", 0, CRVF, crv_cd), trace_address=[0]),
+        dict(
+            _trace(1, "0xc1", 1, "0xnewcrv", "0x"),
+            action_kind="create", trace_address=[0, 0],
+            calldata_selector=None, calldata=None,
+        ),
+        dict(_trace(1, "0xd1", 0, DVMF, dvm_cd), trace_address=[0]),
+        dict(
+            _trace(1, "0xd1", 1, "0xnewdvm", "0x"),
+            action_kind="create", trace_address=[0, 0],
+            calldata_selector=None, calldata=None,
+        ),
+    ]
+    traces = decode_traces(spark.createDataFrame(rows, _TRACE_DDL))
+    a2p = spark.createDataFrame(
+        [(CRVF, "CurveV2PlainPool"), (DVMF, "Dodo")], "address string, protocol string"
+    )
+    tok = spark.createDataFrame([(T0, 18)], "address string, decimals int")
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    pools = {
+        r["mint_burn_collect"]["pool"]: r
+        for r in classify_traces(traces, a2p, tok, binfo).collect()
+        if r["action_type"] == "new_pool"
+    }
+    crv = pools["0xnewcrv"]
+    assert crv["protocol"] == "CurveV2PlainPool"
+    assert crv["mint_burn_collect"]["tokens"] == [T0, T1]  # zero coins pruned
+    dvm = pools["0xnewdvm"]
+    assert dvm["protocol"] == "Dodo"
+    assert dvm["mint_burn_collect"]["tokens"] == [T0, T1]
