@@ -69,7 +69,12 @@ def jit_bundles(
             "front_hash", "back_hash",
         )
         .agg(F.sort_array(F.collect_set("v_hash")).alias("victim_hashes"))
-        .filter(F.size("victim_hashes") > 0)
+        # non-empty, and ≤20 victims total (jit_liquidity.rs:599; the ≤10
+        # victim-SET cap at :568 is per multi-frontrun chain — our one-pair
+        # candidates have exactly one set, so the 20-victim cap binds)
+        .filter(
+            (F.size("victim_hashes") > 0) & (F.size("victim_hashes") <= 20)
+        )
     )
 
     if deltas is None:

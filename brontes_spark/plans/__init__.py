@@ -1,4 +1,11 @@
 from .registry import REGISTRY, QuerySpec, queries, oracle_sql
-from . import relational, timeseries, llm_data, mev_fixture, univ3_fixture  # noqa: F401  (registration side effects)
+from . import (  # noqa: F401  (registration side effects)
+    cex_fixture,
+    llm_data,
+    mev_fixture,
+    relational,
+    timeseries,
+    univ3_fixture,
+)
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -164,3 +164,85 @@ def g5_path_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = t["univ3_events"].select("block_number", "tx_index").distinct()
     return per_tx_path_ticks(state, paths, grid)
+
+
+def _quote_values() -> str:
+    # Golden outputs of the exact-integer tick-crossing walker run over the
+    # fixture pools' END-OF-RANGE state (replayed by univ3_pool_state) and
+    # tick tables; cross-checked by the AMM-invariant property tests in
+    # tests/test_univ3_swap.py (output monotonicity, fee accounting,
+    # boundary clamping). Cases cover: in-range partial step (no cross),
+    # two upward crossings with net-liquidity application, a deep
+    # out-of-table walk, and liquidity exhaustion stopping the walk.
+    rows = [
+        ("'0xv3pool1'", "'10000'", "true", "'9578'", "'30'", -727, 0),
+        ("'0xv3pool1'", "'10000'", "false", "'9752'", "'31'", 542, 2),
+        ("'0xv3pool1'", "'2000000'", "true", "'259663'", "'6000'", -40698, 0),
+        ("'0xv3pool2'", "'5000'", "true", "'89'", "'1'", -31, 1),
+        ("'0xv3pool2'", "'300000'", "false", "'29'", "'1'", 30, 1),
+    ]
+    values = ",\n      ".join(
+        f"({p}, {ain}, {zfo}, {aout}, {fee}, {tick}, {crossed})"
+        for (p, ain, zfo, aout, fee, tick, crossed) in rows
+    )
+    return f"""
+    SELECT pool, amount_in, CAST(zfo AS BOOLEAN) AS zero_for_one,
+           amount_out, fee_paid, CAST(tick_after AS INTEGER) AS tick_after,
+           CAST(crossed AS INTEGER) AS ticks_crossed
+    FROM (VALUES
+      {values}
+    ) AS t(pool, amount_in, zfo, amount_out, fee_paid, tick_after, crossed)
+    """
+
+
+@register(
+    "g4_univ3_swap_quotes",
+    oracle=_quote_values(),
+    survey_ref="G4 tick-crossing swap simulation (uniswap_v3_math walker; "
+    "pricing/univ3_swap.py): exact-integer exact-in quotes over the "
+    "replayed pool state + tick tables, Arrow-batched via mapInPandas "
+    "(univ3_quote_batch)",
+)
+def g4_univ3_swap_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..pricing.univ3_swap import univ3_quote_batch
+
+    t = load_fixtures(spark)
+    state = univ3_pool_state(t["univ3_events"], t["univ3_initial"])
+    w = W.partitionBy("pool").orderBy(
+        F.col("block_number").desc(), F.col("tx_index").desc(),
+        F.col("trace_idx").desc(),
+    )
+    final = (
+        state.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("pool", "sqrt_price_post", "liquidity_post", "tick_post")
+        .collect()
+    )
+    ticks = univ3_tick_liquidity(t["univ3_events"]).collect()
+    pool_state = {
+        r["pool"]: (int(r["sqrt_price_post"]), int(r["liquidity_post"]), r["tick_post"])
+        for r in final
+    }
+    pool_ticks: dict[str, list[tuple[int, int]]] = {}
+    for r in ticks:
+        pool_ticks.setdefault(r["pool"], []).append((r["tick"], int(r["liquidity_net"])))
+    requests = spark.createDataFrame(
+        [
+            ("0xv3pool1", 10_000, True), ("0xv3pool1", 10_000, False),
+            ("0xv3pool1", 2_000_000, True),
+            ("0xv3pool2", 5_000, True), ("0xv3pool2", 300_000, False),
+        ],
+        "pool string, amount_in long, zero_for_one boolean",
+    ).select("pool", F.col("amount_in").cast("decimal(38,0)").alias("amount_in"), "zero_for_one")
+    out = univ3_quote_batch(requests, pool_state, pool_ticks, fee_pips=3000)
+    return out.select(
+        "pool",
+        F.col("amount_in").cast("string").alias("amount_in"),
+        "zero_for_one",
+        F.col("amount_out").cast("string").alias("amount_out"),
+        F.col("fee_paid").cast("string").alias("fee_paid"),
+        "tick_after",
+        "ticks_crossed",
+    )
