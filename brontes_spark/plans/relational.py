@@ -765,3 +765,178 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1, 2),
+    best AS (
+      SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM costs)
+    SELECT p.p_partkey, p.p_brand, b.l_suppkey AS s_suppkey,
+           CAST(b.cost AS DOUBLE) AS cost
+    FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE b.cost = b.min_cost AND p.p_size <= 10
+    """,
+    survey_ref="§2.9 TPC-H q2 shape: correlated min-per-group as a window "
+    "(min-cost supplier per part within a region; the reference's "
+    "min-over-group pattern, e.g. O5 max_by duals)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    dims = supp.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                nation["n_regionkey"] == region["r_regionkey"])),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    costs = (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("cost"))
+    )
+    w = W.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    return best.join(
+        F.broadcast(part), best["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_partkey", "p_brand",
+        F.col("l_suppkey").alias("s_suppkey"),
+        to_dbl("cost").alias("cost"),
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH vals AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY 1, 2),
+    total AS (SELECT SUM(val) AS tot, COUNT(*) AS n FROM vals)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(CAST(SUM(v.val) AS DECIMAL(38,6)) AS DOUBLE) AS part_value
+    FROM vals v, total t
+    GROUP BY v.l_partkey, t.tot, t.n
+    HAVING SUM(v.val) * t.n * 10 > t.tot
+    """,
+    survey_ref="§2.9 TPC-H q11 shape: HAVING against a global scalar, made "
+    "exact via cross-multiplication (Σpart·n·10 > Σtotal ⟺ part > "
+    "total/(10n) — the q22/q17 determinism policy)",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    chosen = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left_semi"
+    ).select("s_suppkey")
+    vals = (
+        li.join(F.broadcast(chosen), li["l_suppkey"] == chosen["s_suppkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    total = vals.agg(F.sum("val").alias("tot"), F.count(F.lit(1)).alias("n"))
+    return (
+        vals.join(F.broadcast(total))
+        .groupBy("l_partkey", "tot", "n")
+        .agg(F.sum("val").alias("pv"))
+        .filter(F.col("pv") * F.col("n") * 10 > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            to_dbl("pv").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    best AS (SELECT *, MAX(total_rev) OVER () AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(b.total_rev AS DECIMAL(38,6)) AS DOUBLE) AS total_rev
+    FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.total_rev = b.mx
+    """,
+    survey_ref="§2.9 TPC-H q15 shape: top-supplier by quarterly revenue — "
+    "global max over an aggregate (ties kept, exact decimals so the max is "
+    "well-defined across engines)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1996-04-01")))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_rev"))
+    best = rev.withColumn("mx", F.max("total_rev").over(W.partitionBy())).filter(
+        F.col("total_rev") == F.col("mx")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return best.join(
+        F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name", to_dbl("total_rev").alias("total_rev"))
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1 - l.l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    survey_ref="§2.9 TPC-H q19 shape: disjunctive multi-clause predicate "
+    "over a dim join (the OR-of-ANDs predicate DSL of search_args.rs:13-228)",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(clause).agg(
+        to_dbl(F.sum(_disc_price())).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
