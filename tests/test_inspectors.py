@@ -355,3 +355,53 @@ def test_cex_dex_per_exchange_legs_and_guard(spark):
     assert rows["0xgood"]["revenue_usd"] == Decimal("11")
     # 400 USD out of a 100-105 USD CEX-implied value breaches the 3x cap
     assert "0xwild" not in rows
+
+
+def test_sandwich_nonswap_victims_listed_and_gap_joined(spark):
+    """PossibleSandwich victim sets list ALL in-between txs (sandwich/mod.rs
+    PossibleSandwich), and the gap partition counts non-swap txs — a
+    transfer-only tx between two searcher swaps must appear in tx_hashes and
+    must keep the chain joined."""
+    from brontes_spark import schemas as S
+    from brontes_spark.sources.fixtures import _swap, _transfer
+
+    A, B, USD = "0xtoka", "0xtokb", "0xusd"
+    bn = 300
+    acts = [
+        _swap(bn, "0xf", 0, 0, "0xsear", "0xp", A, B, "1000", "10"),
+        _swap(bn, "0xv1", 1, 0, "0xvic1", "0xp", A, B, "100", "1"),
+        # tx 2: transfer only — no swap
+        _transfer(bn, "0xv2", 2, 0, "0xvic2", "0xother", A, "5"),
+        _swap(bn, "0xb", 3, 0, "0xsear", "0xp", B, A, "11", "1090"),
+    ]
+    actions = spark.createDataFrame(acts, S.ACTIONS_SCHEMA)
+
+    def tx(txi, txh, eoa):
+        return dict(
+            block_number=bn, tx_index=txi, tx_hash=txh, eoa=eoa,
+            mev_contract=None, gas_used=100_000,
+            effective_gas_price=10_000_000_000_000, priority_fee=0,
+            coinbase_transfer=Decimal(0), is_private=False,
+            is_verified_contract=True,
+        )
+
+    tx_info = spark.createDataFrame(
+        [tx(0, "0xf", "0xsear"), tx(1, "0xv1", "0xvic1"),
+         tx(2, "0xv2", "0xvic2"), tx(3, "0xb", "0xsear")],
+        S.TX_INFO_SCHEMA,
+    )
+    block_info = spark.createDataFrame(
+        [dict(block_number=bn, block_timestamp=1_700_000_000, beneficiary="0xb",
+              eth_price=Decimal(1), proposer_fee_recipient=None,
+              proposer_mev_reward=None)],
+        S.BLOCK_INFO_SCHEMA,
+    )
+    dex_prices = spark.createDataFrame(
+        [(bn, i, t, Decimal(1), None, None) for i in range(4) for t in (A, B, USD)],
+        S.DEX_PRICES_SCHEMA,
+    )
+    out = sandwich_bundles(actions, tx_info, dex_prices, block_info)
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == 1
+    # both the swap victim AND the transfer-only tx are listed, in tx order
+    assert rows[0]["tx_hashes"] == ["0xf", "0xv1", "0xv2", "0xb"]
