@@ -940,3 +940,97 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_dbl(F.sum(_disc_price())).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year, n.n_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1 - l.l_discount AS DECIMAL(8,6))) AS volume
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT o_year, SUM(volume) AS total FROM rev GROUP BY o_year)
+    SELECT rev.o_year, rev.n_name,
+           CAST(CAST(rev.volume AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(tot.total AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+    FROM rev JOIN tot USING (o_year)
+    """,
+    survey_ref="§2.9 TPC-H q8 shape: per-year nation market share — ratio of "
+    "two exact-decimal aggregates converted to identical doubles before the "
+    "one division (O4 builder-share arithmetic analog)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = cust.join(
+        F.broadcast(
+            nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        ),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"), "n_name")
+        .agg(F.sum(_disc_price()).alias("volume"))
+    )
+    tot = rev.groupBy("o_year").agg(F.sum("volume").alias("total"))
+    return rev.join(tot, "o_year").select(
+        F.col("o_year").cast("long").alias("o_year"),
+        "n_name",
+        (to_dbl("volume") / to_dbl("total")).alias("mkt_share"),
+    )
+
+
+@register(
+    "q20_majority_supplier",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    per_part AS (
+      SELECT l_partkey, SUM(sq) AS tot FROM per_supp GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM per_supp ps
+    JOIN per_part pp ON pp.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.sq * 2 > pp.tot
+    """,
+    survey_ref="§2.9 TPC-H q20 shape: nested semi — suppliers providing the "
+    "majority of some part's yearly volume (exact-decimal cross-mult "
+    "threshold, distinct projection)",
+)
+def q20_majority_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("sq")
+    )
+    per_part = per_supp.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("sq").alias("tot")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(per_part, per_supp["l_partkey"] == per_part["pp_partkey"])
+        .filter(F.col("sq") * 2 > F.col("tot"))
+        .join(F.broadcast(supp), per_supp["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
