@@ -1,9 +1,11 @@
-"""Replicates the driver's t2 correctness gate at sf0.001 for every
-registered query: Spark result vs DuckDB oracle, order-insensitive,
-bit-exact doubles (see brontes_spark/functions/decimals.py for why that is
-achievable)."""
+"""Replicates the driver's t2 correctness gate at sf0.01 — the SAME scale the
+driver checks — for every registered query: Spark result vs DuckDB oracle,
+order-insensitive, bit-exact doubles (see brontes_spark/functions/decimals.py
+for why that is achievable) and driver-strict dtype checking (oracle.py)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -13,12 +15,21 @@ from .oracle import compare, duck_con
 
 NAMES = sorted(REGISTRY)
 
+PARITY_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01"
+)
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
     c = duck_con(sf_dir)
     yield c
     c.close()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():  # override conftest session default (sf0.001) for this module
+    return PARITY_SF_DIR
 
 
 @pytest.mark.parametrize("name", NAMES)
