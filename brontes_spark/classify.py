@@ -504,15 +504,23 @@ def decode_flash_loan(df: DataFrame, ctx: DecodeCtx):
     p = F.col("decoded.params")
     assets = F.split(F.coalesce(p["assets"], p["asset"]), ",")
     raw_amounts = F.split(F.coalesce(p["amounts"], p["amount"]), ",")
+    # entries with empty asset strings are decode artifacts (''.split(',')
+    # yields ['']) — drop them from the zip rather than emitting a bogus
+    # empty-string asset row
+    zipped = F.filter(
+        F.arrays_zip(assets.alias("t"), raw_amounts.alias("a")),
+        lambda e: e["t"].isNotNull() & (e["t"] != ""),
+    )
     # per-asset decimal scaling: explode the (asset, raw) pairs, join the
     # token dim, regroup in position order — flash loans are rare rows, so
-    # the extra keyed shuffle is noise at any scale
+    # the extra keyed shuffle is noise at any scale. posexplode_OUTER keeps
+    # the trace alive when the asset/amount params are null or undecodable:
+    # it still lands as a metadata flash_loan action with empty arrays
+    # instead of silently vanishing.
     keyed = df.select(
         "block_number", "tx_hash", "tx_index", "trace_idx", "trace_address",
         "msg_sender", "to_address", "proto", p["receiver"].alias("__recv"),
-        F.posexplode(F.arrays_zip(assets.alias("t"), raw_amounts.alias("a"))).alias(
-            "__pos", "__ar"
-        ),
+        F.posexplode_outer(zipped).alias("__pos", "__ar"),
     )
     dim = F.broadcast(
         ctx.token_decimals.select(
@@ -530,8 +538,17 @@ def decode_flash_loan(df: DataFrame, ctx: DecodeCtx):
         .agg(
             F.transform(
                 F.sort_array(
+                    # collect_list drops nulls, so the posexplode_outer
+                    # placeholder row (null __pos) regroups to EMPTY arrays
                     F.collect_list(
-                        F.struct("__pos", F.col("__ar.t").alias("t"), F.col("__amt").alias("a"))
+                        F.when(
+                            F.col("__pos").isNotNull(),
+                            F.struct(
+                                "__pos",
+                                F.col("__ar.t").alias("t"),
+                                F.col("__amt").alias("a"),
+                            ),
+                        )
                     )
                 ),
                 lambda s: F.struct(s["t"].alias("t"), s["a"].alias("a")),

@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from .accounting import action_deltas, gas_usd, usd_deltas
 from .atomic_arb import atomic_arb_bundles
 from .cex_dex import cex_dex_bundles, cex_dex_quotes_bundles
@@ -160,14 +161,20 @@ def dedup_by_precedence(bundles: DataFrame) -> DataFrame:
     a self-join key because the plan is evaluated twice).
     """
     prio = F.create_map(*[F.lit(x) for kv in PRIORITY.items() for x in kv])
+    # md5-derived id, per the repo-wide hash policy (functions/hashing.py):
+    # this id is the final dedup tie-break, so an engine twin replaying the
+    # same bundles must derive the identical id — xxhash64 would not.
     b = bundles.withColumn("priority", prio[F.col("mev_type")]).withColumn(
         "bundle_id",
-        F.xxhash64(
-            "mev_type",
-            F.concat_ws(",", "tx_hashes"),
-            F.col("profit_usd").cast("string"),
-            F.col("revenue_usd").cast("string"),
-            "eoa",
+        md5_long(
+            F.concat_ws(
+                "|",
+                "mev_type",
+                F.concat_ws(",", "tx_hashes"),
+                F.col("profit_usd").cast("string"),
+                F.col("revenue_usd").cast("string"),
+                "eoa",
+            )
         ),
     )
     exploded = b.select(

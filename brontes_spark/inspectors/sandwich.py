@@ -140,7 +140,13 @@ def sandwich_bundles(
         F.element_at("sub_chain", -1)["tx_index"].alias("back_index"),
         F.element_at("sub_chain", -1)["tx_hash"].alias("back_hash"),
     ).cache()  # consumed by the validation joins and the PnL stage
-    ckeys = ["block_number", "actor", "segment", "span"]
+    # candidate identity must pin the exact trim: two equal-span trims of the
+    # same segment (h=1,t=0 vs h=0,t=1) are DIFFERENT candidates with
+    # different victim intervals, and (first_index, back_index) disambiguates
+    # them — keying on span alone would merge their victim/overlap sets and
+    # validate each trim against the union (reference validates per recursion
+    # branch, mod.rs:447-555)
+    ckeys = ["block_number", "actor", "segment", "span", "first_index", "back_index"]
 
     # I3a: backrun must reverse some frontrun's pool + direction
     fronts = cand.select(

@@ -77,7 +77,10 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact Jaccard over distinct word n-grams, within a blocking key.
+    """Jaccard over distinct word n-grams, within a blocking key. Shingles
+    are represented by 60-bit md5 hashes (_doc_shingles), so the similarity
+    is exact up to hash collisions — negligible (~2^-60 per pair) but not
+    literally exact-set Jaccard.
 
     Plan: shingle-explode (distinct 60-bit hashes) → self-join on
     (block, shingle_h) with id_a < id_b → group to intersection size → join

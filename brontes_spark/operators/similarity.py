@@ -116,6 +116,7 @@ def lsh_buckets(
     vec_col: str,
     planes: int = 8,
     comp: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = bits of sign(v · h_j), j < planes.
 
@@ -131,6 +132,10 @@ def lsh_buckets(
     """
     if comp is None:
         comp = _components(df, id_col, vec_col)
+    if dim is None:
+        # one-row peek, not a corpus statistic: vectors are fixed-width, so
+        # any row carries the dimensionality (limit-1 scan, no shuffle)
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
     sign_cols = [
         F.when(
             md5_bit(
@@ -143,7 +148,15 @@ def lsh_buckets(
         .alias(f"s{j}")
         for j in range(planes)
     ]
-    signs = F.broadcast(comp.select("pos").distinct().select("pos", *sign_cols))
+    # positions 0..dim-1 are known statically — derive the planes×dim sign
+    # table from spark.range, NOT from the corpus (a distinct() over the
+    # exploded components would scan+shuffle the full table to enumerate
+    # integers we already know; at 100 TB that is a full-corpus exchange for
+    # a 64-row dim)
+    spark = df.sparkSession
+    signs = F.broadcast(
+        spark.range(dim).select(F.col("id").cast("int").alias("pos"), *sign_cols)
+    )
     proj = (
         comp.join(signs, "pos")
         .groupBy("id")
@@ -201,9 +214,13 @@ def ivf_topk(
     # first-K-by-md5 via sort+limit over the SOURCE ids (one row per vector,
     # no component explode): Spark plans TakeOrderedAndProject (per-partition
     # partial top-K, driver merge) — no single-partition global window even
-    # at billions of ids
+    # at billions of ids. Restricted to ids that actually explode to
+    # components (size > 0) so a null/empty vector can never seed a dead
+    # cluster — the oracle seeds from DISTINCT comp ids, and this filter is
+    # the explode-free equivalent.
     seeds = (
-        df.select(F.col(id_col).alias("id"))
+        df.filter(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("id"))
         .distinct()
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(k_clusters)
