@@ -57,6 +57,24 @@ CURVE_PROTOCOLS = [
 ]
 AAVE_PROTOCOLS = ["AaveV2", "AaveV3"]
 
+#: protocol.rs variants that classify nothing but TAG an address: frames to
+#: these contracts stay unclassified (the reference registers no classifier
+#: for them either); their value is metadata — a contract carrying the tag is
+#: a known searcher/solver for inspector purposes (protocol.rs:102,147).
+METADATA_SEARCHER_PROTOCOLS = ["PropellerLabsSolver"]
+
+
+def protocol_searcher_tags(address_to_protocol: DataFrame) -> DataFrame:
+    """(address, protocol) rows for metadata-only searcher/solver tags.
+
+    Feeds the composer's known-searcher-contract set (I13): a profitable tx
+    whose mev_contract carries one of these tags counts as searcher activity
+    even when no searcher_info row exists for its EOA — the same effect as
+    the reference tagging the solver contract in its searcher db."""
+    return address_to_protocol.filter(
+        F.col("protocol").isin(METADATA_SEARCHER_PROTOCOLS)
+    ).select("address", "protocol")
+
 
 # ---------------------------------------------------------------------------
 # Decoder registry — the `action_impl!` macro analog
@@ -327,11 +345,17 @@ def decode_maker_psm(df: DataFrame, ctx: DecodeCtx):
     return df, struct
 
 
-@action_impl(["BalancerV1"], ["swapExactAmountIn"], "swap", "swap")
+@action_impl(["BalancerV1", "BalancerV1CRP"], ["swapExactAmountIn"], "swap", "swap")
 def decode_balancer_v1_swap(df: DataFrame, ctx: DecodeCtx):
     """Balancer V1 swapExactAmountIn (classifiers/balancer/*): both tokens
     explicit in calldata; realized out from the LOG_SWAP log's
-    token_amount_out, falling back to the min_amount_out floor."""
+    token_amount_out, falling back to the min_amount_out floor.
+
+    BalancerV1CRP (protocol.rs:77 — Configurable Rights Pool, the "V1
+    SmartPool" proxy over a core BPool) exposes the identical swap
+    interface, so it shares this decoder by registration alias — the same
+    collapse the reference does by pointing both variants at the Balancer
+    V1 classifier."""
     p = F.col("decoded.params")
     df, amount_in = ctx.scaled_by_token(df, p["token_in"], p["token_amount_in"], "in")
     out_raw = F.coalesce(_log_param("token_amount_out"), p["min_amount_out"])

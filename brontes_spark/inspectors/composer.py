@@ -116,12 +116,25 @@ def searcher_activity_bundles(
     searcher_info: DataFrame,
     deltas: DataFrame,
     gas: DataFrame,
+    searcher_contracts: DataFrame | None = None,
 ) -> DataFrame:
-    """I13: profitable known-searcher txs not claimed by any bundle."""
+    """I13: profitable known-searcher txs not claimed by any bundle.
+
+    ``searcher_contracts`` (optional, `(address, ...)`) extends the known set
+    with CONTRACT addresses — e.g. metadata-tagged solver protocols
+    (classify.protocol_searcher_tags); those match on mev_contract, while
+    searcher_info rows match on eoa (searcher_activity.rs checks both)."""
     known = searcher_info.select(F.col("address").alias("eoa")).distinct()
     claimed_txs = claimed.select(F.explode("tx_hashes").alias("tx_hash")).distinct()
+    by_eoa = tx_info.join(F.broadcast(known), "eoa", "left_semi")
+    if searcher_contracts is not None:
+        kc = searcher_contracts.select(F.col("address").alias("mev_contract")).distinct()
+        by_contract = tx_info.join(F.broadcast(kc), "mev_contract", "left_semi")
+        matched = by_eoa.unionByName(by_contract).dropDuplicates(["tx_hash"])
+    else:
+        matched = by_eoa
     candidates = (
-        tx_info.join(F.broadcast(known), "eoa", "left_semi")
+        matched
         .join(claimed_txs, "tx_hash", "left_anti")
         .select("block_number", "tx_hash", "eoa", "mev_contract")
     )
@@ -422,8 +435,16 @@ def run_composer(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         retag_jit_cex_dex(unioned, tables["searcher_info"])
     ).localCheckpoint()
     deduped = dedup_by_precedence(composed).localCheckpoint()
+    # metadata-only solver tags (PropellerLabsSolver-class protocols) extend
+    # the known-searcher set when the protocol dim is provided
+    tags = None
+    if "address_to_protocol" in tables:
+        from ..classify import protocol_searcher_tags
+
+        tags = protocol_searcher_tags(tables["address_to_protocol"])
     activity = searcher_activity_bundles(
-        deduped, tables["tx_info"], tables["searcher_info"], deltas, gas
+        deduped, tables["tx_info"], tables["searcher_info"], deltas, gas,
+        searcher_contracts=tags,
     )
     final = deduped.unionByName(activity).orderBy("block_number", "mev_type")
     header = mev_block_header(final, tables["tx_info"], tables["block_info"])

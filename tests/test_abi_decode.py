@@ -588,3 +588,34 @@ def test_curve_and_dodo_factory_discovery(spark):
     dvm = pools["0xnewdvm"]
     assert dvm["protocol"] == "Dodo"
     assert dvm["mint_burn_collect"]["tokens"] == [T0, T1]
+
+
+def test_balancer_crp_routes_via_v1_decoder(spark):
+    """BalancerV1CRP (protocol.rs:77, the V1 SmartPool proxy) shares the
+    core BPool swap interface, so a CRP-tagged address must route through
+    the BalancerV1 swapExactAmountIn decoder."""
+    from brontes_spark.classify import classify_traces
+
+    CRP = "0xcrp"
+    DAI, WETH = "0x" + "aa" * 20, "0x" + "cc" * 20
+    cd = (
+        "0x8201aa3f" + _w_addr(WETH) + _w_uint(3 * E18) + _w_addr(DAI)
+        + _w_uint(1) + _w_uint(2**100)
+    )
+    logs = [dict(address=CRP, topic0="0xls",
+                 data_params={"token_amount_out": str(6000 * E18)})]
+    traces = decode_traces(
+        spark.createDataFrame([_trace(1, "0xcrp1", 0, CRP, cd, logs)], _TRACE_DDL)
+    )
+    a2p = spark.createDataFrame(
+        [(CRP, "BalancerV1CRP")], "address string, protocol string"
+    )
+    tok = spark.createDataFrame(
+        [(DAI, 18), (WETH, 18)], "address string, decimals int"
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = {r["tx_hash"]: r for r in classify_traces(traces, a2p, tok, binfo).collect()}
+    crp = acts["0xcrp1"]["swap"]
+    assert acts["0xcrp1"]["protocol"] == "BalancerV1CRP"
+    assert crp["token_in"] == WETH and crp["token_out"] == DAI
+    assert crp["amount_in"] == Decimal(3) and crp["amount_out"] == Decimal(6000)

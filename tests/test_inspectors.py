@@ -405,3 +405,42 @@ def test_sandwich_nonswap_victims_listed_and_gap_joined(spark):
     assert len(rows) == 1
     # both the swap victim AND the transfer-only tx are listed, in tx order
     assert rows[0]["tx_hashes"] == ["0xf", "0xv1", "0xv2", "0xb"]
+
+
+def test_propeller_solver_contract_tag(spark):
+    """PropellerLabsSolver (protocol.rs:102) is a metadata-only searcher tag:
+    a profitable tx whose mev_contract carries the tag counts as searcher
+    activity even with no searcher_info row for its EOA."""
+    from brontes_spark.classify import protocol_searcher_tags
+    from brontes_spark.inspectors.composer import searcher_activity_bundles
+
+    SOLVER = "0xsolver"
+    a2p = spark.createDataFrame(
+        [(SOLVER, "PropellerLabsSolver"), ("0xpool", "UniswapV2")],
+        "address string, protocol string",
+    )
+    tags = protocol_searcher_tags(a2p)
+    assert [r["address"] for r in tags.collect()] == [SOLVER]
+
+    tx_info = spark.createDataFrame(
+        [(1, "0xs1", "0xeoa1", SOLVER), (1, "0xn1", "0xeoa2", None)],
+        "block_number long, tx_hash string, eoa string, mev_contract string",
+    )
+    claimed = spark.createDataFrame([], "tx_hashes array<string>")
+    searcher_info = spark.createDataFrame([], "address string")
+    deltas = spark.createDataFrame(
+        [("0xs1", SOLVER, Decimal(30)), ("0xn1", "0xeoa2", Decimal(30))],
+        "tx_hash string, address string, usd decimal(38,18)",
+    )
+    gas = spark.createDataFrame(
+        [("0xs1", Decimal(1)), ("0xn1", Decimal(1))],
+        "tx_hash string, gas_usd decimal(38,18)",
+    )
+    out = searcher_activity_bundles(
+        claimed, tx_info, searcher_info, deltas, gas, searcher_contracts=tags
+    ).collect()
+    # only the solver-contract tx qualifies; the untagged profitable tx does not
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["tx_hashes"] == ["0xs1"] and row["mev_type"] == "searcher_tx"
+    assert row["profit_usd"] == Decimal(29)
