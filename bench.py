@@ -62,14 +62,15 @@ def main() -> None:
     q["txt_token_count"](spark, sf_dir).count()
     q["ann_lsh_buckets"](spark, sf_dir).count()
 
-    # criterion-style steady-state timing: best of 2 runs per query, with
-    # the cache cleared between runs so the second run re-does ALL compute
-    # (only JIT/codegen/page-cache warmth carries over). Min-of-2 damps the
-    # multi-second wall-clock noise a shared VM shows for identical work.
+    # criterion-style steady-state timing: best of 3 runs per query, with
+    # the cache cleared between runs so every run re-does ALL compute
+    # (only JIT/codegen/page-cache warmth carries over). Min-of-3 damps the
+    # multi-second wall-clock noise a shared VM shows for identical work
+    # (r2 showed ±2x per-query swings at min-of-2).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             q[name](spark, sf_dir).count()

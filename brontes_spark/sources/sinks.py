@@ -5,9 +5,12 @@
     brontes-db/src/parquet/mod.rs:40+): zstd parquet partitioned by a
     block-range bucket so downstream range queries prune partitions.
   * searcher_stats — S10 (processors/mev.rs:111-148): the reference upserts
-    per-searcher bundle stats into libmdbx; the Spark-native formulation is
-    a full recompute from the bundles table (idempotent, no merge state) —
-    SURVEY.md §1.4 maps the upsert to exactly this.
+    per-searcher bundle stats into libmdbx. Two Spark-native formulations:
+    the batch path recomputes from the full bundles table, and the tip-mode
+    path (searcher_block_stats / upsert_searcher_block_stats /
+    searcher_stats_rollup) keeps block-grain stats and replaces only the
+    micro-batch's blocks — replay-idempotent MERGE semantics without
+    re-aggregating history.
 """
 
 from __future__ import annotations
@@ -28,17 +31,44 @@ def write_partitioned(df: DataFrame, path: str, block_col: str = "block_number")
     )
 
 
-def searcher_stats(bundles: DataFrame) -> DataFrame:
-    """Per-searcher rollup: bundle counts by MEV type (the SearcherInfo
-    `bundle_counts` map, db/searcher.rs:21) + PnL totals."""
-    fam = (
+def searcher_block_stats(bundles: DataFrame) -> DataFrame:
+    """S10 merge grain: per-(eoa, block_number, mev_family) bundle stats.
+
+    This is the unit the incremental path upserts by BLOCK: in tip mode a
+    block's bundles land atomically in one micro-batch (processors/mev.rs
+    processes per block), so replacing a block's rows wholesale is both
+    incremental and replay-idempotent — no engine MERGE support needed."""
+    return (
         bundles.withColumn("mev_family", F.split("mev_type", ":")[0])
-        .groupBy("eoa", "mev_family")
+        .groupBy("eoa", "block_number", "mev_family")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("profit_usd").alias("profit"),
             F.sum("gas_usd").alias("bribe"),
         )
+    )
+
+
+def upsert_searcher_block_stats(prev: DataFrame, batch_bundles: DataFrame) -> DataFrame:
+    """S10 incremental upsert (processors/mev.rs:111-148): replace the stats
+    rows of every block present in the micro-batch, keep all other blocks.
+
+    Idempotent: re-running the same batch recomputes identical rows for the
+    same blocks. Cost is O(batch) recompute + an anti-join against prev on
+    block_number — history is never re-aggregated."""
+    batch_stats = searcher_block_stats(batch_bundles)
+    batch_blocks = batch_bundles.select("block_number").distinct()
+    kept = prev.join(F.broadcast(batch_blocks), "block_number", "left_anti")
+    return kept.unionByName(batch_stats.select(*prev.columns))
+
+
+def searcher_stats_rollup(block_stats: DataFrame) -> DataFrame:
+    """Per-searcher rollup from the block-grain stats: bundle counts by MEV
+    type (the SearcherInfo `bundle_counts` map, db/searcher.rs:21) + PnL."""
+    fam = block_stats.groupBy("eoa", "mev_family").agg(
+        F.sum("n").alias("n"),
+        F.sum("profit").alias("profit"),
+        F.sum("bribe").alias("bribe"),
     )
     return fam.groupBy("eoa").agg(
         F.sum("n").alias("n_bundles"),
@@ -48,6 +78,13 @@ def searcher_stats(bundles: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("mev_family", "n")))
         ).alias("bundle_counts"),
     )
+
+
+def searcher_stats(bundles: DataFrame) -> DataFrame:
+    """Per-searcher rollup straight from a full bundles table (the batch
+    path); equals searcher_stats_rollup over searcher_block_stats by
+    construction."""
+    return searcher_stats_rollup(searcher_block_stats(bundles))
 
 
 def write_bucketed(

@@ -80,3 +80,71 @@ def test_asof_join_matches_naive_oracle(spark):
     assert len(got) == len(probes)
     for (gk, gt, _i) in got_sorted:
         assert got[(gk, gt, _i)] == naive(gk, gt), (gk, gt)
+
+
+def test_expanding_vwap_skewed_pair_uses_aqe_skew_join(spark):
+    """X4 skew hardening (time_window_vwam.rs hot pairs): a WETH/USDC-class
+    key carrying 100x the ticks of every other key must not serialize the
+    range join onto one straggler task. With AQE skew-join enabled (the
+    session default), the executed plan must show the hot partition split
+    (skew=true) AND results must be identical to the unskewed semantics."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from brontes_spark.operators.vwap import expanding_vwap
+
+    tuned = {
+        # shrink AQE's skew thresholds so the test-scale hot key (100k rows)
+        # crosses them the way a TB-scale hot pair crosses the defaults
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(100_000).select(
+            F.lit("HOT").alias("key"),
+            (F.col("id") % 1000).cast("long").alias("tick_ts"),
+            F.lit(Decimal("1.5")).cast("decimal(38,18)").alias("price"),
+            F.lit(Decimal("2")).cast("decimal(38,18)").alias("vol"),
+            F.col("id").alias("tick_id"),
+        )
+        cold = spark.range(1000).select(
+            F.concat(F.lit("C"), (F.col("id") % 20).cast("string")).alias("key"),
+            (F.col("id") % 1000).cast("long").alias("tick_ts"),
+            F.lit(Decimal("3")).cast("decimal(38,18)").alias("price"),
+            F.lit(Decimal("1")).cast("decimal(38,18)").alias("vol"),
+            (F.col("id") + 200_000).alias("tick_id"),
+        )
+        anchors = spark.createDataFrame(
+            [
+                ("hot_a", "HOT", 500, Decimal(100)),
+                ("cold_a", "C1", 500, Decimal(20)),
+            ],
+            "anchor_id string, key string, anchor_ts long,"
+            " required_vol decimal(38,18)",
+        )
+        out = expanding_vwap(
+            anchors, hot.unionByName(cold), pre_step=10, post_step=10, max_steps=50
+        )
+        rows = {r["anchor_id"]: r for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+        # hot key: every ts in [490,510] holds 100 ticks of vol 2 -> step 1
+        # already covers required_vol; vwap is the flat hot price
+        assert rows["hot_a"]["cutoff_step"] == 1
+        assert rows["hot_a"]["vwap"] == 1.5
+        # cold control key: 50 rows of vol 1 across ts 0..999; needs several
+        # expansions to reach 20 but converges to the flat cold price
+        assert rows["cold_a"]["vwap"] == 3.0
+        assert rows["cold_a"]["cutoff_step"] > 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
