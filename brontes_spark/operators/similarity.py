@@ -44,6 +44,40 @@ def _components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _uvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, uvec array<long>, n2 bigint) — the un-exploded twin of
+    ``_components``: each vector quantized element-wise to 6dp micro-unit
+    longs (same dec9 rounding, so values are identical to the exploded
+    form) plus its exact squared norm, computed in-row with array HOFs.
+    Zero-length/null vectors are dropped, matching the exploded form where
+    they produce no component rows.
+    """
+    u = F.transform(
+        F.col(vec_col), lambda c: (dec9(c) * F.lit(1000000)).cast("long")
+    )
+    return (
+        df.filter(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("id"), u.alias("uvec"))
+        .withColumn(
+            "n2",
+            F.aggregate(
+                "uvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
+    )
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two micro-unit long arrays (in-row;
+    components < 2^21, 64-dim sums < 2^53 — never overflows, and the
+    sequential fold makes the sum order-independent by construction)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -53,58 +87,42 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbours for rows matching ``query_pred``.
 
-    Returns (query_id, rnk, neighbor_id, sim) with sim rounded for stable
-    cross-engine ranking; ties broken by neighbor id.
+    Returns (query_id, rnk, neighbor_id, sim); ties broken by neighbor id.
+
+    Plan shape: the query side (assumed small — it's the probe set) is
+    broadcast against the candidate vectors and every dot product runs
+    in-row over the two long arrays (zip_with + aggregate). The pair stream
+    is Q×N rows — a factor `dim` fewer than the exploded join+groupBy
+    formulation — and needs NO shuffle at all before the final per-query
+    top-k window (Q×k-bounded via rank pushdown). The candidate side is
+    hash-repartitioned first only so a single-file local scan can't serialize
+    the CPU-bound multiply stage; at cluster scale the scan is already wide.
     """
-    comp = _components(df, id_col, vec_col)
-    norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
-    qids = df.filter(query_pred).select(F.col(id_col).alias("qid"))
-    q = comp.join(qids, comp["id"] == qids["qid"], "inner").select(
-        F.col("qid"), F.col("pos"), F.col("comp").alias("qc")
+    uv = _uvectors(df, id_col, vec_col)
+    qv = _uvectors(df.filter(query_pred), id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("uvec").alias("quvec"), F.col("n2").alias("qn2")
     )
-    # broadcast the query side: the pos join key has only `dim` distinct
-    # values, so a shuffle join caps parallelism at dim tasks and skews —
-    # map-side joining keeps the candidate scan fully parallel, and the
-    # (qid, cid) aggregation combines map-side before its one shuffle.
-    # The candidate side is round-robin repartitioned first: a small input
-    # (one parquet file → one scan partition) would otherwise run the whole
-    # Q×N×d multiply stage on a single core; at cluster scale the scan is
-    # already wide and this is one cheap extra exchange of the narrow side.
-    dots = (
-        F.broadcast(q)
-        .join(
-            comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc"))
-            # explicit partition count: AQE's bytes-based coalescing would
-            # shrink this CPU-bound (small-bytes) stage back to one task
-            .repartition(
-                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-                F.col("cid"),
-            ),
-            "pos",
-        )
-        .filter(F.col("cid") != F.col("qid"))
-        .groupBy("qid", "cid")
-        .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot"))
+    cand = uv.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), F.col("id")
     )
     out = (
-        dots.join(F.broadcast(norms.select(F.col("id").alias("qid"), F.col("n2").alias("qn2"))), "qid")
-        .join(F.broadcast(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2"))), "cid")
+        cand.join(F.broadcast(qv), F.col("id") != F.col("qid"))
         .withColumn(
             "sim",
-            # no rounding: dot/norms are exact decimals, so this double is
+            # no rounding: dot/norms are exact integers, so this double is
             # already bit-identical across engines (identical operands)
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+            _dot("quvec", "uvec").cast("double")
+            / F.sqrt(F.col("qn2").cast("double") * F.col("n2").cast("double")),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (
         out.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
             F.col("qid").alias("query_id"),
             "rnk",
-            F.col("cid").alias("neighbor_id"),
+            F.col("id").alias("neighbor_id"),
             "sim",
         )
     )

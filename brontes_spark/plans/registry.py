@@ -117,12 +117,59 @@ DRIVER_ORDER: list[str] = [
 ]
 
 
+def _driver_history() -> dict[str, int]:
+    """Last round in which each gate got a GREEN driver row, read from the
+    CORRECTNESS_r*.json files the driver leaves at the repo root. A gate whose
+    row exists but failed (or that has no row at all) maps to -1. Empty dict
+    if no files are readable (fresh checkout) — ordering then falls back to
+    the static DRIVER_ORDER below.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match")
+            if ok is None:  # rows-only gate (no oracle): green = rows_match
+                ok = row.get("rows_match")
+            if ok:
+                last_green[name] = max(last_green.get(name, -1), rnd)
+            else:
+                last_green.setdefault(name, -1)
+    return last_green
+
+
 def _ordered() -> list[str]:
-    """Registry names in driver order; anything not in DRIVER_ORDER appends in
-    registration order so a newly-registered gate is never silently dropped."""
-    known = [n for n in DRIVER_ORDER if n in REGISTRY]
-    extra = [n for n in REGISTRY if n not in DRIVER_ORDER]
-    return known + extra
+    """Registry names in driver order. The driver verifies only the FIRST 50
+    entries per round, so ordering is part of the correctness contract:
+    least-recently-verified first. Primary key = last round with a green
+    driver row (never-green / failed / brand-new gates sort first), tie-break
+    = the static DRIVER_ORDER position (then registration order), so the
+    window rotates across rounds without manual re-curation and a
+    newly-registered gate is never silently dropped.
+    """
+    history = _driver_history()
+    base = {n: i for i, n in enumerate(DRIVER_ORDER)}
+    names = [n for n in DRIVER_ORDER if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in base]
+    if not history:
+        return names
+    return sorted(
+        names, key=lambda n: (history.get(n, -1), base.get(n, len(base)))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

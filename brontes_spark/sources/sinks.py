@@ -22,9 +22,14 @@ BLOCK_BUCKET = 100_000  # blocks per output partition
 
 
 def write_partitioned(df: DataFrame, path: str, block_col: str = "block_number") -> None:
+    out = df.withColumn("block_bucket", (F.col(block_col) / BLOCK_BUCKET).cast("long"))
+    if df.isEmpty():
+        # a zero-row partitionBy write emits only _SUCCESS (no schema footer),
+        # leaving the directory unreadable; write one schema-only file instead
+        out.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(path)
+        return
     (
-        df.withColumn("block_bucket", (F.col(block_col) / BLOCK_BUCKET).cast("long"))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("block_bucket")
         .option("compression", "zstd")
         .parquet(path)

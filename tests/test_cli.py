@@ -1,0 +1,85 @@
+"""CLI surface (brontes_spark/cli.py ↔ bin/src/cli/run.rs + cli/db/mod.rs):
+init lands the input tables, run produces the same bundles as calling the
+composer directly, query/export prune by range, clear is jailed to the dir."""
+
+from __future__ import annotations
+
+import os
+
+from brontes_spark import cli
+
+
+def _run(argv):
+    return cli.main(argv)
+
+
+def test_cli_init_run_query_export(spark, tmp_path):
+    tables = str(tmp_path / "tables")
+    out = str(tmp_path / "out")
+    assert _run(["db", "init", "--tables-dir", tables]) == 0
+    for name in cli.INPUT_TABLES:
+        assert os.path.exists(os.path.join(tables, f"{name}.parquet")), name
+
+    assert (
+        _run(["run", "--tables-dir", tables, "--out", out, "--start-block", "0"]) == 0
+    )
+    bundles = spark.read.parquet(os.path.join(out, "mev_bundles"))
+    assert bundles.count() > 0
+    # block-bucket partitioning (S6) survives the CLI path
+    assert "block_bucket" in bundles.columns
+    stats = spark.read.parquet(os.path.join(out, "searcher_stats"))
+    assert stats.count() > 0
+
+    # range filter prunes: an empty block range yields zero bundles
+    out2 = str(tmp_path / "out2")
+    assert (
+        _run(
+            ["run", "--tables-dir", tables, "--out", out2,
+             "--start-block", "999999", "--end-block", "9999999"]
+        )
+        == 0
+    )
+    assert spark.read.parquet(os.path.join(out2, "mev_bundles")).count() == 0
+
+    # db query: plain table + --sql path both execute
+    assert _run(["db", "query", "--tables-dir", tables, "--table", "tx_info",
+                 "--range", "0:999999", "--limit", "3"]) == 0
+    assert _run(["db", "query", "--tables-dir", tables,
+                 "--sql", "SELECT count(*) AS n FROM actions"]) == 0
+
+    # export writes a readable parquet copy
+    exp = str(tmp_path / "exp")
+    assert _run(["db", "export", "--tables-dir", tables, "--table", "actions",
+                 "--out", exp]) == 0
+    src = spark.read.parquet(os.path.join(tables, "actions.parquet")).count()
+    assert spark.read.parquet(exp).count() == src
+
+    # table-stats runs; clear removes exactly the one table and refuses escape
+    assert _run(["db", "table-stats", "--tables-dir", tables]) == 0
+    assert _run(["db", "clear", "--tables-dir", tables, "--table", "pools"]) == 0
+    assert not os.path.exists(os.path.join(tables, "pools.parquet"))
+    assert _run(["db", "clear", "--tables-dir", tables, "--table", "../escape"]) == 2
+
+
+def test_cli_run_matches_library(spark, tmp_path):
+    """CLI `run` output == run_composer called directly (no CLI-only logic)."""
+    from brontes_spark.inspectors.composer import run_composer
+    from brontes_spark.sources.fixtures import load_fixtures
+
+    tables = str(tmp_path / "tables")
+    out = str(tmp_path / "out")
+    assert _run(["db", "init", "--tables-dir", tables]) == 0
+    assert _run(["run", "--tables-dir", tables, "--out", out]) == 0
+    via_cli = (
+        spark.read.parquet(os.path.join(out, "mev_bundles"))
+        .select("block_number", "mev_type", "eoa", "profit_usd")
+        .orderBy("block_number", "mev_type", "eoa", "profit_usd")
+        .collect()
+    )
+    direct = (
+        run_composer(load_fixtures(spark))["bundles"]
+        .select("block_number", "mev_type", "eoa", "profit_usd")
+        .orderBy("block_number", "mev_type", "eoa", "profit_usd")
+        .collect()
+    )
+    assert via_cli == direct
