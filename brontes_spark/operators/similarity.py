@@ -8,15 +8,20 @@
     md5-seeded ±1 hyperplanes; ANN then probes only same-bucket candidates —
     an equality join on bucket id instead of an n² cross join.
 
-Both are pure DataFrame plans (posexplode + join + group), no UDFs: at scale
-the dominant cost is the candidate-pair shuffle, which LSH bounds.
+All pure DataFrame plans, no UDFs. Two vector representations, chosen per
+operator by measurement: exploded (id, pos, comp) rows (``_components``)
+feed the codegen'd join+groupBy sign projections of lsh_buckets, while
+un-exploded micro-unit long arrays (``_uvectors``) feed cosine_topk/ivf_topk,
+whose dot products run as in-row zip_with+aggregate folds so pair streams
+stay one row per pair (never ×dim). At scale the dominant cost is the
+candidate-pair shuffle, which LSH/IVF candidate blocking bounds.
 
 Arithmetic: components quantize to 6dp micro-units held in BIGINT (the
-unscaled value of the old decimal(9,6) representation). Products stay below
-2^42 and 64-dim sums below 2^53, so every intermediate is exact, every sum
-is order-independent, AND the whole pipeline runs on primitive longs inside
-whole-stage codegen instead of boxed decimals — measured ~3-5× faster on the
-dot-product stages. The final similarity divides two exact-double conversions
+unscaled value of the decimal(9,6) representation the oracle uses). Products
+stay below 2^42 and 64-dim sums below 2^53, so every intermediate is exact,
+every sum is order-independent, AND the whole pipeline runs on primitive
+longs instead of boxed decimals — measured ~3-5× faster on the dot-product
+stages. The final similarity divides two exact-double conversions
 (numerator < 2^53, norm products multiplied as doubles) so both engines emit
 the identical float, micro-unit scales cancelling in the ratio.
 """
@@ -45,10 +50,10 @@ def _components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _uvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, uvec array<long>, n2 bigint) — the un-exploded twin of
-    ``_components``: each vector quantized element-wise to 6dp micro-unit
-    longs (same dec9 rounding, so values are identical to the exploded
-    form) plus its exact squared norm, computed in-row with array HOFs.
+    """(id, uvec array<long>, n2 bigint) — each vector quantized
+    element-wise to 6dp micro-unit longs (dec9 performs the engine-agnostic
+    rounding, so values are identical to the oracle's exploded `comp` CTE)
+    plus its exact squared norm, computed in-row with array HOFs.
     Zero-length/null vectors are dropped, matching the exploded form where
     they produce no component rows.
     """
@@ -216,68 +221,47 @@ def ivf_topk(
     ~k_clusters/nprobe vs brute force, which is the IVF scaling story
     (recall trades off when a true neighbour lives outside probed cells).
 
-    All centroid-side relations are K×dim and broadcast; the only wide
-    shuffles are the per-vector assignment aggregation and the final
-    (query, candidate) dot-product aggregation.
+    The K×dim centroid side is broadcast as quantized arrays, assignment /
+    probe sims are in-row folds over N×K (resp. Q×K) pair rows, and the
+    refinement dot is in-row over the pruned candidate pairs — the only wide
+    shuffles left are the assignment top-1 window and the candidate-to-vector
+    equi-joins, all on fixed-width keys.
     """
-    # comp feeds assignment, probing, and the final dot pass — cache it
-    # (spills to disk at scale; 3 recomputed parquet explodes cost more).
-    # norms feeds assignment, probing, and the final similarity — cache too,
-    # so the repeated broadcasts don't re-aggregate the full corpus.
-    comp = _components(df, id_col, vec_col).cache()
-    norms = (
-        comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2")).cache()
-    )
+    # uv feeds assignment, probing, and the final dot pass — cache it (one
+    # row per vector with a dim-length long array; spills to disk at scale,
+    # 3 recomputed parquet scans + quantizations cost more).
+    uv = _uvectors(df, id_col, vec_col).cache()
 
     # first-K-by-md5 via sort+limit over the SOURCE ids (one row per vector,
     # no component explode): Spark plans TakeOrderedAndProject (per-partition
     # partial top-K, driver merge) — no single-partition global window even
-    # at billions of ids. Restricted to ids that actually explode to
-    # components (size > 0) so a null/empty vector can never seed a dead
+    # at billions of ids. Restricted to ids with non-empty vectors (uv
+    # already filters those) so a null/empty vector can never seed a dead
     # cluster — the oracle seeds from DISTINCT comp ids, and this filter is
     # the explode-free equivalent.
     seeds = (
-        df.filter(F.size(F.col(vec_col)) > 0)
-        .select(F.col(id_col).alias("id"))
-        .distinct()
+        uv.select("id")
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(k_clusters)
         .select(F.col("id").alias("cid_seed"))
     )
-    # K×dim rows; cache before broadcasting so cnorms derives without
-    # re-running the seed join
-    cents_df = (
-        comp.join(F.broadcast(seeds), comp["id"] == seeds["cid_seed"])
-        .select("cid_seed", "pos", F.col("comp").alias("ccomp"))
-        .cache()
-    )
-    cents = F.broadcast(cents_df)
-    # centroid norms from the cached centroid components (identical values
-    # to joining the full norms table — same components, exact integer sum)
-    cnorms = F.broadcast(
-        cents_df.groupBy("cid_seed").agg(
-            F.sum(F.col("ccomp") * F.col("ccomp")).alias("cn2")
+    cents = F.broadcast(
+        uv.join(F.broadcast(seeds), uv["id"] == seeds["cid_seed"]).select(
+            "cid_seed", F.col("uvec").alias("cuvec"), F.col("n2").alias("cn2")
         )
     )
 
     def sims_to_centroids(side: DataFrame) -> DataFrame:
-        # (id, cid_seed, sim): exact-decimal dot, deterministic double div
-        return (
-            side.join(cents, "pos")
-            .groupBy("id", "cid_seed")
-            .agg(F.sum(F.col("comp") * F.col("ccomp")).alias("dot"))
-            .join(norms, "id")
-            .join(cnorms, "cid_seed")
-            .withColumn(
-                "sim",
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
-            )
+        # (id, cid_seed, sim): broadcast NLJ to K centroids, in-row exact dot
+        return side.join(cents).withColumn(
+            "sim",
+            _dot("uvec", "cuvec").cast("double")
+            / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
         )
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     asg = (
-        sims_to_centroids(comp.repartition(n_part, F.col("id")))
+        sims_to_centroids(uv.repartition(n_part, F.col("id")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -289,9 +273,9 @@ def ivf_topk(
     )
 
     qids = df.filter(query_pred).select(F.col(id_col).alias("qid"))
-    qcomp = comp.join(qids, comp["id"] == qids["qid"]).select("id", "pos", "comp")
+    qv = uv.join(qids, uv["id"] == qids["qid"]).select("id", "uvec", "n2")
     probes = (
-        sims_to_centroids(qcomp)
+        sims_to_centroids(qv)
         .withColumn(
             "rn",
             F.row_number().over(
@@ -302,32 +286,23 @@ def ivf_topk(
         .select(F.col("id").alias("qid"), F.col("cid_seed").alias("cluster"))
     )
 
+    # candidate pairs from probed clusters only (the IVF pruning), then attach
+    # both vectors: candidate side by equi-join on id, query side broadcast.
     cand = F.broadcast(probes).join(asg, "cluster").filter(
         F.col("id") != F.col("qid")
     ).select("qid", F.col("id").alias("cid"))
-    q = comp.join(qids, comp["id"] == qids["qid"]).select(
-        F.col("qid"), "pos", F.col("comp").alias("qc")
-    )
-    # candidate-FIRST join order: expand the candidate list to components
-    # (|cand|·dim rows ≈ Q·N·nprobe/k_clusters·dim), then attach the
-    # broadcast query components. Joining q×comp on pos first would cost
-    # full brute-force Q·N·dim and throw the IVF pruning away.
-    dots = (
-        cand.join(
-            comp.select(F.col("id").alias("cid"), "pos", F.col("comp").alias("cc")),
-            "cid",
+    qarr = F.broadcast(
+        qv.select(
+            F.col("id").alias("qid"), F.col("uvec").alias("quvec"), F.col("n2").alias("qn2")
         )
-        .join(F.broadcast(q), ["qid", "pos"])
-        .groupBy("qid", "cid")
-        .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot"))
     )
     out = (
-        dots.join(F.broadcast(norms.select(F.col("id").alias("qid"), F.col("n2").alias("qn2"))), "qid")
-        .join(F.broadcast(norms.select(F.col("id").alias("cid"), F.col("n2").alias("cn2"))), "cid")
+        cand.join(uv.withColumnRenamed("id", "cid"), "cid")
+        .join(qarr, "qid")
         .withColumn(
             "sim",
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+            _dot("quvec", "uvec").cast("double")
+            / F.sqrt(F.col("qn2").cast("double") * F.col("n2").cast("double")),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
