@@ -61,6 +61,7 @@ DRIVER_ORDER: list[str] = [
     "x8_sessionize",
     # changed this round: must re-verify
     "q12_priority_pivot",    # oracle HUGEINT -> BIGINT cast
+    "q9_product_profit",     # new gate (round 3): completes the 22-query TPC-H sweep
     "ann_lsh_buckets",       # sign-dim now spark.range(dim)
     "ann_ivf_topk",          # centroid seeds from component-bearing ids
     "mev_composer_bundles",  # bundle_id xxhash64 -> md5; sandwich trim keys

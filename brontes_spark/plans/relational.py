@@ -1034,3 +1034,56 @@ def q20_majority_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+      CAST(CAST(SUM(
+          CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(8,6))
+          - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(4,2))
+            * CAST(l.l_quantity AS DECIMAL(12,2))
+        ) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.9 TPC-H q9 shape: product-type profit by supplier nation "
+    "and order year (testdata has no partsupp, so supply cost is the "
+    "deterministic proxy 1% of p_retailprice per unit; 5-table join, "
+    "LIKE-filtered dim, exact-decimal profit difference)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # every decimal product stays under precision 38 (cost term peaks at
+    # DECIMAL(30,6), the difference at DECIMAL(37,12)) so no intermediate
+    # rounding on either engine; the LIKE-filtered part dim broadcasts and
+    # prunes lineitem BEFORE the one shuffle join against orders.
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.01").cast("decimal(4,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    sn = supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(to_dbl(F.sum(_disc_price() - cost)).alias("sum_profit"))
+    )
