@@ -438,6 +438,48 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, m) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.m),
+    minr AS (SELECT node, MIN(m) AS mr FROM reach GROUP BY node),
+    cc AS (
+      SELECT d.doc_id, LEAST(d.doc_id, COALESCE(mr.mr, d.doc_id)) AS component
+      FROM documents d LEFT JOIN minr mr ON mr.node = d.doc_id)
+    SELECT component AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM cc GROUP BY component
+    """,
+    survey_ref="near-dup KEEP step: one canonical survivor (min doc_id) per "
+    "connected cluster of the n-gram-Jaccard pair graph + cluster size — the "
+    "document-level output a corpus dedup pass materializes (composes "
+    "ngram_jaccard_pairs -> graph_cc.connected_components -> groupBy)",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor list of the full near-dedup pipeline: cluster label = min
+    doc_id of the component (connected_components' convention), so keeping
+    the label row IS the deterministic keep-one policy; n_members = cluster
+    size (1 for non-duplicated docs). One extra groupBy(component) over the
+    CC labels — all scale work lives in the pair/CC operators."""
+    from ..operators.graph_cc import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", n=5, threshold=0.1
+    )
+    cc = connected_components(
+        pairs, "id_a", "id_b", vertices=docs.select(F.col("doc_id").alias("id_a"))
+    )
+    return cc.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+@register(
     "ann_ivf_topk",
     oracle=f"""
     WITH {_SQL_COMP},
