@@ -75,3 +75,36 @@ def test_no_cartesian_product(spark, name):
     cross joins must come through broadcast (BroadcastNestedLoopJoin)."""
     plan = _plan(spark, name, "simple")
     assert "CartesianProduct" not in plan
+
+
+def _n_shuffles(plan: str) -> int:
+    """Distinct shuffle Exchange nodes in a formatted plan (broadcast and
+    reused exchanges excluded)."""
+    import re
+
+    return len(
+        {
+            m.group(1)
+            for line in plan.splitlines()
+            for m in [re.match(r"\((\d+)\) Exchange$", line.strip())]
+            if m
+        }
+    )
+
+
+def test_lsh_sign_join_no_corpus_shuffle(spark):
+    """The planes x dim sign table must broadcast; the only shuffle allowed
+    is the per-id signature groupBy (a corpus-derived sign dim would add a
+    full-table Exchange before the join — the r2 scale bug)."""
+    plan = _plan(spark, "ann_lsh_buckets")
+    assert "BroadcastExchange" in plan
+    assert _n_shuffles(plan) == 1
+
+
+def test_cosine_topk_shuffle_budget(spark):
+    """Brute-force cosine pairs via broadcast + in-row array dots: exactly
+    the explicit parallelism repartition and the final top-k window may
+    shuffle — a pos-join/groupBy formulation would add x dim-row exchanges."""
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _n_shuffles(plan) == 2
