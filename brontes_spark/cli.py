@@ -221,6 +221,40 @@ def cmd_db_table_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_db_insert(args: argparse.Namespace) -> int:
+    """insert: append rows from a parquet file/dir into a landed table
+    (cli/db insert analog). The source must match the table's schema
+    exactly — unionByName refuses silent column drift."""
+    spark = _spark(args)
+    path = _table_path(args.tables_dir, args.table)
+    src = spark.read.parquet(args.source)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        if sorted(existing.columns) != sorted(src.columns):
+            print(
+                f"schema mismatch: table has {sorted(existing.columns)}, "
+                f"source has {sorted(src.columns)}",
+                file=sys.stderr,
+            )
+            return 2
+    src.write.mode("append").option("compression", "zstd").parquet(path)
+    print(f"inserted {src.count()} rows into {args.table}", file=sys.stderr)
+    return 0
+
+
+def cmd_db_snapshot(args: argparse.Namespace) -> int:
+    """snapshot: copy the whole tables dir (the reference publishes full-db
+    snapshots; here a snapshot is just the parquet tree)."""
+    src = os.path.realpath(args.tables_dir)
+    dst = os.path.realpath(args.out)
+    if dst == src or dst.startswith(src + os.sep):
+        print("snapshot target must be outside --tables-dir", file=sys.stderr)
+        return 2
+    shutil.copytree(src, dst, dirs_exist_ok=False)
+    print(f"snapshot written to {dst}", file=sys.stderr)
+    return 0
+
+
 def cmd_db_clear(args: argparse.Namespace) -> int:
     """clear: drop a landed table (refuses anything outside --tables-dir)."""
     path = _table_path(args.tables_dir, args.table)
@@ -271,6 +305,17 @@ def build_parser() -> argparse.ArgumentParser:
     st = dbsub.add_parser("table-stats")
     st.add_argument("--tables-dir", required=True)
     st.set_defaults(fn=cmd_db_table_stats)
+
+    ins = dbsub.add_parser("insert")
+    ins.add_argument("--tables-dir", required=True)
+    ins.add_argument("--table", required=True)
+    ins.add_argument("--source", required=True, help="parquet file/dir to append")
+    ins.set_defaults(fn=cmd_db_insert)
+
+    sn = dbsub.add_parser("snapshot")
+    sn.add_argument("--tables-dir", required=True)
+    sn.add_argument("--out", required=True)
+    sn.set_defaults(fn=cmd_db_snapshot)
 
     cl = dbsub.add_parser("clear")
     cl.add_argument("--tables-dir", required=True)

@@ -83,3 +83,28 @@ def test_cli_run_matches_library(spark, tmp_path):
         .collect()
     )
     assert via_cli == direct
+
+
+def test_cli_insert_and_snapshot(spark, tmp_path):
+    tables = str(tmp_path / "tables")
+    assert _run(["db", "init", "--tables-dir", tables]) == 0
+    before = spark.read.parquet(os.path.join(tables, "pools.parquet")).count()
+
+    # insert: re-append the table to itself via an exported copy
+    src = str(tmp_path / "src")
+    assert _run(["db", "export", "--tables-dir", tables, "--table", "pools",
+                 "--out", src]) == 0
+    assert _run(["db", "insert", "--tables-dir", tables, "--table", "pools",
+                 "--source", src]) == 0
+    assert spark.read.parquet(os.path.join(tables, "pools.parquet")).count() == 2 * before
+
+    # schema mismatch refused
+    assert _run(["db", "insert", "--tables-dir", tables, "--table", "pools",
+                 "--source", os.path.join(tables, "tx_info.parquet")]) == 2
+
+    # snapshot copies the tree; jailed against nesting inside the source
+    snap = str(tmp_path / "snap")
+    assert _run(["db", "snapshot", "--tables-dir", tables, "--out", snap]) == 0
+    assert spark.read.parquet(os.path.join(snap, "pools.parquet")).count() == 2 * before
+    assert _run(["db", "snapshot", "--tables-dir", tables,
+                 "--out", os.path.join(tables, "inner")]) == 2
