@@ -6,11 +6,14 @@ extraction) runs as Arrow-batched pandas iterators via ``mapInPandas`` — the
 pattern that scales: the JVM moves bytes, Python touches each batch once,
 and partition sizing (bytes per partition, not rows) bounds worker memory.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment, so
-the decode kernel is pluggable: `decode_fn` defaults to a deterministic
-stub that derives pseudo pixel statistics from the bytes themselves
-(md5-seeded), keeping schemas, batch shapes, and partitioning REAL and
-testable while the codec is swapped in production.
+Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
+`decode_bmp` — pure bytes + numpy, real pixels, real spatial features;
+`decode_image` sniffs and dispatches). Compressed formats (PNG/JPEG/video)
+need PIL/ffmpeg, which are NOT in this environment, so the kernel stays
+pluggable: pass a production codec via `decode_fn`; undecodable payloads
+raise into the quarantine path. `stub_decode` remains as the deterministic
+fake for plumbing tests. Schemas, Arrow batch shapes, and partitioning are
+identical across all three.
 """
 
 from __future__ import annotations
@@ -46,6 +49,108 @@ def stub_decode(data: bytes) -> dict:
         "mean_intensity": mean_intensity,
         "feature_vec": feature_vec,
     }
+
+
+def _gray_stats(px) -> dict:
+    """width/height/mean/16-dim grid features from an (H, W, 3) uint8 array."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype(np.float64).mean(axis=2) / 255.0
+    # 4x4 grid means: a real (if tiny) spatial feature vector
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    vec = [
+        float(gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean())
+        for i in range(4)
+        for j in range(4)
+    ]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_intensity": float(gray.mean()),
+        "feature_vec": vec,
+    }
+
+
+def decode_ppm(data: bytes) -> dict:
+    """Real decoder for binary PPM (P6): pure bytes + numpy, no codec libs.
+
+    Full header grammar (whitespace/comment tokens), 8-bit maxval only.
+    """
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # tokenize header: 3 integers (w, h, maxval), '#' comments run to EOL
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(data[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # single whitespace after maxval
+    need = w * h * 3
+    raw = data[pos : pos + need]
+    if len(raw) != need:
+        raise ValueError("truncated PPM pixel data")
+    return _gray_stats(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Real decoder for uncompressed 24-bit BMP: pure bytes + numpy."""
+    import struct
+
+    import numpy as np
+
+    if not data.startswith(b"BM") or len(data) < 54:
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = stride * h
+    raw = data[off : off + need]
+    if len(raw) != need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        px = px[::-1]  # bottom-up storage
+    return _gray_stats(px)
+
+
+def decode_image(data: bytes) -> dict:
+    """Container-sniffing decoder: REAL decode for the dependency-free
+    formats (PPM P6, uncompressed 24-bit BMP — pure bytes + numpy); anything
+    else raises for the caller's quarantine path, where a production
+    deployment plugs PIL/ffmpeg via `decode_fn`. The Spark-side plumbing
+    (schema, Arrow batching, partitioning) is identical either way.
+    """
+    if not data:
+        raise ValueError("empty payload")
+    if data.startswith(b"P6"):
+        return decode_ppm(data)
+    if data.startswith(b"BM"):
+        return decode_bmp(data)
+    raise ValueError("unsupported container (plug a codec via decode_fn)")
 
 
 def extract_image_features(
