@@ -120,7 +120,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     from .sources.sinks import searcher_stats, write_partitioned
 
     tables = _read_tables(spark, args.tables_dir)
-    missing = [t for t in INPUT_TABLES if t not in tables and t != "searcher_info"]
+    missing = [t for t in INPUT_TABLES if t not in tables]
     if missing:
         print(f"missing input tables under {args.tables_dir}: {missing}", file=sys.stderr)
         return 2
@@ -230,10 +230,12 @@ def cmd_db_insert(args: argparse.Namespace) -> int:
     src = spark.read.parquet(args.source)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
-        if sorted(existing.columns) != sorted(src.columns):
+        def sig(df):  # name AND type — appending type-drifted files corrupts the table
+            return sorted((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        if sig(existing) != sig(src):
             print(
-                f"schema mismatch: table has {sorted(existing.columns)}, "
-                f"source has {sorted(src.columns)}",
+                f"schema mismatch: table has {sig(existing)}, "
+                f"source has {sig(src)}",
                 file=sys.stderr,
             )
             return 2
@@ -249,6 +251,9 @@ def cmd_db_snapshot(args: argparse.Namespace) -> int:
     dst = os.path.realpath(args.out)
     if dst == src or dst.startswith(src + os.sep):
         print("snapshot target must be outside --tables-dir", file=sys.stderr)
+        return 2
+    if os.path.exists(dst):
+        print(f"snapshot target already exists: {dst}", file=sys.stderr)
         return 2
     shutil.copytree(src, dst, dirs_exist_ok=False)
     print(f"snapshot written to {dst}", file=sys.stderr)

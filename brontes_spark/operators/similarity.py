@@ -157,8 +157,18 @@ def lsh_buckets(
         comp = _components(df, id_col, vec_col)
     if dim is None:
         # one-row peek, not a corpus statistic: vectors are fixed-width, so
-        # any row carries the dimensionality (limit-1 scan, no shuffle)
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+        # any non-empty row carries the dimensionality (limit-1 scan with a
+        # pushed filter, no shuffle). Null/empty vectors are skipped — a
+        # null sample would yield size() = -1 and an empty sign table that
+        # silently dropped every bucket. An all-empty corpus leaves comp
+        # empty, so any positive dim produces the correct empty result.
+        rows = (
+            df.filter(F.size(F.col(vec_col)) > 0)
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .limit(1)
+            .collect()
+        )
+        dim = rows[0]["d"] if rows else 1
     sign_cols = [
         F.when(
             md5_bit(

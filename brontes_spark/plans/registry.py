@@ -62,6 +62,7 @@ DRIVER_ORDER: list[str] = [
     # changed this round: must re-verify
     "q12_priority_pivot",    # oracle HUGEINT -> BIGINT cast
     "q9_product_profit",     # new gate (round 3): completes the 22-query TPC-H sweep
+    "dedup_keep_canonical",  # new gate (round 3): near-dedup survivor list
     "ann_lsh_buckets",       # sign-dim now spark.range(dim)
     "ann_ivf_topk",          # centroid seeds from component-bearing ids
     "mev_composer_bundles",  # bundle_id xxhash64 -> md5; sandwich trim keys
@@ -95,8 +96,9 @@ DRIVER_ORDER: list[str] = [
     "q8_market_share",
     "q20_majority_supplier",
     # ---- entry 50 boundary: everything below rotates out this round ----
-    # (all r2-green with unchanged implementations; still run by the local
-    # parity suite every test cycle)
+    # (all r2-green; still run by the local parity suite every test cycle.
+    # A gate here whose implementation changes later must be added to
+    # FORCE_RECHECK so the adaptive order pulls it back into the window)
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
@@ -116,6 +118,18 @@ DRIVER_ORDER: list[str] = [
     "t6_anti_join",
     "q13_order_count_distribution",
 ]
+
+
+#: Gates whose IMPLEMENTATION changed after their last green driver row:
+#: history is overridden to "never verified" so they re-enter the driver's
+#: 50-entry window next round. Clear entries once the next CORRECTNESS file
+#: shows them green again (at which point history supersedes this anyway —
+#: a stale entry here only re-verifies a gate one extra round, never hides
+#: one).
+FORCE_RECHECK: set[str] = {
+    "ann_cosine_topk",        # round 3: in-row zip_with dot-product rewrite
+    "dedup_embedding_cosine", # round 3: array-refinement rewrite
+}
 
 
 def _driver_history() -> dict[str, int]:
@@ -169,7 +183,11 @@ def _ordered() -> list[str]:
     if not history:
         return names
     return sorted(
-        names, key=lambda n: (history.get(n, -1), base.get(n, len(base)))
+        names,
+        key=lambda n: (
+            -1 if n in FORCE_RECHECK else history.get(n, -1),
+            base.get(n, len(base)),
+        ),
     )
 
 

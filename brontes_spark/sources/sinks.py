@@ -22,18 +22,27 @@ BLOCK_BUCKET = 100_000  # blocks per output partition
 
 
 def write_partitioned(df: DataFrame, path: str, block_col: str = "block_number") -> None:
+    import os
+
     out = df.withColumn("block_bucket", (F.col(block_col) / BLOCK_BUCKET).cast("long"))
-    if df.isEmpty():
-        # a zero-row partitionBy write emits only _SUCCESS (no schema footer),
-        # leaving the directory unreadable; write one schema-only file instead
-        out.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(path)
-        return
     (
         out.write.mode("overwrite")
         .partitionBy("block_bucket")
         .option("compression", "zstd")
         .parquet(path)
     )
+    # a zero-row partitionBy write emits only _SUCCESS (no schema footer),
+    # leaving the directory unreadable. Detect from the written tree (a
+    # driver-side listing — an isEmpty() pre-check would execute the whole
+    # upstream DAG twice) and drop in one schema-only file; limit(0) folds
+    # to an empty LocalRelation, so this write runs no upstream compute.
+    has_data = any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    )
+    if not has_data:
+        out.limit(0).coalesce(1).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(path)
 
 
 def searcher_block_stats(bundles: DataFrame) -> DataFrame:

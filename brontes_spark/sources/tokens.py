@@ -39,6 +39,7 @@ _TOKEN_FIELDS = [
     ("liquidation", "debt_asset"),
     ("liquidation", "collateral_asset"),
     ("flash_loan", "assets"),  # array<string>
+    ("mint_burn_collect", "tokens"),  # array<string>
 ]
 
 
@@ -51,7 +52,7 @@ def referenced_tokens(actions: DataFrame) -> DataFrame:
     parts = []
     for variant, field in _TOKEN_FIELDS:
         col = F.col(f"{variant}.{field}")
-        if field == "assets":
+        if field in ("assets", "tokens"):  # the array-typed fields
             parts.append(
                 actions.select(F.explode_outer(col).alias("token")).where(
                     F.col("token").isNotNull()

@@ -34,3 +34,19 @@ def test_ivf_topk_narrow_probe_subsets_brute_force(spark, sf_dir):
     # ANN results are genuine vectors, ranked consistently per query
     for r in rows:
         assert 1 <= r["rnk"] <= 5 and r["neighbor_id"] != r["query_id"]
+
+
+def test_lsh_buckets_empty_and_null_vector_corpus(spark):
+    from brontes_spark.operators.similarity import lsh_buckets
+
+    schema = "vec_id long, embedding array<float>"
+    # empty corpus: no crash, empty result (the dim peek has no row to sample)
+    empty = spark.createDataFrame([], schema)
+    assert lsh_buckets(empty, "vec_id", "embedding").count() == 0
+    # null/empty vectors first in scan order must not poison the dim peek:
+    # real vectors still bucket, null/empty ones drop (no component rows)
+    rows = [(1, None), (2, []), (3, [1.0, -1.0, 0.5]), (4, [1.0, -1.0, 0.5])]
+    out = {r["id"]: r["bucket"] for r in
+           lsh_buckets(spark.createDataFrame(rows, schema), "vec_id", "embedding").collect()}
+    assert set(out) == {3, 4}
+    assert out[3] == out[4]  # identical vectors share a bucket

@@ -81,3 +81,26 @@ def test_missing_token_quarantine_and_backfill(spark):
     assert swap2["amount_in"] == Decimal(5)
     assert swap2["amount_out"] == Decimal(3)
     assert missing_token_report(_classified(spark, enriched), enriched).count() == 0
+
+
+def test_mint_burn_collect_tokens_quarantined(spark):
+    """A token referenced ONLY by mint/burn rows must reach the C12 report."""
+    from decimal import Decimal
+
+    import brontes_spark.schemas as S
+    from brontes_spark.sources.tokens import missing_token_report
+
+    row = {f.name: None for f in S.ACTIONS_SCHEMA.fields}
+    row.update(
+        block_number=1, tx_hash="0xa", tx_index=0, trace_idx=1,
+        trace_address=[0], action_type="mint",
+        mint_burn_collect={
+            "from": "0xeoa", "recipient": "0xeoa", "pool": "0xpool",
+            "tokens": ["0xmintonly", "0xknown"],
+            "amounts": [Decimal("1000"), Decimal("2000")],
+        },
+    )
+    actions = spark.createDataFrame([row], S.ACTIONS_SCHEMA)
+    dims = spark.createDataFrame([("0xknown", 18)], "address string, decimals int")
+    missing = [r["token"] for r in missing_token_report(actions, dims).collect()]
+    assert missing == ["0xmintonly"]
