@@ -29,7 +29,7 @@ def _covered_transfers(actions: DataFrame) -> DataFrame:
     t = actions.filter(F.col("action_type") == "transfer").select(
         "block_number", "tx_hash", "trace_idx", F.col("transfer.*")
     )
-    s = actions.filter(F.col("action_type") == "swap").select(
+    s = actions.filter(F.col("action_type").isin("swap", "swap_with_fee")).select(
         "block_number", "tx_hash", F.col("swap.*")
     )
     in_leg = t.join(
@@ -73,7 +73,8 @@ def action_deltas(actions: DataFrame) -> DataFrame:
         )
 
     sw = explode_deltas(
-        acts.filter(F.col("action_type") == "swap"),
+        # swap_with_fee keeps the (fee-adjusted) swap struct — same deltas
+        acts.filter(F.col("action_type").isin("swap", "swap_with_fee")),
         [
             (F.col("swap.from"), F.col("swap.token_in"), -F.col("swap.amount_in")),
             (F.col("swap.recipient"), F.col("swap.token_out"), F.col("swap.amount_out")),
@@ -90,24 +91,56 @@ def action_deltas(actions: DataFrame) -> DataFrame:
             (F.col("transfer.to"), F.col("transfer.token"), F.col("transfer.amount")),
         ],
     )
-    # mint: provider pays tokens in; burn/collect: recipient receives
-    # (normalized_actions/mod.rs:567-589 per-variant delta impls)
-    mbc = acts.filter(F.col("action_type").isin("mint", "burn", "collect")).select(
-        "block_number",
-        "tx_hash",
-        "tx_index",
-        F.col("mint_burn_collect.from").alias("address"),
-        F.when(F.col("action_type") == "mint", F.lit(-1)).otherwise(F.lit(1)).alias("sign"),
-        F.explode(
-            F.arrays_zip(
-                F.col("mint_burn_collect.tokens").alias("token"),
-                F.col("mint_burn_collect.amounts").alias("amt"),
-            )
-        ).alias("z"),
-    ).select(
-        "block_number", "tx_hash", "tx_index", "address",
-        F.col("z.token").alias("token"),
-        (F.col("sign") * F.col("z.amt")).alias("amount"),
+    # mint: `from` pays tokens in, the POOL receives them; burn/collect: the
+    # POOL pays out, `recipient` receives (falling back to `from` when the
+    # decoder saw no distinct recipient) — both sides booked, exactly the
+    # reference's per-variant impls (liquidity.rs:34-88 apply_delta pairs)
+    holder = F.when(
+        F.col("action_type") == "mint", F.col("mint_burn_collect.from")
+    ).otherwise(
+        F.coalesce(F.col("mint_burn_collect.recipient"), F.col("mint_burn_collect.from"))
+    )
+    sign = F.when(F.col("action_type") == "mint", F.lit(-1)).otherwise(F.lit(1))
+    mbc = (
+        acts.filter(F.col("action_type").isin("mint", "burn", "collect"))
+        .select(
+            "block_number",
+            "tx_hash",
+            "tx_index",
+            holder.alias("holder"),
+            F.col("mint_burn_collect.pool").alias("pool"),
+            sign.alias("sign"),
+            F.explode(
+                F.arrays_zip(
+                    F.col("mint_burn_collect.tokens").alias("token"),
+                    F.col("mint_burn_collect.amounts").alias("amt"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "block_number",
+            "tx_hash",
+            "tx_index",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("holder").alias("address"),
+                        F.col("z.token").alias("token"),
+                        (F.col("sign") * F.col("z.amt")).alias("amount"),
+                    ),
+                    F.struct(
+                        F.col("pool").alias("address"),
+                        F.col("z.token").alias("token"),
+                        (-F.col("sign") * F.col("z.amt")).alias("amount"),
+                    ),
+                )
+            ).alias("d"),
+        )
+        .select(
+            "block_number", "tx_hash", "tx_index",
+            "d.address", "d.token", "d.amount",
+        )
+        .filter(F.col("address").isNotNull())
     )
     lq = explode_deltas(
         acts.filter(F.col("action_type") == "liquidation"),

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .accounting import action_deltas, gas_usd, usd_deltas
+from .accounting import searcher_addresses, action_deltas, gas_usd, usd_deltas
 
 MAX_PROFIT_USD = 15_000_000   # mev_inspectors/mod.rs:12
 MIN_PROFIT_USD = -15_000_000  # mev_inspectors/mod.rs:13
@@ -148,7 +148,7 @@ def atomic_arb_bundles(
     deltas: DataFrame | None = None,
     gas: DataFrame | None = None,
 ) -> DataFrame:
-    swaps = actions.filter(F.col("action_type") == "swap").select(
+    swaps = actions.filter(F.col("action_type").isin("swap", "swap_with_fee")).select(
         "block_number", "tx_hash", "tx_index", "trace_idx", F.col("swap.*")
     )
     seqs = (
@@ -175,8 +175,8 @@ def atomic_arb_bundles(
         deltas = usd_deltas(action_deltas(actions), dex_prices)
     if gas is None:
         gas = gas_usd(tx_info, block_info)
-    addr_sets = tx_info.select(
-        "tx_hash", F.array_compact(F.array("eoa", "mev_contract")).alias("searcher_set")
+    addr_sets = searcher_addresses(tx_info).withColumnRenamed(
+        "addresses", "searcher_set"
     )
     rev = (
         deltas.join(addr_sets, "tx_hash")

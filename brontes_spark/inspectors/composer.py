@@ -45,9 +45,14 @@ PRIORITY = {
     "liquidation": 50,
     "atomic_arb:triangle": 60,
     "atomic_arb:cross_pair": 70,
+    "atomic_arb:stablecoin": 75,  # weakest closed-arb signal (validation matrix)
     "atomic_arb:long_tail": 80,
     "searcher_tx": 90,
 }
+
+#: any mev_type not in PRIORITY must sort LAST, never first: a null priority
+#: would win the nulls-first ascending rank and invert precedence
+_PRIORITY_DEFAULT = 1000
 
 _BCOLS = [
     "block_number", "tx_hashes", "eoa", "mev_contract", "mev_type",
@@ -177,7 +182,9 @@ def dedup_by_precedence(bundles: DataFrame) -> DataFrame:
     # md5-derived id, per the repo-wide hash policy (functions/hashing.py):
     # this id is the final dedup tie-break, so an engine twin replaying the
     # same bundles must derive the identical id — xxhash64 would not.
-    b = bundles.withColumn("priority", prio[F.col("mev_type")]).withColumn(
+    b = bundles.withColumn(
+        "priority", F.coalesce(prio[F.col("mev_type")], F.lit(_PRIORITY_DEFAULT))
+    ).withColumn(
         "bundle_id",
         md5_long(
             F.concat_ws(
@@ -262,7 +269,16 @@ def block_analysis_wide(
 
     DEC = "decimal(38,18)"
     b = (
-        bundles.withColumn("family", F.split("mev_type", ":")[0])
+        # family = mev_type sans subkind; the quotes variant counts under
+        # cex_dex (the reference's cex_dex_* fields count MevType::CexDexQuotes,
+        # block_analysis.rs:1521-1523). jit_cex_dex has NO per-family block in
+        # the reference — those bundles feed only "all", matching here.
+        bundles.withColumn(
+            "family",
+            F.when(
+                F.col("mev_type") == "cex_dex_quotes", F.lit("cex_dex")
+            ).otherwise(F.split("mev_type", ":")[0]),
+        )
         .withColumn("head_tx", F.col("tx_hashes")[0])
         .join(
             F.broadcast(searcher_info.select(F.col("address").alias("eoa"), "fund")),

@@ -50,13 +50,13 @@ def jit_bundles(
     w = W.partitionBy("block_number", "pool", "actor", "front_hash").orderBy("back_index")
     cand = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
-    victims = actions.filter(F.col("action_type") == "swap").select(
+    victims = actions.filter(F.col("action_type").isin("swap", "swap_with_fee")).select(
         F.col("block_number").alias("v_block"),
         F.col("tx_hash").alias("v_hash"),
         F.col("tx_index").alias("v_index"),
         F.col("swap.pool").alias("v_pool"),
     )
-    with_victims = (
+    per_pool = (
         cand.join(
             victims,
             (F.col("v_block") == F.col("block_number"))
@@ -68,7 +68,23 @@ def jit_bundles(
             "block_number", "pool", "actor", "eoa", "mev_contract",
             "front_hash", "back_hash",
         )
-        .agg(F.sort_array(F.collect_set("v_hash")).alias("victim_hashes"))
+        .agg(F.collect_set("v_hash").alias("pool_victims"))
+    )
+    # ONE bundle per (front, back) tx pair: a multi-pool mint/burn pair is a
+    # single JIT whose victim set unions across its pools (the reference
+    # builds one bundle per possible-jit pair, jit_liquidity.rs:62-120) —
+    # keeping per-pool rows here would double-count the pair's deltas/gas
+    # downstream and emit duplicate bundles.
+    with_victims = (
+        per_pool.groupBy(
+            "block_number", "actor", "eoa", "mev_contract",
+            "front_hash", "back_hash",
+        )
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("pool_victims")))
+            ).alias("victim_hashes")
+        )
         # non-empty, and ≤20 victims total (jit_liquidity.rs:599; the ≤10
         # victim-SET cap at :568 is per multi-frontrun chain — our one-pair
         # candidates have exactly one set, so the 20-victim cap binds)
@@ -82,7 +98,7 @@ def jit_bundles(
     if gas is None:
         gas = gas_usd(tx_info, block_info)
     pair_txs = with_victims.select(
-        "block_number", "pool", "actor", "eoa", "mev_contract",
+        "block_number", "actor", "eoa", "mev_contract",
         "front_hash", "back_hash", "victim_hashes",
         F.explode(F.array("front_hash", "back_hash")).alias("tx_hash"),
     )

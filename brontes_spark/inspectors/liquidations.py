@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .accounting import action_deltas, gas_usd, usd_deltas
+from .accounting import action_deltas, gas_usd, searcher_addresses, usd_deltas
 
 
 def liquidation_bundles(
@@ -19,16 +19,26 @@ def liquidation_bundles(
     deltas: DataFrame | None = None,
     gas: DataFrame | None = None,
 ) -> DataFrame:
-    liq_txs = actions.filter(F.col("action_type") == "liquidation").select(
-        "block_number", "tx_hash",
-        F.col("liquidation.liquidator").alias("liquidator"),
-    ).distinct()
+    # ONE bundle per tx (the reference emits one per TxInfo,
+    # liquidations.rs:56-76): a tx with liquidation actions by several
+    # liquidator addresses must not fan out into per-liquidator bundles
+    # each charged the tx's full gas. Revenue accrues to the tx's searcher
+    # address set (eoa + mev_contract — collect_address_set_for_accounting).
+    liq_txs = (
+        actions.filter(F.col("action_type") == "liquidation")
+        .select("block_number", "tx_hash")
+        .distinct()
+    )
     if deltas is None:
         deltas = usd_deltas(action_deltas(actions), dex_prices)
+    searchers = searcher_addresses(tx_info).withColumnRenamed(
+        "addresses", "searcher_set"
+    )
     rev = (
         liq_txs.join(deltas, ["block_number", "tx_hash"])
-        .filter(F.col("address") == F.col("liquidator"))
-        .groupBy("block_number", "tx_hash", "liquidator")
+        .join(searchers, "tx_hash")
+        .filter(F.array_contains(F.col("searcher_set"), F.col("address")))
+        .groupBy("block_number", "tx_hash")
         .agg(F.sum("usd").alias("revenue_usd"))
     )
     if gas is None:

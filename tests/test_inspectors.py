@@ -444,3 +444,172 @@ def test_propeller_solver_contract_tag(spark):
     row = out[0].asDict()
     assert row["tx_hashes"] == ["0xs1"] and row["mev_type"] == "searcher_tx"
     assert row["profit_usd"] == Decimal(29)
+
+
+def _mini_env(spark, tx_hashes, block=1, ts=1_700_000_000):
+    """tx_info/block_info/dex_prices scaffolding: $1 gas per tx, all prices $1."""
+    from brontes_spark import schemas as S
+
+    tx_info = spark.createDataFrame(
+        [
+            (block, i, h, "0xs", None, 1_000_000, 10**12, 10**9, Decimal(0), False, True)
+            for i, h in enumerate(tx_hashes)
+        ],
+        S.TX_INFO_SCHEMA,
+    )
+    block_info = spark.createDataFrame(
+        [dict(block_number=block, block_timestamp=ts, beneficiary="0xb",
+              eth_price=Decimal(1), proposer_fee_recipient=None,
+              proposer_mev_reward=None)],
+        S.BLOCK_INFO_SCHEMA,
+    )
+    dex_prices = spark.createDataFrame(
+        [
+            (block, i, tok, Decimal(1), None, None)
+            for i in range(len(tx_hashes))
+            for tok in ("0xusd", "0xtoka", "0xtokb")
+        ],
+        S.DEX_PRICES_SCHEMA,
+    )
+    return tx_info, block_info, dex_prices
+
+
+def test_cex_dex_multi_swap_tx_single_bundle(spark):
+    """A tx with two swaps (different tokens) must price each swap against
+    its OWN token's trades and emit ONE bundle summing both markouts —
+    tx_hash-only anchors cross-joined the legs and duplicated bundles."""
+    from brontes_spark import schemas as S
+
+    A, B, USD = "0xtoka", "0xtokb", "0xusd"
+    TS = 1_700_000_000
+
+    def swap_row(ti, tin, ain, aout):
+        return dict(
+            block_number=1, tx_hash="0xmulti", tx_index=0, trace_idx=ti,
+            trace_address=[ti], action_type="swap", protocol="UniswapV2",
+            swap={"from": "0xs", "recipient": "0xs", "pool": "0xp",
+                  "token_in": tin, "token_out": USD,
+                  "amount_in": Decimal(ain), "amount_out": Decimal(aout)},
+            transfer=None, mint_burn_collect=None, liquidation=None,
+        )
+
+    actions = spark.createDataFrame(
+        [swap_row(0, A, "100", "111"), swap_row(1, B, "50", "60")], S.ACTIONS_SCHEMA
+    )
+    trades = spark.createDataFrame(
+        [
+            ("ex", A, USD, (TS - 1) * 1_000_000, Decimal("1.00"), Decimal("200")),
+            ("ex", B, USD, (TS - 1) * 1_000_000, Decimal("1.00"), Decimal("200")),
+        ],
+        S.CEX_TRADES_SCHEMA,
+    )
+    tx_info, block_info, dex_prices = _mini_env(spark, ["0xmulti"])
+    rows = [r.asDict() for r in
+            cex_dex_bundles(actions, tx_info, dex_prices, block_info, trades).collect()]
+    assert len(rows) == 1
+    # per-swap markouts: (111-100) + (60-50) = 21; gas $1 charged once
+    assert rows[0]["revenue_usd"] == Decimal("21")
+    assert rows[0]["gas_usd"] == Decimal("1")
+    assert rows[0]["profit_usd"] == Decimal("20")
+
+
+def test_jit_multi_pool_pair_single_bundle(spark):
+    """A mint/burn pair touching TWO pools is ONE JIT bundle with the union
+    of victims — per-pool rows double-counted deltas/gas and duplicated
+    bundles."""
+    from brontes_spark import schemas as S
+
+    A = "0xtoka"
+
+    def mbc_row(txh, ti, kind, pool, amt, txi):
+        return dict(
+            block_number=1, tx_hash=txh, tx_index=txi, trace_idx=ti,
+            trace_address=[ti], action_type=kind, protocol="UniswapV3",
+            swap=None, transfer=None,
+            mint_burn_collect={"from": "0xs", "recipient": "0xs", "pool": pool,
+                               "tokens": [A], "amounts": [Decimal(amt)]},
+            liquidation=None,
+        )
+
+    def victim_swap(txh, txi, pool):
+        return dict(
+            block_number=1, tx_hash=txh, tx_index=txi, trace_idx=0,
+            trace_address=[0], action_type="swap", protocol="UniswapV3",
+            swap={"from": "0xv", "recipient": "0xv", "pool": pool,
+                  "token_in": A, "token_out": "0xusd",
+                  "amount_in": Decimal(1), "amount_out": Decimal(1)},
+            transfer=None, mint_burn_collect=None, liquidation=None,
+        )
+
+    actions = spark.createDataFrame(
+        [
+            mbc_row("0xf", 0, "mint", "0xp1", "10", 0),
+            mbc_row("0xf", 1, "mint", "0xp2", "10", 0),
+            victim_swap("0xv1", 1, "0xp1"),
+            victim_swap("0xv2", 1, "0xp2"),
+            mbc_row("0xb", 0, "burn", "0xp1", "12", 2),
+            mbc_row("0xb", 1, "burn", "0xp2", "12", 2),
+        ],
+        S.ACTIONS_SCHEMA,
+    )
+    tx_info, block_info, dex_prices = _mini_env(spark, ["0xf", "0xv1", "0xb"])
+    rows = [r.asDict() for r in
+            jit_bundles(actions, tx_info, dex_prices, block_info).collect()]
+    assert len(rows) == 1
+    # searcher deltas: -10-10 (mints) +12+12 (burns) = +4 A @ $1; gas 2x$1
+    assert rows[0]["revenue_usd"] == Decimal("4")
+    assert rows[0]["gas_usd"] == Decimal("2")
+    assert set(rows[0]["tx_hashes"][1:-1]) == {"0xv1", "0xv2"}
+
+
+def test_liquidation_multi_liquidator_tx_single_bundle(spark):
+    """One tx, liquidation actions by two liquidator addresses: ONE bundle
+    per tx (reference builds per-TxInfo), gas charged once, revenue over the
+    tx's searcher set."""
+    from brontes_spark import schemas as S
+
+    def liq_row(ti, liquidator, covered, seized):
+        return dict(
+            block_number=1, tx_hash="0xliq2", tx_index=0, trace_idx=ti,
+            trace_address=[ti], action_type="liquidation", protocol="AaveV3",
+            swap=None, transfer=None, mint_burn_collect=None,
+            liquidation={"pool": "0xaave", "liquidator": liquidator,
+                         "debtor": "0xd", "collateral_asset": "0xtoka",
+                         "debt_asset": "0xusd",
+                         "covered_debt": Decimal(covered),
+                         "liquidated_collateral": Decimal(seized)},
+        )
+
+    actions = spark.createDataFrame(
+        [liq_row(0, "0xs", "60", "100"), liq_row(1, "0xother", "10", "30")],
+        S.ACTIONS_SCHEMA,
+    )
+    tx_info, block_info, dex_prices = _mini_env(spark, ["0xliq2"])
+    rows = [r.asDict() for r in
+            liquidation_bundles(actions, tx_info, dex_prices, block_info).collect()]
+    assert len(rows) == 1
+    # only the tx searcher set (eoa=0xs): +100 collateral - 60 debt = 40;
+    # 0xother's deltas are not the searcher's; gas $1 once
+    assert rows[0]["revenue_usd"] == Decimal("40")
+    assert rows[0]["gas_usd"] == Decimal("1")
+
+
+def test_stablecoin_arb_subordinate_to_sandwich(spark):
+    """atomic_arb:stablecoin must have a (non-null) LOW precedence: a null
+    priority sorted first and dropped the dominant sandwich instead."""
+    from brontes_spark.inspectors.composer import dedup_by_precedence
+
+    rows = [
+        (1, ["0xf", "0xv", "0xb"], "0xe1", None, "sandwich",
+         Decimal(10), Decimal(12), Decimal(2)),
+        (1, ["0xv"], "0xe2", None, "atomic_arb:stablecoin",
+         Decimal(1), Decimal(2), Decimal(1)),
+    ]
+    bundles = spark.createDataFrame(
+        rows,
+        "block_number long, tx_hashes array<string>, eoa string, "
+        "mev_contract string, mev_type string, profit_usd decimal(38,18), "
+        "revenue_usd decimal(38,18), gas_usd decimal(38,18)",
+    )
+    kept = [r["mev_type"] for r in dedup_by_precedence(bundles).collect()]
+    assert kept == ["sandwich"]
