@@ -68,6 +68,8 @@ def asof_join(
     matched = unioned.withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     ).filter(F.col("__tag") == 1)
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: unknown how={how!r} (use 'inner' or 'left')")
     if how == "inner":
         # test the struct itself, not its first field — a matched right row
         # whose first payload column is legitimately NULL must survive

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.decimals import to_dbl
+
 from .asof import asof_join
 
 
@@ -62,8 +64,13 @@ def most_liquid_quote(
 ) -> DataFrame:
     """X2: per target, the quote from the best-ranked exchange that has a
     fresh quote (first-non-null in rank order → min_by over successes)."""
+    # `exchange` stays in the output: the winner's identity feeds X3
+    # fee adjustment downstream (per-exchange maker/taker fees), and it is
+    # the final window tiebreak — (rank, q_ts) alone is not a total order
+    # when two exchanges share a rank or print at the same microsecond,
+    # which would make the winner partition-order nondeterministic.
     q = quotes.join(exchange_rank, ["base_token", "quote_token", "exchange"]).select(
-        "base_token", "quote_token", "rank",
+        "base_token", "quote_token", "exchange", "rank",
         F.col("timestamp").alias("q_ts"), "ask_price", "bid_price",
     )
     pairs = targets.join(q, ["base_token", "quote_token"]).filter(
@@ -71,7 +78,7 @@ def most_liquid_quote(
         & (F.col("ts") - F.col("q_ts") <= max_time_diff_us)
     )
     w = W.partitionBy("target_id").orderBy(
-        F.col("rank").asc(), F.col("q_ts").desc()
+        F.col("rank").asc(), F.col("q_ts").desc(), F.col("exchange").asc()
     )
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
@@ -132,8 +139,8 @@ def optimistic_vwap(
     w = W.partitionBy("anchor_id").orderBy(F.col("price").asc(), F.col("tick_id").asc())
     cum = j.withColumn("cum_vol", F.sum("vol").over(w))
     taken = cum.filter(F.col("cum_vol") - F.col("vol") < F.col("required_vol"))
-    spv6 = F.sum(F.col("price") * F.col("vol")).cast("decimal(38,6)").cast("double")
-    svol6 = F.sum("vol").cast("decimal(38,6)").cast("double")
+    spv6 = to_dbl(F.sum(F.col("price") * F.col("vol")))
+    svol6 = to_dbl(F.sum("vol"))
     return (
         taken.groupBy("anchor_id", "required_vol")
         .agg(

@@ -137,6 +137,11 @@ def minhash_lsh_pairs(
     # (operands < 2^31 so products fit a checked BIGINT). All `num_hashes`
     # minima fold into ONE groupBy(id) as parallel min columns — no seed
     # explode, so shuffle volume is |shingles| rows, not |shingles|·seeds.
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide into bands of {band_size}: "
+            "trailing signature values would be silently dropped"
+        )
     sh = _doc_shingles(df, id_col, text_col, n).withColumn(
         "b31", F.col("shingle_h") % F.lit(2147483647)
     )

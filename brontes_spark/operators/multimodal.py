@@ -217,9 +217,11 @@ def frame_sample_plan(
     expensive Python boundary touches exactly the sampled frames, not the
     whole video.
     """
-    return df.select(
+    # zero-frame items yield NO rows (greatest(n-1, 0) would otherwise emit
+    # a phantom frame 0 that does not exist, sending the decoder a dead index)
+    return df.filter(F.col(n_frames_col) > 0).select(
         F.col(id_col).alias("item_id"),
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_k))
+            F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_k))
         ).alias("frame_idx"),
     )

@@ -69,6 +69,13 @@ def _uvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                 "uvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x
             ),
         )
+        # zero-NORM vectors (all components quantize to 0) must also drop:
+        # their cosine is 0/0 = NaN, which Spark ranks ABOVE every real
+        # similarity (NaN sorts last-desc-first) and which passes >=
+        # threshold filters — a zero embedding would become everyone's top
+        # neighbor and a universal "near-duplicate". The oracle twins apply
+        # the same n2 > 0 guard in their norms CTEs.
+        .filter(F.col("n2") > 0)
     )
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.decimals import to_dbl
+
 
 def expanding_vwap(
     anchors: DataFrame,   # anchor_id, key, anchor_ts, required_vol (decimal)
@@ -65,8 +67,8 @@ def expanding_vwap(
     # scale-6 normalization before double (see functions/decimals.to_dbl):
     # price*vol carries <= 6dp of true content, so this is exact and keeps
     # the unscaled value below 2^53 → engine-identical doubles.
-    spv6 = F.sum("spv").cast("decimal(38,6)").cast("double")
-    svol6 = F.sum("svol").cast("decimal(38,6)").cast("double")
+    spv6 = to_dbl(F.sum("spv"))
+    svol6 = to_dbl(F.sum("svol"))
     return (
         per_step.join(cutoff, "anchor_id")
         .filter(F.col("step") <= F.col("cutoff_step"))

@@ -51,7 +51,8 @@ def rank_by_group(
     order = [measure.desc(), F.col(tiebreak).asc()]
     w = W.partitionBy(*keys).orderBy(*order) if keys else W.orderBy(*order)
     out = df.withColumn(rank_col, F.row_number().over(w))
-    return out.filter(F.col(rank_col) <= top_k) if top_k else out
+    # `is not None`, not truthiness: top_k=0 legitimately means zero rows
+    return out.filter(F.col(rank_col) <= top_k) if top_k is not None else out
 
 
 def keep_largest(

@@ -333,7 +333,8 @@ _SQL_COMP = """
     "ann_cosine_topk",
     oracle=f"""
     WITH {_SQL_COMP},
-    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id),
+    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id
+              HAVING SUM(comp * comp) > 0),
     q AS (SELECT c.id AS qid, c.pos, c.comp AS qc FROM comp c WHERE c.id % 100 = 0),
     dots AS (
       SELECT q.qid, c.id AS cid, SUM(q.qc * c.comp) AS dot
@@ -483,11 +484,12 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=f"""
     WITH {_SQL_COMP},
-    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id),
+    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id
+              HAVING SUM(comp * comp) > 0),
     seeds AS (
       SELECT id AS cid_seed FROM (
         SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
-        FROM (SELECT DISTINCT id FROM comp))
+        FROM norms)
       WHERE rn <= 8),
     cents AS (
       SELECT s.cid_seed, c.pos, c.comp AS ccomp
@@ -569,7 +571,8 @@ _SQL_BUCKETS = """
     "dedup_embedding_cosine",
     oracle=f"""
     WITH {_SQL_COMP},
-    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id),
+    norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id
+              HAVING SUM(comp * comp) > 0),
     {_SQL_BUCKETS},
     cand AS (
       SELECT a.id AS id_a, b.id AS id_b
@@ -626,8 +629,8 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     oracle="""
     SELECT doc_id AS item_id,
-           unnest(range(0, greatest(n_chars - 1, 0) + 1, 30)) AS frame_idx
-    FROM documents
+           unnest(range(0, n_chars - 1 + 1, 30)) AS frame_idx
+    FROM documents WHERE n_chars > 0
     """,
     survey_ref="multimodal frame-sampling plan (operators/multimodal."
     "frame_sample_plan): sampled indices are pure JVM column math; only the "

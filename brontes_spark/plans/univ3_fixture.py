@@ -173,13 +173,16 @@ def _quote_values() -> str:
     # tests/test_univ3_swap.py (output monotonicity, fee accounting,
     # boundary clamping). Cases cover: in-range partial step (no cross),
     # two upward crossings with net-liquidity application, a deep
-    # out-of-table walk, and liquidity exhaustion stopping the walk.
+    # out-of-table walk, and (pool2) swaps that exhaust the only position:
+    # with zero liquidity beyond, the price slides through the empty range
+    # to the MIN/MAX tick with no further output — Uniswap's unlimited
+    # exact-input behavior (amounts unchanged vs stopping at the boundary).
     rows = [
         ("'0xv3pool1'", "'10000'", "true", "'9578'", "'30'", -727, 0),
         ("'0xv3pool1'", "'10000'", "false", "'9752'", "'31'", 542, 2),
         ("'0xv3pool1'", "'2000000'", "true", "'259663'", "'6000'", -40698, 0),
-        ("'0xv3pool2'", "'5000'", "true", "'89'", "'1'", -31, 1),
-        ("'0xv3pool2'", "'300000'", "false", "'29'", "'1'", 30, 1),
+        ("'0xv3pool2'", "'5000'", "true", "'89'", "'1'", -887272, 1),
+        ("'0xv3pool2'", "'300000'", "false", "'29'", "'1'", 887272, 1),
     ]
     values = ",\n      ".join(
         f"({p}, {ain}, {zfo}, {aout}, {fee}, {tick}, {crossed})"

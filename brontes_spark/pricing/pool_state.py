@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 AMOUNT = "decimal(38,18)"
 
 
+def _signed_side_amount(side_col: str):
+    """±amount of the pool's canonical `side_col` token in a mint/burn row.
+
+    `array_position` returns 0 when the token is absent (single-sided
+    mint/burn, or a token-address mismatch vs the pools dim), and Spark's
+    `element_at(arr, 0)` RAISES — so the position is guarded and an absent
+    side contributes a 0 delta instead of killing the stage.
+    """
+    pos = F.array_position(F.col("tokens"), F.col(side_col)).cast("int")
+    amt = F.when(pos > 0, F.element_at(F.col("amounts"), pos)).otherwise(
+        F.lit(0).cast(AMOUNT)
+    )
+    sign = F.when(F.col("kind") == "mint", F.lit(1)).otherwise(F.lit(-1))
+    return (sign * amt).cast(AMOUNT)
+
+
 def univ2_reserve_deltas(actions: DataFrame, pools: DataFrame) -> DataFrame:
     """Per (pool, block, tx_index, trace_idx): the (d0, d1) reserve deltas
     contributed by each swap/mint/burn action, oriented by the pool's
@@ -63,18 +79,8 @@ def univ2_reserve_deltas(actions: DataFrame, pools: DataFrame) -> DataFrame:
         .join(dim, "pool")
         .select(
             "pool", "block_number", "tx_index", "trace_idx",
-            (
-                F.when(F.col("kind") == "mint", F.lit(1)).otherwise(F.lit(-1))
-                * F.element_at(
-                    F.col("amounts"), F.array_position(F.col("tokens"), F.col("token0")).cast("int")
-                )
-            ).cast(AMOUNT).alias("d0"),
-            (
-                F.when(F.col("kind") == "mint", F.lit(1)).otherwise(F.lit(-1))
-                * F.element_at(
-                    F.col("amounts"), F.array_position(F.col("tokens"), F.col("token1")).cast("int")
-                )
-            ).cast(AMOUNT).alias("d1"),
+            _signed_side_amount("token0").alias("d0"),
+            _signed_side_amount("token1").alias("d1"),
         )
     )
     return swaps.unionByName(mbc)

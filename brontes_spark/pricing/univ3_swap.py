@@ -88,7 +88,11 @@ def univ3_swap_exact_in(
     remaining = amount_in
     out = fee_total = crossed = 0
 
-    while remaining > 0 and liq > 0:
+    # loop on remaining input ONLY: liq == 0 is a zero-liquidity GAP between
+    # positions, not exhaustion — the full-step branch walks across it at
+    # zero cost (in_to_boundary = 0 ⇒ step_in = 0) until liquidity returns,
+    # exactly Uniswap's computeSwapStep behavior; MIN/MAX clamp still breaks.
+    while remaining > 0:
         if zero_for_one:
             below = [t for t, _ in ticks if t <= tick]
             next_tick = max(below) if below else MIN_TICK

@@ -87,3 +87,30 @@ def test_bulk_quote_wrapper(spark):
     ref_down = univ3_swap_exact_in(10**15, True, Q96, L + 0, 0, ticks["0xp"], 0)
     assert got[True]["amount_out"] == Decimal(ref_down["amount_out"])
     assert got[False]["amount_out"] > 0
+
+
+def test_zero_liquidity_gap_crossed_to_next_position():
+    """Two disjoint positions with a dead zone between them: a swap that
+    exhausts the first position must WALK the zero-liquidity gap (at zero
+    cost) and keep filling from the second position, exactly like Uniswap's
+    computeSwapStep — not stop at the gap with input unconsumed."""
+    # position A on [10, 20] (we start inside it at tick 15), position B on
+    # [-20, -10]; nothing in between. zero_for_one pushes the price down.
+    ticks = [(10, L), (20, -L), (-20, L), (-10, -L)]
+    start = get_sqrt_ratio_at_tick(15)
+    # ~2.5e14 exhausts A (ticks 15->10); 4e14 lands partway into B
+    q = univ3_swap_exact_in(
+        amount_in=4 * 10**14, zero_for_one=True, sqrt_price_x96=start,
+        liquidity=L, tick=15, tick_liquidity=ticks, fee_pips=0,
+    )
+    # the swap crossed A's lower bound (10), the gap boundary (-10), and
+    # ended inside (or past) position B with more output than A alone gives
+    a_only = univ3_swap_exact_in(
+        amount_in=4 * 10**14, zero_for_one=True, sqrt_price_x96=start,
+        liquidity=L, tick=15, tick_liquidity=[(10, L), (20, -L)], fee_pips=0,
+    )
+    assert q["ticks_crossed"] >= 2
+    assert q["amount_out"] > a_only["amount_out"]
+    assert q["sqrt_price_after"] < get_sqrt_ratio_at_tick(-10)
+    # and with liquidity live again, the final state is inside B
+    assert q["liquidity_after"] == L
