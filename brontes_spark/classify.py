@@ -45,6 +45,10 @@ SWAP_PROTOCOLS = [
     "UniswapV3", "SushiSwapV3", "PancakeSwapV3",
 ]
 
+#: pool_coins idx offset for the exchange_underlying coin list (metapool
+#: base expansion / lending-pool unwrapped coins) — see decode_curve_exchange
+UNDERLYING_IDX = 100
+
 #: protocol families (protocol.rs:66-105) routed to the decoders below
 CURVE_PROTOCOLS = [
     "CurveBasePool2", "CurveBasePool3", "CurveBasePool4",
@@ -136,10 +140,28 @@ def action_impl(protocols, functions, action_type, variant_col):
 
 def _scaled(raw: F.Column, decimals: F.Column) -> F.Column:
     """U256 token units → decimal amount: raw / 10^decimals
-    (to_scaled_rational, used at tree_builder/mod.rs:459)."""
-    return (
-        raw.cast("decimal(38,0)") / F.pow(F.lit(10.0), decimals).cast("decimal(20,0)")
-    ).cast(AMOUNT)
+    (to_scaled_rational, used at tree_builder/mod.rs:459).
+
+    NOT a decimal division: Spark types (38,0)/(p,0) as decimal(38,6) —
+    silently rounding every amount to 6dp and zeroing dust below 1e-6 —
+    and every wider-operand arrangement loses digits to the reserved
+    integer part. A power-of-ten division is just a digit shift, so the
+    amount is assembled as a string (zero-padded integer |raw|, split at
+    the decimal point, sign restored) and cast once — exact to the full
+    18-digit AMOUNT scale for any decimals ≤ 18 (a >18-dec token's digits
+    beyond 1e-18 truncate, the declared type's own limit). Pure column
+    ops, codegen'd.
+    """
+    d = F.least(decimals.cast("int"), F.lit(38))
+    r = raw.cast("decimal(38,0)")
+    s = F.lpad(F.abs(r).cast("string"), 39, "0")
+    int_part = s.substr(F.lit(1), F.lit(39) - d)
+    frac_raw = s.substr(F.lit(40) - d, d)
+    frac = F.when(d > 18, frac_raw.substr(F.lit(1), F.lit(18))).otherwise(
+        F.rpad(frac_raw, 18, "0")
+    )
+    sign = F.when(r < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(sign, int_part, F.lit("."), frac).cast(AMOUNT)
 
 
 def _empty_variant_cols():
@@ -194,15 +216,64 @@ def _finish(df: DataFrame, cols: dict) -> DataFrame:
 
 @action_impl(SWAP_PROTOCOLS, ["swap"], "swap", "swap")
 def decode_swap(df: DataFrame, ctx: DecodeCtx):
+    """UniswapV2/V3-family pool swap (classifiers/uniswap/uniswap_v{2,3}.rs).
+
+    The pool's swap CALLDATA does not name tokens (V2: amount0Out/
+    amount1Out; V3: zero_for_one/amount_specified), so — like the reference,
+    which reads the Swap EVENT — token0/token1 resolve via the pool-coins
+    dim and the amounts come from the Swap log (V2: amount{0,1}_{in,out};
+    V3: signed amount0/amount1, positive = paid to pool), falling back to
+    what the calldata does carry. Pre-decoded inputs that already provide
+    generic token_in/token_out/amount_in/amount_out params take precedence.
+    """
     p = F.col("decoded.params")
-    df, amount_in = ctx.scaled_by_token(df, p["token_in"], p["amount_in"], "in")
-    df, amount_out = ctx.scaled_by_token(df, p["token_out"], p["amount_out"], "out")
+    df, t0 = _coin_at(ctx, df, F.col("to_address"), F.lit(0), "u0")
+    df, t1 = _coin_at(ctx, df, F.col("to_address"), F.lit(1), "u1")
+    raw = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    # V3 Swap log: signed deltas from the pool's perspective
+    a0, a1 = raw(_log_param("amount0")), raw(_log_param("amount1"))
+    # V3 calldata: exact-in when amount_specified > 0
+    spec = raw(p["amount_specified"])
+    zfo = p["zero_for_one"] == "true"
+    v3 = p["zero_for_one"].isNotNull()
+    # per-side in/out raws, first-known-source wins
+    in0 = F.coalesce(
+        raw(_log_param("amount0_in")),
+        F.when(a0 > 0, a0),
+        F.when(v3 & zfo & (spec > 0), spec),
+    )
+    in1 = F.coalesce(
+        raw(_log_param("amount1_in")),
+        F.when(a1 > 0, a1),
+        F.when(v3 & ~zfo & (spec > 0), spec),
+    )
+    out0 = F.coalesce(
+        raw(_log_param("amount0_out")),
+        F.when(a0 < 0, -a0),
+        raw(p["amount0_out"]),
+        F.when(v3 & ~zfo & (spec < 0), -spec),
+    )
+    out1 = F.coalesce(
+        raw(_log_param("amount1_out")),
+        F.when(a1 < 0, -a1),
+        raw(p["amount1_out"]),
+        F.when(v3 & zfo & (spec < 0), -spec),
+    )
+    # direction: token0 is the input side iff it flows in (or token1 flows out)
+    side0_in = (F.coalesce(in0, zero) > 0) | (F.coalesce(out1, zero) > 0)
+    token_in = F.coalesce(p["token_in"], F.when(side0_in, t0).otherwise(t1))
+    token_out = F.coalesce(p["token_out"], F.when(side0_in, t1).otherwise(t0))
+    raw_in = F.coalesce(raw(p["amount_in"]), F.when(side0_in, in0).otherwise(in1))
+    raw_out = F.coalesce(raw(p["amount_out"]), F.when(side0_in, out1).otherwise(out0))
+    df, amount_in = ctx.scaled_by_token(df, token_in, raw_in, "in")
+    df, amount_out = ctx.scaled_by_token(df, token_out, raw_out, "out")
     struct = F.struct(
         F.col("msg_sender").alias("from"),
         F.coalesce(p["recipient"], F.col("msg_sender")).alias("recipient"),
         F.col("to_address").alias("pool"),
-        p["token_in"].alias("token_in"),
-        p["token_out"].alias("token_out"),
+        token_in.alias("token_in"),
+        token_out.alias("token_out"),
         amount_in.alias("amount_in"),
         amount_out.alias("amount_out"),
     )
@@ -211,14 +282,25 @@ def decode_swap(df: DataFrame, ctx: DecodeCtx):
 
 @action_impl(SWAP_PROTOCOLS, ["mint", "burn"], None, "mint_burn_collect")
 def decode_mint_burn(df: DataFrame, ctx: DecodeCtx):
+    """Pool mint/burn: V3 calldata carries LIQUIDITY (not token amounts), so
+    the token deltas come from the Mint/Burn event's amount0/amount1 (the
+    reference reads the same log, classifiers/uniswap/uniswap_v3.rs), with
+    tokens from the pool-coins dim. Pre-decoded generic params win."""
     p = F.col("decoded.params")
-    df, amount0 = ctx.scaled_by_token(df, p["token0"], p["amount0"], "t0")
-    df, amount1 = ctx.scaled_by_token(df, p["token1"], p["amount1"], "t1")
+    df, t0 = _coin_at(ctx, df, F.col("to_address"), F.lit(0), "m0")
+    df, t1 = _coin_at(ctx, df, F.col("to_address"), F.lit(1), "m1")
+    raw = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    token0 = F.coalesce(p["token0"], t0)
+    token1 = F.coalesce(p["token1"], t1)
+    raw0 = F.coalesce(raw(p["amount0"]), F.abs(raw(_log_param("amount0"))))
+    raw1 = F.coalesce(raw(p["amount1"]), F.abs(raw(_log_param("amount1"))))
+    df, amount0 = ctx.scaled_by_token(df, token0, raw0, "t0")
+    df, amount1 = ctx.scaled_by_token(df, token1, raw1, "t1")
     struct = F.struct(
         F.col("msg_sender").alias("from"),
-        F.col("msg_sender").alias("recipient"),
+        F.coalesce(p["recipient"], F.col("msg_sender")).alias("recipient"),
         F.col("to_address").alias("pool"),
-        F.array(p["token0"], p["token1"]).alias("tokens"),
+        F.array(token0, token1).alias("tokens"),
         F.array(amount0, amount1).alias("amounts"),
     )
     return df, struct
@@ -258,8 +340,18 @@ def decode_curve_exchange(df: DataFrame, ctx: DecodeCtx):
     realized amount_out reads the TokenExchange log's tokens_bought,
     falling back to the calldata min_dy floor."""
     p = F.col("decoded.params")
-    df, token_in = _coin_at(ctx, df, F.col("to_address"), p["i"], "i")
-    df, token_out = _coin_at(ctx, df, F.col("to_address"), p["j"], "j")
+    # exchange_underlying's i/j address the UNDERLYING coin list (metapool:
+    # [coin0] + base-pool coins; lending pool: unwrapped coins) — a SEPARATE
+    # index space, landed by load_classifier_config at idx UNDERLYING_IDX
+    # + i from the pool's underlying_token_info. Resolving those indices
+    # against the pool's own 2-coin list would return the base-LP token
+    # (wrong asset) or nothing; with no underlying rows configured the
+    # tokens stay null → quarantine, never a wrong token.
+    off = F.when(
+        F.col("decoded.function") == "exchange_underlying", F.lit(UNDERLYING_IDX)
+    ).otherwise(F.lit(0))
+    df, token_in = _coin_at(ctx, df, F.col("to_address"), p["i"].cast("int") + off, "i")
+    df, token_out = _coin_at(ctx, df, F.col("to_address"), p["j"].cast("int") + off, "j")
     df, amount_in = ctx.scaled_by_token(df, token_in, p["dx"], "in")
     out_raw = F.coalesce(_log_param("tokens_bought"), p["min_dy"])
     df, amount_out = ctx.scaled_by_token(df, token_out, out_raw, "out")
@@ -783,7 +875,10 @@ def classify_traces(
     tdec = dec.select(F.col("address").alias("__ta"), F.col("decimals").alias("__td"))
     tr = tr.join(tdec, F.col("to_address") == tdec["__ta"], "left")
     call_amt = _scaled(p["amount"], F.coalesce("__td", F.lit(18)))
-    log_amt_raw = F.try_element_at(F.col("logs"), F.lit(1))["data_params"]["value"]
+    # first log CARRYING a value param, not logs[0] blindly — tokens that
+    # emit another event before Transfer (Approval-style) would otherwise
+    # null the log amount (fee silently 0) or read a wrong 'value'
+    log_amt_raw = _log_param("value")
     log_amt = F.when(
         log_amt_raw.isNotNull(), _scaled(log_amt_raw, F.coalesce("__td", F.lit(18)))
     ).otherwise(call_amt)
@@ -799,10 +894,14 @@ def classify_traces(
     tr_actions = _finish(tr, tr_cols)
 
     # ---- C4: ETH transfers + coinbase detection ----------------------------
+    # delegatecall frames inherit msg_value from their parent (reth/parity
+    # trace convention) — classifying them would double-count every payable
+    # proxy transfer; same exclusion C3 applies above (the C5 invariant)
     eth = routed.filter(
         (F.col("msg_value").cast("decimal(38,0)") > 0)
         & F.col("calldata_selector").isNull()
         & (F.col("action_kind") == "call")
+        & ~F.coalesce(F.col("call_type") == "delegatecall", F.lit(False))
     ).join(
         F.broadcast(block_info.select("block_number", "beneficiary")), "block_number", "left"
     )
@@ -924,10 +1023,19 @@ def account_for_tax_tokens(actions: DataFrame) -> DataFrame:
     """C8 (tree_builder/tree_pruning.rs:13-120): when a tx holds a swap and
     a fee-bearing transfer of the swap's input token, shrink amount_in by
     the fee and retag as swap_with_fee."""
+    # fees pair to THEIR swap via the in-leg shape (transfer from the
+    # swapper into the swap's pool of the input token), not tx-wide by
+    # token: a split-route tx with two A→B swaps would otherwise subtract
+    # the combined fee from EVERY leg (N× over-subtraction). Mirrors the
+    # reference's per-subtree pairing (tree_pruning.rs:13-120) and the
+    # coverage-dedup in-leg join (inspectors/accounting._covered_transfers).
     fees = (
         actions.filter((F.col("action_type") == "transfer") & (F.col("transfer.fee") > 0))
         .groupBy(
-            F.col("tx_hash").alias("fee_tx"), F.col("transfer.token").alias("fee_token")
+            F.col("tx_hash").alias("fee_tx"),
+            F.col("transfer.token").alias("fee_token"),
+            F.col("transfer.from").alias("fee_from"),
+            F.col("transfer.to").alias("fee_to"),
         )
         .agg(F.sum("transfer.fee").alias("total_fee"))
     )
@@ -935,9 +1043,11 @@ def account_for_tax_tokens(actions: DataFrame) -> DataFrame:
         fees,
         (F.col("tx_hash") == F.col("fee_tx"))
         & (F.col("action_type") == "swap")
-        & (F.col("swap.token_in") == F.col("fee_token")),
+        & (F.col("swap.token_in") == F.col("fee_token"))
+        & (F.col("swap.from") == F.col("fee_from"))
+        & (F.col("swap.pool") == F.col("fee_to")),
         "left",
-    ).drop("fee_tx")
+    ).drop("fee_tx", "fee_from", "fee_to")
     adjusted_swap = F.struct(
         F.col("swap.from").alias("from"),
         F.col("swap.recipient").alias("recipient"),

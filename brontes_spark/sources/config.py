@@ -46,6 +46,13 @@ def load_classifier_config(
                     int(ti["decimals"]), ti.get("symbol", ""),
                 )
                 coins.append((_lc(pool), idx, _lc(ti["address"])))
+            # exchange_underlying index space (classify.UNDERLYING_IDX):
+            # metapool base-expanded / lending-pool unwrapped coin list
+            for idx, ti in enumerate(info.get("underlying_token_info", [])):
+                toks[_lc(ti["address"])] = (
+                    int(ti["decimals"]), ti.get("symbol", ""),
+                )
+                coins.append((_lc(pool), 100 + idx, _lc(ti["address"])))
     return (
         spark.createDataFrame(a2p, "address string, protocol string, init_block long"),
         spark.createDataFrame(

@@ -22,8 +22,6 @@ BLOCK_BUCKET = 100_000  # blocks per output partition
 
 
 def write_partitioned(df: DataFrame, path: str, block_col: str = "block_number") -> None:
-    import os
-
     out = df.withColumn("block_bucket", (F.col(block_col) / BLOCK_BUCKET).cast("long"))
     (
         out.write.mode("overwrite")
@@ -36,9 +34,19 @@ def write_partitioned(df: DataFrame, path: str, block_col: str = "block_number")
     # driver-side listing — an isEmpty() pre-check would execute the whole
     # upstream DAG twice) and drop in one schema-only file; limit(0) folds
     # to an empty LocalRelation, so this write runs no upstream compute.
-    has_data = any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
+    # The listing goes through the Hadoop FileSystem API so it sees hdfs://
+    # and s3a:// paths too — os.walk only sees the LOCAL filesystem and
+    # would report every remote write as empty, then overwrite it.
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    has_data = False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_data = True
+            break
     if not has_data:
         out.limit(0).coalesce(1).write.mode("overwrite").option(
             "compression", "zstd"

@@ -619,3 +619,110 @@ def test_balancer_crp_routes_via_v1_decoder(spark):
     assert acts["0xcrp1"]["protocol"] == "BalancerV1CRP"
     assert crp["token_in"] == WETH and crp["token_out"] == DAI
     assert crp["amount_in"] == Decimal(3) and crp["amount_out"] == Decimal(6000)
+
+
+def test_uniswap_family_raw_swaps_end_to_end(spark):
+    """UniswapV2/V3 pool swaps + V3 mint from RAW calldata/logs: the pool
+    calldata names no tokens (V2: amountOut pair; V3: zero_for_one/
+    amount_specified), so tokens resolve via the pool-coins dim and amounts
+    via the Swap/Mint event — the reference's exact sourcing. This was the
+    one protocol family with no raw-path test (decoded params stayed null)."""
+    from decimal import Decimal
+
+    from brontes_spark.classify import classify_traces
+
+    V2, V3 = "0x" + "22" * 20, "0x" + "33" * 20
+    DAI, WETH = "0x" + "aa" * 20, "0x" + "cc" * 20
+    U2 = "0x" + "ee" * 20
+
+    # V2 swap(amount0Out=0, amount1Out=2e18, to, data) + Swap log
+    v2_cd = "0x022c0d9f" + _w_uint(0) + _w_uint(2 * 10**18) + _w_addr(U2) + _w_uint(4 * 32)
+    v2_logs = [dict(address=V2, topic0="0xswap", data_params={
+        "amount0_in": str(4000 * 10**18), "amount1_in": "0",
+        "amount0_out": "0", "amount1_out": str(2 * 10**18)})]
+
+    # V3 swap(recipient, zero_for_one=false, amount_specified=+1e18 (exact-in
+    # token1), limit, data) — NO log: calldata-only fallback
+    v3_cd = ("0x128acb08" + _w_addr(U2) + _w_uint(0) + _w_uint(10**18)
+             + _w_uint(0) + _w_uint(5 * 32))
+    # zero_for_one=false word: _w_uint(0) = false
+
+    # V3 mint(recipient, tickLower, tickUpper, liquidity, data) + Mint log
+    v3_mint_cd = ("0x3c8a7d8d" + _w_addr(U2) + _w_int(-60) + _w_int(60)
+                  + _w_uint(10**12) + _w_uint(5 * 32))
+    v3_mint_logs = [dict(address=V3, topic0="0xmint", data_params={
+        "amount0": str(3000 * 10**18), "amount1": str(1 * 10**18)})]
+
+    traces = decode_traces(spark.createDataFrame(
+        [
+            _trace(1, "0xv2s", 0, V2, v2_cd, v2_logs),
+            _trace(1, "0xv3s", 0, V3, v3_cd),
+            _trace(1, "0xv3m", 0, V3, v3_mint_cd, v3_mint_logs),
+        ],
+        _TRACE_DDL,
+    ))
+    a2p = spark.createDataFrame(
+        [(V2, "UniswapV2"), (V3, "UniswapV3")], "address string, protocol string"
+    )
+    coins = spark.createDataFrame(
+        [(V2, 0, DAI), (V2, 1, WETH), (V3, 0, DAI), (V3, 1, WETH)],
+        "pool string, idx int, token string",
+    )
+    tok = spark.createDataFrame([(DAI, 18), (WETH, 18)], "address string, decimals int")
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = {r["tx_hash"]: r for r in
+            classify_traces(traces, a2p, tok, binfo, pool_coins=coins).collect()}
+
+    v2s = acts["0xv2s"]["swap"]
+    assert acts["0xv2s"]["action_type"] == "swap"
+    assert v2s["token_in"] == DAI and v2s["token_out"] == WETH
+    assert v2s["amount_in"] == Decimal(4000) and v2s["amount_out"] == Decimal(2)
+    assert v2s["pool"] == V2 and v2s["recipient"] == U2
+
+    v3s = acts["0xv3s"]["swap"]
+    # zero_for_one=false, exact-in 1e18: token1 (WETH) in, token0 (DAI) out
+    assert v3s["token_in"] == WETH and v3s["token_out"] == DAI
+    assert v3s["amount_in"] == Decimal(1)
+    assert v3s["amount_out"] is None  # no Swap log: out unknown from calldata
+
+    v3m = acts["0xv3m"]["mint_burn_collect"]
+    assert acts["0xv3m"]["action_type"] == "mint"
+    assert v3m["tokens"] == [DAI, WETH]
+    assert v3m["amounts"] == [Decimal(3000), Decimal(1)]
+    assert v3m["recipient"] == U2
+
+
+def test_curve_exchange_underlying_metapool_indices(spark):
+    """exchange_underlying's i/j address the UNDERLYING list (metapool base
+    expansion, landed at idx 100+i), never the pool's own 2-coin list — the
+    old resolution returned the base-LP token for j=1 (wrong asset)."""
+    from decimal import Decimal
+
+    from brontes_spark.classify import classify_traces
+    from brontes_spark.functions.keccak import selector
+
+    META = "0x" + "77" * 20
+    FRAX, LP3, DAI, USDC = ("0x" + c * 20 for c in ("f1", "3c", "aa", "bb"))
+    cd = (selector("exchange_underlying(int128,int128,uint256,uint256)")
+          + _w_int(0) + _w_int(2) + _w_uint(7 * 10**18) + _w_uint(0))
+    logs = [dict(address=META, topic0="0xte",
+                 data_params={"tokens_bought": str(6_900_000)})]
+    traces = decode_traces(spark.createDataFrame(
+        [_trace(1, "0xeu", 0, META, cd, logs)], _TRACE_DDL))
+    a2p = spark.createDataFrame([(META, "CurveV1MetaPool")],
+                                "address string, protocol string")
+    # own coins: [FRAX, 3CRV-LP]; underlying: [FRAX, DAI, USDC] at 100+
+    coins = spark.createDataFrame(
+        [(META, 0, FRAX), (META, 1, LP3),
+         (META, 100, FRAX), (META, 101, DAI), (META, 102, USDC)],
+        "pool string, idx int, token string",
+    )
+    tok = spark.createDataFrame(
+        [(FRAX, 18), (DAI, 18), (USDC, 6)], "address string, decimals int"
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = classify_traces(traces, a2p, tok, binfo, pool_coins=coins).collect()
+    sw = {r["tx_hash"]: r["swap"] for r in acts}["0xeu"]
+    assert sw["token_in"] == FRAX and sw["token_out"] == USDC  # NOT the LP token
+    assert sw["amount_in"] == Decimal(7)
+    assert sw["amount_out"] == Decimal("6.9")  # 6dp USDC from the log
