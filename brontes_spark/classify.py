@@ -154,14 +154,19 @@ def _scaled(raw: F.Column, decimals: F.Column) -> F.Column:
     """
     d = F.least(decimals.cast("int"), F.lit(38))
     r = raw.cast("decimal(38,0)")
-    s = F.lpad(F.abs(r).cast("string"), 39, "0")
+    # |raw| via string strip, NOT F.abs: abs on a 37+-digit decimal routes
+    # through a double and rounds (observed: |-(10^37-1)| -> 10^37)
+    s = F.lpad(F.regexp_replace(r.cast("string"), "^-", ""), 39, "0")
     int_part = s.substr(F.lit(1), F.lit(39) - d)
     frac_raw = s.substr(F.lit(40) - d, d)
     frac = F.when(d > 18, frac_raw.substr(F.lit(1), F.lit(18))).otherwise(
         F.rpad(frac_raw, 18, "0")
     )
     sign = F.when(r < 0, F.lit("-")).otherwise(F.lit(""))
-    return F.concat(sign, int_part, F.lit("."), frac).cast(AMOUNT)
+    # try_cast: a value beyond AMOUNT's 20 integer digits nulls (quarantine)
+    # instead of throwing under ANSI mode — one absurd raw amount must not
+    # kill the classification job
+    return F.concat(sign, int_part, F.lit("."), frac).try_cast(AMOUNT)
 
 
 def _empty_variant_cols():

@@ -148,3 +148,39 @@ def test_expanding_vwap_skewed_pair_uses_aqe_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scaled_matches_exact_decimal_division(spark):
+    """classify._scaled == exact raw/10^d (Python Decimal oracle) for the
+    full magnitude range, both signs, d in 0..24 — the string-assembly
+    implementation must never round (the old decimal division silently
+    quantized to 6dp)."""
+    from decimal import Decimal, localcontext
+
+    from pyspark.sql import functions as F
+
+    from brontes_spark.classify import _scaled
+
+    cases = []
+    for d in (0, 1, 6, 8, 17, 18, 24):
+        for raw in (0, 1, 7, 123, 10**6 + 3, 10**17 + 1, 10**18, 10**27 + 123456789,
+                    10**37 - 1):
+            cases.append((str(raw), d))
+            cases.append((str(-raw), d))
+    df = spark.createDataFrame(cases, "raw string, d int")
+    got = {
+        (r["raw"], r["d"]): r["amt"]
+        for r in df.select(
+            "raw", "d",
+            _scaled(F.col("raw").cast("decimal(38,0)"), F.col("d")).alias("amt"),
+        ).collect()
+    }
+    with localcontext() as ctx:
+        ctx.prec = 60
+        for raw_s, d in cases:
+            exact = Decimal(raw_s) / (Decimal(10) ** d)
+            # AMOUNT truncates below 1e-18 (declared-type limit)
+            expected = exact.quantize(Decimal(1).scaleb(-18), rounding="ROUND_DOWN")
+            if abs(expected) >= Decimal(10) ** 20:
+                continue  # outside decimal(38,18) range: overflow → null
+            assert got[(raw_s, d)] == expected, (raw_s, d, got[(raw_s, d)], expected)
