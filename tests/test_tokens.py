@@ -53,10 +53,11 @@ def test_missing_token_quarantine_and_backfill(spark):
     report = missing_token_report(actions, dim).collect()
     assert [r["token"] for r in report] == [MYSTERY]
     assert report[0]["n_refs"] == 1
-    # (5e6 raw / 10^18 is below the division result's scale, so the default
-    # collapses the amount to zero — the distortion backfill exists to fix)
+    # 5e6 raw at the 18-dec default scales exactly to 5e-12 (the old
+    # decimal-division _scaled rounded this to zero at 6dp) — still wrong
+    # by 10^12 vs the true 6-dec amount; the backfill exists to fix that
     swap = actions.filter(actions.tx_hash == "0xq1").collect()[0]["swap"]
-    assert swap["amount_in"] == Decimal(0)
+    assert swap["amount_in"] == Decimal("5E-12")
 
     # the eth_call boundary stays out of the engine
     with pytest.raises(NotImplementedError):
