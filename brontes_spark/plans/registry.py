@@ -120,15 +120,18 @@ DRIVER_ORDER: list[str] = [
 ]
 
 
-#: Gates whose IMPLEMENTATION changed after their last green driver row:
-#: history is overridden to "never verified" so they re-enter the driver's
-#: 50-entry window next round. Clear entries once the next CORRECTNESS file
-#: shows them green again (at which point history supersedes this anyway —
-#: a stale entry here only re-verifies a gate one extra round, never hides
-#: one).
-FORCE_RECHECK: set[str] = {
-    "ann_cosine_topk",        # round 3: in-row zip_with dot-product rewrite
-    "dedup_embedding_cosine", # round 3: array-refinement rewrite
+#: Gates whose IMPLEMENTATION changed after their last green driver row,
+#: mapped to the round the change landed in: ordering treats them as
+#: never-verified until a CORRECTNESS file from >= that round shows them
+#: green, then the entry expires on its own (no manual cleanup; a stale
+#: entry only re-verifies a gate one extra round, never hides one).
+FORCE_RECHECK: dict[str, int] = {
+    "ann_cosine_topk": 3,         # in-row zip_with dot-product rewrite
+    "dedup_embedding_cosine": 3,  # array-refinement + zero-norm guard
+    "ann_lsh_buckets": 3,         # sign-dim derivation + dim-peek guard
+    "ann_ivf_topk": 3,            # in-row rewrite + positive-norm seeds
+    "mm_frame_sample": 3,         # zero-frame rows dropped (oracle too)
+    "g4_univ3_swap_quotes": 3,    # zero-liquidity gap walk + new goldens
 }
 
 
@@ -182,13 +185,13 @@ def _ordered() -> list[str]:
     names += [n for n in REGISTRY if n not in base]
     if not history:
         return names
-    return sorted(
-        names,
-        key=lambda n: (
-            -1 if n in FORCE_RECHECK else history.get(n, -1),
-            base.get(n, len(base)),
-        ),
-    )
+    def last_green(n: str) -> int:
+        lg = history.get(n, -1)
+        if lg < FORCE_RECHECK.get(n, -1):
+            return -1  # changed after its last green row: re-verify first
+        return lg
+
+    return sorted(names, key=lambda n: (last_green(n), base.get(n, len(base))))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
