@@ -132,6 +132,13 @@ FORCE_RECHECK: dict[str, int] = {
     "ann_ivf_topk": 3,            # in-row rewrite + positive-norm seeds
     "mm_frame_sample": 3,         # zero-frame rows dropped (oracle too)
     "g4_univ3_swap_quotes": 3,    # zero-liquidity gap walk + new goldens
+    # mev pipeline: bundle_id xxhash64->md5, S10 block-grain stats, and the
+    # round-3 inspector fixes (precedence, JIT/liq grain, cex-dex anchors)
+    "mev_composer_bundles": 3,
+    "mev_block_headers": 3,
+    "mev_block_analysis": 3,
+    "mev_block_analysis_wide": 3,
+    "mev_searcher_stats": 3,
 }
 
 
@@ -163,10 +170,10 @@ def _driver_history() -> dict[str, int]:
             ok = row.get("hash_match")
             if ok is None:  # rows-only gate (no oracle): green = rows_match
                 ok = row.get("rows_match")
-            if ok:
-                last_green[name] = max(last_green.get(name, -1), rnd)
-            else:
-                last_green.setdefault(name, -1)
+            # rounds process in ascending order, so the LATEST driver word
+            # wins: a gate that regresses after an earlier green must sort
+            # risk-first (-1), not ride its stale green round
+            last_green[name] = rnd if ok else -1
     return last_green
 
 
@@ -187,8 +194,12 @@ def _ordered() -> list[str]:
         return names
     def last_green(n: str) -> int:
         lg = history.get(n, -1)
-        if lg < FORCE_RECHECK.get(n, -1):
-            return -1  # changed after its last green row: re-verify first
+        # <=: a green row from the SAME round as the change may predate the
+        # change (the driver snapshots mid-round) — only a later round's
+        # green row proves the changed code was checked. Costs at most the
+        # documented one extra re-verification.
+        if lg <= FORCE_RECHECK.get(n, -1):
+            return -1
         return lg
 
     return sorted(names, key=lambda n: (last_green(n), base.get(n, len(base))))
