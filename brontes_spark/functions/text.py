@@ -38,6 +38,10 @@ def word_ngrams(tokens: Column, n: int = 3) -> Column:
 def norm_text(text: Column) -> Column:
     """Normalization for fingerprinting: lowercase, collapse whitespace, trim.
 
-    DuckDB twin: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    The whitespace class is EXPLICIT, not \\s: Java's \\s includes vertical
+    tab (\\x0B) but DuckDB's RE2 \\s does not, so \\s-normalized fingerprints
+    diverge between engines on any document containing one.
+
+    DuckDB twin: trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))
     """
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\r\f\x0B]+", " "))

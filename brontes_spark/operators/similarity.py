@@ -352,7 +352,13 @@ def cosine_dup_pairs(
     n² is not."""
     # comp feeds buckets, dots, and norms — cache (see ivf_topk note)
     comp = _components(df, id_col, vec_col).cache()
-    norms = comp.groupBy("id").agg(F.sum(F.col("comp") * F.col("comp")).alias("n2"))
+    # n2 > 0: a zero-quantizing pair would divide 0/0 below — a
+    # DIVIDE_BY_ZERO crash under ANSI (NaN pair otherwise); the inner norm
+    # joins then drop zero-norm ids before the division, matching the
+    # oracle's HAVING guard
+    norms = comp.groupBy("id").agg(
+        F.sum(F.col("comp") * F.col("comp")).alias("n2")
+    ).filter(F.col("n2") > 0)
     buckets = lsh_buckets(df, id_col, vec_col, planes=planes, comp=comp)
     a = buckets.select(F.col("id").alias("id_a"), "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "bucket")

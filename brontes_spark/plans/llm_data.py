@@ -301,8 +301,8 @@ def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5,
-           ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS content_md5,
+           ('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), 1, 15))::BIGINT
              AS fingerprint60
     FROM documents
     """,
@@ -320,12 +320,17 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB twin of operators.similarity._components (6dp micro-unit BIGINTs:
 #: the decimal(9,6) cast does the engine-agnostic rounding, ×10^6 is exact)
+#: one row per ACTUAL element (unnest + subscripts, the posexplode twin): a
+#: fixed range(1, 65) would manufacture 64 NULL-comp rows for a NULL/empty
+#: embedding and give it a phantom bucket 0 in the LSH oracle, where Spark's
+#: posexplode produces no rows at all
 _SQL_COMP = """
     comp AS (
-      SELECT vec_id AS id, i.i - 1 AS pos,
-             CAST(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(9,6))
+      SELECT id, i - 1 AS pos,
+             CAST(CAST(CAST(val AS DOUBLE) AS DECIMAL(9,6))
                   * 1000000 AS BIGINT) AS comp
-      FROM embeddings, range(1, 65) i(i))
+      FROM (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS val FROM embeddings))
 """
 
 

@@ -78,6 +78,26 @@ def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vwap_inputs(ev):
+    """Shared X4/X6 projection: purchases as volume-seeking anchors, view/
+    click events as price ticks (price mined from props' "k"). ONE source of
+    truth so the two gates (and their oracle CTEs) cannot drift apart."""
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("key"),
+        F.col("ts_ns").alias("anchor_ts"),
+        dec("value").alias("required_vol"),
+    )
+    ticks = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("key"),
+        F.col("ts_ns").alias("tick_ts"),
+        dec(F.regexp_extract("props", '"k": ([0-9]+)', 1)).alias("price"),
+        dec("value").alias("vol"),
+        F.col("event_id").alias("tick_id"),
+    )
+    return anchors, ticks
+
+
 @register(
     "x4_expanding_vwap",
     oracle=f"""
@@ -123,19 +143,7 @@ def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x4_expanding_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    anchors = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("anchor_id"),
-        F.col("user_id").alias("key"),
-        F.col("ts_ns").alias("anchor_ts"),
-        dec("value").alias("required_vol"),
-    )
-    ticks = ev.filter(F.col("event_type").isin("view", "click")).select(
-        F.col("user_id").alias("key"),
-        F.col("ts_ns").alias("tick_ts"),
-        dec(F.regexp_extract("props", '"k": ([0-9]+)', 1)).alias("price"),
-        dec("value").alias("vol"),
-        F.col("event_id").alias("tick_id"),
-    )
+    anchors, ticks = _vwap_inputs(ev)
     out = expanding_vwap(
         anchors, ticks, pre_step=300_000_000_000, post_step=600_000_000_000, max_steps=6
     )
@@ -221,7 +229,7 @@ _STATS_CTE = f"""
       FROM ev GROUP BY event_type),
     stats AS (
       SELECT event_type, n, sv / n AS mean_value,
-             sqrt(svv / n - (sv / n) * (sv / n)) AS stddev_value
+             sqrt(greatest(0, svv / n - (sv / n) * (sv / n))) AS stddev_value
       FROM s)
 """
 
@@ -243,7 +251,9 @@ def _spark_stats(ev: DataFrame) -> DataFrame:
         "event_type",
         "n",
         mean.alias("mean_value"),
-        F.sqrt(F.col("svv") / F.col("n") - mean * mean).alias("stddev_value"),
+        # greatest(0, ·): the FP difference dips ~-1e-16 for constant/
+        # singleton groups — DuckDB sqrt hard-errors, Spark returns NaN
+        F.sqrt(F.greatest(F.lit(0.0), F.col("svv") / F.col("n") - mean * mean)).alias("stddev_value"),
     )
 
 
@@ -539,19 +549,7 @@ def x6_optimistic_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cex_quotes import optimistic_vwap
 
     ev = load_events(spark, sf_dir)
-    anchors = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("anchor_id"),
-        F.col("user_id").alias("key"),
-        F.col("ts_ns").alias("anchor_ts"),
-        dec("value").alias("required_vol"),
-    )
-    ticks = ev.filter(F.col("event_type").isin("view", "click")).select(
-        F.col("user_id").alias("key"),
-        F.col("ts_ns").alias("tick_ts"),
-        dec(F.regexp_extract("props", '"k": ([0-9]+)', 1)).alias("price"),
-        dec("value").alias("vol"),
-        F.col("event_id").alias("tick_id"),
-    )
+    anchors, ticks = _vwap_inputs(ev)
     out = optimistic_vwap(anchors, ticks, window_us=1_800_000_000_000)
     return out.select(
         F.col("anchor_id").alias("purchase_id"),
