@@ -26,6 +26,25 @@ symbol = "USDC"
 
 [AaveV3."0x5faab9e1adbddad0a08734be8a52185fd6558e14"]
 init_block = 18979624
+
+[CurveV1MetaPool."0xMETA"]
+init_block = 1
+
+[[CurveV1MetaPool."0xMETA".token_info]]
+address = "0xFRAX"
+decimals = 18
+
+[[CurveV1MetaPool."0xMETA".token_info]]
+address = "0x3LP"
+decimals = 18
+
+[[CurveV1MetaPool."0xMETA".underlying_token_info]]
+address = "0xFRAX"
+decimals = 18
+
+[[CurveV1MetaPool."0xMETA".underlying_token_info]]
+address = "0xDAI"
+decimals = 18
 """
 
 _SEARCHER = """
@@ -73,6 +92,11 @@ def test_classifier_config_dims(spark, tmp_path):
     # token_info order IS the coin index (dai=0, gem=1 for the PSM decoder)
     assert coin_rows[(psm, 0)].endswith("495271d0f")
     assert coin_rows[(psm, 1)].endswith("3606eb48")
+    # underlying_token_info lands in the exchange_underlying index space
+    # (classify.UNDERLYING_IDX + i), separate from the pool's own coins
+    meta = "0xmeta"
+    assert coin_rows[(meta, 0)] == "0xfrax" and coin_rows[(meta, 1)] == "0x3lp"
+    assert coin_rows[(meta, 100)] == "0xfrax" and coin_rows[(meta, 101)] == "0xdai"
 
 
 def test_searcher_builder_metadata_configs(spark, tmp_path):
