@@ -17,7 +17,8 @@ atomic_arb.rs:397-424):
 I7 — validation heuristics (atomic_arb.rs:169-232, 341-397):
 
   * profit is zeroed when DEX pricing is unavailable for the tx's legs or
-    when it exceeds the ±$15M sanity caps (mev_inspectors/mod.rs:12-13)
+    when it reaches the ±$15M sanity caps — INCLUSIVE bounds, per the
+    reference's `>= MAX_PROFIT || <= MIN_PROFIT` (atomic_arb.rs:173)
   * `requirement_multiplier` = 1 with DEX pricing, 2 without
   * Triangle:   profitable ∨ history ≥ 20×mult ∨ labelled ∨
                 (coinbase-bribe ∧ private)
@@ -121,12 +122,19 @@ def _tx_has_dex_price(swaps: DataFrame, dex_prices: DataFrame) -> DataFrame:
     """Per-tx boolean: every swap leg token is priced at this block
     (the column analog of shared_utils.rs:546-653 valid_pricing feeding
     `has_dex_price` at atomic_arb.rs:135-149)."""
+    # priced AT THIS TX'S INDEX, not merely somewhere in the block:
+    # usd_deltas joins on (block, tx_index, token), so a token priced only
+    # at another index contributes NO delta — block-level matching would
+    # mark the tx priced while its revenue silently dropped those legs
     legs = swaps.select(
-        "block_number", "tx_hash", F.explode(F.array("token_in", "token_out")).alias("token")
+        "block_number", "tx_hash", "tx_index",
+        F.explode(F.array("token_in", "token_out")).alias("token"),
     ).distinct()
-    priced = dex_prices.select("block_number", "token").distinct()
+    priced = dex_prices.select(
+        "block_number", F.col("tx_idx").alias("tx_index"), "token"
+    ).distinct()
     return (
-        legs.join(priced, ["block_number", "token"], "left_semi")
+        legs.join(priced, ["block_number", "tx_index", "token"], "left_semi")
         .groupBy("tx_hash")
         .agg(F.count("*").alias("__n_priced"))
         .join(

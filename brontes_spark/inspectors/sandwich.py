@@ -2,8 +2,13 @@
 `mev_inspectors/sandwich/mod.rs`.
 
 Candidate generation (I1, mod.rs:1014-1135): within a block, the ordered tx
-chain of each repeated actor (mev_contract if present, else eoa) forms
-possible sandwiches; chains with multiple frontruns are the "Big Mac" shape.
+chain of each repeated actor forms possible sandwiches — TWO scans, one
+keyed by duplicate EOA and one by duplicate mev contract (the reference's
+get_possible_sandwich_duplicate_senders / _duplicate_contracts), unioned
+with identical chains deduplicated. Chains with multiple frontruns are the
+"Big Mac" shape. A chain's txs may carry DIFFERENT eoa/mev_contract values
+(e.g. one contract driven by several EOAs): attribution uses the first
+searcher tx's identity, like the reference's bundle header.
 
 Gap partitioning (I2, mod.rs:902-953): a chain splits wherever two
 consecutive searcher txs have NO victim txs between them — each victim-backed
@@ -16,19 +21,28 @@ validate all trimmed variants at once, and keep the widest passing variant
 per segment (keep_largest) — no iteration, same search space.
 
 Pool-overlap validation (I3, mod.rs:556-740): the backrun must reverse a
-pool/direction some frontrun swapped, and ≥50% of victim txs must swap a
-frontrun pool in the frontrun direction.
+pool/direction some frontrun swapped; ≥50% of swapping victims must swap a
+frontrun pool in the frontrun direction; and ≥1 victim must FULLY overlap —
+same pool + front direction AND opposite to the backrun
+(verify_sandwich_victims' low_priority/high_priority split).
 
 PnL (I5, mod.rs:168-446): searcher address-set USD deltas across the
-segment's searcher txs minus their gas.
+segment's searcher txs minus their gas. The set spans every chain tx's
+eoa + mev_contract (+ the scan actor). Documented divergence: the
+reference additionally folds in sibling-searcher addresses from its
+searcher db and zeroes profit behind a MAX_PRICE_DIFF(0.995) price-
+reliability guard — our tx_info/dex_prices model carries neither signal,
+so both are out of scope (the A4 valid_pricing filter is the engine's
+price-sanity mechanism).
 
 Scale: everything is (block, actor)-local — windows and small array ops per
-group; the trim enumeration multiplies candidates by ≤28, a bounded constant.
+group; the trim enumeration multiplies candidates by ≤28, a bounded constant;
+the dual scan doubles candidate volume, still block-bounded.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.windows import keep_largest
@@ -37,16 +51,21 @@ from .accounting import action_deltas, gas_usd, usd_deltas
 MAX_SHRINK = 6
 
 
-def _candidate_segments(swaps: DataFrame, tx_info: DataFrame) -> DataFrame:
-    """I1+I2: per (block, actor): maximal searcher-tx chains split at empty
-    victim gaps; one row per segment with the ordered searcher tx array.
+def _scan_segments(
+    swaps: DataFrame, tx_info: DataFrame, actor_col: Column, scan: str
+) -> DataFrame:
+    """One I1+I2 scan keyed by `actor_col`: per (block, actor), maximal
+    searcher-tx chains split at empty victim gaps; one row per segment with
+    the ordered searcher tx array (each element carrying its own
+    eoa/mev_contract for attribution and the PnL searcher set).
 
     The gap test counts ALL txs between consecutive searcher txs (not only
     swap txs) — mod.rs:902-953 partitions on empty tx intervals, so a
     non-swap tx in the gap keeps the chain joined."""
     swap_txs = swaps.select("block_number", "tx_hash").distinct()
     actors = (
-        tx_info.withColumn("actor", F.coalesce("mev_contract", "eoa"))
+        tx_info.withColumn("actor", actor_col)
+        .filter(F.col("actor").isNotNull())
         .join(swap_txs.select("tx_hash"), "tx_hash", "left_semi")
         .select("block_number", "actor", "eoa", "mev_contract", "tx_hash", "tx_index")
     )
@@ -85,10 +104,45 @@ def _candidate_segments(swaps: DataFrame, tx_info: DataFrame) -> DataFrame:
     seg = gaps.withColumn("empty_prev", F.lag(empty_gap_after, 1, 0).over(w2)).withColumn(
         "segment", F.sum("empty_prev").over(w2)
     )
+    # NOTE: eoa/mev_contract stay per-ELEMENT, never in the group key — a
+    # contract-keyed chain whose txs come from different EOAs is ONE chain
+    # (grouping by eoa would fragment it and mislabel the searcher's own
+    # txs as victims); segment attribution = the first tx's identity
     return (
-        seg.groupBy("block_number", "actor", "eoa", "mev_contract", "segment")
-        .agg(F.sort_array(F.collect_list(F.struct("tx_index", "tx_hash"))).alias("chain"))
+        seg.groupBy("block_number", "actor", "segment")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("tx_index", "tx_hash", "eoa", "mev_contract")
+                )
+            ).alias("chain")
+        )
         .filter(F.size("chain") >= 2)
+        .select(
+            "block_number", "actor", "segment", "chain",
+            F.element_at("chain", 1)["eoa"].alias("eoa"),
+            F.element_at("chain", 1)["mev_contract"].alias("mev_contract"),
+            F.lit(scan).alias("scan"),
+        )
+    )
+
+
+def _candidate_segments(swaps: DataFrame, tx_info: DataFrame) -> DataFrame:
+    """I1 dual scan: duplicate-EOA chains ∪ duplicate-contract chains
+    (reference runs both and dedups; an EOA that fronts directly but backs
+    through a contract only shows up in the EOA scan). Identical chains
+    found by both scans dedup to the contract-scan row."""
+    by_eoa = _scan_segments(swaps, tx_info, F.col("eoa"), "eoa")
+    by_contract = _scan_segments(swaps, tx_info, F.col("mev_contract"), "contract")
+    both = by_contract.unionByName(by_eoa)
+    chain_key = F.md5(
+        F.concat_ws(",", F.transform("chain", lambda s: s["tx_hash"]))
+    )
+    w = W.partitionBy("block_number", chain_key).orderBy("scan")  # contract < eoa
+    return (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "scan")
     )
 
 
@@ -130,8 +184,11 @@ def sandwich_bundles(
         ),
     )
     cand = trims.select(
-        "block_number", "actor", "eoa", "mev_contract", "segment",
+        "block_number", "actor", "segment",
         "sub_chain",
+        # trim attribution follows the trimmed chain's FIRST tx
+        F.element_at("sub_chain", 1)["eoa"].alias("eoa"),
+        F.element_at("sub_chain", 1)["mev_contract"].alias("mev_contract"),
         F.size("sub_chain").alias("span"),
         F.transform(
             F.slice("sub_chain", 1, F.size("sub_chain") - 1), lambda s: s["tx_hash"]
@@ -178,6 +235,21 @@ def sandwich_bundles(
         .distinct()
     )
     front_pools = fronts.select(*ckeys, "f_pool", "f_in").distinct()
+    # back swaps per candidate, keyed for the full-overlap check: a victim
+    # fully overlaps when it swaps OPPOSITE to the back (v_in == back's out)
+    back_opp = (
+        cand.select(*ckeys, "back_hash")
+        .join(
+            backs.select(
+                F.col("bk_hash").alias("back_hash"),
+                F.col("b_pool"),
+                F.col("b_out"),
+            ),
+            "back_hash",
+        )
+        .select(*ckeys, F.col("b_pool").alias("v_pool"), F.col("b_out").alias("v_in"))
+        .distinct()
+    )
 
     # victims inside the candidate interval = ALL txs between first and back
     # searcher tx (mod.rs PossibleSandwich victim sets list every in-between
@@ -206,10 +278,9 @@ def sandwich_bundles(
         .select(*ckeys, "v_hash", "v_index")
     )
     all_victims = in_interval.groupBy(*ckeys).agg(
-        F.transform(
-            F.sort_array(F.collect_set(F.struct("v_index", "v_hash"))),
-            lambda s: s["v_hash"],
-        ).alias("victim_hashes")
+        F.sort_array(F.collect_set(F.struct("v_index", "v_hash"))).alias(
+            "victim_structs"
+        )
     )
     victim_swaps = in_interval.join(
         swaps.select(
@@ -222,19 +293,26 @@ def sandwich_bundles(
     swap_victim_counts = victim_swaps.groupBy(*ckeys).agg(
         F.countDistinct("v_hash").alias("n_victims")
     )
-    overlap = (
-        victim_swaps.join(
-            front_pools.withColumnRenamed("f_pool", "v_pool").withColumnRenamed(
-                "f_in", "v_in"
-            ),
-            [*ckeys, "v_pool", "v_in"],
-            "left_semi",
-        )
-        .groupBy(*ckeys)
-        .agg(F.countDistinct("v_hash").alias("n_overlap"))
+    front_matched = victim_swaps.join(
+        front_pools.withColumnRenamed("f_pool", "v_pool").withColumnRenamed(
+            "f_in", "v_in"
+        ),
+        [*ckeys, "v_pool", "v_in"],
+        "left_semi",
+    )
+    overlap = front_matched.groupBy(*ckeys).agg(
+        F.countDistinct("v_hash").alias("n_overlap")
+    )
+    # I3c: ≥1 FULL overlap — a victim matching the front direction whose
+    # pool/direction the backrun reverses (v_in == b_out on the same pool)
+    full_overlap = (
+        front_matched.join(back_opp, [*ckeys, "v_pool", "v_in"], "left_semi")
+        .select(*ckeys)
+        .distinct()
     )
     validated = (
         cand.join(reversed_ok, ckeys, "left_semi")
+        .join(full_overlap, ckeys, "left_semi")
         .join(overlap, ckeys)
         .join(swap_victim_counts, ckeys)
         .join(all_victims, ckeys)
@@ -245,20 +323,31 @@ def sandwich_bundles(
         validated, ["block_number", "actor", "segment"], F.col("span"), "back_hash"
     ).cache()
 
-    # I5: PnL over the searcher set across the segment's searcher txs
+    # I5: PnL over the searcher set across the segment's searcher txs; the
+    # set spans EVERY chain tx's identity (a multi-EOA contract chain books
+    # all its EOAs' deltas, like collect_address_set_for_accounting per tx)
     if deltas is None:
         deltas = usd_deltas(action_deltas(actions), dex_prices)
     if gas is None:
         gas = gas_usd(tx_info, block_info)
+    searcher_set = F.array_distinct(
+        F.array_compact(
+            F.concat(
+                F.transform("sub_chain", lambda s: s["eoa"]),
+                F.transform("sub_chain", lambda s: s["mev_contract"]),
+                F.array(F.col("actor")),
+            )
+        )
+    )
     seg_txs = best.select(
         "block_number", "actor", "eoa", "mev_contract", "segment",
-        "front_hashes", "back_hash", "victim_hashes",
+        "sub_chain", "front_hashes", "back_hash", "victim_structs",
+        searcher_set.alias("searcher_set"),
         F.explode(F.transform("sub_chain", lambda s: s["tx_hash"])).alias("tx_hash"),
     )
-    searcher_set = F.array_compact(F.array("eoa", "mev_contract", F.col("actor")))
     rev = (
         seg_txs.join(deltas.select("tx_hash", "address", "usd"), "tx_hash")
-        .filter(F.array_contains(searcher_set, F.col("address")))
+        .filter(F.array_contains(F.col("searcher_set"), F.col("address")))
         .groupBy("block_number", "actor", "segment")
         .agg(F.sum("usd").alias("revenue_usd"))
     )
@@ -266,6 +355,23 @@ def sandwich_bundles(
         seg_txs.join(gas.select("tx_hash", "gas_usd"), "tx_hash")
         .groupBy("block_number", "actor", "segment")
         .agg(F.sum("gas_usd").alias("gas_usd"))
+    )
+    # tx_hashes in BLOCK order (searcher txs + victims interleaved by
+    # tx_index) — a Big Mac's victims sit between their own frontruns, and
+    # consumers read the array as the block-ordered bundle
+    ordered_hashes = F.transform(
+        F.sort_array(
+            F.concat(
+                F.transform(
+                    "sub_chain",
+                    lambda s: F.struct(
+                        s["tx_index"].alias("v_index"), s["tx_hash"].alias("v_hash")
+                    ),
+                ),
+                F.col("victim_structs"),
+            )
+        ),
+        lambda s: s["v_hash"],
     )
     return (
         best.join(rev, ["block_number", "actor", "segment"])
@@ -276,9 +382,7 @@ def sandwich_bundles(
         .filter(F.col("profit_usd") > 0)
         .select(
             "block_number",
-            F.concat(
-                F.col("front_hashes"), F.col("victim_hashes"), F.array("back_hash")
-            ).alias("tx_hashes"),
+            ordered_hashes.alias("tx_hashes"),
             "eoa",
             "mev_contract",
             F.when(F.size("front_hashes") > 1, "sandwich:big_mac")

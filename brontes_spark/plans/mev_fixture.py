@@ -55,7 +55,7 @@ def _bundle_values() -> str:
         ("103", "'0xliq'", "'0xliquidator'", "NULL", "'liquidation'",
          "19", "20", "1"),
         ("104", "'0xcd'", "'0xsearcher1'", "NULL", "'cex_dex'", "4", "5", "1"),
-        ("107", "'0xbm_f1,0xbm_f2,0xbm_v1,0xbm_v2,0xbm_b'",
+        ("107", "'0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b'",
          "'0xsearcher3'", "NULL", "'sandwich:big_mac'", "97", "100", "3"),
         ("108", "'0xg_f1,0xg_v1,0xg_b1'", "'0xsearcher4'", "NULL",
          "'sandwich'", "3", "5", "2"),

@@ -105,7 +105,9 @@ def test_sandwich_big_mac(tables):
     )
     row = _one(b, block_number=107)
     assert row["mev_type"] == "sandwich:big_mac"
-    assert row["tx_hashes"] == ["0xbm_f1", "0xbm_f2", "0xbm_v1", "0xbm_v2", "0xbm_b"]
+    # tx_hashes in BLOCK order: the interleaved Big Mac keeps each victim
+    # between its own frontruns (was fronts+victims+back grouped order)
+    assert row["tx_hashes"] == ["0xbm_f1", "0xbm_v1", "0xbm_f2", "0xbm_v2", "0xbm_b"]
     assert row["profit_usd"] == Decimal("97")
 
 
@@ -613,3 +615,123 @@ def test_stablecoin_arb_subordinate_to_sandwich(spark):
     )
     kept = [r["mev_type"] for r in dedup_by_precedence(bundles).collect()]
     assert kept == ["sandwich"]
+
+
+def _swap_action(txh, txi, pool, tin, tout, ain, aout, frm="0xs"):
+    return dict(
+        block_number=1, tx_hash=txh, tx_index=txi, trace_idx=0,
+        trace_address=[0], action_type="swap", protocol="UniswapV2",
+        swap={"from": frm, "recipient": frm, "pool": pool,
+              "token_in": tin, "token_out": tout,
+              "amount_in": Decimal(ain), "amount_out": Decimal(aout)},
+        transfer=None, mint_burn_collect=None, liquidation=None,
+    )
+
+
+def _txinfo(spark, rows):
+    from brontes_spark import schemas as S
+
+    return spark.createDataFrame(
+        [
+            (1, txi, txh, eoa, ctr, 1_000_000, 10**12, 10**9, Decimal(0), False, True)
+            for (txi, txh, eoa, ctr) in rows
+        ],
+        S.TX_INFO_SCHEMA,
+    )
+
+
+def _binfo_prices(spark, tokens, n_idx=6):
+    from brontes_spark import schemas as S
+
+    binfo = spark.createDataFrame(
+        [dict(block_number=1, block_timestamp=1_700_000_000, beneficiary="0xb",
+              eth_price=Decimal(1), proposer_fee_recipient=None,
+              proposer_mev_reward=None)],
+        S.BLOCK_INFO_SCHEMA,
+    )
+    prices = spark.createDataFrame(
+        [(1, i, t, Decimal(1), None, None) for i in range(n_idx) for t in tokens],
+        S.DEX_PRICES_SCHEMA,
+    )
+    return binfo, prices
+
+
+def test_sandwich_dual_scan_catches_eoa_front_contract_back(spark):
+    """Reference I1 runs TWO candidate scans (duplicate EOA and duplicate
+    contract). An EOA fronting directly (mev_contract null) and backing
+    through a contract appears only in the EOA scan — the old
+    coalesce(contract, eoa) single scan keyed the two txs apart and missed
+    the sandwich entirely."""
+    from brontes_spark import schemas as S
+
+    A, B = "0xtoka", "0xtokb"
+    actions = spark.createDataFrame(
+        [
+            _swap_action("0xf", 0, "0xp", A, B, "100", "99", frm="0xeoa"),
+            _swap_action("0xv", 1, "0xp", A, B, "50", "49", frm="0xvic"),
+            _swap_action("0xb", 2, "0xp", B, A, "99", "105", frm="0xeoa"),
+        ],
+        S.ACTIONS_SCHEMA,
+    )
+    tx_info = _txinfo(spark, [(0, "0xf", "0xeoa", None), (1, "0xv", "0xvic", None),
+                              (2, "0xb", "0xeoa", "0xctr")])
+    binfo, prices = _binfo_prices(spark, [A, B])
+    rows = [r.asDict() for r in
+            sandwich_bundles(actions, tx_info, prices, binfo).collect()]
+    assert len(rows) == 1
+    assert rows[0]["tx_hashes"] == ["0xf", "0xv", "0xb"]
+    # A: -100 +105 = +5 at $1; B: +99 -99 = 0 → revenue $5, gas $2, profit $3
+    assert rows[0]["revenue_usd"] == Decimal("5")
+    assert rows[0]["profit_usd"] == Decimal("3")
+
+
+def test_sandwich_multi_eoa_contract_chain_not_fragmented(spark):
+    """A contract-keyed chain whose front and back come from DIFFERENT EOAs
+    is ONE chain (the old grouping by (actor, eoa) fragmented it below the
+    2-tx minimum and missed the sandwich)."""
+    from brontes_spark import schemas as S
+
+    A, B = "0xtoka", "0xtokb"
+    actions = spark.createDataFrame(
+        [
+            _swap_action("0xf", 0, "0xp", A, B, "100", "99", frm="0xctr"),
+            _swap_action("0xv", 1, "0xp", A, B, "50", "49", frm="0xvic"),
+            _swap_action("0xb", 2, "0xp", B, A, "99", "103", frm="0xctr"),
+        ],
+        S.ACTIONS_SCHEMA,
+    )
+    tx_info = _txinfo(spark, [(0, "0xf", "0xeoaA", "0xctr"), (1, "0xv", "0xvic", None),
+                              (2, "0xb", "0xeoaB", "0xctr")])
+    binfo, prices = _binfo_prices(spark, [A, B])
+    rows = [r.asDict() for r in
+            sandwich_bundles(actions, tx_info, prices, binfo).collect()]
+    assert len(rows) == 1
+    assert rows[0]["tx_hashes"] == ["0xf", "0xv", "0xb"]
+    # attribution = first searcher tx's identity
+    assert rows[0]["eoa"] == "0xeoaA" and rows[0]["mev_contract"] == "0xctr"
+    # net: -100 A +103 A = +3; B: +99 -99 = 0 → revenue $3; the BACK eoa's
+    # deltas count too (searcher set spans the whole chain)
+    assert rows[0]["revenue_usd"] == Decimal("3")
+
+
+def test_sandwich_requires_full_overlap_with_back(spark):
+    """I3: ≥1 victim must fully overlap — swap the front direction on a pool
+    the BACKRUN reverses. Fronting P1+P2 but reversing only P2 while all
+    victims trade P1 is not a sandwich (the old check validated it because
+    victims matched the front side alone)."""
+    from brontes_spark import schemas as S
+
+    A, B = "0xtoka", "0xtokb"
+    actions = spark.createDataFrame(
+        [
+            _swap_action("0xf", 0, "0xp1", A, B, "100", "99", frm="0xeoa"),
+            _swap_action("0xf", 0, "0xp2", A, B, "10", "9", frm="0xeoa"),
+            _swap_action("0xv", 1, "0xp1", A, B, "50", "49", frm="0xvic"),
+            _swap_action("0xb", 2, "0xp2", B, A, "9", "11", frm="0xeoa"),
+        ],
+        S.ACTIONS_SCHEMA,
+    )
+    tx_info = _txinfo(spark, [(0, "0xf", "0xeoa", None), (1, "0xv", "0xvic", None),
+                              (2, "0xb", "0xeoa", None)])
+    binfo, prices = _binfo_prices(spark, [A, B])
+    assert sandwich_bundles(actions, tx_info, prices, binfo).count() == 0
