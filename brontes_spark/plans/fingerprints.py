@@ -1,0 +1,193 @@
+"""Per-gate change fingerprints: the driver verifies only the first 50
+registry entries per round, so the ordering must notice when a gate's
+implementation changes — including changes in helper modules the plan
+builder merely imports (the round-3 miss: ``norm_text`` changed in
+functions/text.py and the hand-maintained FORCE_RECHECK map never learned
+that ``txt_fingerprint`` depended on it).
+
+A gate's fingerprint is md5 over
+
+  * its oracle SQL text (already fully interpolated at registration time,
+    so shared CTE constants are captured), and
+  * the SOURCE of every brontes_spark module transitively reachable from
+    the plan builder's module via module-level imports.
+
+The fingerprint of every gate, plus the round at which it last changed,
+is persisted in ``GATE_FINGERPRINTS.json`` beside the CORRECTNESS_r*.json
+history. Ordering treats a gate whose fingerprint changed after its last
+green driver row as never-verified, so it re-enters the driver window
+automatically — FORCE_RECHECK in registry.py remains only as a manual
+override for changes the closure can't see (e.g. testdata regeneration).
+
+``python -m brontes_spark.plans.fingerprints --update`` refreshes the
+persisted file; tests/test_fingerprints.py fails when it is stale so the
+file cannot silently drift from the code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import types
+
+_PKG = "brontes_spark"
+#: registry.py holds the ordering policy itself (not gate semantics; its one
+#: semantic export, EV_CTE, is interpolated into oracle strings and therefore
+#: hashed via the oracle text); this module is pure bookkeeping. Including
+#: either would flip EVERY fingerprint on any ordering-policy edit.
+_EXCLUDE = {f"{_PKG}.plans.registry", f"{_PKG}.plans.fingerprints"}
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+STORE_PATH = os.path.join(_REPO_ROOT, "GATE_FINGERPRINTS.json")
+
+_closure_cache: dict[str, tuple[str, ...]] = {}
+_source_cache: dict[str, str] = {}
+
+
+def _module_source(name: str) -> str:
+    if name not in _source_cache:
+        mod = sys.modules.get(name)
+        path = getattr(mod, "__file__", None)
+        try:
+            with open(path, encoding="utf-8") as f:
+                _source_cache[name] = f.read()
+        except (OSError, TypeError):
+            _source_cache[name] = ""
+    return _source_cache[name]
+
+
+def _module_closure(root: str) -> tuple[str, ...]:
+    """Transitive in-package import closure of ``root``, discovered by
+    scanning each module's globals for (a) sub-modules and (b) functions /
+    classes defined in another brontes_spark module. Captures both
+    ``import pkg.mod`` and ``from pkg.mod import fn`` styles; objects used
+    only inside function bodies are reached through their defining module's
+    own module-level imports.
+    """
+    if root in _closure_cache:
+        return _closure_cache[root]
+    seen: set[str] = set()
+    stack = [root]
+    while stack:
+        name = stack.pop()
+        if name in seen or not name.startswith(_PKG) or name in _EXCLUDE:
+            continue
+        seen.add(name)
+        mod = sys.modules.get(name)
+        if mod is None:
+            continue
+        for val in vars(mod).values():
+            if isinstance(val, types.ModuleType):
+                dep = val.__name__
+            else:
+                dep = getattr(val, "__module__", None)
+            if isinstance(dep, str) and dep.startswith(_PKG):
+                stack.append(dep)
+    out = tuple(sorted(seen))
+    _closure_cache[root] = out
+    return out
+
+
+def compute_all() -> dict[str, str]:
+    """Current fingerprint for every registered gate."""
+    from .registry import REGISTRY
+
+    fps: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        h = hashlib.md5((spec.oracle or "").encode())
+        for mod in _module_closure(spec.build.__module__):
+            h.update(b"\x00")
+            h.update(mod.encode())
+            h.update(b"\x00")
+            h.update(_module_source(mod).encode())
+        fps[name] = h.hexdigest()
+    return fps
+
+
+def load_stored(path: str = STORE_PATH) -> dict[str, dict]:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def current_round() -> int:
+    """The in-flight round number: one past the newest CORRECTNESS file."""
+    import glob
+    import re
+
+    rounds = [0]
+    for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def refresh(path: str = STORE_PATH, write: bool = True) -> dict[str, dict]:
+    """Recompute fingerprints, carrying forward the stored change-round for
+    unchanged gates and stamping changed gates with the current round. A
+    gate first seen with no stored entry gets round -1 ("no known change"):
+    a truly new gate has no driver history anyway, so it already sorts
+    risk-first, while the initial seeding of a pre-existing gate must not
+    invalidate its earlier green rows.
+    """
+    stored = load_stored(path)
+    rnd = current_round()
+    out: dict[str, dict] = {}
+    for name, fp in sorted(compute_all().items()):
+        prev = stored.get(name)
+        if prev and prev.get("fp") == fp:
+            out[name] = prev
+        elif prev:
+            out[name] = {"fp": fp, "round": rnd}
+        else:
+            out[name] = {"fp": fp, "round": -1}
+    if write:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    return out
+
+
+def change_rounds(path: str = STORE_PATH) -> dict[str, int]:
+    """Gate -> round its implementation last changed, per the persisted
+    store reconciled against LIVE fingerprints: if the code changed and the
+    store was not refreshed, the gate is treated as changed in the current
+    round (risk-first) rather than riding a stale entry. Returns {} on any
+    computation failure so ordering degrades to history + FORCE_RECHECK
+    instead of crashing the driver entrypoint.
+    """
+    try:
+        stored = load_stored(path)
+        if not stored:
+            return {}
+        live = compute_all()
+        rnd = current_round()
+        out: dict[str, int] = {}
+        for name, fp in live.items():
+            prev = stored.get(name)
+            if prev is None or prev.get("fp") != fp:
+                out[name] = rnd
+            else:
+                out[name] = int(prev.get("round", -1))
+        return out
+    except Exception:
+        return {}
+
+
+if __name__ == "__main__":
+    import brontes_spark.plans  # noqa: F401  (populate REGISTRY)
+
+    if "--update" in sys.argv:
+        data = refresh(write=True)
+        changed = [n for n, v in data.items() if v["round"] == current_round()]
+        print(f"wrote {STORE_PATH}: {len(data)} gates, changed this round: {changed}")
+    else:
+        stored = load_stored()
+        live = compute_all()
+        stale = [n for n in live if stored.get(n, {}).get("fp") != live[n]]
+        print(f"stale: {stale}" if stale else "fingerprints current")

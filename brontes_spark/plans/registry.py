@@ -120,25 +120,17 @@ DRIVER_ORDER: list[str] = [
 ]
 
 
-#: Gates whose IMPLEMENTATION changed after their last green driver row,
-#: mapped to the round the change landed in: ordering treats them as
-#: never-verified until a CORRECTNESS file from >= that round shows them
-#: green, then the entry expires on its own (no manual cleanup; a stale
-#: entry only re-verifies a gate one extra round, never hides one).
+#: Manual OVERRIDE for implementation changes the fingerprint closure cannot
+#: see (e.g. regenerated fixture parquet, driver-side environment changes):
+#: gate -> round the change landed in. Ordering treats the gate as
+#: never-verified until a CORRECTNESS file from a LATER round shows it green,
+#: then the entry expires on its own. Ordinary code changes no longer belong
+#: here — fingerprints.py detects them automatically from the plan builder's
+#: transitive module sources + oracle text (the r3 `txt_fingerprint` miss,
+#: where `norm_text` changed under the gate, is the failure mode the
+#: automatic path closes).
 FORCE_RECHECK: dict[str, int] = {
-    "ann_cosine_topk": 3,         # in-row zip_with dot-product rewrite
-    "dedup_embedding_cosine": 3,  # array-refinement + zero-norm guard
-    "ann_lsh_buckets": 3,         # sign-dim derivation + dim-peek guard
-    "ann_ivf_topk": 3,            # in-row rewrite + positive-norm seeds
-    "mm_frame_sample": 3,         # zero-frame rows dropped (oracle too)
-    "g4_univ3_swap_quotes": 3,    # zero-liquidity gap walk + new goldens
-    # mev pipeline: bundle_id xxhash64->md5, S10 block-grain stats, and the
-    # round-3 inspector fixes (precedence, JIT/liq grain, cex-dex anchors)
-    "mev_composer_bundles": 3,
-    "mev_block_headers": 3,
-    "mev_block_analysis": 3,
-    "mev_block_analysis_wide": 3,
-    "mev_searcher_stats": 3,
+    "txt_fingerprint": 3,  # norm_text \s-class change landed r3, never driver-rechecked
 }
 
 
@@ -186,19 +178,23 @@ def _ordered() -> list[str]:
     window rotates across rounds without manual re-curation and a
     newly-registered gate is never silently dropped.
     """
+    from . import fingerprints
+
     history = _driver_history()
     base = {n: i for i, n in enumerate(DRIVER_ORDER)}
     names = [n for n in DRIVER_ORDER if n in REGISTRY]
     names += [n for n in REGISTRY if n not in base]
     if not history:
         return names
+    changed = fingerprints.change_rounds()
+
     def last_green(n: str) -> int:
         lg = history.get(n, -1)
         # <=: a green row from the SAME round as the change may predate the
         # change (the driver snapshots mid-round) — only a later round's
         # green row proves the changed code was checked. Costs at most the
         # documented one extra re-verification.
-        if lg <= FORCE_RECHECK.get(n, -1):
+        if lg <= max(FORCE_RECHECK.get(n, -1), changed.get(n, -1)):
             return -1
         return lg
 
