@@ -18,9 +18,9 @@ from ..sources.fixtures import load_fixtures
 from .registry import register
 
 _SQRT_T0 = "79228162514264337593543950336"
-_SQRT_M30 = "79109415290437042302807587395"
-_SQRT_M75 = "78931628080856889801321786086"
-_SQRT_P15 = "79287602951555555546117890671"
+_SQRT_M30 = "79109415290437042302807587396"
+_SQRT_M75 = "78931628080856889801321786087"
+_SQRT_P15 = "79287602951555555546117890672"
 
 
 def _state_values() -> str:
@@ -203,8 +203,8 @@ def _quote_values() -> str:
     oracle=_quote_values(),
     survey_ref="G4 tick-crossing swap simulation (uniswap_v3_math walker; "
     "pricing/univ3_swap.py): exact-integer exact-in quotes over the "
-    "replayed pool state + tick tables, Arrow-batched via mapInPandas "
-    "(univ3_quote_batch)",
+    "replayed pool state + tick tables, cogrouped applyInPandas on the "
+    "pool key (univ3_quote_batch) — no driver-side state collect",
 )
 def g4_univ3_swap_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -220,17 +220,14 @@ def g4_univ3_swap_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (
         state.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
-        .select("pool", "sqrt_price_post", "liquidity_post", "tick_post")
-        .collect()
+        .select(
+            "pool",
+            F.col("sqrt_price_post").alias("sqrt_price"),
+            F.col("liquidity_post").alias("liquidity"),
+            F.col("tick_post").alias("tick"),
+        )
     )
-    ticks = univ3_tick_liquidity(t["univ3_events"]).collect()
-    pool_state = {
-        r["pool"]: (int(r["sqrt_price_post"]), int(r["liquidity_post"]), r["tick_post"])
-        for r in final
-    }
-    pool_ticks: dict[str, list[tuple[int, int]]] = {}
-    for r in ticks:
-        pool_ticks.setdefault(r["pool"], []).append((r["tick"], int(r["liquidity_net"])))
+    ticks = univ3_tick_liquidity(t["univ3_events"])
     requests = spark.createDataFrame(
         [
             ("0xv3pool1", 10_000, True), ("0xv3pool1", 10_000, False),
@@ -239,7 +236,7 @@ def g4_univ3_swap_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "pool string, amount_in long, zero_for_one boolean",
     ).select("pool", F.col("amount_in").cast("decimal(38,0)").alias("amount_in"), "zero_for_one")
-    out = univ3_quote_batch(requests, pool_state, pool_ticks, fee_pips=3000)
+    out = univ3_quote_batch(requests, final, ticks, fee_pips=3000)
     return out.select(
         "pool",
         F.col("amount_in").cast("string").alias("amount_in"),

@@ -29,10 +29,12 @@ Divergences from the reference, documented:
 * Raw uint256/uint160 columns are decimal(38,0): covers |x| < 1e38 (every
   real pool; uint160 sqrt ratios above tick ~419k and uint128 liquidity
   above 3.4e38 would not fit — those are degenerate, not observed values).
-* Tick math constants are computed at import from the exact definition
-  sqrt(1.0001^tick)·2^96 with 90-digit software decimals (deterministic
-  across platforms), not Uniswap's hard-coded Q128 magic constants — a few
-  boundary ticks may differ from on-chain TickMath by 1 ulp of the ratio.
+* Tick math is the BIT-EXACT TickMath ladder (the published Q128 magic
+  constants + the Solidity round-up conversion to Q64.96), matching the
+  reference's tick_math.rs and on-chain behavior exactly — pinned by
+  Uniswap's published boundary vectors in tests/test_univ3.py
+  (MIN_SQRT_RATIO 4295128739 etc.), which are goldens INDEPENDENT of this
+  implementation.
 """
 
 from __future__ import annotations
@@ -49,15 +51,53 @@ MIN_TICK, MAX_TICK = -887272, 887272
 
 _PREC = 90
 
+#: the published TickMath.sol Q128 ladder: constant for bit b is
+#: ~2^128·1.0001^(−b/2), each the truncated product of the previous
+#: doubling — reproducing them exactly is what makes the result bit-equal
+#: to on-chain values (and to the reference's tick_math.rs port).
+_TICK_MAGIC: tuple[tuple[int, int], ...] = (
+    (0x2, 0xFFF97272373D413259A46990580E213A),
+    (0x4, 0xFFF2E50F5F656932EF12357CF3C7FDCC),
+    (0x8, 0xFFE5CACA7E10E4E61C3624EAA0941CD0),
+    (0x10, 0xFFCB9843D60F6159C9DB58835C926644),
+    (0x20, 0xFF973B41FA98C081472E6896DFB254C0),
+    (0x40, 0xFF2EA16466C96A3843EC78B326B52861),
+    (0x80, 0xFE5DEE046A99A2A811C461F1969C3053),
+    (0x100, 0xFCBE86C7900A88AEDCFFC83B479AA3A4),
+    (0x200, 0xF987A7253AC413176F2B074CF7815E54),
+    (0x400, 0xF3392B0822B70005940C7A398E4B70F3),
+    (0x800, 0xE7159475A2C29B7443B29C7FA6E889D9),
+    (0x1000, 0xD097F3BDFD2022B8845AD8F792AA5825),
+    (0x2000, 0xA9F746462D870FDF8A65DC1F90E061E5),
+    (0x4000, 0x70D869A156D2A1B890BB3DF62BAF32F7),
+    (0x8000, 0x31BE135F97D08FD981231505542FCFA6),
+    (0x10000, 0x9AA508B5B7A84E1C677DE54F3E99BC9),
+    (0x20000, 0x5D6AF8DEDB81196699C329225EE604),
+    (0x40000, 0x2216E584F5FA1EA926041BEDFE98),
+    (0x80000, 0x48A170391F7DC42444E8FA2),
+)
+_MAGIC_ODD = 0xFFFCB933BD6FAD37AA2D162D1A594001
+_U256_MAX = (1 << 256) - 1
+
 
 def get_sqrt_ratio_at_tick(tick: int) -> int:
-    """floor(sqrt(1.0001^tick) · 2^96) — exact-definition twin of the
-    reference's `get_sqrt_ratio_at_tick` (tick_math.rs:21-107)."""
+    """sqrt(1.0001^tick)·2^96 as the BIT-EXACT TickMath.getSqrtRatioAtTick
+    (reference tick_math.rs:21-107, itself the Solidity port): Q128 magic-
+    constant ladder over the bits of |tick|, reciprocal for positive ticks,
+    then the round-UP >>32 conversion to Q64.96. Matches the published
+    boundary vectors (4295128739 at MIN_TICK, ...970342 at MAX_TICK)."""
     if not MIN_TICK <= tick <= MAX_TICK:
         raise ValueError(f"tick {tick} out of [{MIN_TICK}, {MAX_TICK}]")
-    with localcontext() as ctx:
-        ctx.prec = _PREC
-        return int((Decimal("1.0001") ** tick).sqrt() * Q96)
+    abs_tick = abs(tick)
+    ratio = _MAGIC_ODD if abs_tick & 1 else 1 << 128
+    for bit, magic in _TICK_MAGIC:
+        if abs_tick & bit:
+            ratio = (ratio * magic) >> 128
+    if tick > 0:
+        ratio = _U256_MAX // ratio
+    # Solidity: (ratio >> 32) rounded UP, so getTickAtSqrtRatio(result)
+    # of the price-increase direction stays consistent
+    return (ratio >> 32) + (1 if ratio & 0xFFFFFFFF else 0)
 
 
 MIN_SQRT_RATIO = get_sqrt_ratio_at_tick(MIN_TICK)

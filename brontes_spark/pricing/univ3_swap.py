@@ -10,14 +10,13 @@ when price falls, down when it rises) and output amounts round down.
 Fees are charged on the input consumed per step at `fee_pips`/1e6 (the
 pool-fee model; protocol-fee split not modeled — documented divergence).
 
-Driver-side single-quote function + an Arrow-batched `mapInPandas` wrapper
-for bulk quoting: the per-pool tick tables ride in a broadcast-style dict
-closure (tick tables are the pool dimension — MBs at mainnet scale).
+Driver-side single-quote function + an Arrow-batched cogrouped
+`applyInPandas` wrapper for bulk quoting: requests cogroup with the pool
+state/tick DataFrames on the pool key, so no pool metadata ever rides the
+driver or a task closure (the scale requirement at ~10^4-10^6 pools).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
@@ -156,47 +155,100 @@ def univ3_swap_exact_in(
     )
 
 
+_QUOTE_SCHEMA = (
+    "pool string, amount_in decimal(38,0), zero_for_one boolean, "
+    "amount_out decimal(38,0), fee_paid decimal(38,0), "
+    "tick_after int, liquidity_after decimal(38,0), ticks_crossed int"
+)
+_QUOTE_COLS = [
+    "pool", "amount_in", "zero_for_one", "amount_out", "fee_paid",
+    "tick_after", "liquidity_after", "ticks_crossed",
+]
+
+
 def univ3_quote_batch(
     requests: DataFrame,
-    pool_state: dict[str, tuple[int, int, int]],
-    pool_ticks: dict[str, list[tuple[int, int]]],
+    pool_state: DataFrame,
+    pool_ticks: DataFrame,
     fee_pips: int = 3000,
 ) -> DataFrame:
-    """Bulk quoting: `requests` (pool string, amount_in decimal(38,0),
-    zero_for_one boolean) → per-request quote columns. Pool state/tick
-    dicts ship in the task closure (dimension-sized); the simulation runs
-    Arrow-batched per partition — the mapInPandas shape for math Spark
-    expressions can't express (an iterative walk per row)."""
-    import pandas as pd
+    """Bulk quoting as a cogrouped `applyInPandas` on `pool` — the
+    scale-safe shape for the walker (reference uniswap_v3/mod.rs:160-493 +
+    uniswap_v3_math): both sides shuffle on the pool key, so each task sees
+    one pool's requests next to that pool's state row and tick table, and
+    NOTHING rides the driver or the task closure. At mainnet scale
+    (~10^4-10^6 V3 pools × tick arrays) the previous closure-dict variant
+    serialized every pool's ticks into every task; here a pool's ticks move
+    once, to the one task that quotes it.
 
-    out_schema = (
-        "pool string, amount_in decimal(38,0), zero_for_one boolean, "
-        "amount_out decimal(38,0), fee_paid decimal(38,0), "
-        "tick_after int, liquidity_after decimal(38,0), ticks_crossed int"
+    `requests`:    pool string, amount_in decimal(38,0), zero_for_one boolean
+    `pool_state`:  pool, sqrt_price, liquidity, tick — one row per pool
+                   (U256-scale columns may be string or decimal; cast-safe)
+    `pool_ticks`:  pool, tick, liquidity_net — per-pool net-liquidity table
+
+    Requests for a pool with no state row are dropped (unquotable pool —
+    the caller decides whether that's an error). Skew note: one hot pool's
+    requests land in one task; since the walker is O(1) per request after
+    the O(ticks) table sort, the fix at scale is salting the REQUEST side
+    and replicating the (tiny) state/ticks rows per salt — documented in
+    SCALE.md, not needed at fixture scale.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # one metadata relation for the right side of the cogroup: the state
+    # row (row_kind 0: v1=sqrt_price, v2=liquidity) unioned with the tick
+    # table (row_kind 1: v1=liquidity_net). U256-scale cells ride as
+    # strings — Arrow round-trips them losslessly; Python int() re-widens.
+    meta = pool_state.select(
+        "pool",
+        F.lit(0).alias("row_kind"),
+        F.col("sqrt_price").cast("string").alias("v1"),
+        F.col("liquidity").cast("string").alias("v2"),
+        F.col("tick").cast("int").alias("tick"),
+    ).unionByName(
+        pool_ticks.select(
+            "pool",
+            F.lit(1).alias("row_kind"),
+            F.col("liquidity_net").cast("string").alias("v1"),
+            F.lit(None).cast("string").alias("v2"),
+            F.col("tick").cast("int").alias("tick"),
+        )
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def quote(reqs: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         from decimal import Decimal
 
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                sqrt_p, liq, tick = pool_state[r.pool]
-                q = univ3_swap_exact_in(
-                    int(r.amount_in), bool(r.zero_for_one), sqrt_p, liq, tick,
-                    pool_ticks.get(r.pool, []), fee_pips,
+        state = meta_pdf[meta_pdf["row_kind"] == 0]
+        if reqs.empty or state.empty:
+            return pd.DataFrame(columns=_QUOTE_COLS)
+        st = state.iloc[0]
+        sqrt_p, liq, tick0 = int(st["v1"]), int(st["v2"]), int(st["tick"])
+        table = [
+            (int(r.tick), int(r.v1))
+            for r in meta_pdf[meta_pdf["row_kind"] == 1].itertuples(index=False)
+        ]
+        rows = []
+        for r in reqs.itertuples(index=False):
+            q = univ3_swap_exact_in(
+                int(r.amount_in), bool(r.zero_for_one), sqrt_p, liq, tick0,
+                table, fee_pips,
+            )
+            rows.append(
+                dict(
+                    pool=r.pool, amount_in=Decimal(int(r.amount_in)),
+                    zero_for_one=bool(r.zero_for_one),
+                    amount_out=Decimal(q["amount_out"]),
+                    fee_paid=Decimal(q["fee_paid"]),
+                    tick_after=q["tick_after"],
+                    liquidity_after=Decimal(q["liquidity_after"]),
+                    ticks_crossed=q["ticks_crossed"],
                 )
-                rows.append(
-                    dict(
-                        pool=r.pool, amount_in=Decimal(int(r.amount_in)),
-                        zero_for_one=bool(r.zero_for_one),
-                        amount_out=Decimal(q["amount_out"]),
-                        fee_paid=Decimal(q["fee_paid"]),
-                        tick_after=q["tick_after"],
-                        liquidity_after=Decimal(q["liquidity_after"]),
-                        ticks_crossed=q["ticks_crossed"],
-                    )
-                )
-            yield pd.DataFrame(rows)
+            )
+        return pd.DataFrame(rows, columns=_QUOTE_COLS)
 
-    return requests.mapInPandas(run, schema=out_schema)
+    return (
+        requests.groupBy("pool")
+        .cogroup(meta.groupBy("pool"))
+        .applyInPandas(quote, schema=_QUOTE_SCHEMA)
+    )

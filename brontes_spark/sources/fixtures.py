@@ -349,12 +349,12 @@ def searcher_info_rows() -> list[dict]:
 
 P3, P4 = "0xv3pool1", "0xv3pool2"
 
-#: exact sqrt(1.0001^tick)·2^96 for the planted ticks
+#: bit-exact TickMath sqrt(1.0001^tick)·2^96 for the planted ticks
 #: (pricing/univ3.get_sqrt_ratio_at_tick; Q96 = 2^96 is tick 0)
 _SQRT_T0 = 79228162514264337593543950336
-_SQRT_M30 = 79109415290437042302807587395
-_SQRT_M75 = 78931628080856889801321786086
-_SQRT_P15 = 79287602951555555546117890671
+_SQRT_M30 = 79109415290437042302807587396
+_SQRT_M75 = 78931628080856889801321786087
+_SQRT_P15 = 79287602951555555546117890672
 
 E18 = 10**18
 

@@ -22,14 +22,22 @@ from brontes_spark.sources.fixtures import load_fixtures
 D = Decimal
 
 
-def test_tick_math_exact_definition():
+def test_tick_math_published_vectors():
+    """INDEPENDENT goldens: Uniswap's published TickMath boundary values
+    (v3-core TickMath.sol constants + test vectors) — not derived from this
+    implementation. A match proves the ladder is bit-exact with on-chain
+    behavior and with the reference's tick_math.rs port."""
     # tick 0 is exactly Q96 (1.0001^0 = 1)
     assert get_sqrt_ratio_at_tick(0) == Q96
-    # the exact floor at MIN_TICK; Uniswap's magic-constant TickMath yields
-    # 4295128739 (1 ulp above the true value — documented divergence)
-    assert MIN_SQRT_RATIO == 4295128738
+    # published MIN_SQRT_RATIO / MAX_SQRT_RATIO constants
+    assert MIN_SQRT_RATIO == 4295128739
+    assert MAX_SQRT_RATIO == 1461446703485210103287273052203988822378723970342
     assert get_sqrt_ratio_at_tick(MIN_TICK) == MIN_SQRT_RATIO
     assert get_sqrt_ratio_at_tick(MAX_TICK) == MAX_SQRT_RATIO
+    # ±1 tick vectors (note the Solidity round-UP conversion: one above the
+    # exact floor of sqrt(1.0001^±1)·2^96)
+    assert get_sqrt_ratio_at_tick(1) == 79232123823359799118286999568
+    assert get_sqrt_ratio_at_tick(-1) == 79224201403219477170569942574
     # strictly increasing
     prev = 0
     for t in (-887272, -100000, -1, 0, 1, 100000, 887272):

@@ -65,6 +65,43 @@ def test_tick_crossing_drops_inner_liquidity():
     assert q2["sqrt_price_after"] > get_sqrt_ratio_at_tick(60)
 
 
+def test_closed_form_half_price_swap():
+    """INDEPENDENT golden (directive r3#4): single position, no crossing,
+    no fee — solvable by hand from x·y=k without running the walker.
+    At tick 0 the virtual reserves are x = y = L; swapping in exactly
+    x (= L) of token0 doubles x, so the price exactly halves
+    (sqrt' = Q96/2, exact: Q96 is a power of two) and the output is
+    exactly y/2 = L/2. Symmetrically for token1 in."""
+    q = univ3_swap_exact_in(L, True, Q96, L, 0, [], fee_pips=0)
+    assert q["sqrt_price_after"] == Q96 // 2
+    assert q["amount_out"] == L // 2
+    assert q["fee_paid"] == 0 and q["ticks_crossed"] == 0
+
+    q1 = univ3_swap_exact_in(L, False, Q96, L, 0, [], fee_pips=0)
+    assert q1["sqrt_price_after"] == 2 * Q96
+    assert q1["amount_out"] == L // 2
+
+
+def test_closed_form_fee_swap_independent_formula():
+    """INDEPENDENT golden with fee: expected values derived IN THE TEST
+    from the published SqrtPriceMath formulas with exact integer
+    arithmetic — no walker helper is called. exact-in token0, one range:
+      in_net = in·(1e6−fee)/1e6          (fee withheld from input)
+      sqrt'  = ceil(L·Q96·sqrt/(L·Q96 + in_net·sqrt))   (rounds up: against swapper)
+      out    = floor(L·(sqrt−sqrt')/Q96)               (rounds down)
+    """
+    amount_in, fee_pips = 10**18, 3000
+    in_net = amount_in * (1_000_000 - fee_pips) // 1_000_000  # exact: 997e15
+    assert in_net * 1_000_000 == amount_in * (1_000_000 - fee_pips)
+    expected_sqrt = -(-(L * Q96 * Q96) // (L * Q96 + in_net * Q96))
+    expected_out = L * (Q96 - expected_sqrt) // Q96
+    q = univ3_swap_exact_in(amount_in, True, Q96, L, 0, [], fee_pips=fee_pips)
+    assert q["sqrt_price_after"] == expected_sqrt
+    assert q["amount_out"] == expected_out
+    assert q["fee_paid"] == amount_in - in_net
+    assert q["ticks_crossed"] == 0
+
+
 def test_fee_accounting():
     free = univ3_swap_exact_in(10**15, True, Q96, L, 0, [], fee_pips=0)
     paid = univ3_swap_exact_in(10**15, True, Q96, L, 0, [], fee_pips=3000)
@@ -74,19 +111,36 @@ def test_fee_accounting():
 
 
 def test_bulk_quote_wrapper(spark):
+    """Cogrouped bulk quoting: state/ticks ride as DataFrames keyed on
+    pool — never driver dicts or task closures. A request for a pool with
+    no state row is dropped (unquotable), a pool with no ticks quotes
+    against an empty table."""
     from brontes_spark.pricing.univ3_swap import univ3_quote_batch
 
-    state = {"0xp": (Q96, L, 0)}
-    ticks = {"0xp": [(-60, 5 * 10**17), (60, -5 * 10**17)]}
+    tick_rows = [(-60, 5 * 10**17), (60, -5 * 10**17)]
+    state = spark.createDataFrame(
+        [("0xp", str(Q96), str(L), 0), ("0xq", str(Q96), str(L), 0)],
+        "pool string, sqrt_price string, liquidity string, tick int",
+    )
+    ticks = spark.createDataFrame(
+        [("0xp", t, str(n)) for t, n in tick_rows],
+        "pool string, tick int, liquidity_net string",
+    )
     reqs = spark.createDataFrame(
-        [("0xp", Decimal(10**15), True), ("0xp", Decimal(10**15), False)],
+        [("0xp", Decimal(10**15), True), ("0xp", Decimal(10**15), False),
+         ("0xq", Decimal(10**15), True), ("0xmissing", Decimal(10**15), True)],
         "pool string, amount_in decimal(38,0), zero_for_one boolean",
     )
-    got = {r["zero_for_one"]: r for r in
-           univ3_quote_batch(reqs, state, ticks, fee_pips=0).collect()}
-    ref_down = univ3_swap_exact_in(10**15, True, Q96, L + 0, 0, ticks["0xp"], 0)
+    out = univ3_quote_batch(reqs, state, ticks, fee_pips=0).collect()
+    assert {r["pool"] for r in out} == {"0xp", "0xq"}  # 0xmissing dropped
+    got = {r["zero_for_one"]: r for r in out if r["pool"] == "0xp"}
+    ref_down = univ3_swap_exact_in(10**15, True, Q96, L + 0, 0, tick_rows, 0)
     assert got[True]["amount_out"] == Decimal(ref_down["amount_out"])
     assert got[False]["amount_out"] > 0
+    # tickless pool == single-range walker
+    ref_q = univ3_swap_exact_in(10**15, True, Q96, L, 0, [], 0)
+    (q_row,) = [r for r in out if r["pool"] == "0xq"]
+    assert q_row["amount_out"] == Decimal(ref_q["amount_out"])
 
 
 def test_zero_liquidity_gap_crossed_to_next_position():
