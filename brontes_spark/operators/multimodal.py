@@ -7,13 +7,13 @@ pattern that scales: the JVM moves bytes, Python touches each batch once,
 and partition sizing (bytes per partition, not rows) bounds worker memory.
 
 Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
-`decode_bmp` — pure bytes + numpy, real pixels, real spatial features;
-`decode_image` sniffs and dispatches). Compressed formats (PNG/JPEG/video)
-need PIL/ffmpeg, which are NOT in this environment, so the kernel stays
-pluggable: pass a production codec via `decode_fn`; undecodable payloads
-raise into the quarantine path. `stub_decode` remains as the deterministic
-fake for plumbing tests. Schemas, Arrow batch shapes, and partitioning are
-identical across all three.
+`decode_bmp` / `decode_png` — pure bytes + numpy (+ stdlib zlib for PNG),
+real pixels, real spatial features; `decode_image` sniffs and dispatches).
+JPEG/video need PIL/ffmpeg, which are NOT in this environment, so the
+kernel stays pluggable: pass a production codec via `decode_fn`;
+undecodable payloads raise into the quarantine path. `stub_decode` remains
+as the deterministic fake for plumbing tests. Schemas, Arrow batch shapes,
+and partitioning are identical across all of them.
 """
 
 from __future__ import annotations
@@ -137,12 +137,89 @@ def decode_bmp(data: bytes) -> dict:
     return _gray_stats(px)
 
 
+def decode_png(data: bytes) -> dict:
+    """Real decoder for 8-bit non-interlaced gray/RGB/RGBA PNG: stdlib
+    `zlib` inflate + the five scanline unfilters (None/Sub/Up/Average/
+    Paeth) — no codec libraries. Covers the most common real container;
+    palette/16-bit/Adam7 images raise into the quarantine path (plug PIL
+    via `decode_fn` in production — this pure-Python unfilter is for
+    correctness-grade workloads, not JPEG-farm throughput).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError("only 8-bit non-interlaced gray/RGB/RGBA PNG supported")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
+        raise ValueError("bad PNG pixel payload")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        rec = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor, sequential within the row
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+        elif f == 2:  # Up: fully vectorized
+            rec = (rec + prior) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                c = int(prior[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]  # alpha dropped for intensity stats
+    return _gray_stats(px)
+
+
 def decode_image(data: bytes) -> dict:
     """Container-sniffing decoder: REAL decode for the dependency-free
-    formats (PPM P6, uncompressed 24-bit BMP — pure bytes + numpy); anything
-    else raises for the caller's quarantine path, where a production
-    deployment plugs PIL/ffmpeg via `decode_fn`. The Spark-side plumbing
-    (schema, Arrow batching, partitioning) is identical either way.
+    formats (PPM P6, uncompressed 24-bit BMP, 8-bit PNG — pure bytes +
+    numpy + stdlib zlib); anything else raises for the caller's quarantine
+    path, where a production deployment plugs PIL/ffmpeg via `decode_fn`.
+    The Spark-side plumbing (schema, Arrow batching, partitioning) is
+    identical either way.
     """
     if not data:
         raise ValueError("empty payload")
@@ -150,6 +227,8 @@ def decode_image(data: bytes) -> dict:
         return decode_ppm(data)
     if data.startswith(b"BM"):
         return decode_bmp(data)
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png(data)
     raise ValueError("unsupported container (plug a codec via decode_fn)")
 
 

@@ -46,26 +46,84 @@ _closure_cache: dict[str, tuple[str, ...]] = {}
 _source_cache: dict[str, str] = {}
 
 
+def _module_path(name: str) -> str | None:
+    """Source path for a package module WITHOUT importing it (lazy
+    in-function imports mean a dependency may not be in sys.modules when
+    fingerprints are computed)."""
+    mod = sys.modules.get(name)
+    path = getattr(mod, "__file__", None)
+    if path:
+        return path
+    import importlib.util
+
+    try:
+        spec = importlib.util.find_spec(name)
+    except (ImportError, ValueError):
+        return None
+    return spec.origin if spec and spec.origin else None
+
+
 def _module_source(name: str) -> str:
     if name not in _source_cache:
-        mod = sys.modules.get(name)
-        path = getattr(mod, "__file__", None)
         try:
-            with open(path, encoding="utf-8") as f:
+            with open(_module_path(name), encoding="utf-8") as f:
                 _source_cache[name] = f.read()
         except (OSError, TypeError):
             _source_cache[name] = ""
     return _source_cache[name]
 
 
-def _module_closure(root: str) -> tuple[str, ...]:
-    """Transitive in-package import closure of ``root``, discovered by
-    scanning each module's globals for (a) sub-modules and (b) functions /
-    classes defined in another brontes_spark module. Captures both
-    ``import pkg.mod`` and ``from pkg.mod import fn`` styles; objects used
-    only inside function bodies are reached through their defining module's
-    own module-level imports.
+def _module_deps(name: str) -> set[str]:
+    """In-package modules ``name`` imports ANYWHERE in its source — found by
+    walking the AST, so imports inside function bodies count (the blind spot
+    a globals-only scan has: a builder doing `from ..operators.x import f`
+    lazily would otherwise hide x's source from the fingerprint). The
+    module-globals scan is kept as a complement for dynamic attachments.
     """
+    import ast
+
+    deps: set[str] = set()
+    mod = sys.modules.get(name)
+    if mod is not None:
+        for val in vars(mod).values():
+            if isinstance(val, types.ModuleType):
+                dep = val.__name__
+            else:
+                dep = getattr(val, "__module__", None)
+            if isinstance(dep, str):
+                deps.add(dep)
+    src = _module_source(name)
+    if src:
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            tree = None
+        if tree is not None:
+            parts = name.split(".")
+            is_pkg = (_module_path(name) or "").endswith("__init__.py")
+            base = parts if is_pkg else parts[:-1]
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    deps.update(a.name for a in node.names)
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level == 0:
+                        target = node.module or ""
+                    else:
+                        anchor = base[: len(base) - (node.level - 1)]
+                        target = ".".join(anchor + (node.module.split(".") if node.module else []))
+                    deps.add(target)
+                    # `from X import Y` where Y is itself a submodule
+                    deps.update(f"{target}.{a.name}" for a in node.names)
+    return {d for d in deps if d.startswith(_PKG)}
+
+
+def _is_module(name: str) -> bool:
+    return name in sys.modules or _module_path(name) is not None
+
+
+def _module_closure(root: str) -> tuple[str, ...]:
+    """Transitive in-package import closure of ``root``: AST-discovered
+    imports (module-level AND function-body) plus a globals scan."""
     if root in _closure_cache:
         return _closure_cache[root]
     seen: set[str] = set()
@@ -74,17 +132,10 @@ def _module_closure(root: str) -> tuple[str, ...]:
         name = stack.pop()
         if name in seen or not name.startswith(_PKG) or name in _EXCLUDE:
             continue
+        if not _is_module(name):
+            continue  # `from X import fn` alias candidate, not a module
         seen.add(name)
-        mod = sys.modules.get(name)
-        if mod is None:
-            continue
-        for val in vars(mod).values():
-            if isinstance(val, types.ModuleType):
-                dep = val.__name__
-            else:
-                dep = getattr(val, "__module__", None)
-            if isinstance(dep, str) and dep.startswith(_PKG):
-                stack.append(dep)
+        stack.extend(_module_deps(name))
     out = tuple(sorted(seen))
     _closure_cache[root] = out
     return out

@@ -131,6 +131,21 @@ DRIVER_ORDER: list[str] = [
 #: automatic path closes).
 FORCE_RECHECK: dict[str, int] = {
     "txt_fingerprint": 3,  # norm_text \s-class change landed r3, never driver-rechecked
+    # round-4 changes that predate the fingerprint store's re-seed under the
+    # AST-based closure definition (the store itself was created this round,
+    # so these rode in before it could catch them): bit-exact TickMath
+    # ladder + cogrouped quote path (g4/g5), fixture sqrt constants (mev
+    # closure includes sources/fixtures.py), PNG decoder (multimodal)
+    "g4_univ3_state": 4,
+    "g4_univ3_tick_liquidity": 4,
+    "g4_univ3_swap_quotes": 4,
+    "g5_path_ticks": 4,
+    "mev_composer_bundles": 4,
+    "mev_block_headers": 4,
+    "mev_block_analysis": 4,
+    "mev_block_analysis_wide": 4,
+    "mev_searcher_stats": 4,
+    "mm_frame_sample": 4,
 }
 
 

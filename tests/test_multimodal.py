@@ -91,6 +91,122 @@ def test_decode_ppm_and_bmp_real_pixels(spark):
         decode_image(b"\x89PNG compressed")
 
 
+def _png_bytes(w, h, px_rows, color_type, filters):
+    """Hand-built PNG: `px_rows` is h rows of per-pixel channel tuples;
+    `filters` gives the filter byte per scanline, and the scanlines are
+    FORWARD-filtered here (independently of the decoder) so the test
+    round-trips the real unfilter math."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * ch
+    flat = [list(b for px in row for b in (px if isinstance(px, tuple) else (px,)))
+            for row in px_rows]
+    raw = bytearray()
+    prior = [0] * stride
+    for y, row in enumerate(flat):
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                enc = row[x]
+            elif f == 1:
+                enc = row[x] - a
+            elif f == 2:
+                enc = row[x] - b
+            elif f == 3:
+                enc = row[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = row[x] - pred
+            raw.append(enc & 0xFF)
+        prior = row
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_roundtrip_all_filters():
+    """8-bit RGB PNG through every scanline filter type: the decoder must
+    recover the exact pixels (compared via the PPM decode of the same
+    image, an independent code path)."""
+    from brontes_spark.operators.multimodal import decode_image, decode_png
+
+    import random
+
+    rng = random.Random(7)
+    w, h = 6, 5
+    px_rows = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(w)] for _ in range(h)]
+    png = _png_bytes(w, h, px_rows, color_type=2, filters=[0, 1, 2, 3, 4])
+    got = decode_png(png)
+    ref = decode_ppm_of(px_rows, w, h)
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["mean_intensity"] == ref["mean_intensity"]
+    assert got["feature_vec"] == ref["feature_vec"]
+    # sniffing dispatch picks the PNG path
+    assert decode_image(png) == got
+
+
+def decode_ppm_of(px_rows, w, h):
+    from brontes_spark.operators.multimodal import decode_ppm
+
+    flat = [px for row in px_rows for px in row]
+    return decode_ppm(_ppm_bytes(w, h, flat))
+
+
+def test_decode_png_gray_and_rgba():
+    from brontes_spark.operators.multimodal import decode_png
+
+    # grayscale ramp, Sub+Paeth filters
+    g = decode_png(_png_bytes(2, 2, [[0, 128], [255, 64]], 0, [1, 4]))
+    assert (g["width"], g["height"]) == (2, 2)
+    assert abs(g["mean_intensity"] - (0 + 128 + 255 + 64) / 4 / 255) < 1e-12
+    # RGBA: alpha ignored for intensity — equals the RGB twin
+    rgb_rows = [[(10, 20, 30), (200, 100, 0)], [(0, 0, 0), (255, 255, 255)]]
+    rgba_rows = [[(10, 20, 30, 7), (200, 100, 0, 255)],
+                 [(0, 0, 0, 0), (255, 255, 255, 128)]]
+    a = decode_png(_png_bytes(2, 2, rgba_rows, 6, [4, 3]))
+    b = decode_png(_png_bytes(2, 2, rgb_rows, 2, [2, 1]))
+    assert a["feature_vec"] == b["feature_vec"]
+    assert a["mean_intensity"] == b["mean_intensity"]
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from brontes_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    # 16-bit depth and palette color raise (quarantine path)
+    for depth, color in ((16, 2), (8, 3)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 20)))
+        with _pytest.raises(ValueError):
+            decode_png(data)
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks at all
+
+
 def test_extract_image_features_real_codec(spark):
     from brontes_spark.operators.multimodal import decode_image, extract_image_features
 
@@ -98,11 +214,15 @@ def test_extract_image_features_real_codec(spark):
     rows = [
         (1, _ppm_bytes(3, 3, px), "ppm"),
         (2, _bmp_bytes(2, 2, [[(0, 0, 0), (255, 255, 255)], [(0, 0, 0), (255, 255, 255)]]), "bmp"),
-        (3, b"\x89PNG needs a plugged codec", "png"),  # quarantined
+        (3, b"\xff\xd8 jpeg needs a plugged codec", "jpeg"),  # quarantined
+        (4, _png_bytes(3, 3, [px[:3]] * 3, 2, [0, 2, 4]), "png"),
     ]
     df = spark.createDataFrame(rows, "item_id long, content binary, format string")
     out = {r["item_id"]: r.asDict() for r in
            extract_image_features(df, decode_fn=decode_image).collect()}
-    assert set(out) == {1, 2}
+    assert set(out) == {1, 2, 4}
     assert (out[1]["width"], out[1]["height"]) == (3, 3)
     assert abs(out[2]["mean_intensity"] - 0.5) < 1e-12
+    # PNG and PPM of the same pixels agree end-to-end through mapInPandas
+    assert out[4]["feature_vec"] == out[1]["feature_vec"]
+    assert out[4]["mean_intensity"] == out[1]["mean_intensity"]
