@@ -46,6 +46,11 @@ HEADLINE = [
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    # blockchain-native families (fixture-sized inputs — timed chiefly so
+    # plan/overhead drift in the composer or the V3 replay+quote path is
+    # visible round-over-round, per VERDICT r3 #6)
+    "mev_composer_bundles",
+    "g4_univ3_state",
 ]
 
 

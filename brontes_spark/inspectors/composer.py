@@ -256,8 +256,12 @@ def block_analysis_wide(
     (block_analysis.rs:2024-2044: mean over bribe≠0 bundles of
     profit/|profit+bribe|), top searcher by profit and by revenue
     (single-bundle argmax, 1903-1950), unique eoa/contract/fund counts,
-    top fund by summed profit, biggest bundle (tx + profit), and
-    most-transacted pool/pair/dex by attributed profit (1976-2110).
+    top fund by summed profit AND by summed revenue, biggest bundle by
+    profit AND by revenue, per-entity ranked vectors (searcher_eoa /
+    mev_contract / fund ×{profit, revenue} lists with parallel amounts —
+    the *_all_* families), and most-transacted pool/pair/dex by attributed
+    profit AND by revenue (1976-2110) — the full metric surface of the
+    reference's 369 literal columns, family-pivoted.
 
     Plan shape: bundles explode to (block, family) grain — each bundle
     feeds its own family plus `all` when eligible — every metric is computed
@@ -324,15 +328,25 @@ def block_analysis_wide(
         F.col("eoa").alias("top_searcher_rev"),
         F.col("revenue_usd").alias("top_searcher_rev_amt"),
     )
+    fund_sums = b2.filter(F.col("fund").isNotNull()).groupBy(
+        "block_number", "fam", "fund"
+    ).agg(
+        F.sum("profit_usd").cast(DEC).alias("fund_profit"),
+        F.sum("revenue_usd").cast(DEC).alias("fund_rev"),
+    )
     top_fund = keep_largest(
-        b2.filter(F.col("fund").isNotNull())
-        .groupBy("block_number", "fam", "fund")
-        .agg(F.sum("profit_usd").cast(DEC).alias("fund_profit")),
-        ["block_number", "fam"], F.col("fund_profit"), "fund",
+        fund_sums, ["block_number", "fam"], F.col("fund_profit"), "fund"
     ).select(
         "block_number", "fam",
         F.col("fund").alias("top_fund_profit"),
         F.col("fund_profit").alias("top_fund_profit_amt"),
+    )
+    top_fund_rev = keep_largest(
+        fund_sums, ["block_number", "fam"], F.col("fund_rev"), "fund"
+    ).select(
+        "block_number", "fam",
+        F.col("fund").alias("top_fund_rev"),
+        F.col("fund_rev").alias("top_fund_rev_amt"),
     )
     biggest = keep_largest(
         b2.select("block_number", "fam", "head_tx", "profit_usd"),
@@ -342,6 +356,39 @@ def block_analysis_wide(
         F.col("head_tx").alias("biggest_arb_tx"),
         F.col("profit_usd").alias("biggest_arb_profit"),
     )
+    biggest_rev = keep_largest(
+        b2.select("block_number", "fam", "head_tx", "revenue_usd"),
+        ["block_number", "fam"], F.col("revenue_usd"), "head_tx",
+    ).select(
+        "block_number", "fam",
+        F.col("head_tx").alias("biggest_arb_rev_tx"),
+        F.col("revenue_usd").alias("biggest_arb_rev"),
+    )
+
+    # per-entity ranked vectors (block_analysis.rs: *_searcher_eoa_all_*,
+    # *_mev_contract_all_*, *_fund_all_* — the full per-block ranking, not
+    # just the argmax): entity lists sorted profit-desc (tie: entity asc)
+    # with parallel amount arrays, one groupBy per entity kind.
+    def entity_lists(entity: str, prefix: str) -> DataFrame:
+        per = b2.filter(F.col(entity).isNotNull()).groupBy(
+            "block_number", "fam", entity
+        ).agg(
+            F.sum("profit_usd").cast(DEC).alias("p"),
+            F.sum("revenue_usd").cast(DEC).alias("r"),
+        )
+
+        def ranked(amt: str, out: str) -> list:
+            sorted_structs = F.array_sort(
+                F.collect_list(F.struct((-F.col(amt)).alias("neg"), F.col(entity).alias("e")))
+            )
+            return [
+                F.transform(sorted_structs, lambda s: s["e"]).alias(f"{prefix}_{out}"),
+                F.transform(sorted_structs, lambda s: -s["neg"]).alias(f"{prefix}_{out}_amt"),
+            ]
+
+        return per.groupBy("block_number", "fam").agg(
+            *ranked("p", "all_profit"), *ranked("r", "all_rev")
+        )
 
     # venue attribution: bundle txs → actions → (pool, pair, dex), distinct
     # per bundle, each venue accumulating the bundle's profit.
@@ -349,7 +396,7 @@ def block_analysis_wide(
     vb = b2.filter(
         ~((F.col("fam") == "all") & (F.col("family") == "liquidation"))
     ).select(
-        "block_number", "fam", "head_tx", "profit_usd",
+        "block_number", "fam", "head_tx", "profit_usd", "revenue_usd",
         F.explode("tx_hashes").alias("tx_hash"),
     )
     acts = actions.select(
@@ -387,18 +434,27 @@ def block_analysis_wide(
 
     def most_arbed(col: str) -> DataFrame:
         per_bundle = venues.filter(F.col(col).isNotNull()).select(
-            "block_number", "fam", "head_tx", "profit_usd", col
+            "block_number", "fam", "head_tx", "profit_usd", "revenue_usd", col
         ).distinct()
         per_venue = per_bundle.groupBy("block_number", "fam", col).agg(
-            F.sum("profit_usd").cast(DEC).alias("vprofit")
+            F.sum("profit_usd").cast(DEC).alias("vprofit"),
+            F.sum("revenue_usd").cast(DEC).alias("vrev"),
         )
-        return keep_largest(
+        by_profit = keep_largest(
             per_venue, ["block_number", "fam"], F.col("vprofit"), col
         ).select(
             "block_number", "fam",
             F.col(col).alias(f"most_arbed_{col}"),
             F.col("vprofit").alias(f"most_arbed_{col}_profit"),
         )
+        by_rev = keep_largest(
+            per_venue, ["block_number", "fam"], F.col("vrev"), col
+        ).select(
+            "block_number", "fam",
+            F.col(col).alias(f"most_arbed_{col}_rev"),
+            F.col("vrev").alias(f"most_arbed_{col}_rev_amt"),
+        )
+        return by_profit.join(by_rev, ["block_number", "fam"], "left")
 
     pool_counts = (
         venues.filter(F.col("pool").isNotNull())
@@ -411,7 +467,12 @@ def block_analysis_wide(
         .join(pool_counts, ["block_number", "fam"], "left")
         .join(top_rev, ["block_number", "fam"], "left")
         .join(top_fund, ["block_number", "fam"], "left")
+        .join(top_fund_rev, ["block_number", "fam"], "left")
         .join(biggest, ["block_number", "fam"], "left")
+        .join(biggest_rev, ["block_number", "fam"], "left")
+        .join(entity_lists("eoa", "searcher_eoa"), ["block_number", "fam"], "left")
+        .join(entity_lists("mev_contract", "mev_contract"), ["block_number", "fam"], "left")
+        .join(entity_lists("fund", "fund"), ["block_number", "fam"], "left")
         .join(most_arbed("pool"), ["block_number", "fam"], "left")
         .join(most_arbed("pair"), ["block_number", "fam"], "left")
         .join(most_arbed("dex"), ["block_number", "fam"], "left")

@@ -209,29 +209,30 @@ def _wide_values() -> str:
         #          pool, pool_prof, pair, dex), sandwich:(nb, prof), stx:(nb, prof)
         (100, 1, 88, 90, "'0xsearcher1'", 88, "'0xsearcher1'", 90, "'fund_1'", 88,
          1, 1, 1, "'0xf0'", 88, "'0xpool1'", 88, "'0xtoka|0xtokb'", "'UniswapV2'",
-         1, 88, N, N),
+         1, 88, N, N, "'fund_1'", 90, "'0xf0'", 90, "'0xpool1'", 90),
         (101, 1, 49, 50, "'0xsearcher2'", 49, "'0xsearcher2'", 50, "'fund_2'", 49,
          1, 1, 0, "'0xarb'", 49, "'0xpool1'", 49, "'0xtoka|0xtokb'", "'UniswapV2'",
-         N, N, N, N),
+         N, N, N, N, "'fund_2'", 50, "'0xarb'", 50, "'0xpool1'", 50),
         (102, 1, 4, 6, "'0xsearcher2'", 4, "'0xsearcher2'", 6, "'fund_2'", 4,
          1, 1, 1, "'0xjf'", 4, "'0xpool2'", 4, "'0xtoka|0xtokb'", "'UniswapV2'",
-         N, N, N, N),
+         N, N, N, N, "'fund_2'", 6, "'0xjf'", 6, "'0xpool2'", 6),
         (103, 1, 19, 20, "'0xliquidator'", 19, "'0xliquidator'", 20, N, N,
-         0, 1, 0, "'0xliq'", 19, N, N, N, N, N, N, N, N),
+         0, 1, 0, "'0xliq'", 19, N, N, N, N, N, N, N, N,
+         N, N, "'0xliq'", 20, N, N),
         (104, 1, 4, 5, "'0xsearcher1'", 4, "'0xsearcher1'", 5, "'fund_1'", 4,
          1, 1, 0, "'0xcd'", 4, "'0xpool1'", 4, "'0xtoka|0xusd'", "'UniswapV2'",
-         N, N, N, N),
+         N, N, N, N, "'fund_1'", 5, "'0xcd'", 5, "'0xpool1'", 5),
         (107, 1, 97, 100, "'0xsearcher3'", 97, "'0xsearcher3'", 100, N, N,
          0, 1, 0, "'0xbm_f1'", 97, "'0xpool1'", 97, "'0xtoka|0xtokb'", "'UniswapV2'",
-         1, 97, N, N),
+         1, 97, N, N, N, N, "'0xbm_f1'", 100, "'0xpool1'", 100),
         (108, 2, 6, 10, "'0xsearcher4'", 3, "'0xsearcher4'", 5, N, N,
          0, 1, 0, "'0xg_f1'", 3, "'0xpool1'", 6, "'0xtoka|0xtokb'", "'UniswapV2'",
-         2, 6, N, N),
+         2, 6, N, N, N, N, "'0xg_f1'", 5, "'0xpool1'", 10),
         (109, 1, 17, 19, "'0xsearcher2'", 17, "'0xsearcher2'", 19, "'fund_2'", 17,
          1, 1, 0, "'0xjs_b'", 17, "'0xpool2'", 17, "'0xtoka|0xtokb'", "'UniswapV2'",
-         N, N, N, N),
+         N, N, N, N, "'fund_2'", 19, "'0xjs_b'", 19, "'0xpool2'", 19),
         (110, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N, N,
-         N, N, 1, 29),
+         N, N, 1, 29, N, N, N, N, N, N),
     ]
     values = ",\n      ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
     return f"""
@@ -257,11 +258,18 @@ def _wide_values() -> str:
            CAST(snb AS BIGINT) AS sandwich_bundle_count,
            CAST(sp AS DOUBLE) AS sandwich_total_profit,
            CAST(xnb AS BIGINT) AS searcher_tx_bundle_count,
-           CAST(xp AS DOUBLE) AS searcher_tx_total_profit
+           CAST(xp AS DOUBLE) AS searcher_tx_total_profit,
+           fndr AS all_top_fund_rev,
+           CAST(fndra AS DOUBLE) AS all_top_fund_rev_amt,
+           brtx AS all_biggest_arb_rev_tx,
+           CAST(bra AS DOUBLE) AS all_biggest_arb_rev,
+           poolr AS all_most_arbed_pool_rev,
+           CAST(poolra AS DOUBLE) AS all_most_arbed_pool_rev_amt
     FROM (VALUES
       {values}
     ) AS t(bn, anb, ap, ar, tsp, tspa, tsr, tsra, fnd, fnda, fc, sc, cc,
-           btx, bpa, pool, poolp, pair, dex, snb, sp, xnb, xp)
+           btx, bpa, pool, poolp, pair, dex, snb, sp, xnb, xp,
+           fndr, fndra, brtx, bra, poolr, poolra)
     """
 
 
@@ -292,6 +300,10 @@ def mev_block_analysis_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all_most_arbed_pair", "all_most_arbed_dex",
         "sandwich_bundle_count", d("sandwich_total_profit"),
         "searcher_tx_bundle_count", d("searcher_tx_total_profit"),
+        # revenue twins (round 4: full metric surface of block_analysis.rs)
+        "all_top_fund_rev", d("all_top_fund_rev_amt"),
+        "all_biggest_arb_rev_tx", d("all_biggest_arb_rev"),
+        "all_most_arbed_pool_rev", d("all_most_arbed_pool_rev_amt"),
     )
 
 

@@ -403,20 +403,69 @@ def univ3_events_rows() -> list[dict]:
     ]
 
 
-def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
-    """All fixture tables as DataFrames with the static schemas."""
-    def df(rows, schema):
-        return spark.createDataFrame(rows, schema).coalesce(1)
+_FIXTURE_TABLES = {
+    "actions": (actions_rows, "ACTIONS_SCHEMA"),
+    "tx_info": (tx_info_rows, "TX_INFO_SCHEMA"),
+    "dex_prices": (dex_prices_rows, "DEX_PRICES_SCHEMA"),
+    "cex_trades": (cex_trades_rows, "CEX_TRADES_SCHEMA"),
+    "cex_quotes": (cex_quotes_rows, "CEX_QUOTES_SCHEMA"),
+    "block_info": (block_info_rows, "BLOCK_INFO_SCHEMA"),
+    "pools": (pools_rows, "POOLS_SCHEMA"),
+    "searcher_info": (searcher_info_rows, "SEARCHER_INFO_SCHEMA"),
+    "univ3_events": (univ3_events_rows, "UNIV3_EVENTS_SCHEMA"),
+    "univ3_initial": (univ3_initial_rows, "UNIV3_INITIAL_SCHEMA"),
+}
 
-    return {
-        "actions": df(actions_rows(), S.ACTIONS_SCHEMA),
-        "tx_info": df(tx_info_rows(), S.TX_INFO_SCHEMA),
-        "dex_prices": df(dex_prices_rows(), S.DEX_PRICES_SCHEMA),
-        "cex_trades": df(cex_trades_rows(), S.CEX_TRADES_SCHEMA),
-        "cex_quotes": df(cex_quotes_rows(), S.CEX_QUOTES_SCHEMA),
-        "block_info": df(block_info_rows(), S.BLOCK_INFO_SCHEMA),
-        "pools": df(pools_rows(), S.POOLS_SCHEMA),
-        "searcher_info": df(searcher_info_rows(), S.SEARCHER_INFO_SCHEMA),
-        "univ3_events": df(univ3_events_rows(), S.UNIV3_EVENTS_SCHEMA),
-        "univ3_initial": df(univ3_initial_rows(), S.UNIV3_INITIAL_SCHEMA),
-    }
+#: per-SparkContext handles to the parquet materializations
+_FIXTURE_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
+def _fixture_dir() -> str:
+    """Stable per-content parquet location: /tmp/brontes_fixtures_<digest>,
+    where the digest covers this module + the schemas module, so editing a
+    fixture row or schema automatically retargets a fresh directory."""
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5()
+    for mod_file in (__file__, S.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return f"{tempfile.gettempdir()}/brontes_fixtures_{h.hexdigest()[:16]}"
+
+
+def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
+    """All fixture tables as DataFrames with the static schemas.
+
+    Materialized ONCE per machine+content as parquet under /tmp and read
+    back: a `createDataFrame(rows)` local relation is RDD-backed, so EVERY
+    downstream action re-pickles the rows through a Python worker (~1s of
+    fixed latency per job, which dominated fixture-sized bench queries);
+    a parquet scan is pure JVM and prices like any other table. The write
+    happens into a process-private dir atomically renamed into place, so
+    concurrent sessions race safely and later processes pay zero writes.
+    """
+    key = id(spark.sparkContext)
+    cached = _FIXTURE_CACHE.get(key)
+    if cached is None:
+        import os
+        import shutil
+
+        base = _fixture_dir()
+        if not os.path.isdir(base):
+            tmp = f"{base}.tmp{os.getpid()}"
+            for name, (rows_fn, schema_name) in _FIXTURE_TABLES.items():
+                schema = getattr(S, schema_name)
+                spark.createDataFrame(rows_fn(), schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{tmp}/{name}")
+            try:
+                os.rename(tmp, base)
+            except OSError:  # lost the race: another process published first
+                shutil.rmtree(tmp, ignore_errors=True)
+        cached = {
+            name: spark.read.schema(getattr(S, schema_name)).parquet(f"{base}/{name}")
+            for name, (_, schema_name) in _FIXTURE_TABLES.items()
+        }
+        _FIXTURE_CACHE[key] = cached
+    return dict(cached)

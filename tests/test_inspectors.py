@@ -251,8 +251,9 @@ def test_block_analysis_wide(tables):
     )
     rows = {r["block_number"]: r.asDict() for r in wide.collect()}
 
-    # 23 metrics x 8 families + block_number
-    assert len(wide.columns) == 1 + 23 * len(ANALYSIS_FAMILIES)
+    # 45 metrics x 8 families + block_number (round 4 added the revenue
+    # twins + per-entity ranked vectors: the full block_analysis.rs surface)
+    assert len(wide.columns) == 1 + 45 * len(ANALYSIS_FAMILIES)
 
     # bribe totals + distinct venue counts (block_analysis.rs bribe blocks)
     assert rows[100]["all_total_bribe"] == Decimal("2")
@@ -298,6 +299,27 @@ def test_block_analysis_wide(tables):
     assert b103["liquidation_most_arbed_pool"] == "0xaave"
     assert b103["all_most_arbed_pool"] is None
     assert b103["liquidation_most_arbed_dex"] == "AaveV3"
+
+    # round-4 revenue twins + ranked vectors (block_analysis.rs *_revenue /
+    # *_all_* families)
+    assert b100["all_top_fund_rev"] == "fund_1"
+    assert b100["all_top_fund_rev_amt"] == Decimal("90")
+    assert b100["all_biggest_arb_rev_tx"] == "0xf0"
+    assert b100["all_biggest_arb_rev"] == Decimal("90")
+    assert b100["all_most_arbed_pool_rev"] == "0xpool1"
+    assert b100["all_most_arbed_pool_rev_amt"] == Decimal("90")
+    assert b108["sandwich_biggest_arb_rev_tx"] == "0xg_f1"  # rev tie -> lex min
+    assert b108["sandwich_biggest_arb_rev"] == Decimal("5")
+    assert b108["sandwich_most_arbed_pool_rev_amt"] == Decimal("10")
+    assert b108["sandwich_searcher_eoa_all_profit"] == ["0xsearcher4"]
+    assert b108["sandwich_searcher_eoa_all_profit_amt"] == [Decimal("6")]
+    assert b108["sandwich_searcher_eoa_all_rev_amt"] == [Decimal("10")]
+    # multi-entity ranking: block 109's all-family spans jit_sandwich
+    # (searcher2, profit 17) only; check a 2-entry ranking on block 108's
+    # per-bundle grain instead via fund lists being absent (no funds)
+    assert b108["sandwich_fund_all_profit"] is None
+    assert b110["searcher_tx_fund_all_profit"] == ["fund_1"]
+    assert b110["searcher_tx_fund_all_rev_amt"] == [Decimal("30")]
 
 
 def test_cex_dex_per_exchange_legs_and_guard(spark):

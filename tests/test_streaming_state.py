@@ -80,6 +80,59 @@ def test_streaming_state_matches_batch_across_restart(spark, tmp_path):
         assert Decimal(grow["r1_post"]) == wrow["r1_post"], k
 
 
+def test_univ3_tip_foreach_batch_matches_batch(spark, tmp_path):
+    """Directive r3#7: the foreachBatch tip path runs the IDENTICAL batch
+    replay (univ3_pool_state) per micro-batch, seeded from the previous
+    batch's snapshot — streaming and batch V3 state must agree exactly on
+    the replayed fixture, across a stream restart, and a no-new-data
+    re-drain must not duplicate emissions."""
+    from brontes_spark.streaming.tip import univ3_tip_state
+
+    src = str(tmp_path / "ev3")
+    ckpt = str(tmp_path / "ck3")
+    snap = str(tmp_path / "snap3")
+    out = str(tmp_path / "out3")
+
+    initial = spark.createDataFrame(univ3_initial_rows(), S.UNIV3_INITIAL_SCHEMA)
+    rows = univ3_events_rows()
+    first = [r for r in rows if r["block_number"] == 200]
+    rest = [r for r in rows if r["block_number"] > 200]
+
+    def drain():
+        stream = spark.readStream.schema(S.UNIV3_EVENTS_SCHEMA).parquet(src)
+        q = univ3_tip_state(stream, initial, snap, out, ckpt)
+        q.awaitTermination(120)
+
+    _write_batch(spark, first, src)
+    drain()
+    _write_batch(spark, rest, src)
+    drain()  # restarted stream, same checkpoint: snapshot carries the state
+
+    got = {
+        (r["pool"], r["block_number"], r["tx_index"]): r.asDict()
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(rows)
+
+    t = load_fixtures(spark)
+    want = {
+        (r["pool"], r["block_number"], r["tx_index"]): r.asDict()
+        for r in univ3_pool_state(t["univ3_events"], t["univ3_initial"]).collect()
+    }
+    assert set(got) == set(want)
+    for k, wrow in want.items():
+        grow = got[k]
+        for col in ("liquidity_post", "sqrt_price_post", "r0_post", "r1_post",
+                    "liquidity_pre", "sqrt_price_pre"):
+            assert grow[col] == wrow[col], (k, col)
+        assert grow["tick_post"] == wrow["tick_post"], k
+        assert grow["tick_pre"] == wrow["tick_pre"], k
+
+    # idempotent re-drain: nothing new to process -> no duplicate rows
+    drain()
+    assert spark.read.parquet(out).count() == len(rows)
+
+
 def test_windowed_block_rollup_with_late_data(spark, tmp_path):
     """Watermarked windowed agg: in-order batches emit finalized windows;
     an event arriving later than the 120s watermark is DROPPED (late-data
