@@ -117,26 +117,25 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_lsh_pairs(
+def _lsh_band_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    num_hashes: int = 16,
-    band_size: int = 4,
+    n: int,
+    num_hashes: int,
+    band_size: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash + banded LSH.
+    """(id, band, band_sig) LSH bucket keys per document.
 
-    Signature h_i(doc) = min over shingles of md5_long(i || '|' || shingle);
-    band signature = md5 of the ordered 'h' values in the band; candidates =
-    distinct (id_a < id_b) sharing any (band, signature) bucket.
+    Signature h_i(doc) = min over shingles of an affine hash of the 60-bit
+    shingle md5; band signature = md5 of the ordered 'h' values in the band.
+    One md5 per shingle; the hash family is affine mod a Mersenne prime
+    (h_i = (2i+1)·b + c_i mod 2^31-1) — the classic MinHash construction,
+    16x cheaper than hashing per-seed, and overflow-free in both engines
+    (operands < 2^31 so products fit a checked BIGINT). All `num_hashes`
+    minima fold into ONE groupBy(id) as parallel min columns — no seed
+    explode, so shuffle volume is |shingles| rows, not |shingles|·seeds.
     """
-    # one md5 per shingle; the hash family is affine mod a Mersenne prime
-    # (h_i = (2i+1)·b + c_i mod 2^31-1) — the classic MinHash construction,
-    # 16x cheaper than hashing per-seed, and overflow-free in both engines
-    # (operands < 2^31 so products fit a checked BIGINT). All `num_hashes`
-    # minima fold into ONE groupBy(id) as parallel min columns — no seed
-    # explode, so shuffle volume is |shingles| rows, not |shingles|·seeds.
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must divide into bands of {band_size}: "
@@ -154,8 +153,8 @@ def minhash_lsh_pairs(
     sig = sh.groupBy("id").agg(
         *[F.min(hv(s)).alias(f"mh{s}") for s in range(num_hashes)]
     )
-    # band signature = md5 of the ordered in-band minima; unpivot the wide
-    # signature row into (id, band, band_sig) via a small literal explode
+    # unpivot the wide signature row into (id, band, band_sig) via a small
+    # literal explode
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -171,9 +170,22 @@ def minhash_lsh_pairs(
         )
         for b in range(num_hashes // band_size)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*bands)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH: distinct
+    (id_a < id_b) sharing any (band, signature) bucket."""
+    banded = _lsh_band_signatures(df, id_col, text_col, n, num_hashes, band_size)
     a = banded.select("band", "band_sig", F.col("id").alias("id_a"))
     b = banded.select("band", "band_sig", F.col("id").alias("id_b"))
     return (
@@ -181,6 +193,71 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Incremental near-dedup: collide a NEW ingestion batch against the
+    EXISTING corpus without re-pairing the corpus with itself — the
+    continuous-crawl shape of a training-data pipeline (each day's crawl
+    dedupes against petabytes already kept; recomputing corpus×corpus
+    pairs would be quadratic churn for no new information).
+
+    Returns (new_id, dup_of) — every (band, signature) collision of a new
+    document with a corpus document. Survivors = new_docs anti-joined on
+    new_id. Scale: the corpus side's band signatures are a pure function
+    of each document, so at 100 TB they are computed ONCE, persisted
+    (bucketed by band_sig), and each ingestion batch joins its own (small)
+    signature set against them — the join is new×corpus collisions only,
+    never corpus×corpus.
+    """
+    nb = _lsh_band_signatures(new_docs, id_col, text_col, n, num_hashes, band_size)
+    cb = _lsh_band_signatures(corpus, id_col, text_col, n, num_hashes, band_size)
+    return (
+        nb.select("band", "band_sig", F.col("id").alias("new_id"))
+        .join(cb.select("band", "band_sig", F.col("id").alias("dup_of")), ["band", "band_sig"])
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+
+
+def shingle_df_score(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Corpus-statistics quality signal: per document, the mean corpus
+    document-frequency of its n-gram shingles — high means the document is
+    mostly boilerplate shared across the corpus (nav chrome, templates,
+    licenses), low means unique content. The corpus-side complement to the
+    doc-local quality features (length/punct/stopword): real pipelines use
+    both to filter crawl text.
+
+    Exactness: the score is an IEEE double division of two exact BIGINTs
+    (Σ df / #shingles), so the DuckDB twin is bit-identical. Documents with
+    fewer than n tokens have no shingles and emit no row. Scale: two hash
+    shuffles (shingle_h for the df count, id for the fold) over fixed-width
+    long keys — the same inverted-index shape as ngram_jaccard_pairs.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle_h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("sum_df"),
+        )
+        .withColumn(
+            "boilerplate_score",
+            F.col("sum_df").cast("double") / F.col("n_shingles").cast("double"),
+        )
     )
 
 

@@ -132,6 +132,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    based AS (
+      SELECT doc_id, shingle_h % 2147483647 AS b31
+      FROM sh),
+    hashed AS (
+      SELECT doc_id, seed.i AS seed,
+             MIN(((2 * seed.i + 1) * b31 + (seed.i * 1000003 + 12345)) % 2147483647) AS mh
+      FROM based, range(0, 16) seed(i)
+      GROUP BY doc_id, seed.i),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+      FROM hashed GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+    FROM banded n JOIN banded c
+      ON n.band = c.band AND n.band_sig = c.band_sig
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+    """,
+    survey_ref="incremental near-dedup: new ingestion batch vs existing "
+    "corpus via the shared LSH band signatures — collisions only across "
+    "the batch boundary, never corpus x corpus (the continuous-crawl "
+    "shape; operators/dedup.minhash_lsh_incremental)",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_incremental(
+        new, corpus, "doc_id", "text", n=5, num_hashes=16, band_size=4
+    )
+
+
+@register(
+    "txt_boilerplate_score",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    dfreq AS (SELECT shingle_h, COUNT(*) AS df FROM sh GROUP BY shingle_h)
+    SELECT s.doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS sum_df,
+           CAST(SUM(df) AS DOUBLE) / COUNT(*) AS boilerplate_score
+    FROM sh s JOIN dfreq USING (shingle_h)
+    GROUP BY s.doc_id
+    """,
+    survey_ref="corpus-statistics quality scoring: mean shingle document-"
+    "frequency per doc (boilerplate/template detection — the corpus-side "
+    "complement of txt_quality_score's doc-local features; "
+    "operators/dedup.shingle_df_score)",
+)
+def txt_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_df_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_df_score(docs, "doc_id", "text", n=5).select(
+        F.col("id"), "n_shingles", "sum_df", "boilerplate_score"
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH tok AS (

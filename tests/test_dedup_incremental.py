@@ -1,0 +1,61 @@
+"""Incremental LSH dedup (new batch vs corpus) + corpus-frequency
+boilerplate scoring (operators/dedup.py) — unit semantics on planted docs;
+cross-engine exactness is covered by the registry gates
+(dedup_incremental_lsh / txt_boilerplate_score)."""
+
+from __future__ import annotations
+
+from brontes_spark.operators.dedup import (
+    minhash_lsh_incremental,
+    minhash_lsh_pairs,
+    shingle_df_score,
+)
+
+BOILER = "the quick brown fox jumps over the lazy dog again and again"
+UNIQUE = "zygote quasar bumble fjord glyph vexing marrow pixel clank sprout"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_collides_new_with_corpus_only(spark):
+    corpus = _docs(spark, [(1, BOILER), (2, BOILER), (3, UNIQUE)])
+    new = _docs(spark, [(10, BOILER), (11, "totally fresh words nobody else wrote here today")])
+    got = {(r["new_id"], r["dup_of"])
+           for r in minhash_lsh_incremental(new, corpus, "doc_id", "text", n=5).collect()}
+    # the boilerplate new doc collides with BOTH corpus copies; the fresh
+    # doc with neither; corpus-corpus duplication (1,2) is NOT reported
+    assert got == {(10, 1), (10, 2)}
+
+
+def test_incremental_agrees_with_self_join_on_cross_pairs(spark):
+    """Collisions across the batch boundary must equal the full self-join's
+    pairs restricted to (new, corpus) — the incremental path skips work,
+    not results."""
+    rows = [(i, BOILER) for i in (1, 2, 10)] + [(i, UNIQUE) for i in (3, 20)]
+    docs = _docs(spark, rows)
+    new = docs.filter("doc_id >= 10")
+    corpus = docs.filter("doc_id < 10")
+    inc = {(r["new_id"], r["dup_of"])
+           for r in minhash_lsh_incremental(new, corpus, "doc_id", "text", n=5).collect()}
+    full = minhash_lsh_pairs(docs, "doc_id", "text", n=5).collect()
+    cross = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+             for r in full
+             if (r["id_a"] >= 10) != (r["id_b"] >= 10)}
+    assert inc == cross
+    assert (20, 3) in inc  # UNIQUE text dupes across the boundary too
+
+
+def test_shingle_df_score_hand_computed(spark):
+    # doc 1 and 2 identical (every shingle df=2); doc 3 disjoint (df=1);
+    # doc 4 too short for a 5-gram -> no row
+    docs = _docs(spark, [(1, BOILER), (2, BOILER), (3, UNIQUE), (4, "too short")])
+    got = {r["id"]: r.asDict() for r in shingle_df_score(docs, "doc_id", "text", n=5).collect()}
+    assert set(got) == {1, 2, 3}
+    n_boiler = len(BOILER.split()) - 4  # distinct 5-grams (no repeats here)
+    assert got[1]["n_shingles"] == n_boiler
+    assert got[1]["boilerplate_score"] == 2.0  # every shingle shared with doc 2
+    assert got[2]["boilerplate_score"] == 2.0
+    assert got[3]["boilerplate_score"] == 1.0  # fully unique
+    assert got[3]["n_shingles"] == len(UNIQUE.split()) - 4
