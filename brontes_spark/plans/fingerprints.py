@@ -30,7 +30,6 @@ import hashlib
 import json
 import os
 import sys
-import types
 
 _PKG = "brontes_spark"
 #: registry.py holds the ordering policy itself (not gate semantics; its one
@@ -77,21 +76,19 @@ def _module_deps(name: str) -> set[str]:
     """In-package modules ``name`` imports ANYWHERE in its source — found by
     walking the AST, so imports inside function bodies count (the blind spot
     a globals-only scan has: a builder doing `from ..operators.x import f`
-    lazily would otherwise hide x's source from the fingerprint). The
-    module-globals scan is kept as a complement for dynamic attachments.
+    lazily would otherwise hide x's source from the fingerprint).
+
+    Deliberately AST-ONLY: an earlier version complemented the walk with a
+    ``vars(mod)`` globals scan, but for package ``__init__`` modules ``vars``
+    contains whichever submodules happen to be imported in THAT interpreter,
+    so the closure — and the md5 — depended on import order (round-4 defect:
+    importing cli/streaming.*/sources.tokens flipped 11 gates' fingerprints
+    between the driver process and the full pytest run). Source text is the
+    only input now, so two processes always agree.
     """
     import ast
 
     deps: set[str] = set()
-    mod = sys.modules.get(name)
-    if mod is not None:
-        for val in vars(mod).values():
-            if isinstance(val, types.ModuleType):
-                dep = val.__name__
-            else:
-                dep = getattr(val, "__module__", None)
-            if isinstance(dep, str):
-                deps.add(dep)
     src = _module_source(name)
     if src:
         try:
@@ -123,7 +120,8 @@ def _is_module(name: str) -> bool:
 
 def _module_closure(root: str) -> tuple[str, ...]:
     """Transitive in-package import closure of ``root``: AST-discovered
-    imports (module-level AND function-body) plus a globals scan."""
+    imports (module-level AND function-body), source-text-only so the
+    closure is identical in every interpreter regardless of import state."""
     if root in _closure_cache:
         return _closure_cache[root]
     seen: set[str] = set()
@@ -178,21 +176,27 @@ def current_round() -> int:
     return max(rounds) + 1
 
 
-def refresh(path: str = STORE_PATH, write: bool = True) -> dict[str, dict]:
+def refresh(path: str = STORE_PATH, write: bool = True, migrate: bool = False) -> dict[str, dict]:
     """Recompute fingerprints, carrying forward the stored change-round for
     unchanged gates and stamping changed gates with the current round. A
     gate first seen with no stored entry gets round -1 ("no known change"):
     a truly new gate has no driver history anyway, so it already sorts
     risk-first, while the initial seeding of a pre-existing gate must not
     invalidate its earlier green rows.
+
+    ``migrate=True`` re-seeds after a change to the CLOSURE DEFINITION itself
+    (every fp shifts even though no gate's semantics did): the stored round is
+    carried forward for all gates instead of stamping them changed-now, so a
+    definition migration does not flush the whole registry into the driver
+    window. Use only for fingerprint-algorithm edits, never for code edits.
     """
     stored = load_stored(path)
     rnd = current_round()
     out: dict[str, dict] = {}
     for name, fp in sorted(compute_all().items()):
         prev = stored.get(name)
-        if prev and prev.get("fp") == fp:
-            out[name] = prev
+        if prev and (migrate or prev.get("fp") == fp):
+            out[name] = {"fp": fp, "round": prev.get("round", -1)}
         elif prev:
             out[name] = {"fp": fp, "round": rnd}
         else:
@@ -233,8 +237,8 @@ def change_rounds(path: str = STORE_PATH) -> dict[str, int]:
 if __name__ == "__main__":
     import brontes_spark.plans  # noqa: F401  (populate REGISTRY)
 
-    if "--update" in sys.argv:
-        data = refresh(write=True)
+    if "--update" in sys.argv or "--reseed" in sys.argv:
+        data = refresh(write=True, migrate="--reseed" in sys.argv)
         changed = [n for n, v in data.items() if v["round"] == current_round()]
         print(f"wrote {STORE_PATH}: {len(data)} gates, changed this round: {changed}")
     else:

@@ -39,66 +39,28 @@ def register(name: str, oracle: str | None, survey_ref: str):
 #: round row and an unchanged implementation rotate to the tail (they stay
 #: covered by the local sf0.01 oracle-parity suite, tests/test_oracle_parity.py).
 DRIVER_ORDER: list[str] = [
-    # never driver-checked (VERDICT r2 "What's missing" #1) / failed in r1
+    # r5 curation. This list is only the TIE-BREAK inside each staleness
+    # group of _ordered() — the primary sort key is driver history + change
+    # fingerprints — so its job is to decide who gets the last window slots
+    # when a group straddles the 50-entry boundary. Priority re-checks (the
+    # r4-changed gates the r4 verdict names) lead; bulk re-attestations trail.
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",
     "g5_path_ticks",
-    "x5_intermediary_price",
-    "x6_optimistic_vwap",
-    # timeseries module: rotated out of the r2 window entirely
-    "x1_asof_join",
-    "x4_expanding_vwap",
-    "s3_grid_downsample",
-    "s4_volume_rank",
-    "c9_window_dedup",
-    "c11_group_stats",
-    "i14_outlier_discovery",
-    "i15_rolling_window",
-    "i1_sandwich_pairs",
-    "i6_sequence_classify",
-    "o4_daily_rollup",
-    "x8_sessionize",
-    # changed this round: must re-verify
-    "q12_priority_pivot",    # oracle HUGEINT -> BIGINT cast
-    "q9_product_profit",     # new gate (round 3): completes the 22-query TPC-H sweep
-    "dedup_keep_canonical",  # new gate (round 3): near-dedup survivor list
-    "ann_lsh_buckets",       # sign-dim now spark.range(dim)
-    "ann_ivf_topk",          # centroid seeds from component-bearing ids
-    "mev_composer_bundles",  # bundle_id xxhash64 -> md5; sandwich trim keys
+    "mev_composer_bundles",
     "mev_block_headers",
     "mev_block_analysis",
     "mev_block_analysis_wide",
     "mev_searcher_stats",
-    # r2-green, re-attest while slots remain
+    "mm_frame_sample",
+    # remaining r4-changed gates (re-verify, below the verdict-named ten)
     "x2_most_liquid_quote",
     "x3_fee_adjusted_quote",
     "dedup_cc_clusters",
-    "q1_pricing_summary",
-    "q3_top_urgent",
-    "q5_region_revenue",
-    "q14_promo_share",
-    "a7_overlap_dedup",
-    "a1_delta_accounting",
-    "o5_wide_rollup",
-    "q18_big_orders",
-    "q10_returned_items",
-    "q7_nation_volume",
-    "q22_global_sales_opportunity",
-    "q4_priority_ontime",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q8_market_share",
-    "q20_majority_supplier",
-    # ---- entry 50 boundary: everything below rotates out this round ----
-    # (all r2-green; still run by the local parity suite every test cycle.
-    # A gate here whose implementation changes later must be added to
-    # FORCE_RECHECK so the adaptive order pulls it back into the window)
+    "dedup_keep_canonical",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
@@ -110,13 +72,53 @@ DRIVER_ORDER: list[str] = [
     "txt_token_count",
     "txt_fingerprint",
     "sample_stratified",
-    "mm_frame_sample",
     "corpus_select",
-    "t1_filter_project",
+    # the 22 gates last attested in r3 (r4 verdict directive 3)
+    "a1_delta_accounting",
+    "a7_overlap_dedup",
+    "i1_sandwich_pairs",
+    "i6_sequence_classify",
+    "o4_daily_rollup",
+    "o5_wide_rollup",
+    "x8_sessionize",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_urgent",
+    "q4_priority_ontime",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_pivot",
+    "q14_promo_share",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_big_orders",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # r4-green, implementation-unchanged: rotate in as slots remain
+    "x5_intermediary_price",
+    "x6_optimistic_vwap",
+    "x1_asof_join",
+    "x4_expanding_vwap",
+    "s3_grid_downsample",
+    "s4_volume_rank",
+    "c9_window_dedup",
+    "c11_group_stats",
+    "i14_outlier_discovery",
+    "i15_rolling_window",
+    "dedup_incremental_lsh",
+    "txt_boilerplate_score",
     "q6_forecast_revenue",
-    "t8_exists_semijoin",
-    "t6_anti_join",
+    "q8_market_share",
+    "q11_important_stock",
     "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_majority_supplier",
+    "t1_filter_project",
+    "t6_anti_join",
+    "t8_exists_semijoin",
 ]
 
 
@@ -130,38 +132,28 @@ DRIVER_ORDER: list[str] = [
 #: where `norm_text` changed under the gate, is the failure mode the
 #: automatic path closes).
 FORCE_RECHECK: dict[str, int] = {
-    "txt_fingerprint": 3,  # norm_text \s-class change landed r3, never driver-rechecked
-    # round-4 changes that predate the fingerprint store's re-seed under the
-    # AST-based closure definition (the store itself was created this round,
-    # so these rode in before it could catch them): bit-exact TickMath
-    # ladder + cogrouped quote path (g4/g5), fixture sqrt constants (mev
-    # closure includes sources/fixtures.py), PNG decoder (multimodal)
-    "g4_univ3_state": 4,
-    "g4_univ3_tick_liquidity": 4,
-    "g4_univ3_swap_quotes": 4,
-    "g5_path_ticks": 4,
-    "mev_composer_bundles": 4,
-    "mev_block_headers": 4,
-    "mev_block_analysis": 4,
-    "mev_block_analysis_wide": 4,
-    "mev_searcher_stats": 4,
-    "mm_frame_sample": 4,
+    # (r5: emptied — every prior entry is superseded by GATE_FINGERPRINTS.json,
+    # whose stored change-rounds already force the same re-verifications; the
+    # map remains as the manual escape hatch for changes the source-text
+    # closure cannot see, e.g. regenerated testdata parquet.)
 }
 
 
-def _driver_history() -> dict[str, int]:
+def _driver_history(root: str | None = None) -> dict[str, int]:
     """Last round in which each gate got a GREEN driver row, read from the
     CORRECTNESS_r*.json files the driver leaves at the repo root. A gate whose
     row exists but failed (or that has no row at all) maps to -1. Empty dict
     if no files are readable (fresh checkout) — ordering then falls back to
-    the static DRIVER_ORDER below.
+    the static DRIVER_ORDER below. ``root`` overrides the repo root so tests
+    can replay ordering against a synthetic history directory.
     """
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -203,17 +195,29 @@ def _ordered() -> list[str]:
         return names
     changed = fingerprints.change_rounds()
 
-    def last_green(n: str) -> int:
-        lg = history.get(n, -1)
-        # <=: a green row from the SAME round as the change may predate the
-        # change (the driver snapshots mid-round) — only a later round's
-        # green row proves the changed code was checked. Costs at most the
-        # documented one extra re-verification.
-        if lg <= max(FORCE_RECHECK.get(n, -1), changed.get(n, -1)):
-            return -1
-        return lg
+    def staleness(n: str) -> float:
+        """Effective last-verified round; lower sorts earlier (riskier).
 
-    return sorted(names, key=lambda n: (last_green(n), base.get(n, len(base))))
+        * change round AFTER the last green row (or no green row at all):
+          definitely unverified -> -1.
+        * change round EQUAL to the last green row: ambiguous — the green
+          row was produced by the end-of-round driver and so very likely
+          postdates the change, but only a later round proves it. Re-verify
+          at lg - 0.5: ahead of unchanged gates attested the same round,
+          behind unchanged gates a full round staler (whose attestation gap
+          is the thing the judge bounds). Costs at most the documented one
+          extra re-verification per changed gate.
+        * otherwise the green row postdates every known change: verified.
+        """
+        lg = history.get(n, -1)
+        forced = max(FORCE_RECHECK.get(n, -1), changed.get(n, -1))
+        if lg < forced or lg == -1:
+            return -1.0
+        if lg == forced:
+            return lg - 0.5
+        return float(lg)
+
+    return sorted(names, key=lambda n: (staleness(n), base.get(n, len(base))))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,6 +22,31 @@ def test_store_file_is_current():
     assert stale == [], f"stale fingerprints {stale} — refresh the store"
 
 
+def test_fingerprints_independent_of_import_state():
+    """Round-4 defect: a ``vars(mod)`` globals scan made the closure depend on
+    which submodules happened to be imported in the interpreter, so the driver
+    process and the full pytest run disagreed on 11 gates' fingerprints. The
+    closure is AST-only now; importing the entire package surface (the judge's
+    repro: cli, streaming.*, sources.tokens) must not flip a single gate."""
+    import importlib
+
+    before = dict(fingerprints.compute_all())
+    for extra in (
+        "brontes_spark.cli",
+        "brontes_spark.streaming.tip",
+        "brontes_spark.streaming",
+        "brontes_spark.sources.tokens",
+        "brontes_spark.operators.multimodal",
+    ):
+        importlib.import_module(extra)
+    # recompute from scratch: the caches would mask any import-state leak
+    fingerprints._closure_cache.clear()
+    fingerprints._source_cache.clear()
+    after = fingerprints.compute_all()
+    flipped = [n for n in before if before[n] != after[n]]
+    assert flipped == [], f"fingerprints depend on interpreter import state: {flipped}"
+
+
 def test_closure_sees_through_helper_imports():
     """txt_fingerprint's builder lives in plans/llm_data.py but depends on
     functions/text.py (norm_text) — the module whose round-3 change the
@@ -59,31 +84,65 @@ def test_refresh_stamps_changed_gate_with_current_round(tmp_path):
 
 
 def test_doctored_gate_jumps_the_driver_window(monkeypatch):
-    """A gate with a green driver row whose fingerprint then changes must
-    re-enter the front of the window, ahead of green-history gates."""
-    victim = "q2_min_cost_supplier"
+    """A gate currently rotated OUT of the window (rides its green history)
+    whose fingerprint then changes must re-enter the head, ahead of every
+    green-history gate. Victim chosen dynamically so the test survives
+    round-over-round recuration of DRIVER_ORDER."""
     ordered_before = registry._ordered()
-    assert ordered_before.index(victim) >= 20  # rides its green history today
+    victim = ordered_before[-1]  # deepest green-history gate
+    assert ordered_before.index(victim) >= 50  # outside the driver window today
 
     monkeypatch.setattr(
         fingerprints, "change_rounds", lambda path=fingerprints.STORE_PATH: {victim: 99}
     )
     ordered_after = registry._ordered()
-    assert ordered_after.index(victim) < 25  # sorted with the never-verified head
-    assert ordered_after.index(victim) < ordered_after.index("q1_pricing_summary")
+    assert ordered_after.index(victim) == 0  # definitely-unverified sorts first
+    assert victim in ordered_after[:50]
 
 
-def test_r4_window_contains_all_rotated_gates():
-    """Directive r3#2: the 20 gates without a round-3 driver row must all be
-    inside the 50-entry window this round."""
-    rotated = {
-        "txt_fingerprint", "q11_important_stock", "q15_top_supplier",
-        "q19_disjunctive_revenue", "q8_market_share", "q20_majority_supplier",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
-        "dedup_simhash", "txt_quality_score", "txt_lang_id", "txt_token_count",
-        "sample_stratified", "corpus_select", "t1_filter_project",
-        "q6_forecast_revenue", "t8_exists_semijoin", "t6_anti_join",
-        "q13_order_count_distribution",
-    }
+def _assert_stalest_gates_in_window():
+    """Round-agnostic invariant (replaces the r4 round-stamped assertion that
+    expired the moment CORRECTNESS_r04.json landed): whatever driver history
+    exists, the first-50 window must contain every registered gate whose
+    last-green driver round equals the registry-wide minimum — the stalest
+    attestations always rotate in first."""
+    history = registry._driver_history()
     window = set(registry._ordered()[:50])
-    assert rotated <= window, f"missing from window: {rotated - window}"
+    if not history:
+        return  # fresh checkout: static order, nothing to rotate
+    floor = min(history.get(n, -1) for n in registry.REGISTRY)
+    stalest = {n for n in registry.REGISTRY if history.get(n, -1) == floor}
+    assert stalest <= window, f"stalest gates missing from window: {stalest - window}"
+
+
+def test_stalest_gates_always_in_window():
+    _assert_stalest_gates_in_window()
+
+
+def test_window_invariant_survives_new_correctness_round(tmp_path, monkeypatch):
+    """The invariant must hold both before and after the driver drops a new
+    CORRECTNESS file (the failure mode of the retired r4 test: a green round
+    landing at the repo root rotated its gates out and expired the premise).
+    Synthesize a next-round file giving the current window all-green and
+    re-check against that history."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    root = os.path.dirname(root)  # repo root (registry is brontes_spark/plans/)
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    nxt = fingerprints.current_round()
+    synthetic = {
+        name: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for name in registry._ordered()[:50]
+    }
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(synthetic))
+
+    real_history = registry._driver_history
+    monkeypatch.setattr(
+        registry, "_driver_history", lambda root=None: real_history(str(tmp_path))
+    )
+    _assert_stalest_gates_in_window()
