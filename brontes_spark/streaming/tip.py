@@ -81,15 +81,26 @@ def univ3_tip_state(
 
     def _versions(spark: SparkSession) -> list[int]:
         sc = spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path(snapshot_dir)  # noqa: SLF001
+        jvm = sc._jvm  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
         fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
         if not fs.exists(hpath):
             return []
-        return sorted(
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(hpath)
-            if st.getPath().getName().startswith("v=")
-        )
+        # A version counts as committed ONLY when its _SUCCESS marker exists:
+        # Spark creates v=<N> (with _temporary inside) at job START, so a
+        # driver death mid-write leaves a partial directory. Without the
+        # marker check a replayed batch would see batch_id in `seen`, skip,
+        # and seed batch N+1's state from the corrupt snapshot — silently
+        # wrong state despite the exactly-once contract.
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not name.startswith("v="):
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{name}/_SUCCESS")
+            if fs.exists(marker):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -29,6 +29,24 @@ def test_incremental_collides_new_with_corpus_only(spark):
     assert got == {(10, 1), (10, 2)}
 
 
+def test_incremental_catches_intra_batch_duplicates(spark):
+    """ADVICE r4: two near-duplicates arriving in the SAME ingestion batch
+    collide with neither the corpus nor each other under a pure
+    new-vs-corpus join — both would enter the corpus. The intra-batch pass
+    reports the later one against the min-id batch survivor."""
+    corpus = _docs(spark, [(1, UNIQUE)])
+    new = _docs(spark, [(10, BOILER), (11, BOILER),
+                        (12, "totally fresh words nobody else wrote here today")])
+    got = {(r["new_id"], r["dup_of"])
+           for r in minhash_lsh_incremental(new, corpus, "doc_id", "text", n=5).collect()}
+    assert got == {(11, 10)}  # 11 dupes 10; survivor 10 and unique 12 pass
+    # opt-out keeps the pure cross-boundary semantics
+    off = minhash_lsh_incremental(
+        new, corpus, "doc_id", "text", n=5, include_intra_batch=False
+    ).collect()
+    assert off == []
+
+
 def test_incremental_agrees_with_self_join_on_cross_pairs(spark):
     """Collisions across the batch boundary must equal the full self-join's
     pairs restricted to (new, corpus) — the incremental path skips work,

@@ -96,8 +96,13 @@ def test_doctored_gate_jumps_the_driver_window(monkeypatch):
         fingerprints, "change_rounds", lambda path=fingerprints.STORE_PATH: {victim: 99}
     )
     ordered_after = registry._ordered()
-    assert ordered_after.index(victim) == 0  # definitely-unverified sorts first
-    assert victim in ordered_after[:50]
+    assert victim in ordered_after[:50]  # re-enters the driver window
+    # ...and ahead of every UNCHANGED gate attested in the same round
+    history = registry._driver_history()
+    lg = history.get(victim)
+    peers = [n for n in ordered_after
+             if n != victim and history.get(n) == lg]
+    assert all(ordered_after.index(victim) < ordered_after.index(p) for p in peers)
 
 
 def _assert_stalest_gates_in_window():

@@ -133,6 +133,59 @@ def test_univ3_tip_foreach_batch_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(rows)
 
 
+def test_univ3_tip_partial_snapshot_is_not_committed(spark, tmp_path):
+    """Crash-mid-write recovery: Spark creates snapshot_dir/v=<N> (with
+    _temporary inside) at job START, so a driver death during the snapshot
+    write leaves a partial directory WITHOUT a _SUCCESS marker. The replayed
+    batch must treat that version as absent and recompute — not skip and
+    seed the next batch from corrupt state (ADVICE r4, medium)."""
+    import os
+
+    from brontes_spark.streaming.tip import univ3_tip_state
+
+    src = str(tmp_path / "ev4")
+    ckpt = str(tmp_path / "ck4")
+    snap = str(tmp_path / "snap4")
+    out = str(tmp_path / "out4")
+
+    initial = spark.createDataFrame(univ3_initial_rows(), S.UNIV3_INITIAL_SCHEMA)
+    rows = univ3_events_rows()
+    first = [r for r in rows if r["block_number"] == 200]
+    rest = [r for r in rows if r["block_number"] > 200]
+
+    def drain():
+        stream = spark.readStream.schema(S.UNIV3_EVENTS_SCHEMA).parquet(src)
+        univ3_tip_state(stream, initial, snap, out, ckpt).awaitTermination(120)
+
+    _write_batch(spark, first, src)
+    drain()  # commits snapshot v=0
+
+    # simulate the crash: batch 1's snapshot dir exists but never committed
+    partial = os.path.join(snap, "v=1")
+    os.makedirs(os.path.join(partial, "_temporary"))
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage, not parquet")
+    assert not os.path.exists(os.path.join(partial, "_SUCCESS"))
+
+    _write_batch(spark, rest, src)
+    drain()  # replays batch 1: must recompute, overwriting the partial dir
+
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+    got = {
+        (r["pool"], r["block_number"], r["tx_index"]): r.asDict()
+        for r in spark.read.parquet(out).collect()
+    }
+    t = load_fixtures(spark)
+    want = {
+        (r["pool"], r["block_number"], r["tx_index"]): r.asDict()
+        for r in univ3_pool_state(t["univ3_events"], t["univ3_initial"]).collect()
+    }
+    assert set(got) == set(want)
+    for k, wrow in want.items():
+        assert got[k]["sqrt_price_post"] == wrow["sqrt_price_post"], k
+        assert got[k]["liquidity_post"] == wrow["liquidity_post"], k
+
+
 def test_windowed_block_rollup_with_late_data(spark, tmp_path):
     """Watermarked windowed agg: in-order batches emit finalized windows;
     an event arriving later than the 120s watermark is DROPPED (late-data
