@@ -152,6 +152,83 @@ def x4_expanding_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X4 decay weights (1/ns). The reference defaults are per-µs
+#: (config.rs: pre −5e-7, post −2e-7) sized for 10–20 s max windows; the
+#: events grid spans hours, so the same shape is rescaled to reach ~e^-0.9
+#: at the max pre window (1.8e12 ns) and ~e^-0.72 at the max post window.
+_X4_PRE_DECAY = -5e-13
+_X4_POST_DECAY = -2e-13
+
+
+@register(
+    "x4_decay_vwap",
+    oracle=f"""
+    WITH {EV_CTE},
+    anchors AS (
+      SELECT event_id AS anchor_id, user_id AS key, ts_ns AS anchor_ts,
+             CAST(value AS DECIMAL(18,6)) AS required_vol
+      FROM ev WHERE event_type = 'purchase'),
+    ticks AS (
+      SELECT user_id AS key, ts_ns AS tick_ts,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DECIMAL(18,6)) AS price,
+             CAST(value AS DECIMAL(18,6)) AS vol
+      FROM ev WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT a.anchor_id, a.required_vol, t.price, t.vol,
+             GREATEST(1, CAST(CEIL(CASE WHEN t.tick_ts <= a.anchor_ts
+                 THEN (a.anchor_ts - t.tick_ts) / 300000000000.0
+                 ELSE (t.tick_ts - a.anchor_ts) / 600000000000.0 END) AS INT)) AS step,
+             CAST(EXP(CASE WHEN t.tick_ts <= a.anchor_ts
+                 THEN -0.0000000000005 * CAST(a.anchor_ts - t.tick_ts AS DOUBLE)
+                 ELSE -0.0000000000002 * CAST(t.tick_ts - a.anchor_ts AS DOUBLE) END)
+               AS DECIMAL(9,6)) AS w
+      FROM anchors a JOIN ticks t ON a.key = t.key
+       AND t.tick_ts >= a.anchor_ts - 1800000000000
+       AND t.tick_ts <= a.anchor_ts + 3600000000000),
+    per_step AS (
+      SELECT anchor_id, required_vol, step,
+             SUM(vol) AS svol,
+             SUM(CAST(price * vol AS DECIMAL(18,6)) * w) AS swpv,
+             SUM(vol * w) AS swvol
+      FROM j GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT *, SUM(svol) OVER (PARTITION BY anchor_id ORDER BY step) AS cum_vol
+      FROM per_step),
+    cutoff AS (
+      SELECT anchor_id,
+             MIN(CASE WHEN cum_vol >= required_vol THEN step END) AS cutoff_step
+      FROM cum GROUP BY anchor_id
+      HAVING MIN(CASE WHEN cum_vol >= required_vol THEN step END) IS NOT NULL)
+    SELECT p.anchor_id AS purchase_id, c.cutoff_step,
+           CAST(CAST(SUM(p.swpv) AS DECIMAL(38,8)) AS DOUBLE)
+             / CAST(CAST(SUM(p.swvol) AS DECIMAL(38,8)) AS DOUBLE) AS vwap,
+           CAST(CAST(SUM(p.svol) AS DECIMAL(38,6)) AS DOUBLE) AS covered_vol
+    FROM cum p JOIN cutoff c
+      ON p.anchor_id = c.anchor_id AND p.step <= c.cutoff_step
+    GROUP BY 1, 2
+    """,
+    survey_ref="X4 expanding-window VWAP with exponential time-decay "
+    "weighting (db/cex/trades/config.rs:26-48 use_block_time_weights_vwap; "
+    "weight per trade in db/cex/trades/utils.rs:485-499; window cutoff "
+    "stays unweighted as in time_window_vwam.rs)",
+)
+def x4_decay_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    anchors, ticks = _vwap_inputs(ev)
+    out = expanding_vwap(
+        anchors,
+        ticks,
+        pre_step=300_000_000_000,
+        post_step=600_000_000_000,
+        max_steps=6,
+        pre_decay=_X4_PRE_DECAY,
+        post_decay=_X4_POST_DECAY,
+    )
+    return out.select(
+        F.col("anchor_id").alias("purchase_id"), "cutoff_step", "vwap", "covered_vol"
+    )
+
+
 @register(
     "s3_grid_downsample",
     oracle=f"""

@@ -102,6 +102,46 @@ def test_expanding_vwap_cutoff(spark):
     assert r["covered_vol"] == 120.0
 
 
+def test_expanding_vwap_decay_weights(spark):
+    """X4 decay option (config.rs:26-48): the weighted vwap tilts toward the
+    near-anchor tick; zero decay reproduces the unweighted result exactly
+    (weight quantizes to 1.000000); the cutoff/coverage stay UNWEIGHTED."""
+    import math
+
+    anchors = spark.createDataFrame(
+        [("a1", "k", 1000, Decimal("100"))],
+        "anchor_id string, key string, anchor_ts long, required_vol decimal(18,6)",
+    )
+    ticks = spark.createDataFrame(
+        [
+            ("k", 990, Decimal("1"), Decimal("60"), 1),   # pre, |dt|=10
+            ("k", 1015, Decimal("2"), Decimal("60"), 2),  # post, dt=15
+            ("k", 1025, Decimal("9"), Decimal("60"), 3),  # beyond cutoff
+        ],
+        "key string, tick_ts long, price decimal(18,6), vol decimal(18,6), tick_id long",
+    )
+
+    r0 = expanding_vwap(
+        anchors, ticks, pre_step=10, post_step=10, max_steps=5,
+        pre_decay=0.0, post_decay=0.0,
+    ).collect()[0]
+    assert r0["cutoff_step"] == 2
+    assert r0["vwap"] == pytest.approx((60 * 1 + 60 * 2) / 120.0)
+    assert r0["covered_vol"] == 120.0
+
+    rw = expanding_vwap(
+        anchors, ticks, pre_step=10, post_step=10, max_steps=5,
+        pre_decay=-0.05, post_decay=-0.05,
+    ).collect()[0]
+    # hand computation with the DECIMAL(9,6)-quantized weights
+    w1 = round(math.exp(-0.05 * 10), 6)
+    w2 = round(math.exp(-0.05 * 15), 6)
+    want = (60 * 1 * w1 + 60 * 2 * w2) / (60 * w1 + 60 * w2)
+    assert rw["vwap"] == pytest.approx(want, rel=1e-9)
+    assert rw["vwap"] < r0["vwap"]  # decay favors the nearer, cheaper tick
+    assert rw["cutoff_step"] == 2 and rw["covered_vol"] == 120.0
+
+
 def test_keep_largest_and_dedup(spark):
     df = spark.createDataFrame(
         [("g", 1, 5.0), ("g", 2, 9.0), ("g", 3, 9.0), ("h", 4, 1.0)],
