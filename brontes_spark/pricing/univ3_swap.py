@@ -82,7 +82,17 @@ def univ3_swap_exact_in(
     Returns dict(amount_out, fee_paid, sqrt_price_after, tick_after,
     liquidity_after, ticks_crossed).
     """
+    # one sort + dict per request, then O(log ticks) next-tick lookups per
+    # crossing via bisect (the earlier per-step linear scans re-filtered the
+    # whole table and rebuilt dict(ticks) every crossing — O(ticks²) worst
+    # case per request; the reference walks a tick BITMAP word at a time,
+    # tick_bitmap.rs next_initialized_tick_within_one_word, same O(log)/O(1)
+    # spirit)
+    import bisect
+
     ticks = sorted(tick_liquidity)
+    tick_keys = [t for t, _ in ticks]
+    net_by_tick = dict(ticks)
     sqrt_p, liq = sqrt_price_x96, liquidity
     remaining = amount_in
     out = fee_total = crossed = 0
@@ -92,14 +102,14 @@ def univ3_swap_exact_in(
     # zero cost (in_to_boundary = 0 ⇒ step_in = 0) until liquidity returns,
     # exactly Uniswap's computeSwapStep behavior; MIN/MAX clamp still breaks.
     while remaining > 0:
+        i = bisect.bisect_right(tick_keys, tick)
         if zero_for_one:
-            below = [t for t, _ in ticks if t <= tick]
-            next_tick = max(below) if below else MIN_TICK
-            boundary = get_sqrt_ratio_at_tick(next_tick)
+            # largest initialized tick <= current tick
+            next_tick = tick_keys[i - 1] if i > 0 else MIN_TICK
         else:
-            above = [t for t, _ in ticks if t > tick]
-            next_tick = min(above) if above else MAX_TICK
-            boundary = get_sqrt_ratio_at_tick(next_tick)
+            # smallest initialized tick > current tick
+            next_tick = tick_keys[i] if i < len(tick_keys) else MAX_TICK
+        boundary = get_sqrt_ratio_at_tick(next_tick)
 
         # input needed (pre-fee) to push the price to the boundary
         if zero_for_one:
@@ -126,7 +136,7 @@ def univ3_swap_exact_in(
                 # leftover input is NOT consumed past the boundary
                 tick = get_tick_at_sqrt_ratio(sqrt_p)
                 break
-            net = dict(ticks)[next_tick] if next_tick in dict(ticks) else 0
+            net = net_by_tick.get(next_tick, 0)
             liq += -net if zero_for_one else net
             tick = next_tick - 1 if zero_for_one else next_tick
             crossed += 1
@@ -171,6 +181,7 @@ def univ3_quote_batch(
     pool_state: DataFrame,
     pool_ticks: DataFrame,
     fee_pips: int = 3000,
+    salt: int | None = None,
 ) -> DataFrame:
     """Bulk quoting as a cogrouped `applyInPandas` on `pool` — the
     scale-safe shape for the walker (reference uniswap_v3/mod.rs:160-493 +
@@ -187,11 +198,17 @@ def univ3_quote_batch(
     `pool_ticks`:  pool, tick, liquidity_net — per-pool net-liquidity table
 
     Requests for a pool with no state row are dropped (unquotable pool —
-    the caller decides whether that's an error). Skew note: one hot pool's
-    requests land in one task; since the walker is O(1) per request after
-    the O(ticks) table sort, the fix at scale is salting the REQUEST side
-    and replicating the (tiny) state/ticks rows per salt — documented in
-    SCALE.md, not needed at fixture scale.
+    the caller decides whether that's an error).
+
+    Skew: one hot pool's requests land in one task by default (the walker
+    is O(log ticks) per crossing after the per-batch table sort, so this
+    is fine until a single pool dominates the request volume). ``salt=k``
+    splits each pool's requests across k cogroup keys — requests get a
+    deterministic content-hash salt, and the (tiny) state/ticks metadata
+    is replicated k ways with an explode, NOT a shuffle of the big side —
+    so the hot pool fans out over k tasks with bit-identical results
+    (each task still sees the full pool table). The extra cost is k-1
+    redundant metadata copies, which is why it is opt-in.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -247,8 +264,28 @@ def univ3_quote_batch(
             )
         return pd.DataFrame(rows, columns=_QUOTE_COLS)
 
+    if salt is None:
+        return (
+            requests.groupBy("pool")
+            .cogroup(meta.groupBy("pool"))
+            .applyInPandas(quote, schema=_QUOTE_SCHEMA)
+        )
+
+    # hot-pool path: spread each pool's requests over `salt` cogroup keys.
+    # The request salt is a content hash (deterministic, no rand()) and the
+    # quote result never reads it, so salted output == unsalted output.
+    salted_reqs = requests.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("amount_in").cast("string"), "zero_for_one"),
+            F.lit(salt),
+        ).cast("int"),
+    )
+    salted_meta = meta.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
     return (
-        requests.groupBy("pool")
-        .cogroup(meta.groupBy("pool"))
+        salted_reqs.groupBy("pool", "salt")
+        .cogroup(salted_meta.groupBy("pool", "salt"))
         .applyInPandas(quote, schema=_QUOTE_SCHEMA)
     )

@@ -168,3 +168,57 @@ def test_zero_liquidity_gap_crossed_to_next_position():
     assert q["sqrt_price_after"] < get_sqrt_ratio_at_tick(-10)
     # and with liquidity live again, the final state is inside B
     assert q["liquidity_after"] == L
+
+
+def test_salted_hot_pool_quotes_identical_and_spread(spark):
+    """Directive r4#5: a 100:1 hot-pool request skew quoted through the
+    salted path (salt=4) must return results BIT-IDENTICAL to the unsalted
+    cogroup, and the salted plan must shuffle on (pool, salt) so the hot
+    pool's requests fan out across salt buckets instead of one task."""
+    from brontes_spark.pricing.univ3_swap import univ3_quote_batch
+
+    tick_rows = [(-60, 5 * 10**17), (60, -5 * 10**17)]
+    state = spark.createDataFrame(
+        [("0xhot", str(Q96), str(L), 0), ("0xcold", str(Q96), str(L), 0)],
+        "pool string, sqrt_price string, liquidity string, tick int",
+    )
+    ticks = spark.createDataFrame(
+        [(p, t, str(n)) for p in ("0xhot", "0xcold") for t, n in tick_rows],
+        "pool string, tick int, liquidity_net string",
+    )
+    # 200 hot requests vs 2 cold ones (100:1), varying amounts so the salt
+    # hash actually spreads them
+    req_rows = [
+        ("0xhot", Decimal(10**13 * (i + 1)), i % 2 == 0) for i in range(200)
+    ] + [("0xcold", Decimal(10**15), True), ("0xcold", Decimal(10**15), False)]
+    reqs = spark.createDataFrame(
+        req_rows, "pool string, amount_in decimal(38,0), zero_for_one boolean"
+    )
+
+    def key(r):
+        return (r["pool"], r["amount_in"], r["zero_for_one"])
+
+    plain = {key(r): r.asDict() for r in univ3_quote_batch(reqs, state, ticks).collect()}
+    salted_df = univ3_quote_batch(reqs, state, ticks, salt=4)
+    salted = {key(r): r.asDict() for r in salted_df.collect()}
+    assert salted == plain  # bit-identical quotes, every request answered once
+
+    # plan evidence: the cogroup exchange hashes on pool AND salt
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan and "FlatMapCoGroupsInPandas" in plan
+
+    # the salt really spreads the hot pool: >1 distinct bucket over its reqs
+    from pyspark.sql import functions as F
+
+    n_buckets = (
+        reqs.filter("pool = '0xhot'")
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("amount_in").cast("string"), "zero_for_one"),
+                F.lit(4),
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
