@@ -34,6 +34,7 @@ HEADLINE = [
     "o5_wide_rollup",
     "x1_asof_join",
     "x4_expanding_vwap",
+    "x4_decay_vwap",
     "i1_sandwich_pairs",
     "i6_sequence_classify",
     "i15_rolling_window",

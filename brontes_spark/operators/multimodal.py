@@ -7,13 +7,14 @@ pattern that scales: the JVM moves bytes, Python touches each batch once,
 and partition sizing (bytes per partition, not rows) bounds worker memory.
 
 Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
-`decode_bmp` / `decode_png` — pure bytes + numpy (+ stdlib zlib for PNG),
-real pixels, real spatial features; `decode_image` sniffs and dispatches).
-JPEG/video need PIL/ffmpeg, which are NOT in this environment, so the
-kernel stays pluggable: pass a production codec via `decode_fn`;
-undecodable payloads raise into the quarantine path. `stub_decode` remains
-as the deterministic fake for plumbing tests. Schemas, Arrow batch shapes,
-and partitioning are identical across all of them.
+`decode_bmp` / `decode_png` / baseline `decode_jpeg` — pure bytes + numpy
+(+ stdlib zlib for PNG), real pixels, real spatial features; `decode_image`
+sniffs and dispatches). Progressive JPEG and video need PIL/ffmpeg, which
+are NOT in this environment, so the kernel stays pluggable: pass a
+production codec via `decode_fn`; undecodable payloads raise into the
+quarantine path. `stub_decode` remains as the deterministic fake for
+plumbing tests. Schemas, Arrow batch shapes, and partitioning are identical
+across all of them.
 """
 
 from __future__ import annotations
@@ -213,6 +214,249 @@ def decode_png(data: bytes) -> dict:
     return _gray_stats(px)
 
 
+#: zig-zag index order (JPEG spec Figure 5): position k in the entropy
+#: stream lands at flat index _ZIGZAG[k] of the row-major 8x8 block
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    """Walk bits until (length, code) hits the canonical table."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND (spec F.2.2.1): map t low bits to a signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline sequential JPEG (SOF0) in pure numpy: marker parse, canonical
+    Huffman decode, dequantize, 8x8 IDCT as two matrix products, chroma
+    upsample, YCbCr→RGB. Handles byte stuffing, restart markers/DRI, 4:4:4 /
+    4:2:0 / 4:2:2 sampling, 1- or 3-component scans. Progressive (SOF2),
+    arithmetic coding, and 12-bit precision raise into the quarantine path.
+    Built from the public JPEG spec (ITU T.81) only; correctness-grade, not
+    throughput-grade — plug a native codec via `decode_fn` for JPEG farms.
+    """
+    import struct
+
+    import numpy as np
+
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    restart_interval = 0
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                off += 1
+                n = 64 * (2 if pq else 1)
+                vals = (
+                    np.frombuffer(body[off : off + n], dtype=">u2" if pq else np.uint8)
+                    .astype(np.int32)
+                )
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = vals
+                qt[tq] = tbl.reshape(8, 8)
+                off += n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                counts = list(body[off + 1 : off + 17])
+                syms = body[off + 17 : off + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0xF))
+            pos += 2 + seg_len
+            return _decode_scan(
+                data, pos, frame, scan, qt, huff, restart_interval
+            )
+        pos += 2 + seg_len
+    raise ValueError("no JPEG scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval) -> dict:
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # split the entropy stream on restart markers, de-stuff each segment
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: new segment, DC predictors reset
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    # orthonormal IDCT basis: px = B.T @ coef @ B with the JPEG C(u) scaling
+    u = np.arange(8)
+    B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    B[0, :] /= np.sqrt(2)
+
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
+
+    dc_pred = {cid: 0 for cid, _, _, _ in comps}
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                dc_pred = {cid: 0 for cid, _, _, _ in comps}
+                mcu_in_seg = 0
+            for cid, hs, vs, tq in comps:
+                td, ta = next((s[1], s[2]) for s in scan if s[0] == cid)
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, np.int32)
+                        t = _huff_decode(reader, huff[(0, td)])
+                        diff = _extend(reader.read_bits(t), t)
+                        dc_pred[cid] += diff
+                        zz[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_ZIGZAG] = zz * qt[tq].reshape(-1)[_ZIGZAG]
+                        px = B.T @ blk.reshape(8, 8) @ B + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_in_seg += 1
+
+    # upsample subsampled planes to full MCU-grid resolution, crop to (h, w)
+    full = []
+    for cid, hs, vs, tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        rgb = np.repeat(np.clip(full[0], 0, 255)[:, :, None], 3, axis=2)
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
+    else:
+        raise ValueError("unsupported JPEG component count")
+    return _gray_stats(rgb.astype(np.uint8))
+
+
 def decode_image(data: bytes) -> dict:
     """Container-sniffing decoder: REAL decode for the dependency-free
     formats (PPM P6, uncompressed 24-bit BMP, 8-bit PNG — pure bytes +
@@ -229,6 +473,8 @@ def decode_image(data: bytes) -> dict:
         return decode_bmp(data)
     if data.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png(data)
+    if data.startswith(b"\xff\xd8"):
+        return decode_jpeg(data)
     raise ValueError("unsupported container (plug a codec via decode_fn)")
 
 

@@ -226,3 +226,137 @@ def test_extract_image_features_real_codec(spark):
     # PNG and PPM of the same pixels agree end-to-end through mapInPandas
     assert out[4]["feature_vec"] == out[1]["feature_vec"]
     assert out[4]["mean_intensity"] == out[1]["mean_intensity"]
+
+
+# ---- minimal baseline JPEG encoder (test-side golden source) ----
+# DC-only blocks with tiny custom Huffman tables: enough to produce REAL
+# spec-conformant baseline files (quant, canonical Huffman, byte stuffing,
+# optional 4:2:0 sampling and restart markers) without any codec library.
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
+
+
+def _dc_cat(v):
+    return v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def _jpeg_bytes(w, h, comps, sampling, dri=0):
+    """comps: list of per-component flat pixel values (len 1 or 3, YCbCr);
+    sampling: [(hs, vs)] per component. DC-only, q[DC]=8."""
+    import struct
+
+    q = bytes([8] + [16] * 63)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    ncomp = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(sampling):
+        out += bytes([i + 1, (hs << 4) | vs, 0])
+    # DC table: 12 codes of length 4 (symbol k <-> code k); AC: EOB = '0'
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    ac_counts = bytes([1] + [0] * 15)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + b"\x00" + dc_counts + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + ac_counts + b"\x00"
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x00])
+    out += b"\x00\x3f\x00"
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    bw = _BitWriter()
+    dc_pred = [0] * ncomp
+    n_mcu = 0
+    rst = 0
+    for _ in range(mcux * mcuy):
+        if dri and n_mcu and n_mcu % dri == 0:
+            bw.flush()
+            out += bw.out + bytes([0xFF, 0xD0 + rst % 8])
+            bw = _BitWriter()
+            rst += 1
+            dc_pred = [0] * ncomp
+        for ci, (hs, vs) in enumerate(sampling):
+            dc_q = round(8 * (comps[ci] - 128) / 8)  # quantized DC
+            for _ in range(hs * vs):
+                diff = dc_q - dc_pred[ci]
+                dc_pred[ci] = dc_q
+                t = _dc_cat(diff)
+                bw.write(t, 4)  # DC huffman: symbol t <-> 4-bit code t
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                bw.write(0, 1)  # AC EOB
+        n_mcu += 1
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_grayscale_solid():
+    from brontes_spark.operators.multimodal import decode_image, decode_jpeg
+
+    data = _jpeg_bytes(16, 16, [200], [(1, 1)])
+    got = decode_jpeg(data)
+    assert (got["width"], got["height"]) == (16, 16)
+    assert abs(got["mean_intensity"] - 200 / 255) < 2 / 255
+    # every 4x4 grid cell of a solid image has the same feature value
+    assert max(got["feature_vec"]) - min(got["feature_vec"]) < 1e-12
+    assert decode_image(data) == got  # sniffing dispatch
+
+
+def test_decode_jpeg_color_444_and_420_agree():
+    from brontes_spark.operators.multimodal import decode_jpeg
+
+    # solid RGB (60, 120, 180) -> YCbCr per the JFIF formulas
+    r, g, b = 60, 120, 180
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    j444 = decode_jpeg(_jpeg_bytes(16, 16, [y, cb, cr], [(1, 1), (1, 1), (1, 1)]))
+    j420 = decode_jpeg(_jpeg_bytes(16, 16, [y, cb, cr], [(2, 2), (1, 1), (1, 1)]))
+    # _gray_stats grays via the CHANNEL MEAN (not luma), so the expected
+    # intensity is mean(r, g, b) after the YCbCr round trip
+    want = (r + g + b) / 3 / 255
+    for got in (j444, j420):
+        assert (got["width"], got["height"]) == (16, 16)
+        assert abs(got["mean_intensity"] - want) < 4 / 255
+    # solid image: subsampling must not change the reconstruction
+    assert abs(j444["mean_intensity"] - j420["mean_intensity"]) < 1e-9
+
+
+def test_decode_jpeg_restart_markers_and_rejects():
+    import pytest
+
+    from brontes_spark.operators.multimodal import decode_jpeg
+
+    # DRI=1: three restart segments across a 32x8 gray image; DC predictors
+    # reset per segment, result identical to the unsegmented encoding
+    plain = decode_jpeg(_jpeg_bytes(32, 8, [90], [(1, 1)]))
+    rst = decode_jpeg(_jpeg_bytes(32, 8, [90], [(1, 1)], dri=1))
+    assert rst == plain
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08" + b"\x00\x10" * 2 + b"\x01\x01\x11\x00")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
