@@ -726,3 +726,58 @@ def test_curve_exchange_underlying_metapool_indices(spark):
     assert sw["token_in"] == FRAX and sw["token_out"] == USDC  # NOT the LP token
     assert sw["amount_in"] == Decimal(7)
     assert sw["amount_out"] == Decimal("6.9")  # 6dp USDC from the log
+
+
+def test_curve_v2_metapool_exchange_lp_token_golden(spark):
+    """Golden for the reference's CurveV2MetapoolImpl exchange decode cases
+    (classifiers/curve/swaps/v2_meta.rs:7-103): sold_id/bought_id are a
+    2-entry space where 0 => token0 and 1 => the CURVE LP TOKEN of the base
+    pool — i.e. the pool's own coin list [coin0, base-LP], a DIFFERENT space
+    from exchange_underlying's expanded list. Also pins the realized-amount
+    source: TokenExchange log tokens_bought when present, calldata min_dy
+    floor when the log is missing (the log:true fallible path)."""
+    from decimal import Decimal
+
+    from brontes_spark.classify import classify_traces
+    from brontes_spark.functions.keccak import selector
+
+    META = "0x" + "88" * 20
+    CRVUSD, LP3, DAI, USDC = ("0x" + c * 20 for c in ("c1", "3c", "aa", "bb"))
+    ex = selector("exchange(int128,int128,uint256,uint256)")
+    # sell 4 LP (i=1) for coin0 (j=0); log reports 3.97e18 bought
+    cd_logged = ex + _w_int(1) + _w_int(0) + _w_uint(4 * 10**18) + _w_uint(3 * 10**18)
+    logs = [dict(address=META, topic0="0xte",
+                 data_params={"tokens_bought": str(3_970_000_000_000_000_000)})]
+    # same call shape with NO TokenExchange log -> min_dy floor
+    cd_floor = ex + _w_int(1) + _w_int(0) + _w_uint(4 * 10**18) + _w_uint(3 * 10**18)
+
+    traces = decode_traces(spark.createDataFrame(
+        [_trace(1, "0xlp", 0, META, cd_logged, logs),
+         _trace(1, "0xfl", 0, META, cd_floor)], _TRACE_DDL))
+    a2p = spark.createDataFrame([(META, "CurveV2MetapoolImpl")],
+                                "address string, protocol string")
+    # own coins: [crvUSD, 3CRV-LP]; underlying expansion present too and
+    # MUST NOT be consulted by plain exchange
+    coins = spark.createDataFrame(
+        [(META, 0, CRVUSD), (META, 1, LP3),
+         (META, 100, CRVUSD), (META, 101, DAI), (META, 102, USDC)],
+        "pool string, idx int, token string",
+    )
+    tok = spark.createDataFrame(
+        [(CRVUSD, 18), (LP3, 18), (DAI, 18), (USDC, 6)],
+        "address string, decimals int",
+    )
+    binfo = spark.createDataFrame([(1, "0xb")], "block_number long, beneficiary string")
+    acts = {r["tx_hash"]: r for r in
+            classify_traces(traces, a2p, tok, binfo, pool_coins=coins).collect()}
+
+    sw = acts["0xlp"]["swap"]
+    assert acts["0xlp"]["protocol"] == "CurveV2MetapoolImpl"
+    assert sw["token_in"] == LP3      # v2_meta.rs: 1 => curve_lp_token
+    assert sw["token_out"] == CRVUSD  # v2_meta.rs: 0 => token0
+    assert sw["amount_in"] == Decimal(4)
+    assert sw["amount_out"] == Decimal("3.97")  # log-realized
+
+    fl = acts["0xfl"]["swap"]
+    assert fl["token_in"] == LP3 and fl["token_out"] == CRVUSD
+    assert fl["amount_out"] == Decimal(3)  # min_dy floor when log missing
