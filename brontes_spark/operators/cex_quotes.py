@@ -128,10 +128,24 @@ def optimistic_vwap(
     anchors: DataFrame,   # anchor_id, key, anchor_ts, required_vol
     ticks: DataFrame,     # key, tick_ts, price, vol, tick_id
     window_us: int,
+    pre_decay: float | None = None,
+    post_decay: float | None = None,
+    weight_scale: int = 8,
 ) -> DataFrame:
     """X6: within ±window, take the CHEAPEST trades first until volume is
     covered — the idealized best-execution price. One range join + one
-    price-ordered cumulative window, no iteration."""
+    price-ordered cumulative window, no iteration.
+
+    ``pre_decay``/``post_decay`` mirror the reference's
+    use_block_time_weights_optimistic knob (db/cex/trades/config.rs:26-48,
+    weight applied per selected trade in optimistic.rs:292-342): basket
+    SELECTION stays cheapest-first on unweighted volume, but the final
+    price becomes exp-decay weighted — Σ(p·v·w)/Σ(v·w) over the taken set.
+    Determinism identical to expanding_vwap's weighted path: dec9-quantized
+    weights, exact decimal sums, doubles only at the division.
+    """
+    from ..functions.decimals import dec9
+
     j = anchors.join(ticks, "key").filter(
         (F.col("tick_ts") >= F.col("anchor_ts") - window_us)
         & (F.col("tick_ts") <= F.col("anchor_ts") + window_us)
@@ -139,13 +153,30 @@ def optimistic_vwap(
     w = W.partitionBy("anchor_id").orderBy(F.col("price").asc(), F.col("tick_id").asc())
     cum = j.withColumn("cum_vol", F.sum("vol").over(w))
     taken = cum.filter(F.col("cum_vol") - F.col("vol") < F.col("required_vol"))
-    spv6 = to_dbl(F.sum(F.col("price") * F.col("vol")))
-    svol6 = to_dbl(F.sum("vol"))
+    weighted = pre_decay is not None and post_decay is not None
+    if weighted:
+        wq = dec9(
+            F.exp(
+                F.when(
+                    F.col("tick_ts") <= F.col("anchor_ts"),
+                    F.lit(pre_decay)
+                    * (F.col("anchor_ts") - F.col("tick_ts")).cast("double"),
+                ).otherwise(
+                    F.lit(post_decay)
+                    * (F.col("tick_ts") - F.col("anchor_ts")).cast("double")
+                )
+            )
+        )
+        pv6 = (F.col("price") * F.col("vol")).cast("decimal(18,6)")
+        taken = taken.withColumn("wvol", F.col("vol") * wq).withColumn("wpv", pv6 * wq)
+        price = to_dbl(F.sum("wpv"), weight_scale) / to_dbl(F.sum("wvol"), weight_scale)
+    else:
+        price = to_dbl(F.sum(F.col("price") * F.col("vol"))) / to_dbl(F.sum("vol"))
     return (
         taken.groupBy("anchor_id", "required_vol")
         .agg(
             F.max("cum_vol").alias("covered"),
-            (spv6 / svol6).alias("optimistic_price"),
+            price.alias("optimistic_price"),
             F.count(F.lit(1)).alias("n_trades"),
         )
         .filter(F.col("covered") >= F.col("required_vol"))

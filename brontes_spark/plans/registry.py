@@ -67,6 +67,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_incremental_lsh",  # semantics changed r5 (intra-batch pairs)
     "txt_quality_score",
     "txt_lang_id",
     "txt_token_count",
@@ -107,7 +108,6 @@ DRIVER_ORDER: list[str] = [
     "c11_group_stats",
     "i14_outlier_discovery",
     "i15_rolling_window",
-    "dedup_incremental_lsh",
     "txt_boilerplate_score",
     "q6_forecast_revenue",
     "q8_market_share",

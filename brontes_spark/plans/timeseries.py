@@ -636,6 +636,76 @@ def x6_optimistic_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X6 optimistic decay weights (1/ns), the reference's per-µs
+#: pre/post_decay_weight_op rescaled to the events grid like _X4_*.
+_X6_PRE_DECAY = -3e-13
+_X6_POST_DECAY = -1.2e-13
+
+
+@register(
+    "x6_decay_vwap",
+    oracle=f"""
+    WITH {EV_CTE},
+    anchors AS (
+      SELECT event_id AS anchor_id, user_id AS key, ts_ns AS anchor_ts,
+             CAST(value AS DECIMAL(18,6)) AS required_vol
+      FROM ev WHERE event_type = 'purchase'),
+    ticks AS (
+      SELECT user_id AS key, ts_ns AS tick_ts,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DECIMAL(18,6)) AS price,
+             CAST(value AS DECIMAL(18,6)) AS vol,
+             event_id AS tick_id
+      FROM ev WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT a.anchor_id, a.anchor_ts, a.required_vol,
+             t.price, t.vol, t.tick_id, t.tick_ts
+      FROM anchors a JOIN ticks t ON a.key = t.key
+       AND t.tick_ts >= a.anchor_ts - 1800000000000
+       AND t.tick_ts <= a.anchor_ts + 1800000000000),
+    cum AS (
+      SELECT *, SUM(vol) OVER (PARTITION BY anchor_id
+                               ORDER BY price ASC, tick_id ASC) AS cum_vol
+      FROM j),
+    taken AS (
+      SELECT *, CAST(EXP(CASE WHEN tick_ts <= anchor_ts
+                 THEN -0.0000000000003 * CAST(anchor_ts - tick_ts AS DOUBLE)
+                 ELSE -0.00000000000012 * CAST(tick_ts - anchor_ts AS DOUBLE) END)
+               AS DECIMAL(9,6)) AS w
+      FROM cum WHERE cum_vol - vol < required_vol)
+    SELECT anchor_id AS purchase_id,
+           CAST(CAST(required_vol AS DECIMAL(38,6)) AS DOUBLE) AS required_vol,
+           CAST(CAST(SUM(CAST(price * vol AS DECIMAL(18,6)) * w) AS DECIMAL(38,8)) AS DOUBLE)
+             / CAST(CAST(SUM(vol * w) AS DECIMAL(38,8)) AS DOUBLE) AS optimistic_price,
+           COUNT(*) AS n_trades
+    FROM taken
+    GROUP BY anchor_id, required_vol
+    HAVING MAX(cum_vol) >= required_vol
+    """,
+    survey_ref="X6 optimistic VWAP with exponential time-decay weighting "
+    "(db/cex/trades/config.rs use_block_time_weights_optimistic; weight per "
+    "selected trade in optimistic.rs:292-342 — basket selection stays "
+    "cheapest-first on unweighted volume)",
+)
+def x6_decay_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cex_quotes import optimistic_vwap
+
+    ev = load_events(spark, sf_dir)
+    anchors, ticks = _vwap_inputs(ev)
+    out = optimistic_vwap(
+        anchors,
+        ticks,
+        window_us=1_800_000_000_000,
+        pre_decay=_X6_PRE_DECAY,
+        post_decay=_X6_POST_DECAY,
+    )
+    return out.select(
+        F.col("anchor_id").alias("purchase_id"),
+        to_dbl("required_vol").alias("required_vol"),
+        "optimistic_price",
+        "n_trades",
+    )
+
+
 @register(
     "x5_intermediary_price",
     oracle="""
