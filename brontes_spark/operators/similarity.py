@@ -140,6 +140,24 @@ def cosine_topk(
     )
 
 
+def planes_for(n_vectors: int, target_occupancy: int = 32) -> int:
+    """Size the hyperplane count from the corpus cardinality: planes =
+    ceil(log2(n / target_occupancy)), floored at 4.
+
+    This is the LSH scale dial measured in SCALE.md's 10x slope experiment:
+    with a FIXED plane count, expected bucket occupancy — and therefore the
+    candidate-pair stream of the bucket-blocked paths (cosine_dup_pairs) —
+    grows linearly with the corpus, making pair generation quadratic
+    overall. Holding occupancy constant by growing planes with log2(N)
+    restores a ~linear cost. `n_vectors` is typically a known table size or
+    a cheap `df.count()` at index-build time; at 100 TB the count is free
+    from table metadata.
+    """
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_vectors, 1) / target_occupancy)))
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,

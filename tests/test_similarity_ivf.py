@@ -50,3 +50,17 @@ def test_lsh_buckets_empty_and_null_vector_corpus(spark):
            lsh_buckets(spark.createDataFrame(rows, schema), "vec_id", "embedding").collect()}
     assert set(out) == {3, 4}
     assert out[3] == out[4]  # identical vectors share a bucket
+
+
+def test_planes_for_scale_dial():
+    """planes_for holds expected bucket occupancy ~constant as N grows:
+    2^planes buckets, so N / 2^planes stays in [target/2, target] (ceil)."""
+    from brontes_spark.operators.similarity import planes_for
+
+    assert planes_for(0) == 4 and planes_for(100) == 4  # floor
+    for n in (5_000, 50_000, 5_000_000, 5_000_000_000):
+        p = planes_for(n, target_occupancy=32)
+        assert n / 2**p <= 32, (n, p)
+        assert n / 2**p > 8, (n, p)  # not wildly over-partitioned
+    # 10x corpus adds ~log2(10) ~ 3-4 planes
+    assert 3 <= planes_for(50_000) - planes_for(5_000) <= 4
