@@ -57,6 +57,7 @@ def univ3_tip_state(
     snapshot_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    keep_versions: int = 2,
 ):
     """Tip-mode V3 pool state via `foreachBatch` running the IDENTICAL
     batch replay per micro-batch (reference tip.rs:23-155 runs the same
@@ -72,6 +73,14 @@ def univ3_tip_state(
       duplicating rows.
     Assumes micro-batches arrive in block order (inherent to a chain-tip
     feed; see module docstring).
+
+    Retention: a continuously-running tip pipeline would otherwise grow one
+    snapshot version per micro-batch forever; after committing version N,
+    all but the newest ``keep_versions`` committed versions are deleted.
+    Correctness needs only v=N (batch N+1 seeds from it; a replay of batch
+    N skips via `seen`; a batch N that died mid-write has no _SUCCESS and
+    recomputes BEFORE any pruning of its predecessor happens) — the
+    default keeps one extra version as operational margin.
     """
     from pyspark.sql import Window as W
 
@@ -136,6 +145,18 @@ def univ3_tip_state(
             init.join(final.select("pool"), "pool", "left_anti")
         )
         merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
+
+        # prune committed versions beyond the retention window (only AFTER
+        # this batch's _SUCCESS exists; _versions re-lists so a concurrent
+        # partial dir is never touched)
+        if keep_versions > 0:
+            sc = spark.sparkContext
+            jvm = sc._jvm  # noqa: SLF001
+            fs = jvm.org.apache.hadoop.fs.Path(snapshot_dir).getFileSystem(
+                sc._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+            for v in _versions(spark)[:-keep_versions]:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v={v}"), True)
 
     return (
         events_stream.writeStream.foreachBatch(process)

@@ -133,6 +133,47 @@ def test_univ3_tip_foreach_batch_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(rows)
 
 
+def test_univ3_tip_snapshot_retention(spark, tmp_path):
+    """keep_versions prunes old committed snapshots after each commit: three
+    drains leave only the newest two versions, and the retained chain still
+    reproduces the exact batch replay."""
+    import os
+
+    from brontes_spark.streaming.tip import univ3_tip_state
+
+    src = str(tmp_path / "ev5")
+    ckpt = str(tmp_path / "ck5")
+    snap = str(tmp_path / "snap5")
+    out = str(tmp_path / "out5")
+
+    initial = spark.createDataFrame(univ3_initial_rows(), S.UNIV3_INITIAL_SCHEMA)
+    rows = univ3_events_rows()
+    batches = [
+        [r for r in rows if r["block_number"] == 200],
+        [r for r in rows if r["block_number"] == 201],
+        [r for r in rows if r["block_number"] > 201],
+    ]
+
+    for batch in batches:
+        _write_batch(spark, batch, src)
+        stream = spark.readStream.schema(S.UNIV3_EVENTS_SCHEMA).parquet(src)
+        univ3_tip_state(stream, initial, snap, out, ckpt, keep_versions=2)\
+            .awaitTermination(120)
+
+    versions = sorted(os.listdir(snap))
+    assert versions == ["v=1", "v=2"]  # v=0 pruned
+    got = {
+        (r["pool"], r["block_number"], r["tx_index"]): r["sqrt_price_post"]
+        for r in spark.read.parquet(out).collect()
+    }
+    t = load_fixtures(spark)
+    want = {
+        (r["pool"], r["block_number"], r["tx_index"]): r["sqrt_price_post"]
+        for r in univ3_pool_state(t["univ3_events"], t["univ3_initial"]).collect()
+    }
+    assert got == want
+
+
 def test_univ3_tip_partial_snapshot_is_not_committed(spark, tmp_path):
     """Crash-mid-write recovery: Spark creates snapshot_dir/v=<N> (with
     _temporary inside) at job START, so a driver death during the snapshot
