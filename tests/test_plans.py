@@ -108,3 +108,18 @@ def test_cosine_topk_shuffle_budget(spark):
     plan = _plan(spark, "ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan
     assert _n_shuffles(plan) == 2
+
+
+def test_decay_vwap_rides_the_unweighted_shuffles(spark):
+    """The X4/X6 decay-weight option must not add exchanges: the quantized
+    weight is a per-row projection folded into the existing per-step /
+    taken-set aggregations, so weighted and unweighted plans shuffle
+    identically (and neither touches Python)."""
+    for weighted, plain in (
+        ("x4_decay_vwap", "x4_expanding_vwap"),
+        ("x6_decay_vwap", "x6_optimistic_vwap"),
+    ):
+        pw = _plan(spark, weighted)
+        pp = _plan(spark, plain)
+        assert pw.count("Exchange") == pp.count("Exchange"), weighted
+        assert "Python" not in pw, weighted
