@@ -246,6 +246,43 @@ def minhash_lsh_incremental(
     return out.distinct()
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct word-n-gram shingles with ANY document of an
+    evaluation/benchmark set — the standard training-data hygiene pass
+    (n-gram overlap against held-out benchmarks) every LLM pipeline runs
+    before training. Returns (id, n_hits, n_eval_docs); clean survivors =
+    corpus anti-joined on id.
+
+    Plan shape: both sides reuse the 60-bit shingle machinery
+    (_doc_shingles); the EVAL side is benchmark-sized (thousands of docs,
+    not corpus-sized) so its distinct shingle set broadcasts — at 100 TB
+    the corpus side streams through a broadcast hash join with NO shuffle,
+    then one groupBy(id) aggregation. Exact up to the documented ~2^-60
+    per-pair hash-collision odds.
+    """
+    cs = _doc_shingles(corpus, id_col, text_col, n)
+    ev = _doc_shingles(eval_docs, id_col, text_col, n).select(
+        "shingle_h", F.col("id").alias("eval_id")
+    )
+    return (
+        cs.join(F.broadcast(ev), "shingle_h")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle_h").alias("n_hits"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def shingle_df_score(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:

@@ -170,6 +170,50 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 3-gram shingle CTE for decontamination: production pipelines use LONG
+#: n-grams (8-13) against natural text; on this small-vocab synthetic corpus
+#: 5-grams almost never recur across docs, so the gate uses 3-grams to keep
+#: a substantive contaminated set (~170 docs at sf0.01) while exercising the
+#: identical plan shape.
+_SQL_SHINGLES3 = f"""
+    tok3 AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    idx3 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tok3 WHERE len(toks) >= 3),
+    sh3 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS shingle_h
+      FROM idx3)
+"""
+
+
+@register(
+    "txt_decontaminate",
+    oracle=f"""
+    WITH {_SQL_SHINGLES3},
+    ev AS (SELECT doc_id AS eval_id, shingle_h FROM sh3 WHERE doc_id % 97 = 0),
+    cs AS (SELECT doc_id, shingle_h FROM sh3 WHERE doc_id % 97 != 0)
+    SELECT cs.doc_id AS id,
+           COUNT(DISTINCT cs.shingle_h) AS n_hits,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM cs JOIN ev USING (shingle_h)
+    GROUP BY cs.doc_id
+    HAVING COUNT(DISTINCT cs.shingle_h) >= 1
+    """,
+    survey_ref="benchmark decontamination: n-gram overlap of the training "
+    "corpus against a held-out eval set (standard LLM-pipeline hygiene "
+    "pass; broadcast eval shingles, zero corpus-side shuffle before the "
+    "per-doc fold; operators/dedup.decontaminate)",
+)
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, eval_docs, "doc_id", "text", n=3, min_hits=1)
+
+
 @register(
     "txt_boilerplate_score",
     oracle=f"""

@@ -77,3 +77,34 @@ def test_shingle_df_score_hand_computed(spark):
     assert got[2]["boilerplate_score"] == 2.0
     assert got[3]["boilerplate_score"] == 1.0  # fully unique
     assert got[3]["n_shingles"] == len(UNIQUE.split()) - 4
+
+
+def test_decontaminate_planted_phrase(spark):
+    """A corpus doc containing an eval doc's phrase is flagged with the
+    right hit counts; clean docs survive; eval-side docs never appear."""
+    from brontes_spark.operators.dedup import decontaminate
+
+    EVAL_PHRASE = "what is the capital of france paris obviously"
+    corpus = _docs(spark, [
+        (1, "some training text that quotes " + EVAL_PHRASE + " verbatim"),
+        (2, UNIQUE),
+    ])
+    eval_docs = _docs(spark, [(100, EVAL_PHRASE), (101, "unrelated eval item")])
+    out = {r["id"]: r.asDict()
+           for r in decontaminate(corpus, eval_docs, "doc_id", "text", n=3).collect()}
+    assert set(out) == {1}
+    # 8-token phrase -> 6 distinct 3-grams shared, all from eval doc 100
+    assert out[1]["n_hits"] == 6
+    assert out[1]["n_eval_docs"] == 1
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """The eval shingle set must reach the join as a broadcast — the 100 TB
+    contract: the corpus side streams with no pre-join shuffle."""
+    from brontes_spark.operators.dedup import decontaminate
+
+    corpus = _docs(spark, [(1, BOILER), (2, UNIQUE)])
+    eval_docs = _docs(spark, [(100, BOILER)])
+    plan = decontaminate(corpus, eval_docs, "doc_id", "text", n=3)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
