@@ -45,3 +45,36 @@ def norm_text(text: Column) -> Column:
     DuckDB twin: trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))
     """
     return F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\r\f\x0B]+", " "))
+
+
+#: PII patterns restricted to constructs Java regex and RE2 evaluate
+#: identically (no backrefs, no lookaround; \b and bounded quantifiers are
+#: common to both). Pattern order matters: emails scrub before IPs so the
+#: host part of an address is consumed by the email pattern, not re-matched.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """Redact emails/IPs/phones with typed placeholders; returns the
+    scrubbed column plus per-type match counts (computed BEFORE scrubbing,
+    on the same evolving text each pattern actually saw, so counts always
+    equal the number of replacements made).
+
+    The standard privacy pass a training-data pipeline runs before
+    publication; pure column expressions — one codegen projection, no
+    Python, no shuffle.
+
+    DuckDB twins: regexp_replace(x, pat, rep, 'g') and
+    length(x) - length(regexp_replace(x, pat, '', 'g')) style counting via
+    len(regexp_extract_all(x, pat)).
+    """
+    counts: dict[str, Column] = {}
+    cur = text
+    for name, pat, rep in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, rep)
+    return cur, counts

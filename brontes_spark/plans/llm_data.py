@@ -170,6 +170,83 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens
+               AS start_offset
+      FROM toks WHERE n_tokens > 0)
+    SELECT lang AS shard, doc_id AS id, n_tokens, start_offset,
+           start_offset // 256 AS bin_id,
+           start_offset % 256 AS offset_in_bin,
+           (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+             AS bins_spanned
+    FROM cum
+    """,
+    survey_ref="sequence packing for pretraining batches: per-shard "
+    "concat-and-chunk into fixed context windows via one cumsum window + "
+    "integer math (operators/packing.pack_sequences; sharded so packing "
+    "parallelizes — an unsharded global ordering would funnel 100 TB "
+    "through one window task)",
+)
+def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(ws_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", "lang", context_len=256)
+
+
+@register(
+    "txt_pii_scrub",
+    oracle=r"""
+    WITH s0 AS (SELECT doc_id, text FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM s0),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+             regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, n_emails, n_ips,
+             len(regexp_extract_all(t, '\+?[0-9][0-9()\[\] .-]{6,}[0-9]')) AS n_phones,
+             regexp_replace(t, '\+?[0-9][0-9()\[\] .-]{6,}[0-9]', '<PHONE>', 'g') AS t
+      FROM s2)
+    SELECT doc_id AS id, n_emails, n_ips, n_phones,
+           n_emails + n_ips + n_phones AS n_redactions, t AS scrubbed
+    FROM s3
+    """,
+    survey_ref="PII redaction (emails/IPs/phones with typed placeholders) — "
+    "the standard privacy pass before publishing training data; pure "
+    "codegen projection, zero shuffle (functions/text.scrub_pii). Engine "
+    "parity on the full corpus; planted-PII behavior pinned in "
+    "tests/test_dedup_incremental.py",
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed, counts = scrub_pii(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        (counts["email"] + counts["ip"] + counts["phone"]).alias("n_redactions"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 #: 3-gram shingle CTE for decontamination: production pipelines use LONG
 #: n-grams (8-13) against natural text; on this small-vocab synthetic corpus
 #: 5-grams almost never recur across docs, so the gate uses 3-grams to keep

@@ -108,3 +108,66 @@ def test_decontaminate_eval_side_broadcasts(spark):
     plan = decontaminate(corpus, eval_docs, "doc_id", "text", n=3)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_scrub_pii_planted(spark):
+    """Planted email/phone/IP are redacted with typed placeholders; counts
+    match replacements; clean text rides through untouched."""
+    from pyspark.sql import functions as F
+
+    from brontes_spark.functions.text import scrub_pii
+
+    df = _docs(spark, [
+        (1, "mail a.b+c@x-corp.io or call +1 (415) 555-0099 from 10.0.0.1 now"),
+        (2, "two mails x@y.io z@w.co and versions 1.2.3 (not 1.2.3.4.5 scheme)"),
+        (3, UNIQUE),
+    ])
+    s, c = scrub_pii(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", s.alias("t"),
+        c["email"].alias("e"), c["ip"].alias("i"), c["phone"].alias("p"),
+    ).collect()}
+    assert out[1]["t"] == "mail <EMAIL> or call <PHONE> from <IP> now"
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 1, 1)
+    # version string "1.2.3" is not an IPv4; "1.2.3.4.5"'s leading 4 octets
+    # ARE matched by the dotted-quad pattern (documented over-match of
+    # \b-bounded IPv4 inside longer dotted runs)
+    assert out[2]["e"] == 2 and out[2]["i"] == 1
+    assert "<IP>.5" in out[2]["t"] and "1.2.3 " in out[2]["t"]
+    assert out[3]["t"] == UNIQUE
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concat-and-chunk bookkeeping on a hand-packed shard: offsets are the
+    running token sum, bin boundaries cut every context_len, a document
+    crossing a boundary spans two bins, zero-token docs vanish, and shards
+    pack independently."""
+    from brontes_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a", 6), (2, "a", 3), (3, "a", 4), (4, "a", 0), (10, "b", 9)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    out = {r["id"]: r.asDict()
+           for r in pack_sequences(docs, "doc_id", "n_tokens", "lang",
+                                   context_len=8).collect()}
+    assert set(out) == {1, 2, 3, 10}  # zero-token doc 4 dropped
+    assert (out[1]["start_offset"], out[1]["bin_id"], out[1]["offset_in_bin"],
+            out[1]["bins_spanned"]) == (0, 0, 0, 1)
+    # doc 2 occupies [6, 9): starts in bin 0, crosses into bin 1
+    assert (out[2]["start_offset"], out[2]["bin_id"], out[2]["offset_in_bin"],
+            out[2]["bins_spanned"]) == (6, 0, 6, 2)
+    assert (out[3]["start_offset"], out[3]["bin_id"]) == (9, 1)
+    # shard b restarts at offset 0; 9 tokens span bins 0-1
+    assert (out[10]["start_offset"], out[10]["bins_spanned"]) == (0, 2)
+
+
+def test_pack_sequences_rejects_bad_context(spark):
+    import pytest
+
+    from brontes_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a", 5)], "doc_id long, lang string, n_tokens int")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n_tokens", "lang", context_len=0)
