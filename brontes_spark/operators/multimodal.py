@@ -478,6 +478,114 @@ def decode_image(data: bytes) -> dict:
     raise ValueError("unsupported container (plug a codec via decode_fn)")
 
 
+#: output schema of extract_audio_features
+AUDIO_FEATURES_SCHEMA = (
+    "item_id long, n_bytes int, sample_rate int, n_channels int, "
+    "n_samples long, duration_sec double, rms double, zero_cross_rate double, "
+    "dominant_freq_hz double"
+)
+
+
+def decode_wav(data: bytes) -> dict:
+    """Real decoder for RIFF/WAVE PCM (8/16/32-bit int, any channel count):
+    pure struct + numpy, no codec libraries. Compressed codecs (MP3/AAC/
+    float WAV) raise into the quarantine path — plug ffmpeg via `decode_fn`
+    in production. Returns samples as float64 in [-1, 1], channel-averaged.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:  # PCM only
+                raise ValueError("only PCM WAV supported")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM depth {bits}")
+    samples = np.frombuffer(raw[: len(raw) - len(raw) % (n_ch * bits // 8)], dtype=dtype)
+    if bits == 8:  # 8-bit WAV is unsigned
+        x = (samples.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = samples.astype(np.float64) / float(2 ** (bits - 1))
+    x = x.reshape(-1, n_ch).mean(axis=1)  # channel average
+    return {"sample_rate": rate, "n_channels": n_ch, "samples": x}
+
+
+def audio_features(decoded: dict) -> dict:
+    """Duration / RMS / zero-crossing rate / dominant frequency (numpy
+    rFFT peak, DC excluded) from a decode_wav result — the cheap audio
+    quality/content signals a curation pipeline filters on."""
+    import numpy as np
+
+    x = decoded["samples"]
+    rate = decoded["sample_rate"]
+    n = len(x)
+    if n == 0:
+        raise ValueError("empty audio stream")
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    dom = float(np.argmax(spec[1:]) + 1) * rate / n if n > 1 else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": decoded["n_channels"],
+        "n_samples": n,
+        "duration_sec": n / rate,
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "zero_cross_rate": zc,
+        "dominant_freq_hz": dom,
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    bytes_col: str = "content",
+    decode_fn: Callable[[bytes], dict] = decode_wav,
+    bytes_per_partition: int = 256 << 20,
+) -> DataFrame:
+    """Decode + featurize binary audio via mapInPandas — the audio twin of
+    extract_image_features: same Arrow batching, same quarantine-on-raise
+    contract, bytes-based partitioning upstream."""
+    selected = df.select(
+        F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "item_id", "n_bytes", "sample_rate", "n_channels", "n_samples",
+            "duration_sec", "rms", "zero_cross_rate", "dominant_freq_hz",
+        ]
+        for pdf in batches:
+            out = []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                try:
+                    feats = audio_features(
+                        decode_fn(bytes(content) if content is not None else b"")
+                    )
+                except Exception:
+                    continue  # quarantine path in production
+                out.append({"item_id": int(item_id), "n_bytes": len(content), **feats})
+            yield pd.DataFrame(out, columns=cols)
+
+    return selected.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_image_features(
     df: DataFrame,
     id_col: str = "item_id",
