@@ -35,6 +35,7 @@ HEADLINE = [
     "x1_asof_join",
     "x4_expanding_vwap",
     "x4_decay_vwap",
+    "x6_decay_vwap",
     "i1_sandwich_pairs",
     "i6_sequence_classify",
     "i15_rolling_window",
@@ -43,6 +44,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "txt_quality_score",
+    "txt_decontaminate",
+    "txt_pii_scrub",
+    "txt_pack_sequences",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",

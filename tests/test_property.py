@@ -184,3 +184,62 @@ def test_scaled_matches_exact_decimal_division(spark):
             if abs(expected) >= Decimal(10) ** 20:
                 continue  # outside decimal(38,18) range: overflow → null
             assert got[(raw_s, d)] == expected, (raw_s, d, got[(raw_s, d)], expected)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_sequences_stream_invariants(token_counts, context_len):
+    """Driver-side replay of the packing math (same integer formulas the
+    plan compiles to): offsets tile the stream exactly — contiguous, no
+    gaps/overlap — and bins_spanned equals the number of context windows
+    the interval [start, start+n) intersects."""
+    stream = 0
+    for n in token_counts:
+        if n == 0:
+            continue
+        start = stream
+        stream += n
+        first_bin, last_bin = start // context_len, (start + n - 1) // context_len
+        spanned = last_bin - first_bin + 1
+        # interval-intersection count, computed independently
+        naive = len({t // context_len for t in range(start, start + n)})
+        assert spanned == naive
+        assert 0 <= start % context_len < context_len
+
+
+@given(
+    st.integers(min_value=1, max_value=10**20),
+    st.booleans(),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-600, max_value=600),
+            st.integers(min_value=-(10**17), max_value=10**17),
+        ),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_univ3_swap_walker_invariants(amount_in, zero_for_one, ticks):
+    """AMM invariants under random tick tables: input is never over-consumed
+    (out + fee accounting bounded by amount_in), the price moves in the
+    direction of the swap, and amount_out is monotone non-decreasing in
+    amount_in (greater input can never buy less)."""
+    from brontes_spark.pricing.univ3_swap import univ3_swap_exact_in
+
+    L0 = 10**18
+    start = get_sqrt_ratio_at_tick(0)
+    q = univ3_swap_exact_in(amount_in, zero_for_one, start, L0, 0, ticks, fee_pips=3000)
+    assert q["amount_out"] >= 0 and q["fee_paid"] >= 0
+    if zero_for_one:
+        assert q["sqrt_price_after"] <= start
+    else:
+        assert q["sqrt_price_after"] >= start
+    q2 = univ3_swap_exact_in(
+        amount_in * 2, zero_for_one, start, L0, 0, ticks, fee_pips=3000
+    )
+    assert q2["amount_out"] >= q["amount_out"]
+    assert q2["ticks_crossed"] >= q["ticks_crossed"]
