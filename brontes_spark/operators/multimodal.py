@@ -7,10 +7,11 @@ pattern that scales: the JVM moves bytes, Python touches each batch once,
 and partition sizing (bytes per partition, not rows) bounds worker memory.
 
 Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
-`decode_bmp` / `decode_png` / baseline `decode_jpeg` — pure bytes + numpy
-(+ stdlib zlib for PNG), real pixels, real spatial features; `decode_image`
-sniffs and dispatches). Progressive JPEG and video need PIL/ffmpeg, which
-are NOT in this environment, so the kernel stays pluggable: pass a
+`decode_bmp` / `decode_png` / baseline `decode_jpeg` for images,
+`decode_wav` RIFF/PCM for audio — pure bytes + numpy (+ stdlib zlib for
+PNG), real pixels/samples, real features; `decode_image` sniffs and
+dispatches). Progressive JPEG, compressed audio, and video need PIL/ffmpeg,
+which are NOT in this environment, so the kernel stays pluggable: pass a
 production codec via `decode_fn`; undecodable payloads raise into the
 quarantine path. `stub_decode` remains as the deterministic fake for
 plumbing tests. Schemas, Arrow batch shapes, and partitioning are identical
