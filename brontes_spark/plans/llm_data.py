@@ -174,11 +174,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_pack_sequences",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tokens FROM documents),
+      SELECT doc_id, lang, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
     cum AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens
-               AS start_offset
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
       FROM toks WHERE n_tokens > 0)
     SELECT lang AS shard, doc_id AS id, n_tokens, start_offset,
            start_offset // 256 AS bin_id,
