@@ -246,6 +246,60 @@ def minhash_lsh_incremental(
     return out.distinct()
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_weights: dict[str, float],
+    salt: str = "mix1",
+) -> DataFrame:
+    """Domain-mixture sampling: keep-rates DERIVED FROM THE LIVE per-stratum
+    counts so the output composition matches ``target_weights`` (the
+    "train on 50% web / 30% code / 20% books" knob of a corpus pipeline).
+    The largest mixture-consistent output is N_out = min_s(n_s / w_s);
+    stratum s keeps rate w_s·N_out / n_s of its rows via the same
+    deterministic md5 threshold as sample_stratified (reproducible on any
+    engine/partitioning). Strata absent from the target are dropped.
+
+    Plan: one count aggregation over the stratum column, a 1-row global
+    min folded back via a literal-key broadcast join (no crossJoin), and
+    the threshold filter at the scan — the big side shuffles zero times.
+    """
+    entries = [e for kv in target_weights.items() for e in kv]
+    wmap = F.create_map(*[F.lit(x) for x in entries])
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", wmap[F.col(stratum_col)])
+        .filter(F.col("_w").isNotNull())
+    )
+    nout = counts.agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_nout")
+    ).withColumn("_k", F.lit(1))
+    rates = (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(nout), "_k")
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.col("_w") * F.col("_nout") / F.col("_n").cast("double"),
+            ).alias("_rate"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("decimal(20,0)")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < (F.col("_rate") * F.lit(float(16**15))).cast("decimal(20,0)"))
+        .drop("_rate")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -205,6 +205,106 @@ def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH w(src, wgt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source),
+    j AS (SELECT source, n, wgt FROM cnt JOIN w ON source = src),
+    nout AS (SELECT MIN(CAST(n AS DOUBLE) / wgt) AS m FROM j),
+    rates AS (
+      SELECT source,
+             LEAST(CAST(1.0 AS DOUBLE), wgt * m / CAST(n AS DOUBLE)) AS rate
+      FROM j, nout)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5('mix1|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST(r.rate * 1152921504606846976.0 AS BIGINT)
+    """,
+    survey_ref="domain-mixture sampling: keep-rates derived from live "
+    "per-source counts to hit a target composition (max mixture-consistent "
+    "output N = min_s(n_s/w_s)), deterministic md5 threshold, broadcast "
+    "rate dim — the big side never shuffles "
+    "(operators/dedup.mixture_sample)",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+@register(
+    "txt_repetition_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+             toks
+      FROM tok WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS n_distinct_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_count
+      FROM cnt GROUP BY 1)
+    SELECT b.doc_id AS id, n_tokens, n_distinct_tokens,
+           CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS distinct_token_ratio,
+           n_bigrams, top_bigram_count,
+           CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS top_bigram_frac,
+           CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)
+             / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac
+    FROM base b JOIN agg USING (doc_id)
+    """,
+    survey_ref="within-document repetition signals (distinct-token ratio, "
+    "top-bigram fraction, duplicate-bigram fraction) — the Gopher-style "
+    "repetition filters a curation pipeline applies alongside the doc-local "
+    "quality features; explode + two hash aggs, codegen throughout "
+    "(array-lambda HOFs are the interpreted slow path, per "
+    "operators/dedup._doc_shingles)",
+)
+def txt_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        ws_tokens(F.col("text")).alias("toks"),
+    ).filter(F.size("toks") >= 2).select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        word_ngrams(F.col("toks"), 2).alias("bigrams"),
+    )
+    cnt = base.select("id", F.explode("bigrams").alias("bigram")).groupBy(
+        "id", "bigram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return base.drop("bigrams").join(agg, "id").select(
+        "id", "n_tokens", "n_distinct_tokens",
+        (dbl("n_distinct_tokens") / dbl("n_tokens")).alias("distinct_token_ratio"),
+        "n_bigrams", "top_bigram_count",
+        (dbl("top_bigram_count") / dbl("n_bigrams")).alias("top_bigram_frac"),
+        ((dbl("n_bigrams") - dbl("n_distinct_bigrams")) / dbl("n_bigrams")).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+@register(
     "txt_pii_scrub",
     oracle=r"""
     WITH s0 AS (SELECT doc_id, text FROM documents),

@@ -58,6 +58,7 @@ DRIVER_ORDER: list[str] = [
     "x2_most_liquid_quote",
     "x3_fee_adjusted_quote",
     "dedup_cc_clusters",
+    "dedup_incremental_lsh",  # semantics changed r5 (intra-batch pairs)
     "dedup_keep_canonical",
     "ann_lsh_buckets",
     "ann_ivf_topk",
@@ -67,7 +68,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "dedup_simhash",
-    "dedup_incremental_lsh",  # semantics changed r5 (intra-batch pairs)
     "txt_quality_score",
     "txt_lang_id",
     "txt_token_count",

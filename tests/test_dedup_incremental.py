@@ -171,3 +171,57 @@ def test_pack_sequences_rejects_bad_context(spark):
     docs = spark.createDataFrame([(1, "a", 5)], "doc_id long, lang string, n_tokens int")
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "n_tokens", "lang", context_len=0)
+
+
+def test_repetition_score_hand_computed(spark):
+    """Planted repetition: 'spam spam spam spam' is maximally repetitive
+    (one distinct token, one distinct bigram), a no-repeat doc scores
+    distinct ratio 1.0 and dup_bigram_frac 0."""
+    import brontes_spark.plans  # noqa: F401
+    from brontes_spark.plans.registry import REGISTRY
+
+    build = REGISTRY["txt_repetition_score"].build
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, UNIQUE), (3, "one"),
+         (4, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["id"]: r.asDict() for r in build(spark, d).collect()}
+    assert set(out) == {1, 2, 4}  # single-token doc 3 has no bigrams
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct_tokens"] == 1
+    assert out[1]["distinct_token_ratio"] == 0.25
+    assert out[1]["top_bigram_frac"] == 1.0      # 'spam spam' x3 of 3
+    assert out[1]["dup_bigram_frac"] == 2 / 3    # 3 bigrams, 1 distinct
+    assert out[2]["distinct_token_ratio"] == 1.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # 'a b a b a b': bigrams [ab, ba, ab, ba, ab] -> top 'a b' 3/5
+    assert out[4]["top_bigram_frac"] == 0.6
+
+
+def test_mixture_sample_hits_target_composition(spark):
+    """Keep-rates derive from live counts: with uniform 100-doc strata and
+    target 50/30/20, N_out = min(100/0.5, 100/0.3, 100/0.2) = 200, so the
+    binding stratum (a) keeps EVERYTHING (rate 1.0) and the others keep
+    ~60%/~40% — md5-thresholded, so composition is approximate but
+    deterministic; strata outside the target vanish."""
+    from brontes_spark.operators.dedup import mixture_sample
+
+    rows = [(s * 1000 + i, s_name) for s, s_name in enumerate(["a", "b", "c", "junk"])
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_sample(df, "doc_id", "src", {"a": 0.5, "b": 0.3, "c": 0.2})
+    got = {r["src"]: r["cnt"] for r in
+           out.groupBy("src").agg(__import__("pyspark").sql.functions.count("*").alias("cnt")).collect()}
+    assert "junk" not in got
+    assert got["a"] == 100                  # binding stratum: rate exactly 1.0
+    assert 45 <= got["b"] <= 75             # ~60 expected, md5-binomial spread
+    assert 25 <= got["c"] <= 55             # ~40 expected
+    # determinism: same salt, same sample
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == {r["doc_id"] for r in mixture_sample(
+        df, "doc_id", "src", {"a": 0.5, "b": 0.3, "c": 0.2}).collect()}
