@@ -34,11 +34,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from brontes_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
+from brontes_spark.operators.packing import pack_sequences
 from brontes_spark.operators.similarity import (
     cosine_dup_pairs,
     cosine_topk,
@@ -150,6 +152,18 @@ def main() -> None:
         ),
         "ann_lsh_buckets": lambda d, e, big: lsh_buckets(
             e, "vec_id", "embedding", planes=8
+        ),
+        # fixed benchmark set (original ids only), growing corpus — the
+        # real decontamination scenario; eval shingles broadcast either way
+        "txt_decontaminate": lambda d, e, big: decontaminate(
+            d.filter((F.col("doc_id") % 97 != 0) | (F.col("doc_id") >= OFFSET)),
+            d.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < OFFSET)),
+            "doc_id", "text", n=3,
+        ),
+        "txt_pack_sequences": lambda d, e, big: pack_sequences(
+            d.select("doc_id", "lang",
+                     F.size(F.split(F.lower("text"), " ")).alias("n_tokens")),
+            "doc_id", "n_tokens", "lang", context_len=256,
         ),
     }
 
