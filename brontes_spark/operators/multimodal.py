@@ -10,10 +10,10 @@ Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
 `decode_bmp` / `decode_png` / baseline `decode_jpeg` for images,
 `decode_wav` RIFF/PCM for audio — pure bytes + numpy (+ stdlib zlib for
 PNG), real pixels/samples, real features; `decode_image` sniffs and
-dispatches). Progressive JPEG, compressed audio, and video need PIL/ffmpeg,
-which are NOT in this environment, so the kernel stays pluggable: pass a
-production codec via `decode_fn`; undecodable payloads raise into the
-quarantine path. `stub_decode` remains as the deterministic fake for
+dispatches; `decode_jpeg` handles both baseline-sequential and progressive
+DCT). Compressed audio and video need PIL/ffmpeg, which are NOT in this
+environment, so the kernel stays pluggable: pass a production codec via
+`decode_fn`; undecodable payloads raise into the quarantine path. `stub_decode` remains as the deterministic fake for
 plumbing tests. Schemas, Arrow batch shapes, and partitioning are identical
 across all of them.
 """
@@ -268,14 +268,45 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuffed entropy-coded segments starting at ``pos``, split on
+    restart markers; returns (segments, position of the terminating marker's
+    0xFF byte)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: new segment
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker header
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline sequential JPEG (SOF0) in pure numpy: marker parse, canonical
-    Huffman decode, dequantize, 8x8 IDCT as two matrix products, chroma
-    upsample, YCbCr→RGB. Handles byte stuffing, restart markers/DRI, 4:4:4 /
-    4:2:0 / 4:2:2 sampling, 1- or 3-component scans. Progressive (SOF2),
-    arithmetic coding, and 12-bit precision raise into the quarantine path.
-    Built from the public JPEG spec (ITU T.81) only; correctness-grade, not
-    throughput-grade — plug a native codec via `decode_fn` for JPEG farms.
+    """Baseline-sequential (SOF0/1) AND progressive (SOF2) JPEG in pure
+    numpy: marker parse, canonical Huffman decode, per-scan coefficient
+    accumulation (progressive: DC first/refinement, AC spectral-selection
+    first scans with EOB runs, AC successive-approximation refinement per
+    T.81 G.1.2), dequantize through zig-zag order, 8x8 IDCT as two matrix
+    products, chroma upsample, YCbCr→RGB. Handles byte stuffing, restart
+    markers/DRI, 4:4:4 / 4:2:0 / 4:2:2 sampling, 1- or 3-component frames.
+    Lossless/hierarchical/arithmetic variants and 12-bit precision raise
+    into the quarantine path. Built from the public JPEG spec (ITU T.81)
+    only; correctness-grade, not throughput-grade — plug a native codec via
+    `decode_fn` for JPEG farms.
     """
     import struct
 
@@ -287,7 +318,9 @@ def decode_jpeg(data: bytes) -> dict:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag-ordered
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -311,7 +344,8 @@ def decode_jpeg(data: bytes) -> dict:
                 tbl[_ZIGZAG] = vals
                 qt[tq] = tbl.reshape(8, 8)
                 off += n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -320,9 +354,9 @@ def decode_jpeg(data: bytes) -> dict:
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
-        elif marker == 0xC4:  # DHT
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline or progressive DCT JPEG supported")
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             off = 0
             while off < len(body):
                 tc, th = body[off] >> 4, body[off] & 0xF
@@ -340,7 +374,7 @@ def decode_jpeg(data: bytes) -> dict:
                 off += 17 + sum(counts)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
@@ -348,54 +382,60 @@ def decode_jpeg(data: bytes) -> dict:
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tabs >> 4, tabs & 0xF))
-            pos += 2 + seg_len
-            return _decode_scan(
-                data, pos, frame, scan, qt, huff, restart_interval
-            )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0xF
+            segments, end = _entropy_segments(data, pos + 2 + seg_len)
+            if not coefs:
+                coefs = _alloc_coefs(frame)
+            if progressive:
+                _progressive_scan(
+                    segments, frame, scan, huff, restart_interval, coefs,
+                    ss, se, ah, al,
+                )
+                pos = end
+                continue
+            _sequential_scan(segments, frame, scan, huff, restart_interval, coefs)
+            return _reconstruct(frame, coefs, qt)
         pos += 2 + seg_len
+    if progressive and coefs:
+        return _reconstruct(frame, coefs, qt)
     raise ValueError("no JPEG scan found")
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval) -> dict:
-    import numpy as np
-
+def _frame_geometry(frame):
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    return h, w, comps, hmax, vmax, mcux, mcuy
 
-    # split the entropy stream on restart markers, de-stuff each segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: new segment, DC predictors reset
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
 
-    # orthonormal IDCT basis: px = B.T @ coef @ B with the JPEG C(u) scaling
-    u = np.arange(8)
-    B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
-    B[0, :] /= np.sqrt(2)
+def _alloc_coefs(frame):
+    """Per-component zig-zag-ordered coefficient arrays on the MCU-padded
+    block grid (non-interleaved progressive scans cover a possibly smaller
+    per-component grid; the padding blocks stay zero and are cropped away)."""
+    import numpy as np
 
-    planes = {}
-    for cid, hs, vs, tq in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
+    _, _, comps, _, _, mcux, mcuy = _frame_geometry(frame)
+    return {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+        for cid, hs, vs, _ in comps
+    }
 
+
+def _component_blocks(w, h, hs, vs, hmax, vmax):
+    """Block-grid width/height of one component in a NON-interleaved scan:
+    ceil(ceil(dim*sampling/max_sampling) / 8) per T.81 A.2.2."""
+    comp_w = -(-(w * hs) // hmax)
+    comp_h = -(-(h * vs) // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _sequential_scan(segments, frame, scan, huff, restart_interval, coefs):
+    """Baseline interleaved scan: full DC+AC per block, MCU order."""
+    _, _, comps, _, _, mcux, mcuy = _frame_geometry(frame)
     dc_pred = {cid: 0 for cid, _, _, _ in comps}
     seg_idx = 0
     reader = _BitReader(segments[0])
@@ -407,11 +447,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval) -> dict:
                 reader = _BitReader(segments[seg_idx])
                 dc_pred = {cid: 0 for cid, _, _, _ in comps}
                 mcu_in_seg = 0
-            for cid, hs, vs, tq in comps:
+            for cid, hs, vs, _tq in comps:
                 td, ta = next((s[1], s[2]) for s in scan if s[0] == cid)
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = np.zeros(64, np.int32)
+                        zz = coefs[cid][my * vs + by, mx * hs + bx]
                         t = _huff_decode(reader, huff[(0, td)])
                         diff = _extend(reader.read_bits(t), t)
                         dc_pred[cid] += diff
@@ -430,21 +470,171 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval) -> dict:
                                 raise ValueError("JPEG AC index overflow")
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[_ZIGZAG] = zz * qt[tq].reshape(-1)[_ZIGZAG]
-                        px = B.T @ blk.reshape(8, 8) @ B + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_in_seg += 1
 
-    # upsample subsampled planes to full MCU-grid resolution, crop to (h, w)
+
+def _ac_refine_block(reader, table, zz, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±1 at bit position `al`, and
+    every already-nonzero coefficient the scan passes receives a correction
+    bit. Returns the remaining EOB run."""
+    p1 = 1 << al
+
+    def correct(idx):
+        if reader.read_bit() and (abs(int(zz[idx])) & p1) == 0:
+            zz[idx] += p1 if zz[idx] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0 and r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                newval = p1 if reader.read_bit() else -p1
+            # pass r zero-history coefficients (correcting any nonzero ones
+            # encountered), stopping on the target slot
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("AC refinement overflow")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB span still corrects nonzero-history coeffs
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(segments, frame, scan, huff, restart_interval, coefs,
+                      ss, se, ah, al):
+    """One progressive scan: DC first/refinement (interleaved or single-
+    component) or AC first/refinement (always single-component per T.81)."""
+    h, w, comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    units_in_seg = 0
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan with se != 0")
+        scan_comps = [c for c in comps if any(s[0] == c[0] for s in scan)]
+        dc_pred = {c[0]: 0 for c in scan_comps}
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            grid = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        else:
+            cid0, hs, vs, _ = scan_comps[0]
+            bw, bh = _component_blocks(w, h, hs, vs, hmax, vmax)
+            grid = [(by, bx) for by in range(bh) for bx in range(bw)]
+        for gy, gx in grid:
+            if restart_interval and units_in_seg == restart_interval:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                dc_pred = {c[0]: 0 for c in scan_comps}
+                units_in_seg = 0
+            for cid, hs, vs, _tq in scan_comps:
+                td = next(s[1] for s in scan if s[0] == cid)
+                blocks = (
+                    [(gy * vs + by, gx * hs + bx) for by in range(vs) for bx in range(hs)]
+                    if interleaved
+                    else [(gy, gx)]
+                )
+                for by, bx in blocks:
+                    zz = coefs[cid][by, bx]
+                    if ah == 0:  # DC first scan
+                        t = _huff_decode(reader, huff[(0, td)])
+                        dc_pred[cid] += _extend(reader.read_bits(t), t)
+                        zz[0] = dc_pred[cid] << al
+                    else:  # DC refinement: one bit sets bit `al`
+                        if reader.read_bit():
+                            zz[0] |= 1 << al
+            units_in_seg += 1
+        return
+    # AC scan: exactly one component, non-interleaved
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = scan[0]
+    hs, vs = next((c[1], c[2]) for c in comps if c[0] == cid)
+    bw, bh = _component_blocks(w, h, hs, vs, hmax, vmax)
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and units_in_seg == restart_interval:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                eobrun = 0
+                units_in_seg = 0
+            zz = coefs[cid][by, bx]
+            if ah == 0:  # AC first scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, huff[(1, ta)])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+            else:  # AC refinement
+                eobrun = _ac_refine_block(reader, huff[(1, ta)], zz, ss, se, al, eobrun)
+            units_in_seg += 1
+
+
+def _reconstruct(frame, coefs, qt) -> dict:
+    """Dequantize + IDCT every block, assemble planes, upsample subsampled
+    chroma, convert to RGB, and emit the standard feature dict."""
+    import numpy as np
+
+    h, w, comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    # orthonormal IDCT basis: px = B.T @ coef @ B with the JPEG C(u) scaling
+    u = np.arange(8)
+    B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    B[0, :] /= np.sqrt(2)
+
     full = []
     for cid, hs, vs, tq in comps:
-        p = planes[cid]
+        arr = coefs[cid]
+        by, bx = arr.shape[0], arr.shape[1]
+        plane = np.zeros((by * 8, bx * 8), np.float64)
+        qz = qt[tq].reshape(-1)[_ZIGZAG]  # quant values in zigzag order
+        for yb in range(by):
+            for xb in range(bx):
+                blk = np.zeros(64, np.float64)
+                blk[_ZIGZAG] = arr[yb, xb] * qz
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    B.T @ blk.reshape(8, 8) @ B + 128.0
+                )
         if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         rgb = np.repeat(np.clip(full[0], 0, 255)[:, :, None], 3, axis=2)
     elif len(full) == 3:

@@ -255,6 +255,16 @@ class _BitWriter:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
 
 
+#: AC Huffman symbols shared by the test encoders, canonical codes 0..8 of
+#: length 4: EOB, (run,size) pairs used by the planted-coefficient tests,
+#: ZRL, and an EOBRUN-2 symbol for multi-block runs in progressive scans.
+_AC_SYMS = [0x00, 0x01, 0x11, 0x21, 0x02, 0x41, 0x22, 0xF0, 0x20]
+
+
+def _ac_code(sym):
+    return format(_AC_SYMS.index(sym), "04b")
+
+
 def _dc_cat(v):
     return v.bit_length() if v > 0 else (-v).bit_length()
 
@@ -271,11 +281,12 @@ def _jpeg_bytes(w, h, comps, sampling, dri=0):
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for i, (hs, vs) in enumerate(sampling):
         out += bytes([i + 1, (hs << 4) | vs, 0])
-    # DC table: 12 codes of length 4 (symbol k <-> code k); AC: EOB = '0'
+    # DC table: 12 codes of length 4 (symbol k <-> code k); AC: the 9
+    # symbols of _AC_SYMS as codes 0..8 of length 4 (EOB is code 0000)
     dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
-    ac_counts = bytes([1] + [0] * 15)
+    ac_counts = bytes([0, 0, 0, len(_AC_SYMS)] + [0] * 12)
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + b"\x00" + dc_counts + bytes(range(12))
-    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + ac_counts + b"\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_AC_SYMS)) + b"\x10" + ac_counts + bytes(_AC_SYMS)
     if dri:
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -306,7 +317,7 @@ def _jpeg_bytes(w, h, comps, sampling, dri=0):
                 bw.write(t, 4)  # DC huffman: symbol t <-> 4-bit code t
                 if t:
                     bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-                bw.write(0, 1)  # AC EOB
+                bw.write(0, 4)  # AC EOB (code 0000)
         n_mcu += 1
     bw.flush()
     out += bw.out + b"\xff\xd9"
@@ -356,8 +367,12 @@ def test_decode_jpeg_restart_markers_and_rejects():
     rst = decode_jpeg(_jpeg_bytes(32, 8, [90], [(1, 1)], dri=1))
     assert rst == plain
 
+    # SOF3 (lossless) stays rejected; SOF2 is handled since r5 (see the
+    # progressive tests below). A SOF2 header with no scan also raises.
     with pytest.raises(ValueError):
-        decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08" + b"\x00\x10" * 2 + b"\x01\x01\x11\x00")
+        decode_jpeg(b"\xff\xd8\xff\xc3" + b"\x00\x0b" + b"\x08" + b"\x00\x10" * 2 + b"\x01\x01\x11\x00")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08" + b"\x00\x10" * 2 + b"\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
 
@@ -442,3 +457,102 @@ def test_extract_audio_features_mapinpandas(spark):
     assert set(out) == {1, 3}
     assert out[1]["duration_sec"] == 0.5
     assert abs(out[3]["dominant_freq_hz"] - 1000.0) < 2.0
+
+
+
+# ---- progressive JPEG (SOF2) ----
+
+def _prog_jpeg(w, h, scans, dri=0):
+    """Minimal progressive grayscale JPEG: same quant/Huffman tables as
+    _jpeg_bytes, SOF2, and caller-supplied (ss, se, ah, al, bit_string)
+    scans — entropy payloads are '01' strings so tests can hand-author
+    exact multi-scan streams."""
+    import struct
+
+    q = bytes([8] + [16] * 63)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    ac_counts = bytes([0, 0, 0, len(_AC_SYMS)] + [0] * 12)
+    out += b"\xff\xc4" + struct.pack(">H", 31) + b"\x00" + dc_counts + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_AC_SYMS)) + b"\x10" + ac_counts + bytes(_AC_SYMS)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    for ss, se, ah, al, bits in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        for b in bits:
+            bw.write(int(b), 1)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _bits_of(value, n):
+    return format(value & ((1 << n) - 1), f"0{n}b") if n else ""
+
+
+def _dc_sym(diff):
+    t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+    lo = diff if diff > 0 else diff + (1 << t) - 1
+    return _bits_of(t, 4) + _bits_of(lo, t)
+
+
+def test_progressive_jpeg_dc_split_matches_baseline():
+    """Solid gray through DC-first (Al=1) + DC-refinement (Al=0) + one AC
+    scan whose single EOBRUN-4 symbol covers all four blocks: must equal
+    the baseline encoding of the same image exactly. gray=101 makes the
+    quantized DC negative and odd, exercising the arithmetic >>/<< and the
+    |=1 refinement on a negative coefficient."""
+    from brontes_spark.operators.multimodal import decode_image, decode_jpeg
+
+    gray = 101            # dc_q = -27: -27 >> 1 = -14, refine bit = 1
+    dc_q = gray - 128
+    hi, lo = dc_q >> 1, dc_q & 1
+    scans = [
+        (0, 0, 0, 1, _dc_sym(hi) + _dc_sym(0) * 3),   # DC first, Al=1
+        (0, 0, 1, 0, f"{lo}" * 4),                    # DC refinement
+        (1, 63, 0, 0, _ac_code(0x20) + "00"),         # EOBRUN = 4 blocks
+    ]
+    prog = decode_jpeg(_prog_jpeg(16, 16, scans))
+    base = decode_jpeg(_jpeg_bytes(16, 16, [gray], [(1, 1)]))
+    assert prog == base
+    assert abs(prog["mean_intensity"] - gray / 255) < 2 / 255
+    assert decode_image(_prog_jpeg(16, 16, scans)) == prog  # sniffing
+
+
+def test_progressive_jpeg_ac_first_and_refinement():
+    """Single 8x8 block: an AC coefficient sent coarse (Al=1) then given its
+    correction bit, plus a coefficient that becomes newly significant ONLY
+    in the refinement scan. Decoded output must equal the independently
+    computed IDCT of the target dequantized coefficients."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import _ZIGZAG, _gray_stats, decode_jpeg
+
+    dc_q, ac3 = 40, 6  # zigzag slot 3 target 6 = 0b110; slot 6 target +1
+    scans = [
+        (0, 0, 0, 0, _dc_sym(dc_q)),  # full DC
+        # AC first at Al=1: run 2 zeros then value 6>>1 = 3 (symbol r=2,s=2)
+        (1, 63, 0, 1, _ac_code(0x22) + "11" + _ac_code(0x00)),
+        # AC refinement at Al=0: symbol (r=4,s=1)+sign makes slot 6 newly
+        # significant (+1); along the way slot 3 (history 6) reads its
+        # correction bit (0: 6 is already exact); then EOB
+        (1, 63, 1, 0, _ac_code(0x41) + "1" + "0" + _ac_code(0x00)),
+    ]
+    got = decode_jpeg(_prog_jpeg(8, 8, scans))
+
+    # independent reconstruction of the target coefficients
+    q = np.full(64, 16.0); q[0] = 8.0
+    zz = np.zeros(64); zz[0], zz[3], zz[6] = dc_q, ac3, 1
+    blk = np.zeros(64)
+    blk[_ZIGZAG] = zz * q
+    u = np.arange(8)
+    B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    B[0, :] /= np.sqrt(2)
+    px = B.T @ blk.reshape(8, 8) @ B + 128.0
+    rgb = np.repeat(np.clip(px, 0, 255)[:, :, None], 3, axis=2).astype(np.uint8)
+    assert got == _gray_stats(rgb)
