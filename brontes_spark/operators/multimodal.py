@@ -140,11 +140,11 @@ def decode_bmp(data: bytes) -> dict:
 
 
 def decode_png(data: bytes) -> dict:
-    """Real decoder for 8-bit non-interlaced gray/RGB/RGBA PNG: stdlib
-    `zlib` inflate + the five scanline unfilters (None/Sub/Up/Average/
-    Paeth) — no codec libraries. Covers the most common real container;
-    palette/16-bit/Adam7 images raise into the quarantine path (plug PIL
-    via `decode_fn` in production — this pure-Python unfilter is for
+    """Real decoder for 8-bit non-interlaced gray/RGB/RGBA/palette PNG:
+    stdlib `zlib` inflate + the five scanline unfilters (None/Sub/Up/
+    Average/Paeth) and PLTE lookup — no codec libraries. Covers the common
+    real containers; 16-bit and Adam7 raise into the quarantine path (plug
+    PIL via `decode_fn` in production — this pure-Python unfilter is for
     correctness-grade workloads, not JPEG-farm throughput).
     """
     import struct
@@ -154,7 +154,7 @@ def decode_png(data: bytes) -> dict:
 
     if not data.startswith(b"\x89PNG\r\n\x1a\n"):
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
@@ -163,6 +163,10 @@ def decode_png(data: bytes) -> dict:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -171,9 +175,11 @@ def decode_png(data: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
-        raise ValueError("only 8-bit non-interlaced gray/RGB/RGBA PNG supported")
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    if depth != 8 or color not in (0, 2, 3, 6) or comp or filt or interlace:
+        raise ValueError("only 8-bit non-interlaced gray/RGB/palette/RGBA PNG supported")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * h or w == 0 or h == 0:
@@ -208,7 +214,11 @@ def decode_png(data: bytes) -> dict:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec.astype(np.uint8)
     px = out.reshape(h, w, ch)
-    if ch == 1:
+    if color == 3:  # palette indices -> RGB via PLTE
+        if int(px.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        px = plte[px[:, :, 0]]
+    elif ch == 1:
         px = np.repeat(px, 3, axis=2)
     elif ch == 4:
         px = px[:, :, :3]  # alpha dropped for intensity stats

@@ -196,7 +196,8 @@ def test_decode_png_rejects_unsupported():
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
-    # 16-bit depth and palette color raise (quarantine path)
+    # 16-bit depth raises; palette (color 3) is supported since r5 but a
+    # palette image WITHOUT a PLTE chunk is invalid and still raises
     for depth, color in ((16, 2), (8, 3)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
         data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -205,6 +206,31 @@ def test_decode_png_rejects_unsupported():
             decode_png(data)
     with _pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks at all
+
+
+def test_decode_png_palette():
+    """8-bit palette PNG: indices resolve through PLTE to the same pixels
+    (and features) as the equivalent truecolor PNG."""
+    import struct
+    import zlib
+
+    from brontes_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx_rows = [[0, 1], [2, 3]]
+    raw = b"".join(bytes([0] + row) for row in idx_rows)  # filter 0 rows
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes(c for rgb in colors for c in rgb))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png(pal)
+    rgb_rows = [[colors[i] for i in row] for row in idx_rows]
+    want = decode_png(_png_bytes(2, 2, rgb_rows, 2, [0, 0]))
+    assert got == want
 
 
 def test_extract_image_features_real_codec(spark):
