@@ -7,7 +7,7 @@ pattern that scales: the JVM moves bytes, Python touches each batch once,
 and partition sizing (bytes per partition, not rows) bounds worker memory.
 
 Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
-`decode_bmp` / `decode_png` / baseline `decode_jpeg` for images,
+`decode_bmp` / `decode_png` / `decode_jpeg` / `decode_gif` for images,
 `decode_wav` RIFF/PCM for audio — pure bytes + numpy (+ stdlib zlib for
 PNG), real pixels/samples, real features; `decode_image` sniffs and
 dispatches; `decode_jpeg` handles both baseline-sequential and progressive
@@ -223,6 +223,116 @@ def decode_png(data: bytes) -> dict:
     elif ch == 4:
         px = px[:, :, :3]  # alpha dropped for intensity stats
     return _gray_stats(px)
+
+
+def decode_gif(data: bytes) -> dict:
+    """Real decoder for GIF87a/89a (first frame): logical-screen parse,
+    global/local color tables, extension-block skipping, and the full
+    variable-width LSB-packed LZW decompression including the KwKwK
+    special case — pure bytes + numpy. Interlaced frames raise into the
+    quarantine path. Built from the published GIF89a specification.
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 ** ((ipacked & 0x07) + 1)
+                ct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(stream), min_code, w * h)
+            if int(max(idx, default=0)) >= len(ct):
+                raise ValueError("GIF index out of range")
+            px = ct[np.asarray(idx, dtype=np.int32)].reshape(h, w, 3)
+            return _gray_stats(px)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("no GIF image data")
+
+
+def _lzw_decode(stream: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF variable-width LZW (LSB-first bit packing): CLEAR resets the
+    dictionary, codes grow to 12 bits, and code == next-unassigned is the
+    KwKwK case (emit prev + prev[0])."""
+    clear = 1 << min_code
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code + 1
+    prev: list[int] | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    i = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if i >= len(stream):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= stream[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data short")
+    return out[:n_pixels]
 
 
 #: zig-zag index order (JPEG spec Figure 5): position k in the entropy
@@ -676,6 +786,8 @@ def decode_image(data: bytes) -> dict:
         return decode_png(data)
     if data.startswith(b"\xff\xd8"):
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     raise ValueError("unsupported container (plug a codec via decode_fn)")
 
 

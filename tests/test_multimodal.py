@@ -582,3 +582,104 @@ def test_progressive_jpeg_ac_first_and_refinement():
     px = B.T @ blk.reshape(8, 8) @ B + 128.0
     rgb = np.repeat(np.clip(px, 0, 255)[:, :, None], 3, axis=2).astype(np.uint8)
     assert got == _gray_stats(rgb)
+
+
+# ---- GIF ----
+
+def _gif_bytes(w, h, colors, indices, clear_every=1, extension=True):
+    """Minimal GIF89a writer: global color table + one frame whose LZW
+    stream emits a CLEAR before every `clear_every` pixels (a valid stream
+    that keeps codes at min+1 bits), packed LSB-first."""
+    import math
+    import struct
+
+    n = max(2, 1 << math.ceil(math.log2(max(len(colors), 2))))
+    min_code = max(2, n.bit_length() - 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    for i in range(1 << min_code):
+        out += bytes(colors[i] if i < len(colors) else (0, 0, 0))
+    if extension:  # graphic-control extension: must be skipped cleanly
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+
+    bits = []
+    width = min_code + 1
+    codes = []
+    for j, px in enumerate(indices):
+        if j % clear_every == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(end)
+    # NOTE: with clear_every=1 the dictionary never grows past the two
+    # reserved codes, so every code stays at min_code+1 bits
+    acc = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    out += bytes([len(stream)]) + bytes(stream) + b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_matches_ppm_twin():
+    from brontes_spark.operators.multimodal import decode_gif, decode_image
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    indices = [0, 1, 2, 3]  # 2x2
+    gif = _gif_bytes(2, 2, colors, indices)
+    got = decode_gif(gif)
+    want = decode_ppm_of([[colors[0], colors[1]], [colors[2], colors[3]]], 2, 2)
+    assert got == want
+    assert decode_image(gif) == got  # sniffing dispatch
+
+
+def test_gif_lzw_dictionary_growth_and_kwkwk():
+    """Hand-authored LZW streams exercising real dictionary growth and the
+    KwKwK (code == next unassigned) special case."""
+    from brontes_spark.operators.multimodal import _lzw_decode
+
+    def pack(codes, width):
+        acc = nbits = 0
+        stream = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        return bytes(stream)
+
+    # min=2: clear=4, end=5. codes [CLEAR, 0, 0, END]: second 0 adds "00"
+    assert _lzw_decode(pack([4, 0, 0, 5], 3), 2, 2) == [0, 0]
+    # [CLEAR, 0, 6, END]: 6 is the NEXT unassigned code -> KwKwK: "00"
+    assert _lzw_decode(pack([4, 0, 6, 5], 3), 2, 3) == [0, 0, 0]
+    # growth then reuse: [CLEAR, 0, 1, 6, END]: 6 = "01"
+    assert _lzw_decode(pack([4, 0, 1, 6, 5], 3), 2, 4) == [0, 1, 0, 1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _lzw_decode(pack([4, 0, 9, 5], 3), 2, 4)  # code beyond table
+
+
+def test_decode_gif_rejects():
+    import pytest as _pytest
+
+    from brontes_spark.operators.multimodal import decode_gif
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 7)  # no image data
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif")
