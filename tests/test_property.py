@@ -243,3 +243,70 @@ def test_univ3_swap_walker_invariants(amount_in, zero_for_one, ticks):
     )
     assert q2["amount_out"] >= q["amount_out"]
     assert q2["ticks_crossed"] >= q["ticks_crossed"]
+
+
+def _lzw_encode(indices, min_code):
+    """Real GIF-LZW compressor (test-side oracle): greedy longest-match
+    dictionary build, width bumps at table fill, 12-bit cap with CLEAR."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code + 1
+    codes = [clear]
+    seq: tuple[int, ...] = ()
+    widths = [width]
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        codes.append(table[seq])
+        widths.append(width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 == 4096:
+            codes.append(clear)
+            widths.append(width)
+            table = fresh()
+            next_code = end + 1
+            width = min_code + 1
+        seq = (px,)
+    if seq:
+        codes.append(table[seq])
+        widths.append(width)
+    codes.append(end)
+    widths.append(width)
+
+    acc = nbits = 0
+    out = bytearray()
+    for c, wd in zip(codes, widths):
+        acc |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=80, deadline=None)
+def test_gif_lzw_roundtrip_property(indices, min_code):
+    """Decoder vs an independent real compressor: random index streams
+    (including long runs that hit dictionary growth, width bumps, and the
+    KwKwK pattern) must round-trip exactly."""
+    from brontes_spark.operators.multimodal import _lzw_decode
+
+    stream = _lzw_encode(indices, min_code)
+    assert _lzw_decode(stream, min_code, len(indices)) == indices
