@@ -140,12 +140,13 @@ def decode_bmp(data: bytes) -> dict:
 
 
 def decode_png(data: bytes) -> dict:
-    """Real decoder for 8-bit non-interlaced gray/RGB/RGBA/palette PNG:
+    """Real decoder for 8/16-bit non-interlaced gray/RGB/RGBA/palette PNG:
     stdlib `zlib` inflate + the five scanline unfilters (None/Sub/Up/
-    Average/Paeth) and PLTE lookup — no codec libraries. Covers the common
-    real containers; 16-bit and Adam7 raise into the quarantine path (plug
-    PIL via `decode_fn` in production — this pure-Python unfilter is for
-    correctness-grade workloads, not JPEG-farm throughput).
+    Average/Paeth), PLTE lookup, and 16-bit high-byte downscale — no codec
+    libraries. Covers the common real containers; Adam7 interlace raises
+    into the quarantine path (plug PIL via `decode_fn` in production — this
+    pure-Python unfilter is for correctness-grade workloads, not JPEG-farm
+    throughput).
     """
     import struct
     import zlib
@@ -175,17 +176,22 @@ def decode_png(data: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3, 6) or comp or filt or interlace:
-        raise ValueError("only 8-bit non-interlaced gray/RGB/palette/RGBA PNG supported")
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG without PLTE")
+    if depth not in (8, 16) or color not in (0, 2, 3, 6) or comp or filt or interlace:
+        raise ValueError("only 8/16-bit non-interlaced gray/RGB/palette/RGBA PNG supported")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if depth == 16:
+            raise ValueError("16-bit palette PNG is not a valid combination")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    stride = w * ch
+    bpp = depth // 8  # bytes per sample; the unfilter 'left' distance is ch*bpp
+    stride = w * ch * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * h or w == 0 or h == 0:
         raise ValueError("bad PNG pixel payload")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
+    ch_b = ch * bpp  # byte distance to the left neighbor (spec: per byte)
     for y in range(h):
         f = int(arr[y, 0])
         rec = arr[y, 1:].astype(np.int32)
@@ -193,19 +199,19 @@ def decode_png(data: bytes) -> dict:
         if f == 0:
             pass
         elif f == 1:  # Sub: left neighbor, sequential within the row
-            for x in range(ch, stride):
-                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+            for x in range(ch_b, stride):
+                rec[x] = (rec[x] + rec[x - ch_b]) & 0xFF
         elif f == 2:  # Up: fully vectorized
             rec = (rec + prior) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - ch_b] if x >= ch_b else 0
                 rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
+                a = int(rec[x - ch_b]) if x >= ch_b else 0
                 b = int(prior[x])
-                c = int(prior[x - ch]) if x >= ch else 0
+                c = int(prior[x - ch_b]) if x >= ch_b else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -213,7 +219,10 @@ def decode_png(data: bytes) -> dict:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec.astype(np.uint8)
-    px = out.reshape(h, w, ch)
+    if depth == 16:  # big-endian 16-bit samples -> high byte (v >> 8)
+        px = out.reshape(h, w, ch, 2)[:, :, :, 0]
+    else:
+        px = out.reshape(h, w, ch)
     if color == 3:  # palette indices -> RGB via PLTE
         if int(px.max()) >= len(plte):
             raise ValueError("palette index out of range")

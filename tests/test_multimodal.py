@@ -683,3 +683,42 @@ def test_decode_gif_rejects():
         decode_gif(b"GIF89a" + b"\x00" * 7)  # no image data
     with _pytest.raises(ValueError):
         decode_gif(b"not a gif")
+
+
+def test_decode_png_16bit():
+    """16-bit RGB PNG (big-endian samples, byte-level filters with the
+    widened left-neighbor distance): high-byte downscale must reproduce the
+    8-bit twin exactly when low bytes echo the high bytes."""
+    import struct
+    import zlib
+
+    from brontes_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    rgb_rows = [[(10, 200, 30), (250, 5, 90)], [(0, 128, 255), (60, 61, 62)]]
+    # forward-filter with Sub (f=1) on row 0 and Up (f=2) on row 1, at the
+    # 16-bit byte distances, independently of the decoder
+    raw = bytearray()
+    flat16 = [[b for px in row for v in px for b in ((v << 8) | v).to_bytes(2, "big")]
+              for row in rgb_rows]
+    stride, chb = len(flat16[0]), 6
+    prior = [0] * stride
+    for y, row in enumerate(flat16):
+        f = 1 if y == 0 else 2
+        raw.append(f)
+        for x in range(stride):
+            if f == 1:
+                enc = row[x] - (row[x - chb] if x >= chb else 0)
+            else:
+                enc = row[x] - prior[x]
+            raw.append(enc & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    got = decode_png(png16)
+    want = decode_png(_png_bytes(2, 2, rgb_rows, 2, [1, 2]))
+    assert got == want
