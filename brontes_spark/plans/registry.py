@@ -44,6 +44,7 @@ DRIVER_ORDER: list[str] = [
     # fingerprints — so its job is to decide who gets the last window slots
     # when a group straddles the 50-entry boundary. Priority re-checks (the
     # r4-changed gates the r4 verdict names) lead; bulk re-attestations trail.
+    "c2_classified_actions",  # registered r6 (r5 verdict directive 3)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",
