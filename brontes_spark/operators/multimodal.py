@@ -139,14 +139,61 @@ def decode_bmp(data: bytes) -> dict:
     return _gray_stats(px)
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(block: bytes, h: int, stride: int, ch_b: int):
+    """Reverse the five PNG scanline filters over one (sub-)image: `block`
+    is h rows of (1 filter byte + stride sample bytes); returns the (h,
+    stride) uint8 sample array. `ch_b` is the byte distance to the left
+    neighbor (channels x bytes-per-sample, per-byte filtering per spec)."""
+    import numpy as np
+
+    if len(block) != (stride + 1) * h:
+        raise ValueError("bad PNG pixel payload")
+    arr = np.frombuffer(block, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        rec = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor, sequential within the row
+            for x in range(ch_b, stride):
+                rec[x] = (rec[x] + rec[x - ch_b]) & 0xFF
+        elif f == 2:  # Up: fully vectorized
+            rec = (rec + prior) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = rec[x - ch_b] if x >= ch_b else 0
+                rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - ch_b]) if x >= ch_b else 0
+                b = int(prior[x])
+                c = int(prior[x - ch_b]) if x >= ch_b else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
 def decode_png(data: bytes) -> dict:
-    """Real decoder for 8/16-bit non-interlaced gray/RGB/RGBA/palette PNG:
-    stdlib `zlib` inflate + the five scanline unfilters (None/Sub/Up/
-    Average/Paeth), PLTE lookup, and 16-bit high-byte downscale — no codec
-    libraries. Covers the common real containers; Adam7 interlace raises
-    into the quarantine path (plug PIL via `decode_fn` in production — this
-    pure-Python unfilter is for correctness-grade workloads, not JPEG-farm
-    throughput).
+    """Real decoder for 8/16-bit gray/RGB/RGBA/palette PNG, sequential OR
+    Adam7-interlaced: stdlib `zlib` inflate + the five scanline unfilters
+    (None/Sub/Up/Average/Paeth), 7-pass deinterlace scatter, PLTE lookup,
+    and 16-bit high-byte downscale — no codec libraries. (This pure-Python
+    unfilter is for correctness-grade workloads, not JPEG-farm throughput —
+    plug PIL via `decode_fn` for that.)
     """
     import struct
     import zlib
@@ -176,53 +223,42 @@ def decode_png(data: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or color not in (0, 2, 3, 6) or comp or filt or interlace:
-        raise ValueError("only 8/16-bit non-interlaced gray/RGB/palette/RGBA PNG supported")
+    if depth not in (8, 16) or color not in (0, 2, 3, 6) or comp or filt:
+        raise ValueError("only 8/16-bit gray/RGB/palette/RGBA PNG supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         if depth == 16:
             raise ValueError("16-bit palette PNG is not a valid combination")
+    if w == 0 or h == 0:
+        raise ValueError("bad PNG pixel payload")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     bpp = depth // 8  # bytes per sample; the unfilter 'left' distance is ch*bpp
-    stride = w * ch * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
-        raise ValueError("bad PNG pixel payload")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
     ch_b = ch * bpp  # byte distance to the left neighbor (spec: per byte)
-    for y in range(h):
-        f = int(arr[y, 0])
-        rec = arr[y, 1:].astype(np.int32)
-        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        if f == 0:
-            pass
-        elif f == 1:  # Sub: left neighbor, sequential within the row
-            for x in range(ch_b, stride):
-                rec[x] = (rec[x] + rec[x - ch_b]) & 0xFF
-        elif f == 2:  # Up: fully vectorized
-            rec = (rec + prior) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = rec[x - ch_b] if x >= ch_b else 0
-                rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(rec[x - ch_b]) if x >= ch_b else 0
-                b = int(prior[x])
-                c = int(prior[x - ch_b]) if x >= ch_b else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = rec.astype(np.uint8)
+    raw = zlib.decompress(bytes(idat))
+    # interlace=0 is a single full-size pass; Adam7 is seven sub-images,
+    # each independently filtered, scattered onto the (y,x) grid
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    samples = np.zeros((h, w, ch_b), dtype=np.uint8)
+    pos = 0
+    for xs, ys, xstep, ystep in passes:
+        pw = -(-(w - xs) // xstep) if w > xs else 0
+        ph = -(-(h - ys) // ystep) if h > ys else 0
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: NO scanlines, not even filter bytes
+        stride = pw * ch_b
+        need = (stride + 1) * ph
+        sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch_b)
+        pos += need
+        samples[ys::ystep, xs::xstep, :] = sub.reshape(ph, pw, ch_b)
+    if pos != len(raw):
+        raise ValueError("bad PNG pixel payload")
     if depth == 16:  # big-endian 16-bit samples -> high byte (v >> 8)
-        px = out.reshape(h, w, ch, 2)[:, :, :, 0]
+        px = samples.reshape(h, w, ch, 2)[:, :, :, 0]
     else:
-        px = out.reshape(h, w, ch)
+        px = samples.reshape(h, w, ch)
     if color == 3:  # palette indices -> RGB via PLTE
         if int(px.max()) >= len(plte):
             raise ValueError("palette index out of range")
@@ -234,12 +270,33 @@ def decode_png(data: bytes) -> dict:
     return _gray_stats(px)
 
 
-def decode_gif(data: bytes) -> dict:
-    """Real decoder for GIF87a/89a (first frame): logical-screen parse,
-    global/local color tables, extension-block skipping, and the full
-    variable-width LSB-packed LZW decompression including the KwKwK
-    special case — pure bytes + numpy. Interlaced frames raise into the
-    quarantine path. Built from the published GIF89a specification.
+def _gif_deinterlace(rows):
+    """GIF 4-pass interlace: rows arrive in pass order (every 8th from 0,
+    every 8th from 4, every 4th from 2, every 2nd from 1); returns the
+    natural-order row permutation."""
+    import numpy as np
+
+    h = rows.shape[0]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def gif_parse_frames(data: bytes, max_frames: int | None = None):
+    """Full GIF87a/89a parse: logical screen, global/local color tables,
+    graphic-control extensions (disposal methods 0-3, transparency), 4-pass
+    interlace, and per-frame LZW decode, COMPOSITED onto the logical-screen
+    canvas in frame order. Returns (list of (sh, sw, 3) uint8 canvases).
+
+    GIF frames are delta-coded (each draws a sub-rect over the prior
+    canvas), so decoding frame k requires frames 0..k — `max_frames` bounds
+    that work for frame sampling. Disposal: 0/1 leave the canvas, 2
+    restores the frame rect to the background color, 3 restores the
+    pre-frame canvas. Built from the published GIF89a specification.
     """
     import struct
 
@@ -247,30 +304,37 @@ def decode_gif(data: bytes) -> dict:
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 ** ((packed & 0x07) + 1)
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list = []
+    disposal, transparent = 0, None  # pending graphic-control state
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
             pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                flags = data[pos + 1]
+                disposal = (flags >> 2) & 0x7
+                transparent = data[pos + 4] if flags & 0x1 else None
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
             ct = gct
             if ipacked & 0x80:  # local color table
                 n = 2 ** ((ipacked & 0x07) + 1)
                 ct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if ct is None:
                 raise ValueError("GIF frame without a color table")
             min_code = data[pos]
@@ -280,16 +344,80 @@ def decode_gif(data: bytes) -> dict:
                 ln = data[pos]
                 stream += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
-            idx = _lzw_decode(bytes(stream), min_code, w * h)
-            if int(max(idx, default=0)) >= len(ct):
+            pos += 1  # block terminator
+            idx = np.asarray(
+                _lzw_decode(bytes(stream), min_code, w * h), dtype=np.int32
+            ).reshape(h, w)
+            if int(idx.max(initial=0)) >= len(ct):
                 raise ValueError("GIF index out of range")
-            px = ct[np.asarray(idx, dtype=np.int32)].reshape(h, w, 3)
-            return _gray_stats(px)
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx)
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame rect outside logical screen")
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            px = ct[idx]
+            if transparent is not None:  # transparent pixels keep the canvas
+                mask = idx != transparent
+                region[mask] = px[mask]
+            else:
+                region[:] = px
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore rect to background
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = before
+            disposal, transparent = 0, None
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
-    raise ValueError("no GIF image data")
+    if not frames:
+        raise ValueError("no GIF image data")
+    return frames
+
+
+def gif_frame_count(data: bytes) -> int:
+    """Frame count via a header/block walk ONLY — color tables and LZW
+    sub-blocks are skipped by length, no pixel decode. This is the cheap
+    metadata pass the frame-sampling plan runs over the whole corpus."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = data[10]
+    pos = 13 + (3 * 2 ** ((packed & 0x07) + 1) if packed & 0x80 else 0)
+    count = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            ipacked = struct.unpack_from("<HHHHB", data, pos + 1)[4]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * 2 ** ((ipacked & 0x07) + 1)
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            count += 1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    return count
+
+
+def decode_gif(data: bytes) -> dict:
+    """First-frame stats of a (possibly multi-frame) GIF: the full parse in
+    gif_parse_frames bounded to one composited frame."""
+    return _gray_stats(gif_parse_frames(data, max_frames=1)[0])
 
 
 def _lzw_decode(stream: bytes, min_code: int, n_pixels: int) -> list[int]:
@@ -373,20 +501,58 @@ class _BitReader:
         return b
 
     def read_bits(self, n: int) -> int:
+        """n bits MSB-first, pulled in byte-sized chunks (not per-bit)."""
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        data, pos, bit = self.data, self.pos, self.bit
+        while n > 0:
+            if pos >= len(data):
+                raise ValueError("JPEG entropy data exhausted")
+            avail = 8 - bit
+            take = avail if avail < n else n
+            v = (v << take) | ((data[pos] >> (avail - take)) & ((1 << take) - 1))
+            bit += take
+            if bit == 8:
+                bit = 0
+                pos += 1
+            n -= take
+        self.pos, self.bit = pos, bit
         return v
 
 
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    """Walk bits until (length, code) hits the canonical table."""
+class _HuffTable:
+    """Canonical Huffman DECODE tables (T.81 F.2.2.3): per-code-length
+    mincode/maxcode/valptr arrays built ONCE per DHT segment, so each
+    symbol decode is one compare per code length instead of the former
+    16-step (length, code) dict probe."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, counts: list[int], syms: bytes):
+        self.vals = syms
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17  # -1 = no codes of this length
+        self.valptr = [0] * 17
+        code = k = 0
+        for length in range(1, 17):
+            c = counts[length - 1]
+            if c:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += c
+                k += c
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    """Walk bits, returning as soon as the accumulated code lands inside
+    the current length's [mincode, maxcode] band."""
     code = 0
+    maxcode = table.maxcode
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
+        if code <= maxcode[length]:
+            return table.vals[table.valptr[length] + code - table.mincode[length]]
     raise ValueError("invalid JPEG huffman code")
 
 
@@ -445,7 +611,7 @@ def decode_jpeg(data: bytes) -> dict:
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     progressive = False
     restart_interval = 0
@@ -491,15 +657,7 @@ def decode_jpeg(data: bytes) -> dict:
                 tc, th = body[off] >> 4, body[off] & 0xF
                 counts = list(body[off + 1 : off + 17])
                 syms = body[off + 17 : off + 17 + sum(counts)]
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = _HuffTable(counts, syms)
                 off += 17 + sum(counts)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -752,15 +910,17 @@ def _reconstruct(frame, coefs, qt) -> dict:
     for cid, hs, vs, tq in comps:
         arr = coefs[cid]
         by, bx = arr.shape[0], arr.shape[1]
-        plane = np.zeros((by * 8, bx * 8), np.float64)
         qz = qt[tq].reshape(-1)[_ZIGZAG]  # quant values in zigzag order
-        for yb in range(by):
-            for xb in range(bx):
-                blk = np.zeros(64, np.float64)
-                blk[_ZIGZAG] = arr[yb, xb] * qz
-                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
-                    B.T @ blk.reshape(8, 8) @ B + 128.0
-                )
+        # batched dequantize + IDCT over ALL blocks at once: same
+        # (B.T @ blk) @ B contraction order per block as the scalar loop,
+        # so the result is bit-identical — just one numpy dispatch instead
+        # of by*bx of them
+        blk = np.zeros((by * bx, 64), np.float64)
+        blk[:, _ZIGZAG] = arr.reshape(-1, 64) * qz[None, :]
+        px = B.T @ blk.reshape(-1, 8, 8) @ B + 128.0
+        plane = (
+            px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
         if hs != hmax or vs != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(plane[:h, :w])
@@ -957,6 +1117,93 @@ def extract_image_features(
             )
 
     return selected.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+#: output schema of extract_gif_frame_features
+GIF_FRAME_FEATURES_SCHEMA = (
+    "item_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_intensity double"
+)
+
+
+def with_frame_counts(
+    df: DataFrame, id_col: str = "item_id", bytes_col: str = "content"
+) -> DataFrame:
+    """Cheap multimodal metadata pass: (item_id, n_frames) via the
+    header/block walk ONLY (gif_frame_count — no LZW, no pixels). Feeds
+    frame_sample_plan when the sampling plan must exist as its own
+    DataFrame (e.g. frames fetched from a remote store by index)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                try:
+                    n = gif_frame_count(bytes(content) if content is not None else b"")
+                except Exception:
+                    continue  # quarantine path in production
+                out.append({"item_id": int(item_id), "n_frames": n})
+            yield pd.DataFrame(out, columns=["item_id", "n_frames"])
+
+    selected = df.select(
+        F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
+    )
+    return selected.mapInPandas(run, schema="item_id long, n_frames int")
+
+
+def extract_gif_frame_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    bytes_col: str = "content",
+    every_k: int = 30,
+) -> DataFrame:
+    """Real frame sampling over multi-frame GIF binary columns: one fused
+    Arrow-batched mapInPandas computes the frame count (header walk), the
+    sampled indices — the SAME range(0, n_frames-1, every_k) arithmetic as
+    frame_sample_plan — and decodes composited frames only up to the last
+    sampled index (GIF frames are delta-coded, so earlier frames must
+    composite; later ones are never touched).
+
+    Scale shape: for inline binary content this fused pass beats the
+    plan-then-join formulation because the content column NEVER shuffles —
+    the sampling plan, the bound on decode work, and the feature rows all
+    happen inside the partition that already holds the bytes. Use
+    with_frame_counts + frame_sample_plan instead when frames live in a
+    remote store addressed by (item_id, frame_idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "item_id", "frame_idx", "n_frames", "width", "height",
+            "mean_intensity",
+        ]
+        for pdf in batches:
+            out = []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    n = gif_frame_count(raw)
+                    if n <= 0:
+                        continue
+                    idxs = list(range(0, n, every_k))
+                    frames = gif_parse_frames(raw, max_frames=idxs[-1] + 1)
+                except Exception:
+                    continue  # quarantine path in production
+                for k in idxs:
+                    st = _gray_stats(frames[k])
+                    out.append(
+                        {
+                            "item_id": int(item_id), "frame_idx": k,
+                            "n_frames": n, "width": st["width"],
+                            "height": st["height"],
+                            "mean_intensity": st["mean_intensity"],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    selected = df.select(
+        F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
+    )
+    return selected.mapInPandas(run, schema=GIF_FRAME_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(

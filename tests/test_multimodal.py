@@ -722,3 +722,252 @@ def test_decode_png_16bit():
     got = decode_png(png16)
     want = decode_png(_png_bytes(2, 2, rgb_rows, 2, [1, 2]))
     assert got == want
+
+
+def _filter_rows(flat_rows, stride, ch, filters):
+    """Forward-filter scanlines (independent reimplementation of the PNG
+    filter math, mirroring _png_bytes) -> bytes of (filter + filtered row)*."""
+    raw = bytearray()
+    prior = [0] * stride
+    for y, row in enumerate(flat_rows):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                enc = row[x]
+            elif f == 1:
+                enc = row[x] - a
+            elif f == 2:
+                enc = row[x] - b
+            elif f == 3:
+                enc = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = row[x] - pred
+            raw.append(enc & 0xFF)
+        prior = row
+    return bytes(raw)
+
+
+def _png_interlaced_bytes(w, h, px_rows, color_type, filters):
+    """Adam7-interlaced PNG encoder: split the image into the seven passes
+    (spec §8.2 grid), forward-filter each pass independently, concatenate."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for xs, ys, xstep, ystep in adam7:
+        sub = []
+        for y in range(ys, h, ystep):
+            row = []
+            for x in range(xs, w, xstep):
+                px = px_rows[y][x]
+                row.extend(px if isinstance(px, tuple) else (px,))
+            if row:
+                sub.append(row)
+        if sub:
+            raw += _filter_rows(sub, len(sub[0]), ch, filters)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_adam7_matches_sequential_twin():
+    """An Adam7-interlaced PNG must decode identically to its
+    non-interlaced twin (the palette/16-bit test pattern): random RGB
+    pixels, every filter type exercised inside the passes, and a size
+    (11x9) that leaves several passes ragged/non-uniform."""
+    import random
+
+    from brontes_spark.operators.multimodal import decode_png
+
+    rng = random.Random(42)
+    for w, h in [(11, 9), (8, 8), (1, 1), (2, 3), (16, 5)]:
+        px_rows = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                    for _ in range(w)] for _ in range(h)]
+        seq = _png_bytes(w, h, px_rows, 2, [y % 5 for y in range(h)])
+        lace = _png_interlaced_bytes(w, h, px_rows, 2, [0, 1, 2, 3, 4])
+        got, want = decode_png(lace), decode_png(seq)
+        assert got == want, (w, h)
+
+
+def test_decode_png_adam7_grayscale():
+    """Interlaced 8-bit grayscale: single-channel pass geometry (ch_b=1)."""
+    from brontes_spark.operators.multimodal import decode_png
+
+    w, h = 9, 10
+    px_rows = [[(x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
+    seq = _png_bytes(w, h, px_rows, 0, [2] * h)
+    lace = _png_interlaced_bytes(w, h, px_rows, 0, [4, 3])
+    assert decode_png(lace) == decode_png(seq)
+
+
+def _lzw_pack(indices, min_code, clear_every=1):
+    """CLEAR-before-every-pixel LZW stream (codes stay at min_code+1 bits)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    for j, px in enumerate(indices):
+        if j % clear_every == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(end)
+    acc = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += min_code + 1
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def _gif_multi_bytes(sw, sh, colors, frames, bg=0):
+    """Multi-frame GIF89a writer: each frame = (left, top, w, h, indices,
+    disposal, transparent_idx_or_None, interlaced)."""
+    import math
+    import struct
+
+    n = max(2, 1 << math.ceil(math.log2(max(len(colors), 2))))
+    min_code = max(2, n.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (min_code - 1), bg, 0)
+    for i in range(1 << min_code):
+        out += bytes(colors[i] if i < len(colors) else (0, 0, 0))
+    for left, top, w, h, indices, disposal, transparent, interlaced in frames:
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 0, 0, transparent or 0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, w, h, 0x40 if interlaced else 0
+        )
+        if interlaced:  # writer emits rows in pass order
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            rows = [indices[r * w:(r + 1) * w] for r in range(h)]
+            indices = [px for r in order for px in rows[r]]
+        stream = _lzw_pack(indices, min_code)
+        out += bytes([min_code])
+        # split into sub-blocks of <=255
+        for i in range(0, len(stream), 255):
+            blk = stream[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_multiframe_compositing_golden():
+    """Frame k of an N-frame GIF must match its single-frame twin: frame 2
+    paints a sub-rect over frame 1's canvas, so the composited result
+    equals a hand-assembled full-frame image."""
+    from brontes_spark.operators.multimodal import (
+        decode_gif, gif_frame_count, gif_parse_frames,
+    )
+
+    R, G, B, W = (255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 200, 200)
+    colors = [R, G, B, W]
+    # frame 0: full 4x2 screen of RED; frame 1: 2x1 GREEN patch at (1,1);
+    # frame 2: full screen BLUE
+    gif = _gif_multi_bytes(4, 2, colors, [
+        (0, 0, 4, 2, [0] * 8, 0, None, False),
+        (1, 1, 2, 1, [1, 1], 0, None, False),
+        (0, 0, 4, 2, [2] * 8, 0, None, False),
+    ])
+    assert gif_frame_count(gif) == 3
+    frames = gif_parse_frames(gif)
+    assert len(frames) == 3
+    f0 = decode_ppm_of([[R] * 4, [R] * 4], 4, 2)
+    f1 = decode_ppm_of([[R] * 4, [R, G, G, R]], 4, 2)
+    f2 = decode_ppm_of([[B] * 4, [B] * 4], 4, 2)
+    from brontes_spark.operators.multimodal import _gray_stats
+
+    assert _gray_stats(frames[0]) == f0
+    assert _gray_stats(frames[1]) == f1
+    assert _gray_stats(frames[2]) == f2
+    # first-frame wrapper = frame 0
+    assert decode_gif(gif) == f0
+    # max_frames bounds the decode work
+    assert len(gif_parse_frames(gif, max_frames=2)) == 2
+
+
+def test_gif_disposal_and_transparency():
+    """Disposal 2 restores the rect to background; disposal 3 restores the
+    pre-frame canvas; transparent pixels keep the prior canvas."""
+    from brontes_spark.operators.multimodal import _gray_stats, gif_parse_frames
+
+    R, G, B, W = (255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 200, 200)
+    colors = [R, G, B, W]
+    # bg=3 (W). frame 0 fills RED with disposal 2 (restore to bg after) ->
+    # frame 1 paints a GREEN pixel at (0,0) on a WHITE canvas, with
+    # disposal 3 -> frame 2's transparent-0 patch keeps the restored canvas
+    gif = _gif_multi_bytes(2, 1, colors, [
+        (0, 0, 2, 1, [0, 0], 2, None, False),
+        (0, 0, 1, 1, [1], 3, None, False),
+        (0, 0, 2, 1, [0, 2], 0, 0, False),  # idx0 transparent, idx2 = BLUE
+    ], bg=3)
+    frames = gif_parse_frames(gif)
+    assert _gray_stats(frames[0]) == decode_ppm_of([[R, R]], 2, 1)
+    assert _gray_stats(frames[1]) == decode_ppm_of([[G, W]], 2, 1)
+    # disposal 3 dropped frame 1's GREEN; transparent slot shows WHITE
+    assert _gray_stats(frames[2]) == decode_ppm_of([[W, B]], 2, 1)
+
+
+def test_gif_interlaced_frame():
+    """A 4-pass interlaced frame decodes identically to its sequential
+    twin (was a quarantine raise before multi-frame support)."""
+    from brontes_spark.operators.multimodal import decode_gif
+
+    import random
+
+    rng = random.Random(3)
+    w, h = 3, 11  # >8 rows so all four passes are non-trivial
+    colors = [(i * 60 % 256, i * 90 % 256, i * 30 % 256) for i in range(4)]
+    indices = [rng.randrange(4) for _ in range(w * h)]
+    seq = _gif_multi_bytes(w, h, colors, [(0, 0, w, h, indices, 0, None, False)])
+    lace = _gif_multi_bytes(w, h, colors, [(0, 0, w, h, indices, 0, None, True)])
+    assert decode_gif(lace) == decode_gif(seq)
+
+
+def test_extract_gif_frame_features_spark(spark):
+    """The fused frame-sampling bridge: every_k=2 over a 5-frame GIF
+    samples frames 0/2/4 with per-frame composited means; corrupt payloads
+    quarantine; the index math matches frame_sample_plan."""
+    from brontes_spark.operators.multimodal import (
+        extract_gif_frame_features, frame_sample_plan,
+    )
+
+    R, G = (255, 0, 0), (0, 255, 0)
+    colors = [R, G]
+    frames = [(0, 0, 2, 2, [i % 2] * 4, 0, None, False) for i in range(5)]
+    gif5 = _gif_multi_bytes(2, 2, colors, frames)
+    rows = [(1, bytearray(gif5)), (2, bytearray(b"not a gif"))]
+    df = spark.createDataFrame(rows, "item_id long, content binary")
+    got = {(r["item_id"], r["frame_idx"]): r
+           for r in extract_gif_frame_features(df, every_k=2).collect()}
+    assert set(got) == {(1, 0), (1, 2), (1, 4)}
+    for (item, k), r in got.items():
+        assert (r["width"], r["height"], r["n_frames"]) == (2, 2, 5)
+        want = (255 / 3) / 255.0 if k % 2 == 0 else (255 / 3) / 255.0
+        assert abs(r["mean_intensity"] - want) < 1e-12
+    # index arithmetic parity with the plan-level operator
+    meta = spark.createDataFrame([(1, 5)], "item_id long, n_frames int")
+    plan = {(r["item_id"], r["frame_idx"])
+            for r in frame_sample_plan(meta, every_k=2).collect()}
+    assert plan == set(got)
