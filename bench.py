@@ -56,6 +56,13 @@ HEADLINE = [
     # visible round-over-round, per VERDICT r3 #6)
     "mev_composer_bundles",
     "g4_univ3_state",
+    # (c2_classified_actions is NOT timed: the 20-decoder classify DAG on a
+    # 15-row fixture is pure scheduler overhead — its driver gate covers
+    # correctness; timing it would just add a noisy fixed cost)
+    # multimodal decode (real codecs through mapInPandas; fixture-sized,
+    # times the Python decode kernels + Arrow plumbing)
+    "mm_image_features",
+    "mm_gif_frame_sample",
 ]
 
 
@@ -72,20 +79,29 @@ def main() -> None:
     q["txt_token_count"](spark, sf_dir).count()
     q["ann_lsh_buckets"](spark, sf_dir).count()
 
-    # criterion-style steady-state timing: best of 3 runs per query, with
-    # the cache cleared between runs so every run re-does ALL compute
-    # (only JIT/codegen/page-cache warmth carries over). Min-of-3 damps the
-    # multi-second wall-clock noise a shared VM shows for identical work
-    # (r2 showed ±2x per-query swings at min-of-2).
+    # criterion-style steady-state timing: 5 runs per query with the cache
+    # cleared between runs so every run re-does ALL compute (only JIT/
+    # codegen/page-cache warmth carries over). Primary metric = min-of-5
+    # (damps the 2-10x shared-VM noise SCALE.md documents); the median and
+    # the median/min noise ratio ride along so a REAL regression (min
+    # moved) is distinguishable from jitter (median moved, min did not) —
+    # VERDICT r5 "what's wrong" #2.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    noise: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.time()
             q[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(med, 3)
+        noise[name] = round(med / samples[0], 2) if samples[0] > 0 else 1.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +111,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "noise_median_over_min": noise,
+                "runs": runs,
                 "sf": sf,
             }
         )

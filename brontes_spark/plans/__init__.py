@@ -4,6 +4,7 @@ from . import (  # noqa: F401  (registration side effects)
     classify_fixture,
     llm_data,
     mev_fixture,
+    multimodal_fixture,
     relational,
     timeseries,
     univ3_fixture,

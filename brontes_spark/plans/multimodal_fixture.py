@@ -1,0 +1,110 @@
+"""Driver-gated multimodal queries: REAL container decode (BMP/PPM/PNG/
+JPEG/GIF) through the Arrow-batched mapInPandas kernels, hash-checked
+against closed-form VALUES oracles.
+
+The fixture (sources/media_fixture.py) plants images whose decoded
+statistics are analytic — solid colors, integer gray gradients, DC-only
+JPEGs — so the oracle knows width/height/mean without running any decoder.
+Means compare at ROUND(x, 9): the engines' pairwise float summation drifts
+~1 ulp, and every planted value is asserted 8+ orders of magnitude away
+from its 9-dp rounding boundary. JPEG mean intensity is the documented
+exception (IDCT truncation's last ulp is pinned by the pytest tolerance
+goldens instead), so those rows golden width/height only.
+
+mm_gif_frame_sample drives the REAL multi-frame decoder through the fused
+frame-sampling bridge (extract_gif_frame_features): 12-frame GIFs sampled
+every_k=5 -> composited frames 0/5/10, decode bounded to frame 10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.media_fixture import build_media, load_media
+from .registry import register
+
+_EVERY_K = 5
+
+_, _IGOLD, _, _GGOLD = build_media()
+
+
+def _img_values() -> str:
+    rows = ",\n      ".join(
+        "({}, '{}', {}, {}, {})".format(
+            g["item_id"], g["format"], g["width"], g["height"],
+            f"CAST({g['mean9']} AS DOUBLE)" if g["mean9"] is not None
+            else "CAST(NULL AS DOUBLE)",
+        )
+        for g in _IGOLD
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id, format,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           mean9
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, format, width, height, mean9)
+    """
+
+
+def _gif_values() -> str:
+    rows = ",\n      ".join(
+        "({}, {}, {}, {}, {}, CAST({} AS DOUBLE))".format(
+            g["item_id"], g["frame_idx"], g["n_frames"], g["width"],
+            g["height"], g["mean9"],
+        )
+        for g in _GGOLD
+        if g["frame_idx"] % _EVERY_K == 0
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           mean9
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, frame_idx, n_frames, width, height, mean9)
+    """
+
+
+@register(
+    "mm_image_features",
+    oracle=_img_values(),
+    survey_ref="multimodal decode/featurize (operators/multimodal.py: "
+    "decode_image dispatch over real BMP/PPM/PNG[gradient+filters]/JPEG "
+    "[DC-only]/GIF codecs via extract_image_features mapInPandas); "
+    "closed-form analytic VALUES oracle from the planted containers",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture-driven: sf_dir unused — inputs are the planted container bytes
+    from ..operators.multimodal import decode_image, extract_image_features
+
+    media = load_media(spark)["images"]
+    feats = extract_image_features(media, decode_fn=decode_image)
+    return feats.select(
+        "item_id", "format", "width", "height",
+        F.when(F.col("format") == "jpeg", F.lit(None).cast("double"))
+        .otherwise(F.round("mean_intensity", 9))
+        .alias("mean9"),
+    )
+
+
+@register(
+    "mm_gif_frame_sample",
+    oracle=_gif_values(),
+    survey_ref="REAL multi-frame sampling (operators/multimodal.py: "
+    "gif_parse_frames compositing + extract_gif_frame_features fused "
+    "zero-shuffle bridge; index math = frame_sample_plan's "
+    "range(0, n_frames-1, k)); analytic per-frame VALUES oracle",
+)
+def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_gif_frame_features
+
+    gifs = load_media(spark)["gifs"]
+    feats = extract_gif_frame_features(gifs, every_k=_EVERY_K)
+    return feats.select(
+        "item_id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_intensity", 9).alias("mean9"),
+    )

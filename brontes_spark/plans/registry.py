@@ -45,6 +45,8 @@ DRIVER_ORDER: list[str] = [
     # when a group straddles the 50-entry boundary. Priority re-checks (the
     # r4-changed gates the r4 verdict names) lead; bulk re-attestations trail.
     "c2_classified_actions",  # registered r6 (r5 verdict directive 3)
+    "mm_image_features",      # registered r6 (real-codec decode gate)
+    "mm_gif_frame_sample",    # registered r6 (real multi-frame sampling)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",
