@@ -225,3 +225,54 @@ def test_mixture_sample_hits_target_composition(spark):
     again = {r["doc_id"] for r in out.collect()}
     assert again == {r["doc_id"] for r in mixture_sample(
         df, "doc_id", "src", {"a": 0.5, "b": 0.3, "c": 0.2}).collect()}
+
+
+def test_scrub_pii_adversarial_precedence(spark):
+    """Overlapping-span and confusable fixtures pin the scrub order
+    (email > ip > phone), the evolving-text count contract, and the
+    documented ASCII scope (VERDICT r5 directive 8).
+
+    - a digits-only email host is NOT an email (no alpha TLD): the IP
+      pattern claims the quad, the mailbox prefix survives
+    - a dotted quad is an IP, never a phone (order pins the overlap)
+    - a dotted phone-like run that is NOT a valid quad falls through to
+      the phone pattern
+    - counts are taken on the text each pattern actually saw: an email
+      whose local part is phone-shaped contributes 0 phones because the
+      phone pass sees '<EMAIL>'
+    - unicode-confusable addresses (fullwidth/Cyrillic) pass through
+      unmatched: the ASCII-only scope is explicit, not an accident
+    """
+    from pyspark.sql import functions as F
+
+    from brontes_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "user@192.168.1.1 logged in"),
+        (2, "quad 10.20.30.40 vs phone 415.555.0099.123456"),
+        (3, "+14155550099@mail.co and lone +1 415 555 0099"),
+        (4, "ｕser@ｅxample.com and cyr user@exаmple.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s, c = scrub_pii(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", s.alias("t"),
+        c["email"].alias("e"), c["ip"].alias("i"), c["phone"].alias("p"),
+    ).collect()}
+
+    # digits-only host: IP wins, mailbox prefix survives
+    assert out[1]["t"] == "user@<IP> logged in"
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (0, 1, 0)
+
+    # valid quad -> <IP>; the 4-dot run is no quad, phone eats it whole
+    assert out[2]["t"] == "quad <IP> vs phone <PHONE>"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 1, 1)
+
+    # phone-shaped local part: email consumes it FIRST; the phone count
+    # sees '<EMAIL>' (evolving-text contract), so only the lone number hits
+    assert out[3]["t"] == "<EMAIL> and lone <PHONE>"
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (1, 0, 1)
+
+    # confusables: no ASCII match, text unchanged (documented scope)
+    assert out[4]["t"] == rows[3][1]
+    assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (0, 0, 0)
