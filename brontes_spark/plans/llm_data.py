@@ -889,10 +889,22 @@ _SQL_BUCKETS = """
     "a parameter in production)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.similarity import cosine_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=8)
+    # the planes-vs-corpus dial, applied live: bucket occupancy (and so the
+    # candidate-join cost) stays bounded only if planes grow ~log2(N) — the
+    # fixed-8-planes configuration is SCALE.md's one measured super-linear
+    # exponent (1.23; 0.94 with the dial). 8 planes up to 2.5k vectors
+    # (sf0.01/sf0.1 keep their oracle), +1 per doubling beyond (sf1: 11).
+    # The count is a parquet-footer metadata read, not a data scan.
+    n = emb.count()
+    planes = 8 + max(0, int(math.log2(max(n, 1) / 2500))) if n > 2500 else 8
+    return cosine_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, planes=planes
+    )
 
 
 @register(
