@@ -7,15 +7,17 @@ pattern that scales: the JVM moves bytes, Python touches each batch once,
 and partition sizing (bytes per partition, not rows) bounds worker memory.
 
 Codec story: the dependency-free containers decode FOR REAL (`decode_ppm` /
-`decode_bmp` / `decode_png` / `decode_jpeg` / `decode_gif` for images,
-`decode_wav` RIFF/PCM for audio — pure bytes + numpy (+ stdlib zlib for
-PNG), real pixels/samples, real features; `decode_image` sniffs and
-dispatches; `decode_jpeg` handles both baseline-sequential and progressive
-DCT). Compressed audio and video need PIL/ffmpeg, which are NOT in this
-environment, so the kernel stays pluggable: pass a production codec via
-`decode_fn`; undecodable payloads raise into the quarantine path. `stub_decode` remains as the deterministic fake for
-plumbing tests. Schemas, Arrow batch shapes, and partitioning are identical
-across all of them.
+`decode_bmp` / `decode_png` / `decode_jpeg` / `decode_gif` for images;
+`decode_wav` for audio — integer PCM, G.711 mu-law/A-law, IMA ADPCM;
+multi-frame GIF and MJPEG-in-AVI for video — pure bytes + numpy (+ stdlib
+zlib for PNG), real pixels/samples, real features; `decode_image` sniffs
+and dispatches; `decode_jpeg` handles both baseline-sequential and
+progressive DCT). Psychoacoustic/interframe codecs (MP3/AAC/H.264/MP4)
+need ffmpeg-class libraries NOT in this environment, so the kernel stays
+pluggable: pass a production codec via `decode_fn`; undecodable payloads
+raise into the quarantine path. `stub_decode` remains as the deterministic
+fake for plumbing tests. Schemas, Arrow batch shapes, and partitioning are
+identical across all of them.
 """
 
 from __future__ import annotations
@@ -591,6 +593,11 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> dict:
+    """Feature dict from a JPEG payload (see decode_jpeg_pixels)."""
+    return _gray_stats(decode_jpeg_pixels(data))
+
+
+def decode_jpeg_pixels(data: bytes):
     """Baseline-sequential (SOF0/1) AND progressive (SOF2) JPEG in pure
     numpy: marker parse, canonical Huffman decode, per-scan coefficient
     accumulation (progressive: DC first/refinement, AC spectral-selection
@@ -895,9 +902,9 @@ def _progressive_scan(segments, frame, scan, huff, restart_interval, coefs,
             units_in_seg += 1
 
 
-def _reconstruct(frame, coefs, qt) -> dict:
+def _reconstruct(frame, coefs, qt):
     """Dequantize + IDCT every block, assemble planes, upsample subsampled
-    chroma, convert to RGB, and emit the standard feature dict."""
+    chroma, convert to RGB; returns the (H, W, 3) uint8 pixel array."""
     import numpy as np
 
     h, w, comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
@@ -934,7 +941,7 @@ def _reconstruct(frame, coefs, qt) -> dict:
         rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
     else:
         raise ValueError("unsupported JPEG component count")
-    return _gray_stats(rgb.astype(np.uint8))
+    return rgb.astype(np.uint8)
 
 
 def decode_image(data: bytes) -> dict:
@@ -968,11 +975,116 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+#: G.711 expansion LUTs (built lazily once per worker): code byte -> 16-bit
+#: linear, per the classic segmented-companding reference formulation.
+_G711_LUTS: dict[str, object] = {}
+
+
+def _g711_lut(law: str):
+    import numpy as np
+
+    lut = _G711_LUTS.get(law)
+    if lut is None:
+        lut = np.empty(256, dtype=np.int16)
+        for b in range(256):
+            if law == "ulaw":
+                v = ~b & 0xFF
+                t = (((v & 0x0F) << 3) + 0x84) << ((v & 0x70) >> 4)
+                lut[b] = 0x84 - t if v & 0x80 else t - 0x84
+            else:  # alaw
+                v = b ^ 0x55
+                t = (v & 0x0F) << 4
+                seg = (v & 0x70) >> 4
+                if seg == 0:
+                    t += 8
+                elif seg == 1:
+                    t += 0x108
+                else:
+                    t = (t + 0x108) << (seg - 1)
+                lut[b] = t if v & 0x80 else -t
+        _G711_LUTS[law] = lut
+    return lut
+
+
+#: IMA ADPCM quantizer tables (IMA "Recommended Practices for Enhancing
+#: Digital Audio Compatibility", the table every WAV fmt 0x11 stream uses)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM predictor update: nibble -> (new predictor, new index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+    return pred, index
+
+
+def _ima_decode(raw: bytes, n_ch: int, block_align: int, spb: int):
+    """IMA ADPCM data chunk -> (n_samples, n_ch) int16 array. Block layout
+    per the WAV spec: a 4-byte (predictor, step index, reserved) header per
+    channel, then 4-byte-per-channel nibble groups (8 samples each, low
+    nibble first), channels interleaved group-wise."""
+    import struct
+
+    import numpy as np
+
+    outs = []
+    for off in range(0, len(raw) - len(raw) % block_align, block_align):
+        body = raw[off : off + block_align]
+        out = np.zeros((spb, n_ch), dtype=np.int16)
+        preds, idxs = [], []
+        for c in range(n_ch):
+            pred = struct.unpack_from("<h", body, 4 * c)[0]
+            index = body[4 * c + 2]
+            if index > 88:
+                raise ValueError("bad ADPCM step index")
+            preds.append(pred)
+            idxs.append(index)
+            out[0, c] = pred
+        nibbles = body[4 * n_ch:]
+        pos, s = 0, 1
+        while s < spb and pos + 4 * n_ch <= len(nibbles):
+            for c in range(n_ch):
+                si = s
+                for byte in nibbles[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        if si >= spb:
+                            break
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        out[si, c] = preds[c]
+                        si += 1
+            pos += 4 * n_ch
+            s += 8
+        outs.append(out)
+    if not outs:
+        raise ValueError("empty ADPCM stream")
+    return np.vstack(outs)
+
+
 def decode_wav(data: bytes) -> dict:
-    """Real decoder for RIFF/WAVE PCM (8/16/32-bit int, any channel count):
-    pure struct + numpy, no codec libraries. Compressed codecs (MP3/AAC/
-    float WAV) raise into the quarantine path — plug ffmpeg via `decode_fn`
-    in production. Returns samples as float64 in [-1, 1], channel-averaged.
+    """Real decoder for RIFF/WAVE audio: integer PCM (8/16/32-bit, any
+    channel count), G.711 mu-law (fmt 7) / A-law (fmt 6), and IMA ADPCM
+    (fmt 0x11) — pure struct + numpy, no codec libraries. Psychoacoustic
+    codecs (MP3/AAC) still need external libs and raise into the quarantine
+    path — plug ffmpeg via `decode_fn` in production. Returns samples as
+    float64 in [-1, 1], channel-averaged.
     """
     import struct
 
@@ -987,24 +1099,46 @@ def decode_wav(data: bytes) -> dict:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1:  # PCM only
-                raise ValueError("only PCM WAV supported")
-            fmt = (n_ch, rate, bits)
+            if audio_fmt not in (1, 6, 7, 0x11):
+                raise ValueError(f"unsupported WAV format tag {audio_fmt}")
+            extra = body[18:] if len(body) > 18 else b""
+            fmt = (audio_fmt, n_ch, rate, bits, block_align, extra)
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks pad to even
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    n_ch, rate, bits = fmt
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
-    if dtype is None:
-        raise ValueError(f"unsupported PCM depth {bits}")
-    samples = np.frombuffer(raw[: len(raw) - len(raw) % (n_ch * bits // 8)], dtype=dtype)
-    if bits == 8:  # 8-bit WAV is unsigned
-        x = (samples.astype(np.float64) - 128.0) / 128.0
-    else:
-        x = samples.astype(np.float64) / float(2 ** (bits - 1))
+    audio_fmt, n_ch, rate, bits, block_align, extra = fmt
+    if audio_fmt in (6, 7):  # G.711: one code byte per sample, LUT expand
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8-bit codes, got {bits}")
+        lut = _g711_lut("alaw" if audio_fmt == 6 else "ulaw")
+        codes = np.frombuffer(raw[: len(raw) - len(raw) % n_ch], dtype=np.uint8)
+        x = lut[codes].astype(np.float64) / 32768.0
+    elif audio_fmt == 0x11:  # IMA ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM requires 4-bit samples, got {bits}")
+        if len(extra) >= 2:
+            spb = struct.unpack_from("<H", extra, 0)[0]
+        else:  # derive from block geometry when cbSize is absent
+            spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        if spb < 1 or block_align < 4 * n_ch + 4:
+            raise ValueError("bad ADPCM block geometry")
+        x = _ima_decode(raw, n_ch, block_align, spb).astype(np.float64) / 32768.0
+        x = x.reshape(-1)
+    else:  # integer PCM
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported PCM depth {bits}")
+        samples = np.frombuffer(
+            raw[: len(raw) - len(raw) % (n_ch * bits // 8)], dtype=dtype
+        )
+        if bits == 8:  # 8-bit WAV is unsigned
+            x = (samples.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = samples.astype(np.float64) / float(2 ** (bits - 1))
     x = x.reshape(-1, n_ch).mean(axis=1)  # channel average
     return {"sample_rate": rate, "n_channels": n_ch, "samples": x}
 
@@ -1190,6 +1324,141 @@ def extract_gif_frame_features(
                     continue  # quarantine path in production
                 for k in idxs:
                     st = _gray_stats(frames[k])
+                    out.append(
+                        {
+                            "item_id": int(item_id), "frame_idx": k,
+                            "n_frames": n, "width": st["width"],
+                            "height": st["height"],
+                            "mean_intensity": st["mean_intensity"],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    selected = df.select(
+        F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
+    )
+    return selected.mapInPandas(run, schema=GIF_FRAME_FEATURES_SCHEMA)
+
+
+def _avi_movi_chunks(data: bytes):
+    """Yield (fourcc, payload) for every chunk inside every 'movi' LIST of a
+    RIFF/AVI container. Raises on a malformed RIFF header; tolerates
+    truncated tails (a chunk whose declared size runs past the buffer is
+    clipped) the way real-world crawled AVIs demand."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    stack = [
+        (12, min(12 + struct.unpack_from("<I", data, 4)[0], len(data)), False)
+    ]
+    while stack:
+        pos, end, in_movi = stack.pop()
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST" and body_start + 4 <= end:
+                ltype = data[body_start : body_start + 4]
+                stack.append((body_end + (size & 1), end, in_movi))
+                pos, end = body_start + 4, body_end
+                in_movi = in_movi or ltype == b"movi"
+                continue
+            if in_movi:
+                yield cid, data[body_start:body_end]
+            pos = body_end + (size & 1)
+
+
+def avi_frame_count(data: bytes) -> int:
+    """Video frame count via the movi chunk walk ONLY (no decode): counts
+    '##dc'/'##db' video-data chunks. The chunk walk is preferred over the
+    avih header's dwTotalFrames, which real-world muxers routinely leave
+    stale."""
+    n = 0
+    for cid, _ in _avi_movi_chunks(data):
+        if cid[2:4] in (b"dc", b"db"):
+            n += 1
+    return n
+
+
+def avi_parse_jpeg_frames(data: bytes, indices) -> dict:
+    """Decode ONLY the requested frame indices of an MJPEG AVI:
+    {frame_idx: (H, W, 3) uint8 array}. MJPEG frames are independent — no
+    compositing chain like GIF's — so sampling skips the decode work for
+    unsampled frames entirely, not just the tail."""
+    want = set(int(i) for i in indices)
+    out: dict[int, object] = {}
+    if not want:
+        return out
+    last = max(want)
+    k = 0
+    for cid, body in _avi_movi_chunks(data):
+        if cid[2:4] not in (b"dc", b"db"):
+            continue
+        if k in want:
+            out[k] = decode_jpeg_pixels(bytes(body))
+        k += 1
+        if k > last:
+            break  # all sampled frames decoded; skip the tail chunks too
+    return out
+
+
+def video_frame_count(data: bytes) -> int:
+    """Container-sniffing frame count: GIF (header/block walk) or AVI
+    (movi chunk walk). Zero pixel decode either way."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_frame_count(data)
+    return avi_frame_count(data)
+
+
+def extract_video_frame_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    bytes_col: str = "content",
+    every_k: int = 30,
+) -> DataFrame:
+    """Real frame sampling over multi-frame video binary columns — the
+    container-dispatching superset of extract_gif_frame_features: one fused
+    Arrow-batched mapInPandas computes the frame count (header walk), the
+    sampled indices — the SAME range(0, n_frames-1, every_k) arithmetic as
+    frame_sample_plan — and decodes only what the container's coding
+    requires: GIF frames are delta-coded, so compositing runs up to the
+    last sampled index; MJPEG AVI frames are independent, so ONLY the
+    sampled frames are decoded (the per-frame JPEG work is
+    len(sampled)/n_frames of a full decode, the scale win of sampling).
+
+    Same zero-shuffle scale shape as the GIF-only pass: count, sampling
+    plan, bounded decode, and feature rows all happen inside the partition
+    that already holds the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "item_id", "frame_idx", "n_frames", "width", "height",
+            "mean_intensity",
+        ]
+        for pdf in batches:
+            out = []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        n = gif_frame_count(raw)
+                        if n <= 0:
+                            continue
+                        idxs = list(range(0, n, every_k))
+                        frames = gif_parse_frames(raw, max_frames=idxs[-1] + 1)
+                        sampled = {k: frames[k] for k in idxs}
+                    else:
+                        n = avi_frame_count(raw)
+                        if n <= 0:
+                            continue
+                        idxs = list(range(0, n, every_k))
+                        sampled = avi_parse_jpeg_frames(raw, idxs)
+                except Exception:
+                    continue  # quarantine path in production
+                for k in idxs:
+                    st = _gray_stats(sampled[k])
                     out.append(
                         {
                             "item_id": int(item_id), "frame_idx": k,

@@ -21,12 +21,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.media_fixture import build_media, load_media
+from ..sources.media_fixture import (
+    ADPCM_AUDIO_IDS,
+    build_av_media,
+    build_media,
+    load_media,
+)
 from .registry import register
 
 _EVERY_K = 5
+_AVI_EVERY_K = 3
 
 _, _IGOLD, _, _GGOLD = build_media()
+_, _VGOLD, _, _AGOLD = build_av_media()
 
 
 def _img_values() -> str:
@@ -107,4 +114,95 @@ def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "item_id", "frame_idx", "n_frames", "width", "height",
         F.round("mean_intensity", 9).alias("mean9"),
+    )
+
+
+def _video_values() -> str:
+    rows = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            g["item_id"], g["frame_idx"], g["n_frames"], g["width"], g["height"]
+        )
+        for g in _VGOLD
+        if g["frame_idx"] % _AVI_EVERY_K == 0
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, frame_idx, n_frames, width, height)
+    """
+
+
+@register(
+    "mm_video_frame_sample",
+    oracle=_video_values(),
+    survey_ref="REAL video-container frame sampling (operators/"
+    "multimodal.py: MJPEG-in-AVI movi chunk walk + decode of ONLY the "
+    "sampled independent JPEG frames via extract_video_frame_features; "
+    "index math = frame_sample_plan's range(0, n_frames-1, k)); analytic "
+    "geometry VALUES oracle (mean intensity is the documented JPEG "
+    "exception, pinned by pytest tolerance goldens)",
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_video_frame_features
+
+    avis = load_media(spark)["avis"]
+    feats = extract_video_frame_features(avis, every_k=_AVI_EVERY_K)
+    return feats.select("item_id", "frame_idx", "n_frames", "width", "height")
+
+
+def _audio_values() -> str:
+    rows = ",\n      ".join(
+        "({}, {}, {}, {}, {}, CAST({} AS DOUBLE), CAST({} AS DOUBLE), "
+        "CAST({} AS DOUBLE), {})".format(
+            g["item_id"], g["n_bytes"], g["sample_rate"], g["n_channels"],
+            g["n_samples"], g["dur9"], g["rms9"], g["zc9"],
+            f"CAST({g['dom9']} AS DOUBLE)" if g["dom9"] is not None
+            else "CAST(NULL AS DOUBLE)",
+        )
+        for g in _AGOLD
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           dur9, rms9, zc9, dom9
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, n_bytes, sample_rate, n_channels, n_samples,
+           dur9, rms9, zc9, dom9)
+    """
+
+
+@register(
+    "mm_audio_features",
+    oracle=_audio_values(),
+    survey_ref="REAL audio decode/featurize (operators/multimodal.py: "
+    "decode_wav — integer PCM 8/16/32-bit + G.711 mu-law/A-law LUT "
+    "expansion + IMA ADPCM block predictor — through "
+    "extract_audio_features mapInPandas); closed-form VALUES oracle: "
+    "square waves at codec-exact amplitudes (duration n/rate, RMS = "
+    "amplitude, zero-cross (2n/P-1)/(n-1), dominant freq rate/P); ADPCM "
+    "rows are constant signals (bit-exact predictor track) whose "
+    "dominant_freq is FFT-noise-determined and therefore NULLed",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_features
+
+    audio = load_media(spark)["audio"]
+    feats = extract_audio_features(audio)
+    return feats.select(
+        "item_id", "n_bytes", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_sec", 9).alias("dur9"),
+        F.round("rms", 9).alias("rms9"),
+        F.round("zero_cross_rate", 9).alias("zc9"),
+        F.when(F.col("item_id").isin(*ADPCM_AUDIO_IDS), F.lit(None))
+        .otherwise(F.round("dominant_freq_hz", 9))
+        .cast("double")
+        .alias("dom9"),
     )

@@ -47,6 +47,8 @@ DRIVER_ORDER: list[str] = [
     "c2_classified_actions",  # registered r6 (r5 verdict directive 3)
     "mm_image_features",      # registered r6 (real-codec decode gate)
     "mm_gif_frame_sample",    # registered r6 (real multi-frame sampling)
+    "mm_video_frame_sample",  # registered r6 (MJPEG/AVI sampled decode)
+    "mm_audio_features",      # registered r6 (PCM+G.711+ADPCM analytic)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

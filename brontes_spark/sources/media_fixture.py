@@ -280,6 +280,255 @@ def build_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
 
 
 # ---------------------------------------------------------------------------
+# audio + video (MJPEG/AVI) fixture: square waves at codec-exact levels and
+# DC-only-JPEG video frames, with closed-form goldens
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return (cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b""))
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def avi_mjpeg(w: int, h: int, jpeg_frames: list[bytes], fps: int = 30) -> bytes:
+    """Minimal spec-conformant MJPEG AVI writer (fixture-side golden
+    source): RIFF('AVI ' hdrl(avih, strl(strh 'vids'/'MJPG', strf
+    BITMAPINFOHEADER)) movi('00dc' JPEG ...))."""
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(jpeg_frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(jpeg_frames), 0, 0x7FFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_container(fmt_tag: int, n_ch: int, rate: int, bits: int,
+                  payload: bytes, block_align: int | None = None,
+                  extra: bytes = b"") -> bytes:
+    """RIFF/WAVE writer for any format tag (fixture-side)."""
+    if block_align is None:
+        block_align = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, n_ch, rate, rate * block_align, block_align, bits
+    ) + (struct.pack("<H", len(extra)) + extra if extra or fmt_tag != 1 else b"")
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def _g711_expand(law: str, b: int) -> int:
+    """Independent G.711 expansion (fixture-side; the decoder builds its own
+    LUT from the same public spec)."""
+    if law == "ulaw":
+        v = ~b & 0xFF
+        t = (((v & 0x0F) << 3) + 0x84) << ((v & 0x70) >> 4)
+        return 0x84 - t if v & 0x80 else t - 0x84
+    v = b ^ 0x55
+    t = (v & 0x0F) << 4
+    seg = (v & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if v & 0x80 else -t
+
+
+#: IMA ADPCM tables (public IMA recommended-practice constants)
+_IMA_STEPS_FX = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_FX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_encode(samples: list[int], n_ch: int, spb: int) -> bytes:
+    """Independent fixture-side IMA ADPCM encoder producing WAV block
+    layout (4-byte per-channel headers + 4-byte-per-channel nibble groups,
+    low nibble first). For the fixture's constant signals the encoder emits
+    all-zero nibbles, which the decoder reproduces bit-exactly."""
+    x = [samples[i : i + n_ch] for i in range(0, len(samples), n_ch)]
+    out = bytearray()
+    idxs = [0] * n_ch
+    for b0 in range(0, len(x), spb):
+        chunk = x[b0 : b0 + spb]
+        while len(chunk) < spb:
+            chunk.append(chunk[-1])
+        preds = [int(chunk[0][c]) for c in range(n_ch)]
+        for c in range(n_ch):
+            out += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for s in range(1, spb):
+            for c in range(n_ch):
+                step = _IMA_STEPS_FX[idxs[c]]
+                diff = int(chunk[s][c]) - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # decoder-mirror predictor update
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                preds[c] = max(-32768, min(32767, preds[c] - d if nib & 8 else preds[c] + d))
+                idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_FX[nib & 7]))
+                nibs[c].append(nib)
+        for c in range(n_ch):
+            while len(nibs[c]) % 8:
+                nibs[c].append(0)  # pad group; decoder stops at spb
+        for g in range(len(nibs[0]) // 8):
+            for c in range(n_ch):
+                seg = nibs[c][g * 8 : g * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(seg[k] | (seg[k + 1] << 4))
+    return bytes(out)
+
+
+def _square(n: int, period: int, hi: int, lo: int) -> list[int]:
+    half = period // 2
+    cyc = [hi] * half + [lo] * half
+    return [cyc[i % period] for i in range(n)]
+
+
+#: item_ids of the ADPCM audio rows: their dominant_freq is FFT-noise-
+#: determined (constant signal -> zero spectrum), so the gate NULLs it
+ADPCM_AUDIO_IDS = (2009, 2010)
+
+
+def build_av_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
+    """Returns (avi_rows, video_goldens, audio_rows, audio_goldens).
+
+    Video: MJPEG AVIs whose frames are DC-only solid-gray JPEGs — frame
+    geometry and count are analytic; mean intensity is the documented JPEG
+    exception (pytest-pinned), so video goldens carry geometry only.
+
+    Audio: square waves with n % period == 0 at codec-exact amplitudes.
+    Every feature is a closed-form rational: duration n/rate, RMS exactly
+    the amplitude (|x| constant), zero-cross (2n/P - 1)/(n - 1), dominant
+    frequency rate/P (square-wave fundamental dominates: harmonics fall
+    off 1/k). G.711 rows store raw code bytes whose expansion is exact by
+    construction; ADPCM rows store constant signals the predictor tracks
+    bit-exactly (all-zero nibbles at step 7 add step>>3 = 0)."""
+    avis: list[dict] = []
+    vgold: list[dict] = []
+    for i in range(6):
+        vid = 3001 + i
+        w, h = 48 + 16 * i, 32 + 8 * i
+        n_frames = 10 + (i % 3)  # 10/11/12: exercises tail-inclusive sampling
+        frames = [
+            jpeg_solid_gray(w, h, (23 + 37 * i + 19 * k) % 239)
+            for k in range(n_frames)
+        ]
+        avis.append({"item_id": vid, "format": "avi",
+                     "content": bytearray(avi_mjpeg(w, h, frames))})
+        for k in range(n_frames):
+            vgold.append({"item_id": vid, "frame_idx": k,
+                          "n_frames": n_frames, "width": w, "height": h})
+
+    audio: list[dict] = []
+    agold: list[dict] = []
+
+    def add_audio(aid: int, fmt: str, content: bytes, rate: int, n_ch: int,
+                  n: int, period: int | None, amp: Fraction) -> None:
+        dur = Fraction(n, rate)
+        if period is None:  # constant signal (ADPCM rows)
+            zc: Fraction = Fraction(0)
+            dom: Fraction | None = None
+        else:
+            zc = Fraction(2 * n // period - 1, n - 1)
+            dom = Fraction(rate, period)
+        agold.append({
+            "item_id": aid, "fmt": fmt, "n_bytes": len(content),
+            "sample_rate": rate, "n_channels": n_ch, "n_samples": n,
+            "dur9": _mean9(dur), "rms9": _mean9(amp), "zc9": _mean9(zc),
+            "dom9": _mean9(dom) if dom is not None else None,
+        })
+        audio.append({"item_id": aid, "format": fmt,
+                      "content": bytearray(content)})
+
+    rate, n = 8000, 4096
+    # integer PCM square waves (16/8/32-bit, mono + stereo)
+    for aid, a, period in ((2001, 20001, 32), (2002, 11113, 64)):
+        pcm = _square(n, period, a, -a)
+        add_audio(aid, "pcm16", wav_container(1, 1, rate, 16,
+                  struct.pack(f"<{n}h", *pcm)), rate, 1, n, period,
+                  Fraction(a, 32768))
+    a8 = 101
+    pcm8 = _square(n, 128, 128 + a8, 128 - a8)
+    add_audio(2003, "pcm8", wav_container(1, 1, rate, 8, bytes(pcm8)),
+              rate, 1, n, 128, Fraction(a8, 128))
+    a32 = (1 << 29) + 12345
+    pcm32 = _square(4500, 50, a32, -a32)
+    inter: list[int] = []
+    for v in pcm32:
+        inter += [v, v]  # channel-identical stereo: average == either channel
+    add_audio(2004, "pcm32", wav_container(1, 2, 44100, 32,
+              struct.pack(f"<{2*4500}i", *inter)), 44100, 2, 4500, 50,
+              Fraction(a32, 1 << 31))
+    # G.711: raw code bytes; amplitude = the code's exact expansion, and the
+    # negated code (sign bit flip) expands to exactly -amplitude
+    for aid, law, tag, code, period in (
+        (2005, "ulaw", 7, 0x90, 32), (2006, "ulaw", 7, 0xA3, 64),
+        (2007, "alaw", 6, 0xB5, 32), (2008, "alaw", 6, 0x99, 16),
+    ):
+        amp = _g711_expand(law, code)
+        if amp < 0:
+            code ^= 0x80
+            amp = -amp
+        assert _g711_expand(law, code ^ 0x80) == -amp
+        stream = bytes(_square(n, period, code, code ^ 0x80))
+        add_audio(aid, law, wav_container(tag, 1, rate, 8, stream),
+                  rate, 1, n, period, Fraction(amp, 32768))
+    # IMA ADPCM constants (mono + stereo)
+    spb = 505
+    for aid, n_ch, level in ((2009, 1, 12347), (2010, 2, -7321)):
+        n_ad = spb * (4 if n_ch == 1 else 3)
+        enc = ima_adpcm_encode([level] * (n_ad * n_ch), n_ch, spb)
+        block_align = 4 * n_ch + ((spb - 1 + 7) // 8) * 4 * n_ch
+        data = wav_container(0x11, n_ch, rate, 4, enc,
+                             block_align=block_align,
+                             extra=struct.pack("<H", spb))
+        add_audio(aid, "adpcm", data, rate, n_ch, n_ad, None,
+                  Fraction(abs(level), 32768))
+    return avis, vgold, audio, agold
+
+
+# ---------------------------------------------------------------------------
 # parquet materialization (same per-user atomic-rename cache pattern as
 # sources/fixtures.py: content-hashed dir, 0700, rename-or-discard)
 # ---------------------------------------------------------------------------
@@ -299,24 +548,25 @@ def _media_dir(content_key: str) -> str:
 
 
 def load_media(spark: SparkSession) -> dict[str, DataFrame]:
-    """{'images': DataFrame, 'gifs': DataFrame} read from the cached
+    """{'images'|'gifs'|'avis'|'audio': DataFrame} read from the cached
     parquet materialization (pure JVM scans after first write)."""
     key = id(spark)
     if key not in _handles:
         images, _, gifs, _ = build_media()
+        avis, _, audio, _ = build_av_media()
+        tables = {"images": (images, 4), "gifs": (gifs, 2),
+                  "avis": (avis, 2), "audio": (audio, 2)}
         digest = hashlib.md5(
-            b"".join(bytes(r["content"]) for r in images + gifs)
+            b"".join(bytes(r["content"]) for r in images + gifs + avis + audio)
         ).hexdigest()[:16]
-        base = _media_dir(f"v1_{digest}")
+        base = _media_dir(f"v2_{digest}")
         if not os.path.isdir(base):
             tmp = f"{base}.tmp{os.getpid()}"
             try:
-                spark.createDataFrame(images, _IMG_DDL).coalesce(4).write.mode(
-                    "overwrite"
-                ).parquet(f"{tmp}/images")
-                spark.createDataFrame(gifs, _IMG_DDL).coalesce(2).write.mode(
-                    "overwrite"
-                ).parquet(f"{tmp}/gifs")
+                for name, (rows, n_files) in tables.items():
+                    spark.createDataFrame(rows, _IMG_DDL).coalesce(
+                        n_files
+                    ).write.mode("overwrite").parquet(f"{tmp}/{name}")
                 os.rename(tmp, base)
             except OSError:
                 import shutil
@@ -324,6 +574,6 @@ def load_media(spark: SparkSession) -> dict[str, DataFrame]:
                 shutil.rmtree(tmp, ignore_errors=True)
         _handles[key] = {
             name: spark.read.schema(_IMG_DDL).parquet(f"{base}/{name}")
-            for name in ("images", "gifs")
+            for name in tables
         }
     return _handles[key]

@@ -1163,3 +1163,255 @@ def test_progressive_vs_baseline_property():
         px = np.clip(np.concatenate([top, bot], axis=0), 0, 255)
         rgb = np.repeat(px[:, :, None], 3, axis=2).astype(np.uint8)
         assert got_b == _gray_stats(rgb), f"seed {seed}: decode != IDCT truth"
+
+
+# ---- compressed audio: G.711 mu-law/A-law + IMA ADPCM ----
+
+
+def _wav_raw(fmt_tag, n_ch, rate, bits, payload, block_align=None, extra=b""):
+    """Minimal WAV writer for arbitrary format tags (test-side)."""
+    import struct
+
+    if block_align is None:
+        block_align = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, n_ch, rate, rate * block_align,
+                      block_align, bits)
+    if extra or fmt_tag != 1:
+        fmt += struct.pack("<H", len(extra)) + extra
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ulaw_compress(v):
+    """Independent segmented mu-law compressor (classic reference form)."""
+    sign = 0x80 if v < 0 else 0
+    v = min((-v if v < 0 else v) + 0x84, 0x7FFF)
+    seg = v.bit_length() - 8  # v >= 0x84 so bit_length >= 8
+    return ~(sign | (seg << 4) | ((v >> (seg + 3)) & 0x0F)) & 0xFF
+
+
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def _alaw_compress(v):
+    """Independent segmented A-law compressor (13-bit domain)."""
+    v >>= 3
+    sign = 0x80 if v >= 0 else 0
+    if v < 0:
+        v = -v - 1
+    for seg, end in enumerate(_ALAW_SEG_END):
+        if v <= end:
+            break
+    else:
+        seg, v = 7, 0xFFF
+    mantissa = (v >> 1) & 0x0F if seg < 2 else (v >> seg) & 0x0F
+    return (sign | (seg << 4) | mantissa) ^ 0x55
+
+
+def test_g711_all_codes_idempotent():
+    """For every one of the 256 code bytes in each law: decode through the
+    WAV path, re-compress with the INDEPENDENT test-side compressor, and
+    require the original byte back. Pins the full expansion table without
+    hardcoding 512 values (mu-law's two zero codes 0x7F/0xFF excepted)."""
+    from brontes_spark.operators.multimodal import decode_wav
+
+    for tag, compress, law in ((7, _ulaw_compress, "ulaw"),
+                               (6, _alaw_compress, "alaw")):
+        wav = _wav_raw(tag, 1, 8000, 8, bytes(range(256)))
+        x = decode_wav(wav)["samples"]
+        assert len(x) == 256
+        for b in range(256):
+            linear = int(round(x[b] * 32768.0))
+            back = compress(linear)
+            if law == "ulaw" and linear == 0 and b in (0x7F, 0xFF):
+                assert back in (0x7F, 0xFF)
+            else:
+                assert back == b, f"{law} code {b:#x} -> {linear} -> {back:#x}"
+
+
+def test_g711_sine_snr():
+    """A sine encoded with the independent compressors must decode with the
+    ~38 dB SNR G.711 is specified to deliver (logarithmic companding)."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import decode_wav
+
+    t = np.arange(8000)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int64)
+    for tag, compress in ((7, _ulaw_compress), (6, _alaw_compress)):
+        codes = bytes(compress(int(v)) for v in sine)
+        x = decode_wav(_wav_raw(tag, 1, 8000, 8, codes))["samples"] * 32768.0
+        err = sine.astype(np.float64) - x
+        snr = 10 * np.log10(np.sum(sine.astype(np.float64) ** 2) / np.sum(err**2))
+        assert snr > 35.0, snr
+
+
+def test_ima_adpcm_sine_roundtrip():
+    """Sine through the fixture-side encoder (separate code path) and the
+    operator decoder: ADPCM's 4-bit step quantizer tracks a smooth signal
+    at > 20 dB SNR, mono and stereo."""
+    import struct
+
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import decode_wav
+    from brontes_spark.sources.media_fixture import ima_adpcm_encode
+
+    spb = 505
+    for n_ch in (1, 2):
+        n = spb * 4
+        sig = (np.sin(2 * np.pi * 300 * np.arange(n * n_ch) / 8000) * 15000)
+        sig = sig.astype(np.int64)
+        enc = ima_adpcm_encode([int(v) for v in sig], n_ch, spb)
+        block_align = 4 * n_ch + ((spb - 1 + 7) // 8) * 4 * n_ch
+        wav = _wav_raw(0x11, n_ch, 8000, 4, enc, block_align=block_align,
+                       extra=struct.pack("<H", spb))
+        d = decode_wav(wav)
+        assert d["n_channels"] == n_ch and len(d["samples"]) == n
+        orig = sig.reshape(-1, n_ch).mean(axis=1)
+        err = orig - d["samples"] * 32768.0
+        snr = 10 * np.log10(np.sum(orig**2) / max(np.sum(err**2), 1e-12))
+        assert snr > 20.0, (n_ch, snr)
+
+
+def test_ima_adpcm_constant_bit_exact():
+    """A constant signal must decode BIT-exactly: all-zero nibbles at step
+    index 0 add step>>3 == 0, so the predictor never moves."""
+    import struct
+
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import decode_wav
+    from brontes_spark.sources.media_fixture import ima_adpcm_encode
+
+    spb, level = 505, -12345
+    enc = ima_adpcm_encode([level] * (spb * 2), 1, spb)
+    block_align = 4 + ((spb - 1 + 7) // 8) * 4
+    wav = _wav_raw(0x11, 1, 8000, 4, enc, block_align=block_align,
+                   extra=struct.pack("<H", spb))
+    x = decode_wav(wav)["samples"]
+    assert np.all(x == level / 32768.0)
+
+
+def test_wav_rejects_unknown_formats():
+    import pytest
+
+    from brontes_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):  # IEEE float WAV (fmt 3)
+        decode_wav(_wav_raw(3, 1, 8000, 32, b"\x00" * 64))
+    with pytest.raises(ValueError):  # ADPCM with a corrupt step index
+        import struct
+
+        bad = b"\x00\x00\x59\x00" + b"\x00" * 252  # index 89 > 88
+        decode_wav(_wav_raw(0x11, 1, 8000, 4, bad, block_align=256,
+                            extra=struct.pack("<H", 505)))
+
+
+# ---- MJPEG-in-AVI video container ----
+
+
+def _avi_bytes(w, h, jpeg_frames, with_junk=True):
+    """Independent test-side AVI writer. Deliberately messier than the
+    fixture's: inserts a JUNK chunk, an idx1 index, and an interleaved
+    '01wb' audio chunk inside movi so the walker must count ONLY video
+    chunks."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", 33333, 0, 0, 0x10, len(jpeg_frames), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", b"MJPG", 0, 0, 0, 0,
+                       1, 30, 0, len(jpeg_frames), 0, 0x7FFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for i, f in enumerate(jpeg_frames):
+        movi_body += chunk(b"00dc", f)
+        if i == 0:
+            movi_body += chunk(b"01wb", b"\x00\x01" * 10)  # audio interleave
+    body = b"AVI " + hdrl
+    if with_junk:
+        body += chunk(b"JUNK", b"\x00" * 17)
+    body += lst(b"movi", movi_body)
+    body += chunk(b"idx1", b"\x00" * 16 * len(jpeg_frames))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_frame_count_and_sampled_decode():
+    """The movi walk counts only '##dc' chunks (audio/JUNK/idx1 skipped);
+    sampled decode touches exactly the requested independent JPEG frames
+    and reproduces each frame's solid value."""
+    from brontes_spark.operators.multimodal import (
+        avi_frame_count,
+        avi_parse_jpeg_frames,
+        video_frame_count,
+    )
+
+    vals = [40, 80, 120, 160, 200, 240, 30]
+    frames = [_jpeg_bytes(16, 16, [v], [(1, 1)]) for v in vals]
+    avi = _avi_bytes(16, 16, frames)
+    assert avi_frame_count(avi) == 7
+    assert video_frame_count(avi) == 7
+    got = avi_parse_jpeg_frames(avi, [0, 3, 6])
+    assert sorted(got) == [0, 3, 6]
+    for k, px in got.items():
+        assert px.shape == (16, 16, 3)
+        assert abs(float(px.mean()) - vals[k]) < 2.0
+
+
+def test_avi_rejects_and_truncated():
+    import pytest
+
+    from brontes_spark.operators.multimodal import avi_frame_count
+
+    with pytest.raises(ValueError):
+        avi_frame_count(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        avi_frame_count(b"not a container")
+    frames = [_jpeg_bytes(16, 16, [100], [(1, 1)]) for _ in range(3)]
+    avi = _avi_bytes(16, 16, frames)
+    # clipping the final idx1/tail must not break the movi count
+    assert avi_frame_count(avi[:-20]) == 3
+
+
+def test_extract_video_frame_features_mixed(spark):
+    """Container dispatch through one fused mapInPandas pass: multi-frame
+    GIF (composited decode up to the last sampled frame) and MJPEG AVI
+    (ONLY sampled frames decoded) in the same column; corrupt bytes
+    quarantine."""
+    from brontes_spark.operators.multimodal import extract_video_frame_features
+
+    gif = _gif_multi_bytes(
+        8, 8, [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 10, 10)],
+        [(0, 0, 8, 8, [k % 4] * 64, 0, None, False) for k in range(7)],
+    )
+    vals = [25, 75, 125, 175, 225]
+    avi = _avi_bytes(16, 16, [_jpeg_bytes(16, 16, [v], [(1, 1)]) for v in vals])
+    rows = [(1, bytearray(gif)), (2, bytearray(avi)), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "item_id long, content binary")
+    out = extract_video_frame_features(df, every_k=2).collect()
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r["item_id"], []).append(r.asDict())
+    assert set(by_item) == {1, 2}
+    g = sorted(by_item[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in g] == [0, 2, 4, 6]
+    assert all(r["n_frames"] == 7 and r["width"] == 8 for r in g)
+    a = sorted(by_item[2], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in a] == [0, 2, 4]
+    assert all(r["n_frames"] == 5 and r["width"] == 16 for r in a)
+    for r in a:
+        assert abs(r["mean_intensity"] * 255 - vals[r["frame_idx"]]) < 2.0
