@@ -1382,22 +1382,80 @@ def avi_frame_count(data: bytes) -> int:
     return n
 
 
-def avi_parse_jpeg_frames(data: bytes, indices) -> dict:
-    """Decode ONLY the requested frame indices of an MJPEG AVI:
-    {frame_idx: (H, W, 3) uint8 array}. MJPEG frames are independent — no
-    compositing chain like GIF's — so sampling skips the decode work for
-    unsampled frames entirely, not just the tail."""
+def _avi_video_format(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, bit_count) from the first video stream's strf
+    BITMAPINFOHEADER in the hdrl LIST; None when absent. Needed only for
+    raw-DIB frames — MJPEG frames carry their own geometry."""
+    import struct
+
+    stack = [(12, min(12 + struct.unpack_from("<I", data, 4)[0], len(data)))]
+    vids = False
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST" and body_start + 4 <= end:
+                stack.append((body_end + (size & 1), end))
+                pos, end = body_start + 4, body_end
+                continue
+            if cid == b"strh" and size >= 4:
+                vids = data[body_start : body_start + 4] == b"vids"
+            elif cid == b"strf" and vids and size >= 40:
+                _, w, h, _, bpp = struct.unpack_from(
+                    "<IiiHH", data, body_start
+                )
+                return w, h, bpp
+            pos = body_end + (size & 1)
+    return None
+
+
+def _dib_frame(body: bytes, w: int, h: int, bpp: int):
+    """One uncompressed '##db' DIB frame -> (H, W, 3) uint8 RGB: 24-bit
+    BGR rows padded to 4 bytes, bottom-up unless height is negative (the
+    same layout decode_bmp handles for .bmp files)."""
+    import numpy as np
+
+    if bpp != 24:
+        raise ValueError(f"only 24-bit DIB frames supported, got {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(body) < stride * h:
+        raise ValueError("truncated DIB frame")
+    rows = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def avi_parse_frames(data: bytes, indices) -> dict:
+    """Decode ONLY the requested frame indices of an AVI:
+    {frame_idx: (H, W, 3) uint8 array}. Each sampled chunk is sniffed —
+    JPEG SOI -> MJPEG decode, else raw DIB via the strf geometry (sniffing
+    beats trusting the dc/db suffix, which sloppy muxers swap). AVI frames
+    are independent — no compositing chain like GIF's — so sampling skips
+    the decode work for unsampled frames entirely, not just the tail."""
     want = set(int(i) for i in indices)
     out: dict[int, object] = {}
     if not want:
         return out
+    fmt = None
     last = max(want)
     k = 0
     for cid, body in _avi_movi_chunks(data):
         if cid[2:4] not in (b"dc", b"db"):
             continue
         if k in want:
-            out[k] = decode_jpeg_pixels(bytes(body))
+            if body[:2] == b"\xff\xd8":  # JPEG SOI
+                out[k] = decode_jpeg_pixels(bytes(body))
+            else:
+                if fmt is None:
+                    fmt = _avi_video_format(data)
+                    if fmt is None:
+                        raise ValueError("raw DIB frame without strf header")
+                out[k] = _dib_frame(bytes(body), *fmt)
         k += 1
         if k > last:
             break  # all sampled frames decoded; skip the tail chunks too
@@ -1454,7 +1512,7 @@ def extract_video_frame_features(
                         if n <= 0:
                             continue
                         idxs = list(range(0, n, every_k))
-                        sampled = avi_parse_jpeg_frames(raw, idxs)
+                        sampled = avi_parse_frames(raw, idxs)
                 except Exception:
                     continue  # quarantine path in production
                 for k in idxs:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..sources.media_fixture import (
     ADPCM_AUDIO_IDS,
+    DIB_AVI_IDS,
     build_av_media,
     build_media,
     load_media,
@@ -119,8 +120,11 @@ def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _video_values() -> str:
     rows = ",\n      ".join(
-        "({}, {}, {}, {}, {})".format(
-            g["item_id"], g["frame_idx"], g["n_frames"], g["width"], g["height"]
+        "({}, {}, {}, {}, {}, {})".format(
+            g["item_id"], g["frame_idx"], g["n_frames"], g["width"],
+            g["height"],
+            f"CAST({g['mean9']} AS DOUBLE)" if g["mean9"] is not None
+            else "CAST(NULL AS DOUBLE)",
         )
         for g in _VGOLD
         if g["frame_idx"] % _AVI_EVERY_K == 0
@@ -129,10 +133,11 @@ def _video_values() -> str:
     SELECT CAST(item_id AS BIGINT) AS item_id,
            CAST(frame_idx AS INTEGER) AS frame_idx,
            CAST(n_frames AS INTEGER) AS n_frames,
-           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           mean9
     FROM (VALUES
       {rows}
-    ) AS t(item_id, frame_idx, n_frames, width, height)
+    ) AS t(item_id, frame_idx, n_frames, width, height, mean9)
     """
 
 
@@ -140,18 +145,25 @@ def _video_values() -> str:
     "mm_video_frame_sample",
     oracle=_video_values(),
     survey_ref="REAL video-container frame sampling (operators/"
-    "multimodal.py: MJPEG-in-AVI movi chunk walk + decode of ONLY the "
-    "sampled independent JPEG frames via extract_video_frame_features; "
+    "multimodal.py: MJPEG + raw-DIB AVI movi chunk walk + decode of ONLY "
+    "the sampled independent frames via extract_video_frame_features; "
     "index math = frame_sample_plan's range(0, n_frames-1, k)); analytic "
-    "geometry VALUES oracle (mean intensity is the documented JPEG "
-    "exception, pinned by pytest tolerance goldens)",
+    "VALUES oracle — geometry for all rows, exact rational means for the "
+    "uncompressed DIB items (MJPEG means are the documented JPEG IDCT "
+    "exception, pinned by pytest tolerance goldens instead)",
 )
 def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_video_frame_features
 
     avis = load_media(spark)["avis"]
     feats = extract_video_frame_features(avis, every_k=_AVI_EVERY_K)
-    return feats.select("item_id", "frame_idx", "n_frames", "width", "height")
+    return feats.select(
+        "item_id", "frame_idx", "n_frames", "width", "height",
+        F.when(F.col("item_id").isin(*DIB_AVI_IDS),
+               F.round("mean_intensity", 9))
+        .cast("double")
+        .alias("mean9"),
+    )
 
 
 def _audio_values() -> str:

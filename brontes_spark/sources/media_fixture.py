@@ -319,6 +319,38 @@ def avi_mjpeg(w: int, h: int, jpeg_frames: list[bytes], fps: int = 30) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def avi_dib_solid(w: int, h: int, frame_rgbs: list[tuple[int, int, int]],
+                  fps: int = 30) -> bytes:
+    """Uncompressed AVI writer: '00db' raw DIB frames (24-bit BGR rows
+    padded to 4 bytes, bottom-up), BI_RGB strf — the no-codec video path,
+    solid-color frames so decoded means are exact rationals."""
+    stride = (w * 3 + 3) & ~3
+    frames = [
+        (bytes(reversed(rgb)) * w + b"\x00" * (stride - 3 * w)) * h
+        for rgb in frame_rgbs
+    ]
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), 0, 0x7FFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"\x00\x00\x00\x00",
+        stride * h, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_container(fmt_tag: int, n_ch: int, rate: int, bits: int,
                   payload: bytes, block_align: int | None = None,
                   extra: bytes = b"") -> bytes:
@@ -429,6 +461,11 @@ def _square(n: int, period: int, hi: int, lo: int) -> list[int]:
 #: determined (constant signal -> zero spectrum), so the gate NULLs it
 ADPCM_AUDIO_IDS = (2009, 2010)
 
+#: item_ids of the raw-DIB (uncompressed) AVI rows: their frame means are
+#: exact rationals, so the gate goldens them; MJPEG rows stay NULL (the
+#: documented JPEG IDCT exception)
+DIB_AVI_IDS = (3007, 3008)
+
 
 def build_av_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
     """Returns (avi_rows, video_goldens, audio_rows, audio_goldens).
@@ -458,7 +495,20 @@ def build_av_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
                      "content": bytearray(avi_mjpeg(w, h, frames))})
         for k in range(n_frames):
             vgold.append({"item_id": vid, "frame_idx": k,
-                          "n_frames": n_frames, "width": w, "height": h})
+                          "n_frames": n_frames, "width": w, "height": h,
+                          "mean9": None})  # MJPEG: IDCT exception
+    for j, vid in enumerate(DIB_AVI_IDS):  # uncompressed '00db' AVIs
+        w, h, n_frames = 40 + 24 * j, 36 + 12 * j, 9 + j
+        rgbs = []
+        for k in range(n_frames):
+            c = ((40 * j + 29 * k) % 256, (90 + 17 * k) % 256, 0)
+            rgbs.append((c[0], c[1], (3 - (c[0] + c[1]) % 3) % 3))
+        avis.append({"item_id": vid, "format": "avi",
+                     "content": bytearray(avi_dib_solid(w, h, rgbs))})
+        for k in range(n_frames):
+            vgold.append({"item_id": vid, "frame_idx": k,
+                          "n_frames": n_frames, "width": w, "height": h,
+                          "mean9": _mean9(_solid_mean(rgbs[k]))})
 
     audio: list[dict] = []
     agold: list[dict] = []

@@ -1356,7 +1356,7 @@ def test_avi_frame_count_and_sampled_decode():
     and reproduces each frame's solid value."""
     from brontes_spark.operators.multimodal import (
         avi_frame_count,
-        avi_parse_jpeg_frames,
+        avi_parse_frames,
         video_frame_count,
     )
 
@@ -1365,7 +1365,7 @@ def test_avi_frame_count_and_sampled_decode():
     avi = _avi_bytes(16, 16, frames)
     assert avi_frame_count(avi) == 7
     assert video_frame_count(avi) == 7
-    got = avi_parse_jpeg_frames(avi, [0, 3, 6])
+    got = avi_parse_frames(avi, [0, 3, 6])
     assert sorted(got) == [0, 3, 6]
     for k, px in got.items():
         assert px.shape == (16, 16, 3)
@@ -1415,3 +1415,47 @@ def test_extract_video_frame_features_mixed(spark):
     assert all(r["n_frames"] == 5 and r["width"] == 16 for r in a)
     for r in a:
         assert abs(r["mean_intensity"] * 255 - vals[r["frame_idx"]]) < 2.0
+
+
+def test_avi_raw_dib_frames_exact():
+    """Uncompressed '00db' AVIs decode bit-exactly: solid BGR frames come
+    back as the exact RGB solid (no codec loss), bottom-up rows and 4-byte
+    stride padding handled like decode_bmp. Sampled-only decode still
+    holds: only requested indices are returned."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import (
+        avi_frame_count,
+        avi_parse_frames,
+    )
+    from brontes_spark.sources.media_fixture import avi_dib_solid
+
+    rgbs = [(10, 200, 30), (255, 0, 0), (1, 2, 3), (77, 77, 77), (0, 0, 255)]
+    avi = avi_dib_solid(30, 22, rgbs)  # w=30 -> stride 92, padded
+    assert avi_frame_count(avi) == 5
+    got = avi_parse_frames(avi, [1, 4])
+    assert sorted(got) == [1, 4]
+    for k, px in got.items():
+        assert px.shape == (22, 30, 3)
+        assert np.all(px == np.array(rgbs[k], dtype=np.uint8))
+
+
+def test_extract_video_frame_features_dib(spark):
+    """The fused Spark pass computes EXACT means for uncompressed frames."""
+    from fractions import Fraction
+
+    from brontes_spark.operators.multimodal import extract_video_frame_features
+    from brontes_spark.sources.media_fixture import avi_dib_solid
+
+    rgbs = [(30, 60, 90), (120, 120, 120), (200, 100, 0), (0, 200, 100)]
+    df = spark.createDataFrame(
+        [(7, bytearray(avi_dib_solid(16, 16, rgbs)))],
+        "item_id long, content binary",
+    )
+    rows = {r["frame_idx"]: r for r in
+            extract_video_frame_features(df, every_k=1).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    for k, r in rows.items():
+        assert r["n_frames"] == 4 and (r["width"], r["height"]) == (16, 16)
+        exact = Fraction(sum(rgbs[k]), 3 * 255)
+        assert abs(r["mean_intensity"] - float(exact)) < 1e-12
