@@ -1143,6 +1143,261 @@ def decode_wav(data: bytes) -> dict:
     return {"sample_rate": rate, "n_channels": n_ch, "samples": x}
 
 
+class _FlacBits:
+    """MSB-first bit reader for FLAC streams (no byte stuffing — that is a
+    JPEG-ism; FLAC frames are raw bits with byte-aligned boundaries)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def read_utf8(self) -> int:
+        """FLAC's UTF-8-style coded frame/sample number (up to 7 bytes)."""
+        b0 = self.read(8)
+        if b0 < 0x80:
+            return b0
+        n = 0
+        mask = 0x40
+        while b0 & mask:
+            n += 1
+            mask >>= 1
+        if n < 1 or n > 6:
+            raise ValueError("bad UTF-8 coded number")
+        v = b0 & (mask - 1)
+        for _ in range(n):
+            c = self.read(8)
+            if c & 0xC0 != 0x80:
+                raise ValueError("bad UTF-8 continuation")
+            v = (v << 6) | (c & 0x3F)
+        return v
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+
+
+#: FLAC block-size codes (frame header bits 4-7); 6/7 read 8/16 bits inline
+_FLAC_BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                   8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                   13: 8192, 14: 16384, 15: 32768}
+_FLAC_SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+#: fixed-predictor coefficients by order (x[i] = e + sum c_j * x[i-1-j])
+_FLAC_FIXED = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}
+
+
+def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual: 2-bit method (4- or 5-bit params), 4-bit
+    partition order, zigzag-decoded quotient/remainder codes with the
+    all-ones escape to raw n-bit samples."""
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = bits.read(4)
+    partitions = 1 << porder
+    if blocksize % partitions:
+        raise ValueError("block size not divisible by rice partitions")
+    res: list[int] = []
+    for p in range(partitions):
+        count = (blocksize >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("bad rice partition geometry")
+        param = bits.read(pbits)
+        if param == escape:
+            raw = bits.read(5)
+            for _ in range(count):
+                res.append(bits.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = bits.read_unary()
+                v = (q << param) | bits.read(param)
+                res.append((v >> 1) ^ -(v & 1))  # zigzag
+    return res
+
+
+def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("bad subframe padding bit")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):  # wasted-bits-per-sample flag: unary k-1
+        wasted = 1 + bits.read_unary()
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        x = [bits.read_signed(bps)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        x = [bits.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        x = [bits.read_signed(bps) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        for e in res:
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coefs))
+            x.append(e + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        x = [bits.read_signed(bps) for _ in range(order)]
+        precision = bits.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [bits.read_signed(precision) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        for e in res:
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coefs)) >> shift
+            x.append(e + pred)
+    else:
+        raise ValueError(f"reserved subframe type {ftype}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def decode_flac(data: bytes) -> dict:
+    """Real decoder for native FLAC (the lossless compressed-audio format):
+    STREAMINFO metadata walk, frame headers with UTF-8 coded numbers, all
+    four subframe types (CONSTANT / VERBATIM / FIXED order 0-4 / LPC order
+    1-32), partitioned Rice residuals with escape codes, wasted bits, and
+    the left/right/mid-side stereo decorrelation modes — pure bytes, no
+    codec libraries. CRC-8/16 and MD5 trailers are parsed past, not
+    verified (corrupt streams already fail structurally). Returns the same
+    dict shape as decode_wav: float64 samples in [-1, 1], channel-averaged.
+    """
+    import numpy as np
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(data):  # metadata blocks
+        hdr = data[pos]
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if hdr & 0x7F == 0:  # STREAMINFO
+            b = data[pos + 4 : pos + 4 + size]
+            if len(b) < 18:
+                raise ValueError("truncated STREAMINFO")
+            rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+            n_ch = ((b[12] >> 1) & 0x07) + 1
+            bps = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+            total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+            streaminfo = (rate, n_ch, bps, total)
+        pos += 4 + size
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    rate, n_ch, bps, total = streaminfo
+    if rate == 0:
+        raise ValueError("bad FLAC sample rate")
+    bits = _FlacBits(data, pos)
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    decoded = 0
+    while (total == 0 or decoded < total) and bits.pos < len(data):
+        if bits.read(14) != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        bits.read_utf8()  # frame/sample number
+        if bs_code == 0:
+            raise ValueError("reserved block size code")
+        elif bs_code == 6:
+            blocksize = bits.read(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZE[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        frame_bps = _FLAC_SAMPLE_SIZE.get(ss_code, bps)
+        bits.read(8)  # header CRC-8
+        if ch_code < 8:
+            if ch_code + 1 != n_ch:
+                raise ValueError("frame/streaminfo channel mismatch")
+            sub = [_flac_subframe(bits, blocksize, frame_bps)
+                   for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            if n_ch != 2:
+                raise ValueError("stereo decorrelation needs 2 channels")
+            # the SIDE channel carries one extra bit of depth
+            extra = (0, 1) if ch_code in (8, 10) else (1, 0)
+            a = _flac_subframe(bits, blocksize, frame_bps + extra[0])
+            b = _flac_subframe(bits, blocksize, frame_bps + extra[1])
+            if ch_code == 8:  # left/side: right = left - side
+                sub = [a, [left - side for left, side in zip(a, b)]]
+            elif ch_code == 9:  # right/side: left = right + side
+                sub = [[r + s for s, r in zip(a, b)], b]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(a, b):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                sub = [left, right]
+        else:
+            raise ValueError("reserved channel assignment")
+        bits.align()
+        bits.read(16)  # frame CRC-16
+        take = blocksize
+        if total and decoded + take > total:  # last frame may overrun pad
+            take = total - decoded
+        for c in range(n_ch):
+            chans[c].extend(sub[c][:take])
+        decoded += take
+    if decoded == 0:
+        raise ValueError("empty FLAC stream")
+    x = np.array(chans, dtype=np.float64).T / float(1 << (bps - 1))
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "samples": x.mean(axis=1),
+    }
+
+
+def decode_audio(data: bytes) -> dict:
+    """Sniffing audio dispatch: RIFF/WAVE (PCM, G.711, IMA ADPCM) or
+    native FLAC — the audio twin of decode_image."""
+    if data[:4] == b"fLaC":
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 def audio_features(decoded: dict) -> dict:
     """Duration / RMS / zero-crossing rate / dominant frequency (numpy
     rFFT peak, DC excluded) from a decode_wav result — the cheap audio
@@ -1172,12 +1427,13 @@ def extract_audio_features(
     df: DataFrame,
     id_col: str = "item_id",
     bytes_col: str = "content",
-    decode_fn: Callable[[bytes], dict] = decode_wav,
+    decode_fn: Callable[[bytes], dict] = decode_audio,
     bytes_per_partition: int = 256 << 20,
 ) -> DataFrame:
     """Decode + featurize binary audio via mapInPandas — the audio twin of
     extract_image_features: same Arrow batching, same quarantine-on-raise
-    contract, bytes-based partitioning upstream."""
+    contract, bytes-based partitioning upstream. The default decoder
+    sniffs RIFF/WAVE (PCM, G.711, IMA ADPCM) vs native FLAC."""
     selected = df.select(
         F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
     )

@@ -197,17 +197,19 @@ def _audio_values() -> str:
     survey_ref="REAL audio decode/featurize (operators/multimodal.py: "
     "decode_wav — integer PCM 8/16/32-bit + G.711 mu-law/A-law LUT "
     "expansion + IMA ADPCM block predictor — through "
-    "extract_audio_features mapInPandas); closed-form VALUES oracle: "
-    "square waves at codec-exact amplitudes (duration n/rate, RMS = "
+    "extract_audio_features mapInPandas, decode_audio sniffing dispatch "
+    "incl. the native-FLAC decoder); closed-form VALUES oracle: "
+    "square waves at codec-exact amplitudes — FLAC rows are exact by "
+    "losslessness — (duration n/rate, RMS = "
     "amplitude, zero-cross (2n/P-1)/(n-1), dominant freq rate/P); ADPCM "
     "rows are constant signals (bit-exact predictor track) whose "
     "dominant_freq is FFT-noise-determined and therefore NULLed",
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import extract_audio_features
+    from ..operators.multimodal import decode_audio, extract_audio_features
 
     audio = load_media(spark)["audio"]
-    feats = extract_audio_features(audio)
+    feats = extract_audio_features(audio, decode_fn=decode_audio)
     return feats.select(
         "item_id", "n_bytes", "sample_rate", "n_channels", "n_samples",
         F.round("duration_sec", 9).alias("dur9"),

@@ -451,6 +451,84 @@ def ima_adpcm_encode(samples: list[int], n_ch: int, spb: int) -> bytes:
     return bytes(out)
 
 
+def flac_constant_square(rate: int, n: int, period: int, amp: int,
+                         n_ch: int = 1) -> bytes:
+    """Fixture-side FLAC encoder for +-amp square waves, built ONLY from
+    CONSTANT subframes: block size = period/2, so every frame is one solid
+    value per channel — a genuinely different code path from the test
+    suite's fixed-predictor/Rice encoder, and exact by construction
+    (FLAC is lossless, CONSTANT trivially so)."""
+    bs = period // 2
+    assert bs >= 16 and n % bs == 0, "blocksize must be >=16 and divide n"
+
+    class W:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def w(self, v, nbits):
+            self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+            self.n += nbits
+            while self.n >= 8:
+                self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def crc8(data):
+        c = 0
+        for b in data:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data):
+        c = 0
+        for b in data:
+            c ^= b << 8
+            for _ in range(8):
+                c = (((c << 1) ^ 0x8005) if c & 0x8000 else (c << 1)) & 0xFFFF
+        return c
+
+    hdr = W()
+    hdr.w(bs, 16)
+    hdr.w(bs, 16)
+    hdr.w(0, 24)
+    hdr.w(0, 24)
+    hdr.w(rate, 20)
+    hdr.w(n_ch - 1, 3)
+    hdr.w(15, 5)  # 16 bps
+    hdr.w(n, 36)
+    for _ in range(16):
+        hdr.w(0, 8)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(hdr.buf).to_bytes(3, "big") + bytes(hdr.buf)
+    for fno in range(n // bs):
+        val = amp if fno % 2 == 0 else -amp
+        w = W()
+        w.w(0x3FFE, 14)
+        w.w(0, 2)
+        w.w(6, 4)  # blocksize: 8-bit field
+        w.w(0, 4)  # rate from streaminfo
+        w.w(n_ch - 1, 4)  # independent channels
+        w.w(4, 3)  # 16 bps explicit
+        w.w(0, 1)
+        if fno < 0x80:  # UTF-8 coded frame number
+            w.w(fno, 8)
+        else:
+            w.w(0xC0 | (fno >> 6), 8)
+            w.w(0x80 | (fno & 0x3F), 8)
+        w.w(bs - 1, 8)
+        w.w(crc8(w.buf), 8)
+        for _ in range(n_ch):
+            w.w(0, 8)  # subframe hdr: pad 0, type CONSTANT, no wasted bits
+            w.w(val, 16)
+        if w.n:
+            w.w(0, 8 - w.n)
+        w.w(crc16(w.buf), 16)
+        out += bytes(w.buf)
+    return bytes(out)
+
+
 def _square(n: int, period: int, hi: int, lo: int) -> list[int]:
     half = period // 2
     cyc = [hi] * half + [lo] * half
@@ -564,6 +642,12 @@ def build_av_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
         stream = bytes(_square(n, period, code, code ^ 0x80))
         add_audio(aid, law, wav_container(tag, 1, rate, 8, stream),
                   rate, 1, n, period, Fraction(amp, 32768))
+    # FLAC square waves (lossless -> every feature exact, like PCM)
+    for aid, n_ch, period, amp in ((2011, 1, 32, 19993), (2012, 2, 64, 8117)):
+        n_fl = 4096
+        data = flac_constant_square(rate, n_fl, period, amp, n_ch=n_ch)
+        add_audio(aid, "flac", data, rate, n_ch, n_fl, period,
+                  Fraction(amp, 32768))
     # IMA ADPCM constants (mono + stereo)
     spb = 505
     for aid, n_ch, level in ((2009, 1, 12347), (2010, 2, -7321)):

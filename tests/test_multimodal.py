@@ -1459,3 +1459,225 @@ def test_extract_video_frame_features_dib(spark):
         assert r["n_frames"] == 4 and (r["width"], r["height"]) == (16, 16)
         exact = Fraction(sum(rgbs[k]), 3 * 255)
         assert abs(r["mean_intensity"] - float(exact)) < 1e-12
+
+
+# ---- FLAC (lossless compressed audio) ----
+
+
+class _FlacW:
+    """MSB-first bit writer for the test-side FLAC encoder."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v, n):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self):
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _crc8(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _flac_utf8(w, v):
+    if v < 0x80:
+        w.w(v, 8)
+        return
+    for n in range(1, 7):
+        if v >> (6 * n) < (1 << (6 - n)):
+            break
+    w.w((0xFF << (7 - n)) & 0xFF | (v >> (6 * n)), 8)
+    for k in range(n - 1, -1, -1):
+        w.w(0x80 | ((v >> (6 * k)) & 0x3F), 8)
+
+
+_FLAC_FIXED_COEF = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1),
+                    4: (4, -6, 4, -1)}
+
+
+def _flac_rice(w, residual, param):
+    for e in residual:
+        v = (e << 1) if e >= 0 else ((-e) << 1) - 1  # zigzag
+        w.w(0, v >> param)
+        w.w(1, 1)
+        if param:
+            w.w(v & ((1 << param) - 1), param)
+
+
+def _flac_subframe(w, x, bps, subframe, porder, escape_raw):
+    if subframe == "constant" and len(set(x)) == 1:
+        w.w(0, 1); w.w(0, 6); w.w(0, 1); w.w(x[0], bps)
+        return
+    if subframe == "verbatim":
+        w.w(0, 1); w.w(1, 6); w.w(0, 1)
+        for v in x:
+            w.w(v, bps)
+        return
+    order = int(subframe[-1])
+    w.w(0, 1); w.w(8 + order, 6); w.w(0, 1)
+    for v in x[:order]:
+        w.w(v, bps)
+    res = []
+    for i in range(order, len(x)):
+        pred = sum(c * x[i - 1 - j]
+                   for j, c in enumerate(_FLAC_FIXED_COEF[order]))
+        res.append(x[i] - pred)
+    w.w(0, 2)  # 4-bit rice params
+    w.w(porder, 4)
+    parts, idx = 1 << porder, 0
+    for p in range(parts):
+        count = (len(x) >> porder) - (order if p == 0 else 0)
+        chunk = res[idx : idx + count]
+        idx += count
+        if escape_raw is not None and p == parts - 1:
+            w.w(0xF, 4)
+            w.w(escape_raw, 5)
+            for e in chunk:
+                w.w(e, escape_raw)
+        else:
+            m = sum(abs(e) for e in chunk) / max(len(chunk), 1)
+            param = 0
+            while (1 << param) < m + 1 and param < 14:
+                param += 1
+            w.w(param, 4)
+            _flac_rice(w, chunk, param)
+
+
+def _flac_stream(chans, rate=8000, bps=16, blocksize=256, stereo_mode=None,
+                 subframe="fixed2", porder=0, escape_raw=None):
+    """Independent test-side FLAC encoder: STREAMINFO + fixed-blocksize
+    frames, FIXED/CONSTANT/VERBATIM subframes, partitioned Rice with
+    optional escape, and the three stereo decorrelation modes. Spec CRCs
+    are real (poly 0x07 / 0x8005)."""
+    n_ch, total = len(chans), len(chans[0])
+    hdr = _FlacW()
+    hdr.w(blocksize, 16); hdr.w(blocksize, 16); hdr.w(0, 24); hdr.w(0, 24)
+    hdr.w(rate, 20); hdr.w(n_ch - 1, 3); hdr.w(bps - 1, 5); hdr.w(total, 36)
+    for _ in range(16):
+        hdr.w(0, 8)  # md5 unset
+    si = hdr.bytes()
+    out = bytearray(b"fLaC") + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    for fno, off in enumerate(range(0, total, blocksize)):
+        bs = min(blocksize, total - off)
+        w = _FlacW()
+        w.w(0x3FFE, 14); w.w(0, 1); w.w(0, 1)
+        w.w(7, 4)   # blocksize as 16-bit field
+        w.w(0, 4)   # rate from streaminfo
+        w.w(n_ch - 1 if stereo_mode is None else
+            {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo_mode], 4)
+        w.w(0, 3); w.w(0, 1)  # bps from streaminfo
+        _flac_utf8(w, fno)
+        w.w(bs - 1, 16)
+        w.align()
+        w.w(_crc8(w.buf), 8)
+        blocks = [c[off : off + bs] for c in chans]
+        if stereo_mode == "left_side":
+            subs = [(blocks[0], bps),
+                    ([a - b for a, b in zip(*blocks)], bps + 1)]
+        elif stereo_mode == "right_side":
+            subs = [([a - b for a, b in zip(*blocks)], bps + 1),
+                    (blocks[1], bps)]
+        elif stereo_mode == "mid_side":
+            subs = [([(a + b) >> 1 for a, b in zip(*blocks)], bps),
+                    ([a - b for a, b in zip(*blocks)], bps + 1)]
+        else:
+            subs = [(b, bps) for b in blocks]
+        for x, sbps in subs:
+            _flac_subframe(w, x, sbps, subframe, porder, escape_raw)
+        w.align()
+        w.w(_crc16(w.buf), 16)
+        out += w.bytes()
+    return bytes(out)
+
+
+def test_flac_roundtrip_exact_all_subframe_types():
+    """FLAC is LOSSLESS: decode(encode(x)) must equal x EXACTLY for every
+    subframe type, rice partition order, and the raw-escape path."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import decode_flac
+
+    rng = np.random.default_rng(3)
+    t = np.arange(2048)
+    sig = [int(v) for v in
+           (12000 * np.sin(2 * np.pi * 200 * t / 8000)
+            + rng.integers(-50, 51, len(t))).astype(np.int64)]
+    for kw in (dict(subframe="fixed0"), dict(subframe="fixed1"),
+               dict(subframe="fixed2"), dict(subframe="fixed3"),
+               dict(subframe="fixed4", porder=2),
+               dict(subframe="verbatim"),
+               dict(subframe="fixed1", escape_raw=16)):
+        d = decode_flac(_flac_stream([sig], **kw))
+        assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+        back = np.round(d["samples"] * 32768.0).astype(np.int64)
+        assert np.array_equal(back, np.array(sig)), kw
+        # and losslessly-compressed really is smaller than verbatim
+    assert len(_flac_stream([sig], subframe="fixed2")) < len(
+        _flac_stream([sig], subframe="verbatim"))
+
+
+def test_flac_stereo_decorrelation_modes():
+    """left/side, right/side, and mid/side streams must all reconstruct
+    the same channel-averaged signal as independent coding — exactly."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import decode_flac
+
+    t = np.arange(1024)
+    left = [int(v) for v in (9000 * np.sin(2 * np.pi * 150 * t / 8000)).astype(np.int64)]
+    right = [v // 2 + 100 for v in left]
+    expect = (np.array(left, dtype=np.float64) + np.array(right)) / 2 / 32768.0
+    for mode in (None, "left_side", "right_side", "mid_side"):
+        d = decode_flac(_flac_stream([left, right], stereo_mode=mode))
+        assert d["n_channels"] == 2
+        assert np.array_equal(d["samples"], expect), mode
+
+
+def test_flac_dispatch_and_rejects():
+    import numpy as np
+    import pytest
+
+    from brontes_spark.operators.multimodal import decode_audio, decode_flac
+
+    const = _flac_stream([[1234] * 512], subframe="constant", blocksize=128)
+    d = decode_audio(const)  # sniffing dispatch: fLaC magic -> decode_flac
+    assert set(np.round(d["samples"] * 32768).astype(int)) == {1234}
+    wav = _wav_raw(1, 1, 8000, 16, b"\x00\x00" * 16)
+    assert decode_audio(wav)["sample_rate"] == 8000  # RIFF -> decode_wav
+    with pytest.raises(ValueError):
+        decode_flac(b"fLaC")  # no STREAMINFO
+    with pytest.raises(ValueError):
+        decode_flac(b"OggS not flac")
+    # corrupt frame sync after valid metadata
+    good = bytearray(_flac_stream([[5] * 256]))
+    good[42 + (len(good) - 42) // 2] ^= 0xFF  # flip a mid-stream byte
+    with pytest.raises(ValueError):
+        decode_flac(bytes(good[: len(good) - 3]))
