@@ -422,3 +422,65 @@ def sample_stratified(
         16, 10,
     ).cast("decimal(20,0)")
     return df.filter(bucket < (rate * F.lit(float(16**15))).cast("decimal(20,0)"))
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs under Hamming distance via banded LSH over a
+    fixed-width fingerprint column (SimHash, image dHash, any B-bit
+    signature): split the fingerprint into `bands` equal bands; a pair
+    within Hamming distance bands-1 must agree EXACTLY on at least one
+    band (pigeonhole), so a band-equality self-join is a COMPLETE
+    candidate generator for max_hamming <= bands-1 — the same
+    equality-join trick minhash_lsh_pairs uses, applied to Hamming space.
+    Candidates are verified with bit_count(xor) and deduped per pair.
+
+    Scale shape: candidate cost is band-bucket occupancy (a hash shuffle),
+    never all-pairs; verification is one codegen expression. Returns
+    (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits % bands:
+        raise ValueError("bands must divide the fingerprint width")
+    if max_hamming >= bands:
+        raise ValueError(
+            "banded candidate generation is only complete for "
+            "max_hamming <= bands - 1; raise bands to widen the radius"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    ).withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftrightunsigned(h, CAST(band * {width} AS INT)) & {mask}"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -78,9 +78,15 @@ def _gray_stats(px) -> dict:
 
 
 def decode_ppm(data: bytes) -> dict:
+    """Feature dict from a binary PPM payload (see decode_ppm_pixels)."""
+    return _gray_stats(decode_ppm_pixels(data))
+
+
+def decode_ppm_pixels(data: bytes):
     """Real decoder for binary PPM (P6): pure bytes + numpy, no codec libs.
 
     Full header grammar (whitespace/comment tokens), 8-bit maxval only.
+    Returns the (H, W, 3) uint8 pixel array.
     """
     import numpy as np
 
@@ -110,11 +116,17 @@ def decode_ppm(data: bytes) -> dict:
     raw = data[pos : pos + need]
     if len(raw) != need:
         raise ValueError("truncated PPM pixel data")
-    return _gray_stats(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_bmp(data: bytes) -> dict:
-    """Real decoder for uncompressed 24-bit BMP: pure bytes + numpy."""
+    """Feature dict from an uncompressed 24-bit BMP (see decode_bmp_pixels)."""
+    return _gray_stats(decode_bmp_pixels(data))
+
+
+def decode_bmp_pixels(data: bytes):
+    """Real decoder for uncompressed 24-bit BMP: pure bytes + numpy.
+    Returns the (H, W, 3) uint8 pixel array."""
     import struct
 
     import numpy as np
@@ -138,7 +150,7 @@ def decode_bmp(data: bytes) -> dict:
     px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     if not top_down:
         px = px[::-1]  # bottom-up storage
-    return _gray_stats(px)
+    return px
 
 
 #: Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
@@ -190,6 +202,11 @@ def _png_unfilter(block: bytes, h: int, stride: int, ch_b: int):
 
 
 def decode_png(data: bytes) -> dict:
+    """Feature dict from a PNG payload (see decode_png_pixels)."""
+    return _gray_stats(decode_png_pixels(data))
+
+
+def decode_png_pixels(data: bytes):
     """Real decoder for 8/16-bit gray/RGB/RGBA/palette PNG, sequential OR
     Adam7-interlaced: stdlib `zlib` inflate + the five scanline unfilters
     (None/Sub/Up/Average/Paeth), 7-pass deinterlace scatter, PLTE lookup,
@@ -269,7 +286,7 @@ def decode_png(data: bytes) -> dict:
         px = np.repeat(px, 3, axis=2)
     elif ch == 4:
         px = px[:, :, :3]  # alpha dropped for intensity stats
-    return _gray_stats(px)
+    return px
 
 
 def _gif_deinterlace(rows):
@@ -965,6 +982,88 @@ def decode_image(data: bytes) -> dict:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
     raise ValueError("unsupported container (plug a codec via decode_fn)")
+
+
+def decode_image_pixels(data: bytes):
+    """Container-sniffing pixel decode: the (H, W, 3) uint8 array behind
+    decode_image's feature dict (GIF: first frame)."""
+    if not data:
+        raise ValueError("empty payload")
+    if data.startswith(b"P6"):
+        return decode_ppm_pixels(data)
+    if data.startswith(b"BM"):
+        return decode_bmp_pixels(data)
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png_pixels(data)
+    if data.startswith(b"\xff\xd8"):
+        return decode_jpeg_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_parse_frames(data, max_frames=1)[0]
+    raise ValueError("unsupported container (plug a codec via decode_fn)")
+
+
+def image_dhash(px) -> int:
+    """64-bit difference hash (vertical-gradient dHash) from an (H, W, 3)
+    uint8 array: 9x8 grid of cell means; bit r*8+c is set iff cell (r, c)
+    is strictly darker than cell (r+1, c). Integer-EXACT: cells compare by
+    cross-multiplied integer sums, never float means, so the hash is
+    reproducible in closed form for analytically-constructed images (the
+    mm_phash_neardup oracle) and across engines. Returned as a signed
+    64-bit value (Spark/DuckDB BIGINT range)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if h < 9 or w < 8:
+        raise ValueError("image too small for a 9x8 dHash grid")
+    s = px.astype(np.int64).sum(axis=2)  # per-pixel channel sum, 0..765
+    rb = [r * h // 9 for r in range(10)]
+    cb = [c * w // 8 for c in range(9)]
+    cell = [
+        [int(s[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].sum()) for c in range(8)]
+        for r in range(9)
+    ]
+    cnt = [
+        [(rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c]) for c in range(8)]
+        for r in range(9)
+    ]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            # mean(r) < mean(r+1)  <=>  sum(r)*cnt(r+1) < sum(r+1)*cnt(r)
+            if cell[r][c] * cnt[r + 1][c] < cell[r + 1][c] * cnt[r][c]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def with_image_dhash(
+    df: DataFrame,
+    id_col: str = "item_id",
+    bytes_col: str = "content",
+    decode_fn: Callable[[bytes], object] = decode_image_pixels,
+) -> DataFrame:
+    """(item_id, dhash) per image via mapInPandas — the perceptual-hash
+    feed for hamming_neardup_pairs (operators/dedup.py): decode + hash
+    inside the partition that holds the bytes (zero shuffle), then the
+    64-bit fingerprints — not the pixels — flow into the banded Hamming
+    join. This is how image-level near-dedup stays tractable at 100 TB:
+    the heavy column never leaves the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                try:
+                    px = decode_fn(bytes(content) if content is not None else b"")
+                    v = image_dhash(px)
+                except Exception:
+                    continue  # quarantine path in production
+                out.append({"item_id": int(item_id), "dhash": v})
+            yield pd.DataFrame(out, columns=["item_id", "dhash"])
+
+    selected = df.select(
+        F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
+    )
+    return selected.mapInPandas(run, schema="item_id long, dhash long")
 
 
 #: output schema of extract_audio_features

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.text import norm_text, ws_tokens
 from ..operators.dedup import (
     exact_dedup,
+    hamming_neardup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -439,6 +440,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text", bits=32).select(
         F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+#: DuckDB twin of operators.dedup.simhash (32-bit), shared by the
+#: fingerprint gate above and the near-dup pairs gate below
+_SQL_SIMHASH = f"""
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, b.i AS b,
+             SUM(CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hv, range(0, 32) b(i)
+      GROUP BY doc_id, b.i),
+    sh AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    survey_ref="SimHash near-duplicate pairs via banded Hamming LSH "
+    "(operators/dedup.hamming_neardup_pairs: 4x8-bit bands, complete for "
+    "Hamming <= 3 by pigeonhole, bit_count verify). Oracle recomputes the "
+    "fingerprints in SQL and brute-forces ALL pairs — the gate therefore "
+    "proves the banded equality join loses nothing vs exhaustive search",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs, "doc_id", "text", bits=32)
+    return hamming_neardup_pairs(
+        fps, "id", "simhash", bits=32, bands=4, max_hamming=3
     )
 
 

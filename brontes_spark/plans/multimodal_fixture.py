@@ -220,3 +220,44 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dom9"),
     )
+
+
+def _phash_values() -> str:
+    rows = ",\n      ".join(
+        "({}, CAST({} AS BIGINT))".format(g["item_id"], g["dhash"])
+        for g in _IGOLD
+        if g["dhash"] is not None
+    )
+    return f"""
+    WITH v(item_id, dhash) AS (VALUES
+      {rows}
+    )
+    SELECT a.item_id AS id_a, b.item_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM v a JOIN v b ON a.item_id < b.item_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """
+
+
+@register(
+    "mm_phash_neardup",
+    oracle=_phash_values(),
+    survey_ref="image near-duplicate detection via perceptual hash "
+    "(operators/multimodal.image_dhash: integer-exact 9x8 vertical dHash "
+    "computed zero-shuffle next to the bytes via with_image_dhash, then "
+    "operators/dedup.hamming_neardup_pairs: banded Hamming LSH, complete "
+    "for distance <= bands-1 by pigeonhole). Oracle: closed-form dHash "
+    "VALUES (solids hash to 0, gradients to the analytic band-compare) + "
+    "a brute-force all-pairs bit_count join — proving the banded LSH path "
+    "returns EXACTLY the exhaustive answer; JPEG items excluded (IDCT "
+    "exception)",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hamming_neardup_pairs
+    from ..operators.multimodal import with_image_dhash
+
+    imgs = load_media(spark)["images"].filter(F.col("format") != "jpeg")
+    hashes = with_image_dhash(imgs)
+    return hamming_neardup_pairs(
+        hashes, "item_id", "dhash", bits=64, bands=4, max_hamming=3
+    )

@@ -48,7 +48,9 @@ DRIVER_ORDER: list[str] = [
     "mm_image_features",      # registered r6 (real-codec decode gate)
     "mm_gif_frame_sample",    # registered r6 (real multi-frame sampling)
     "mm_video_frame_sample",  # registered r6 (MJPEG/AVI sampled decode)
-    "mm_audio_features",      # registered r6 (PCM+G.711+ADPCM analytic)
+    "mm_audio_features",      # registered r6 (PCM+G.711+ADPCM+FLAC analytic)
+    "mm_phash_neardup",       # registered r6 (image dHash + hamming LSH)
+    "dedup_simhash_pairs",    # registered r6 (simhash hamming LSH pairs)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

@@ -222,40 +222,64 @@ def _solid_mean(rgb: tuple[int, int, int]) -> Fraction:
     return Fraction(s // 3, 255)
 
 
+def _dhash_gradient(w: int, h: int, step: int) -> int:
+    """Closed-form 9x8 vertical dHash of the gray-gradient image whose row
+    y is the solid value (y*step) % 256: rows are solid, so every column
+    shares one bit per row band; band means compare by exact integer
+    cross-multiplication (the per-pixel x3 channel sum and the x(w/8)
+    column width cancel on both sides)."""
+    rb = [r * h // 9 for r in range(10)]
+    sums = [sum((y * step) % 256 for y in range(rb[r], rb[r + 1]))
+            for r in range(9)]
+    cnts = [rb[r + 1] - rb[r] for r in range(9)]
+    v = 0
+    for r in range(8):
+        if sums[r] * cnts[r + 1] < sums[r + 1] * cnts[r]:
+            for c in range(8):
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def build_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
-    """Returns (image_rows, image_goldens, gif_rows, gif_goldens)."""
+    """Returns (image_rows, image_goldens, gif_rows, gif_goldens). Image
+    goldens carry an analytic perceptual hash (`dhash`) for every item
+    whose pixel statistics are closed-form: solids hash to 0 (all cells
+    equal — no strict darker-than), gradients to _dhash_gradient; JPEG
+    rows carry None (IDCT exception) and stay out of the phash gate."""
     images: list[dict] = []
     igold: list[dict] = []
     item = 0
 
-    def add(fmt: str, content: bytes, w: int, h: int, mean: Fraction | None):
+    def add(fmt: str, content: bytes, w: int, h: int, mean: Fraction | None,
+            dhash: int | None = None):
         nonlocal item
         item += 1
         images.append({"item_id": item, "format": fmt,
                        "content": bytearray(content)})
         igold.append({"item_id": item, "format": fmt, "width": w, "height": h,
-                      "mean9": _mean9(mean) if mean is not None else None})
+                      "mean9": _mean9(mean) if mean is not None else None,
+                      "dhash": dhash})
 
     for i in range(24):  # BMP solids, channel sums divisible by 3
         c = ((i * 31) % 256, (i * 57 + 10) % 256, 0)
         c = (c[0], c[1], (3 - (c[0] + c[1]) % 3) % 3)
         w, h = 48 + 2 * i, 40 + i
-        add("bmp", bmp_solid(w, h, c), w, h, _solid_mean(c))
+        add("bmp", bmp_solid(w, h, c), w, h, _solid_mean(c), dhash=0)
     for i in range(16):  # PPM solids
         g = (i * 16 + 7) % 256
         c = (g, g, g)
         w, h = 40 + i, 32 + 2 * i
-        add("ppm", ppm_solid(w, h, c), w, h, _solid_mean(c))
+        add("ppm", ppm_solid(w, h, c), w, h, _solid_mean(c), dhash=0)
     for i in range(20):  # gray gradient PNGs through every filter path
         w, h, step = 96, 96, 3 + i
         filters = [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]][i % 6]
         total = sum(((y * step) % 256) * w for y in range(h))
         add("png", png_gray_gradient(w, h, step, filters), w, h,
-            Fraction(total, w * h * 255))
+            Fraction(total, w * h * 255), dhash=_dhash_gradient(w, h, step))
     for i in range(6):  # RGB solid PNGs, Paeth/Average filtered
         c = (60 + 30 * i, 90, (3 - (150 + 30 * i) % 3) % 3 + 120)
         add("png", png_rgb_solid(64, 64, c, 3 + (i % 2)), 64, 64,
-            _solid_mean(c))
+            _solid_mean(c), dhash=0)
     for i in range(12):  # DC-only JPEGs: width/height golden, mean pytest-pinned
         v = 16 + i * 18
         w, h = 120, 104

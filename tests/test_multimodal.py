@@ -1681,3 +1681,79 @@ def test_flac_dispatch_and_rejects():
     good[42 + (len(good) - 42) // 2] ^= 0xFF  # flip a mid-stream byte
     with pytest.raises(ValueError):
         decode_flac(bytes(good[: len(good) - 3]))
+
+
+# ---- perceptual hash + banded Hamming near-dup ----
+
+
+def test_image_dhash_analytic_and_edges():
+    """dHash of a solid image is 0 (no strictly-darker cell); the gradient
+    hash equals the fixture's closed-form band-compare; small images
+    raise."""
+    import numpy as np
+    import pytest
+
+    from brontes_spark.operators.multimodal import (
+        decode_png_pixels,
+        image_dhash,
+    )
+    from brontes_spark.sources.media_fixture import (
+        _dhash_gradient,
+        png_gray_gradient,
+    )
+
+    solid = np.full((32, 40, 3), 177, dtype=np.uint8)
+    assert image_dhash(solid) == 0
+    for step in (3, 7, 11):
+        png = png_gray_gradient(96, 96, step, [0, 1, 2, 3, 4])
+        assert image_dhash(decode_png_pixels(png)) == _dhash_gradient(96, 96, step)
+    with pytest.raises(ValueError):
+        image_dhash(np.zeros((8, 8, 3), dtype=np.uint8))  # < 9 rows
+
+
+def test_hamming_neardup_pairs_equals_bruteforce(spark):
+    """Property: the banded-LSH pairs equal exhaustive all-pairs search for
+    every max_hamming <= bands-1 (pigeonhole completeness), over random
+    64-bit fingerprints engineered to contain near-dup clusters."""
+    import itertools
+    import random
+
+    from brontes_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = random.Random(11)
+    rows = []
+    base = [rng.getrandbits(64) for _ in range(12)]
+    rid = 0
+    for b in base:
+        for _ in range(rng.randrange(1, 4)):  # cluster: 0-3 flipped bits
+            v = b
+            for _ in range(rng.randrange(0, 4)):
+                v ^= 1 << rng.randrange(64)
+            rows.append((rid, v - (1 << 64) if v >= 1 << 63 else v))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, h long")
+    for max_h, bands in ((3, 4), (1, 2), (7, 8)):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_neardup_pairs(
+                df, "id", "h", bits=64, bands=bands, max_hamming=max_h
+            ).collect()
+        }
+        want = set()
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_h:
+                want.add((min(ia, ib), max(ia, ib), d))
+        assert got == want, (max_h, bands)
+
+
+def test_hamming_neardup_pairs_rejects_bad_geometry(spark):
+    import pytest
+
+    from brontes_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame([(1, 5)], "id long, h long")
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "id", "h", bits=64, bands=3)  # 64 % 3
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "id", "h", bands=4, max_hamming=4)  # incomplete
