@@ -1608,6 +1608,113 @@ def extract_image_features(
     return selected.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor resize: output pixel (i, j) takes input pixel
+    (floor(i*H/out_h), floor(j*W/out_w)). Integer-EXACT — no interpolation,
+    no rounding convention to pin — so resized statistics of analytic
+    fixtures stay closed-form (the mm_resize_features oracle). Works for
+    both down- and up-sampling."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[yi][:, xi]
+
+
+def resize_box(px, fy: int, fx: int):
+    """Area (box-filter) downsample by INTEGER factors: each output pixel is
+    floor(mean) of its fy x fx input block, per channel. The floor is the
+    pinned rounding convention (documented rather than implementation-
+    defined), keeping the result reproducible in exact integer arithmetic.
+    H must divide by fy and W by fx — the caller pads or crops first."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if fy <= 0 or fx <= 0:
+        raise ValueError("box factors must be positive")
+    if h % fy or w % fx:
+        raise ValueError("box downsample requires exact integer tiling")
+    s = (
+        px.astype(np.int64)
+        .reshape(h // fy, fy, w // fx, fx, px.shape[2])
+        .sum(axis=(1, 3))
+    )
+    return (s // (fy * fx)).astype(np.uint8)
+
+
+#: output schema of extract_resized_features: `thumb` is the resized image
+#: itself as raw interleaved RGB bytes (out_h*out_w*3) — the op is a real
+#: data transform (thumbnailing), not only a featurizer
+RESIZED_FEATURES_SCHEMA = (
+    "item_id long, format string, width int, height int, "
+    "out_w int, out_h int, mean_intensity double, thumb binary"
+)
+
+
+def extract_resized_features(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "item_id",
+    bytes_col: str = "content",
+    format_col: str = "format",
+    decode_fn: Callable[[bytes], object] = decode_image_pixels,
+) -> DataFrame:
+    """Decode -> nearest-resize -> (thumbnail bytes + intensity) in ONE
+    Arrow-batched mapInPandas pass: the resize runs inside the partition
+    that already holds the source bytes, so at 100 TB the full-resolution
+    pixels never shuffle — only out_h*out_w*3-byte thumbnails (plus
+    scalars) leave the scan. This is the standard crawl-processing shape:
+    a decode+resize landing pass feeding fixed-size tensors downstream.
+
+    Corrupt/undecodable items are dropped (quarantine sink in production).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for item_id, content, fmt in zip(
+                pdf["item_id"], pdf["content"], pdf["format"]
+            ):
+                try:
+                    px = decode_fn(bytes(content) if content is not None else b"")
+                    small = resize_nearest(px, out_h, out_w)
+                except Exception:
+                    continue  # quarantine path in production
+                gray = small.astype(np.float64).mean(axis=2) / 255.0
+                out.append(
+                    {
+                        "item_id": int(item_id),
+                        "format": fmt,
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "mean_intensity": float(gray.mean()),
+                        "thumb": np.ascontiguousarray(small).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "format", "width", "height", "out_w", "out_h",
+                    "mean_intensity", "thumb",
+                ],
+            )
+
+    selected = df.select(
+        F.col(id_col).alias("item_id"),
+        F.col(bytes_col).alias("content"),
+        F.col(format_col).alias("format"),
+    )
+    return selected.mapInPandas(run, schema=RESIZED_FEATURES_SCHEMA)
+
+
 #: output schema of extract_gif_frame_features
 GIF_FRAME_FEATURES_SCHEMA = (
     "item_id long, frame_idx int, n_frames int, width int, height int, "

@@ -222,6 +222,54 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resize_values() -> str:
+    from ..sources.media_fixture import RESIZE_H, RESIZE_W
+
+    rows = ",\n      ".join(
+        "({}, '{}', {}, {}, {})".format(
+            g["item_id"], g["format"], g["width"], g["height"],
+            f"CAST({g['rmean9']} AS DOUBLE)" if g["rmean9"] is not None
+            else "CAST(NULL AS DOUBLE)",
+        )
+        for g in _IGOLD
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id, format,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           CAST({RESIZE_W} AS INTEGER) AS out_w,
+           CAST({RESIZE_H} AS INTEGER) AS out_h,
+           rmean9
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, format, width, height, rmean9)
+    """
+
+
+@register(
+    "mm_resize_features",
+    oracle=_resize_values(),
+    survey_ref="multimodal resize (operators/multimodal.resize_nearest: "
+    "integer-exact floor index map, + resize_box area downsample) fused "
+    "with decode in one mapInPandas pass (extract_resized_features): "
+    "full-res pixels never leave the scan partition, only thumbnails + "
+    "scalars. Oracle: closed-form resized means (solids are resize-"
+    "invariant; gradients sample rows floor(i*H/out_h)); JPEG rows NULL "
+    "mean (IDCT exception), dims still checked",
+)
+def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_resized_features
+    from ..sources.media_fixture import RESIZE_H, RESIZE_W
+
+    media = load_media(spark)["images"]
+    feats = extract_resized_features(media, out_h=RESIZE_H, out_w=RESIZE_W)
+    return feats.select(
+        "item_id", "format", "width", "height", "out_w", "out_h",
+        F.when(F.col("format") == "jpeg", F.lit(None).cast("double"))
+        .otherwise(F.round("mean_intensity", 9))
+        .alias("rmean9"),
+    )
+
+
 def _phash_values() -> str:
     rows = ",\n      ".join(
         "({}, CAST({} AS BIGINT))".format(g["item_id"], g["dhash"])

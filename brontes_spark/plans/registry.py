@@ -51,6 +51,7 @@ DRIVER_ORDER: list[str] = [
     "mm_audio_features",      # registered r6 (PCM+G.711+ADPCM+FLAC analytic)
     "mm_phash_neardup",       # registered r6 (image dHash + hamming LSH)
     "dedup_simhash_pairs",    # registered r6 (simhash hamming LSH pairs)
+    "mm_resize_features",     # registered r6 (fused decode+nearest-resize)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

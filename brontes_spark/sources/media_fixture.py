@@ -222,6 +222,19 @@ def _solid_mean(rgb: tuple[int, int, int]) -> Fraction:
     return Fraction(s // 3, 255)
 
 
+#: nearest-resize target shared by the fixture goldens and mm_resize_features
+RESIZE_H, RESIZE_W = 24, 16
+
+
+def _rmean_gradient(h: int, step: int, out_h: int) -> Fraction:
+    """Closed-form mean intensity of the gray-gradient image after
+    resize_nearest to out_h rows: row i samples source row floor(i*h/out_h),
+    whose solid value is (y*step) % 256; columns are constant so out_w
+    cancels."""
+    vals = [((i * h // out_h) * step) % 256 for i in range(out_h)]
+    return Fraction(sum(vals), out_h * 255)
+
+
 def _dhash_gradient(w: int, h: int, step: int) -> int:
     """Closed-form 9x8 vertical dHash of the gray-gradient image whose row
     y is the solid value (y*step) % 256: rows are solid, so every column
@@ -251,35 +264,39 @@ def build_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
     item = 0
 
     def add(fmt: str, content: bytes, w: int, h: int, mean: Fraction | None,
-            dhash: int | None = None):
+            dhash: int | None = None, rmean: Fraction | None = None):
         nonlocal item
         item += 1
         images.append({"item_id": item, "format": fmt,
                        "content": bytearray(content)})
         igold.append({"item_id": item, "format": fmt, "width": w, "height": h,
                       "mean9": _mean9(mean) if mean is not None else None,
-                      "dhash": dhash})
+                      "dhash": dhash,
+                      "rmean9": _mean9(rmean) if rmean is not None else None})
 
     for i in range(24):  # BMP solids, channel sums divisible by 3
         c = ((i * 31) % 256, (i * 57 + 10) % 256, 0)
         c = (c[0], c[1], (3 - (c[0] + c[1]) % 3) % 3)
         w, h = 48 + 2 * i, 40 + i
-        add("bmp", bmp_solid(w, h, c), w, h, _solid_mean(c), dhash=0)
+        add("bmp", bmp_solid(w, h, c), w, h, _solid_mean(c), dhash=0,
+            rmean=_solid_mean(c))
     for i in range(16):  # PPM solids
         g = (i * 16 + 7) % 256
         c = (g, g, g)
         w, h = 40 + i, 32 + 2 * i
-        add("ppm", ppm_solid(w, h, c), w, h, _solid_mean(c), dhash=0)
+        add("ppm", ppm_solid(w, h, c), w, h, _solid_mean(c), dhash=0,
+            rmean=_solid_mean(c))
     for i in range(20):  # gray gradient PNGs through every filter path
         w, h, step = 96, 96, 3 + i
         filters = [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]][i % 6]
         total = sum(((y * step) % 256) * w for y in range(h))
         add("png", png_gray_gradient(w, h, step, filters), w, h,
-            Fraction(total, w * h * 255), dhash=_dhash_gradient(w, h, step))
+            Fraction(total, w * h * 255), dhash=_dhash_gradient(w, h, step),
+            rmean=_rmean_gradient(h, step, RESIZE_H))
     for i in range(6):  # RGB solid PNGs, Paeth/Average filtered
         c = (60 + 30 * i, 90, (3 - (150 + 30 * i) % 3) % 3 + 120)
         add("png", png_rgb_solid(64, 64, c, 3 + (i % 2)), 64, 64,
-            _solid_mean(c), dhash=0)
+            _solid_mean(c), dhash=0, rmean=_solid_mean(c))
     for i in range(12):  # DC-only JPEGs: width/height golden, mean pytest-pinned
         v = 16 + i * 18
         w, h = 120, 104

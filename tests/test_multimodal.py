@@ -1757,3 +1757,97 @@ def test_hamming_neardup_pairs_rejects_bad_geometry(spark):
         hamming_neardup_pairs(df, "id", "h", bits=64, bands=3)  # 64 % 3
     with pytest.raises(ValueError):
         hamming_neardup_pairs(df, "id", "h", bands=4, max_hamming=4)  # incomplete
+
+
+# ---- resize ----
+
+
+def test_resize_nearest_matches_bruteforce_and_edges():
+    """resize_nearest equals the per-pixel floor index map (brute force),
+    for down- and up-sampling; solid images are resize-invariant; bad
+    targets raise."""
+    import numpy as np
+    import pytest
+
+    from brontes_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.default_rng(7)
+    for (h, w), (oh, ow) in (((17, 23), (5, 9)), ((8, 8), (16, 12)),
+                             ((96, 96), (24, 16))):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = resize_nearest(px, oh, ow)
+        want = np.array(
+            [[px[(i * h) // oh, (j * w) // ow] for j in range(ow)]
+             for i in range(oh)],
+            dtype=np.uint8,
+        )
+        assert got.shape == (oh, ow, 3)
+        assert (got == want).all()
+    solid = np.full((30, 20, 3), 91, dtype=np.uint8)
+    assert (resize_nearest(solid, 7, 5) == 91).all()
+    with pytest.raises(ValueError):
+        resize_nearest(solid, 0, 5)
+
+
+def test_resize_box_floor_mean_and_gradient():
+    """resize_box equals brute-force floor(block-mean) per channel; the
+    gradient's box mean has the closed form floor(step*(fy-1)/2 + y0*step)
+    only pre-wraparound, so check against direct integer math; non-tiling
+    factors raise."""
+    import numpy as np
+    import pytest
+
+    from brontes_spark.operators.multimodal import resize_box
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(12, 8, 3), dtype=np.uint8)
+    got = resize_box(px, 3, 2)
+    for i in range(4):
+        for j in range(4):
+            blk = px[3 * i : 3 * i + 3, 2 * j : 2 * j + 2].astype(np.int64)
+            for ch in range(3):
+                assert got[i, j, ch] == blk[:, :, ch].sum() // 6
+    with pytest.raises(ValueError):
+        resize_box(px, 5, 2)  # 12 % 5 != 0
+
+
+def test_extract_resized_features_thumb_roundtrip(spark):
+    """The thumb column carries the exact resized pixels: decoding it back
+    reproduces resize_nearest(decode(content)); mean matches the fixture's
+    closed-form rmean9."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import (
+        decode_image_pixels,
+        extract_resized_features,
+        resize_nearest,
+    )
+    from brontes_spark.sources.media_fixture import (
+        RESIZE_H,
+        RESIZE_W,
+        build_media,
+        load_media,
+    )
+
+    media = load_media(spark)["images"].filter("item_id <= 45")
+    rows = {
+        r["item_id"]: r
+        for r in extract_resized_features(
+            media, out_h=RESIZE_H, out_w=RESIZE_W
+        ).collect()
+    }
+    raw = {r["item_id"]: bytes(r["content"])
+           for r in media.select("item_id", "content").collect()}
+    _, igold, _, _ = build_media()
+    gold = {g["item_id"]: g for g in igold}
+    assert set(rows) == set(raw)
+    for item_id, r in rows.items():
+        px = decode_image_pixels(raw[item_id])
+        want = resize_nearest(px, RESIZE_H, RESIZE_W)
+        got = np.frombuffer(bytes(r["thumb"]), dtype=np.uint8).reshape(
+            RESIZE_H, RESIZE_W, 3
+        )
+        assert (got == want).all()
+        g = gold[item_id]
+        if g["rmean9"] is not None:
+            assert abs(r["mean_intensity"] - float(g["rmean9"])) < 1e-9
