@@ -1497,6 +1497,212 @@ def decode_audio(data: bytes) -> dict:
     return decode_wav(data)
 
 
+# ---------------------------------------------------------------------------
+# compressed-container metadata (header walk only — NO payload decode)
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps) indexed by the 4-bit header field
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+#: MPEG-1 sample-rate table indexed by the 2-bit header field
+_MP3_RATES = [44100, 48000, 32000]
+#: samples per MPEG-1 Layer III frame
+_MP3_SPF = 1152
+
+
+def parse_mp3_metadata(data: bytes) -> dict:
+    """Typed metadata from an MP3 stream by WALKING FRAME HEADERS only —
+    the payloads (Huffman-coded subband samples) are never touched; full
+    decode remains the documented out-of-scope codec boundary. Supports an
+    optional leading ID3v2 tag (syncsafe size skip), then MPEG-1 Layer III
+    frames: length = floor(144000*kbps/rate) + padding. Duration is exact
+    rational n_frames*1152/rate, returned as (num, den) so gates can pin
+    it in closed form. Bails (ValueError) on desync — corrupt streams go
+    to quarantine, not to silently-wrong stats."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = 0
+        for b in data[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 size is not syncsafe")
+            sz = (sz << 7) | b
+        pos = 10 + sz
+    n_frames = 0
+    rate = None
+    bitrate_sum = 0
+    while pos + 4 <= len(data):
+        h = int.from_bytes(data[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (h >> 19) & 0x3 != 0x3 or (h >> 17) & 0x3 != 0x1:
+            raise ValueError("only MPEG-1 Layer III is recognized")
+        bi = (h >> 12) & 0xF
+        ri = (h >> 10) & 0x3
+        pad = (h >> 9) & 0x1
+        if bi in (0, 15) or ri == 3:
+            raise ValueError("free-format/reserved bitrate or rate")
+        if rate is None:
+            rate = _MP3_RATES[ri]
+        elif rate != _MP3_RATES[ri]:
+            raise ValueError("sample-rate change mid-stream")
+        frame_len = (144000 * _MP3_BITRATES[bi]) // rate + pad
+        bitrate_sum += _MP3_BITRATES[bi]
+        n_frames += 1
+        pos += frame_len
+    if pos != len(data) or n_frames == 0:
+        raise ValueError("trailing bytes after last MP3 frame")
+    return {
+        "container": "mp3",
+        "codec": "mp3",
+        "n_units": n_frames,
+        "sample_rate": rate,
+        "dur_num": n_frames * _MP3_SPF,
+        "dur_den": rate,
+    }
+
+
+def _mp4_children(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for ISO-BMFF boxes in
+    [start, end); size==1 means 64-bit largesize."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        four = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"box {four!r} overruns container")
+        yield four.decode("latin1"), body, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing bytes inside container box")
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """Typed metadata from an ISO-BMFF (MP4) file via the box-tree walk:
+    ftyp major brand, mvhd timescale/duration (exact rational), and per
+    trak the hdlr handler kind + stsd sample-entry fourcc. Pure structure
+    parse — no sample data is decoded (H.264/AAC payloads are the
+    documented codec boundary, same contract as parse_mp3_metadata)."""
+    brand = None
+    timescale = duration = None
+    tracks: list[str] = []
+    for four, body, bend in _mp4_children(data, 0, len(data)):
+        if four == "ftyp":
+            brand = data[body : body + 4].decode("latin1")
+        elif four == "moov":
+            for m4, mb, me in _mp4_children(data, body, bend):
+                if m4 == "mvhd":
+                    ver = data[mb]
+                    if ver == 1:
+                        timescale = int.from_bytes(data[mb + 20 : mb + 24], "big")
+                        duration = int.from_bytes(data[mb + 24 : mb + 32], "big")
+                    else:
+                        timescale = int.from_bytes(data[mb + 12 : mb + 16], "big")
+                        duration = int.from_bytes(data[mb + 16 : mb + 20], "big")
+                elif m4 == "trak":
+                    kind = codec = None
+                    for t4, tb, te in _mp4_children(data, mb, me):
+                        if t4 != "mdia":
+                            continue
+                        for d4, db, de in _mp4_children(data, tb, te):
+                            if d4 == "hdlr":
+                                kind = data[db + 8 : db + 12].decode("latin1")
+                            elif d4 == "minf":
+                                for n4, nb, ne in _mp4_children(data, db, de):
+                                    if n4 != "stbl":
+                                        continue
+                                    for s4, sb, se in _mp4_children(data, nb, ne):
+                                        if s4 == "stsd":
+                                            # version+flags, entry_count,
+                                            # then first entry: size+fourcc
+                                            codec = data[sb + 12 : sb + 16].decode("latin1")
+                    tracks.append(f"{kind}:{codec}")
+    if brand is None or timescale in (None, 0):
+        raise ValueError("not a playable ISO-BMFF file (ftyp/mvhd missing)")
+    return {
+        "container": "mp4",
+        "codec": "+".join(sorted(tracks)),
+        "n_units": len(tracks),
+        "sample_rate": None,
+        "dur_num": duration,
+        "dur_den": timescale,
+    }
+
+
+def container_metadata(data: bytes) -> dict:
+    """Sniffing metadata dispatch for compressed containers the engine
+    does NOT decode: MP4 (ISO-BMFF) and MP3 (ID3v2 or bare frame sync).
+    The cheap triage pass a 100 TB crawl runs before deciding what to
+    decode at all."""
+    if not data:
+        raise ValueError("empty payload")
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return parse_mp4_metadata(data)
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return parse_mp3_metadata(data)
+    raise ValueError("unrecognized compressed container")
+
+
+#: output schema of extract_container_metadata
+CONTAINER_METADATA_SCHEMA = (
+    "item_id long, container string, codec string, n_units int, "
+    "sample_rate int, duration double"
+)
+
+
+def extract_container_metadata(
+    df: DataFrame,
+    id_col: str = "item_id",
+    bytes_col: str = "content",
+    parse_fn: Callable[[bytes], dict] = container_metadata,
+) -> DataFrame:
+    """(item_id, container, codec, n_units, sample_rate, duration) per
+    item via mapInPandas — header walks only, so per-item cost is bytes
+    scanned through frame/box headers, not decode work. Same quarantine-
+    on-raise contract as the decode kernels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                try:
+                    m = parse_fn(bytes(content) if content is not None else b"")
+                except Exception:
+                    continue  # quarantine path in production
+                out.append(
+                    {
+                        "item_id": int(item_id),
+                        "container": m["container"],
+                        "codec": m["codec"],
+                        "n_units": m["n_units"],
+                        "sample_rate": m["sample_rate"],
+                        "duration": m["dur_num"] / m["dur_den"],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "container", "codec", "n_units",
+                    "sample_rate", "duration",
+                ],
+            )
+
+    selected = df.select(
+        F.col(id_col).alias("item_id"), F.col(bytes_col).alias("content")
+    )
+    return selected.mapInPandas(run, schema=CONTAINER_METADATA_SCHEMA)
+
+
 def audio_features(decoded: dict) -> dict:
     """Duration / RMS / zero-crossing rate / dominant frequency (numpy
     rFFT peak, DC excluded) from a decode_wav result — the cheap audio

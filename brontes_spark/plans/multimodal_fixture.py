@@ -222,6 +222,51 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _container_values() -> str:
+    from ..sources.media_fixture import build_container_media
+
+    _, cgold = build_container_media()
+    rows = ",\n      ".join(
+        "({}, '{}', '{}', {}, {}, CAST({} AS DOUBLE))".format(
+            g["item_id"], g["container"], g["codec"], g["n_units"],
+            g["sample_rate"] if g["sample_rate"] is not None
+            else "CAST(NULL AS INTEGER)",
+            g["dur9"],
+        )
+        for g in cgold
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id, container, codec,
+           CAST(n_units AS INTEGER) AS n_units,
+           CAST(sample_rate AS INTEGER) AS sample_rate, dur9
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, container, codec, n_units, sample_rate, dur9)
+    """
+
+
+@register(
+    "mm_container_metadata",
+    oracle=_container_values(),
+    survey_ref="compressed-container typed metadata (operators/multimodal."
+    "parse_mp3_metadata: MPEG-1 Layer III frame-header walk incl. ID3v2 "
+    "skip, VBR, padding; parse_mp4_metadata: ISO-BMFF box tree — ftyp/"
+    "mvhd v0+v1/largesize/hdlr/stsd) via extract_container_metadata "
+    "mapInPandas. Header walks only — H.264/AAC/MP3 payload decode is the "
+    "documented codec boundary. Oracle: closed-form VALUES (duration = "
+    "n_frames*1152/rate resp. duration/timescale by construction)",
+)
+def mm_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_container_metadata
+
+    media = load_media(spark)["containers"]
+    meta = extract_container_metadata(media)
+    return meta.select(
+        "item_id", "container", "codec", "n_units", "sample_rate",
+        F.round("duration", 9).alias("dur9"),
+    )
+
+
 def _resize_values() -> str:
     from ..sources.media_fixture import RESIZE_H, RESIZE_W
 

@@ -52,6 +52,7 @@ DRIVER_ORDER: list[str] = [
     "mm_phash_neardup",       # registered r6 (image dHash + hamming LSH)
     "dedup_simhash_pairs",    # registered r6 (simhash hamming LSH pairs)
     "mm_resize_features",     # registered r6 (fused decode+nearest-resize)
+    "mm_container_metadata",  # registered r6 (MP3/MP4 header-walk metadata)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

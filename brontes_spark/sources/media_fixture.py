@@ -704,6 +704,115 @@ def build_av_media() -> tuple[list[dict], list[dict], list[dict], list[dict]]:
 
 
 # ---------------------------------------------------------------------------
+# compressed-container fixtures (MP3 frame streams, MP4 box trees) — header
+# structure is real and exact; payloads are deliberately inert (zeros) since
+# the engine's metadata pass never decodes them
+# ---------------------------------------------------------------------------
+
+#: mirror of operators/multimodal._MP3_BITRATES/_MP3_RATES (fixture side)
+_MP3_KBPS = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_SR = [44100, 48000, 32000]
+
+
+def mp3_stream(specs: list[tuple[int, int, int]], id3_size: int | None = None) -> bytes:
+    """MPEG-1 Layer III frame stream: one (bitrate_idx, rate_idx, padding)
+    per frame, zero payloads, optional ID3v2 tag of the given body size."""
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3" + bytes([3, 0, 0])
+        out += bytes([(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                      (id3_size >> 7) & 0x7F, id3_size & 0x7F])
+        out += bytes((i * 37 + 5) % 256 for i in range(id3_size))
+    for bi, ri, pad in specs:
+        h = (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (1 << 16)
+        h |= (bi << 12) | (ri << 10) | (pad << 9) | (0x3 << 6)
+        frame_len = (144000 * _MP3_KBPS[bi]) // _MP3_SR[ri] + pad
+        out += h.to_bytes(4, "big") + bytes(frame_len - 4)
+    return bytes(out)
+
+
+def _mp4_box(four: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return (b"\x00\x00\x00\x01" + four
+                + struct.pack(">Q", len(payload) + 16) + payload)
+    return struct.pack(">I", len(payload) + 8) + four + payload
+
+
+def mp4_file(brand: bytes, timescale: int, duration: int,
+             tracks: list[tuple[bytes, bytes]], mvhd_v1: bool = False,
+             largesize_moov: bool = False) -> bytes:
+    """Minimal ISO-BMFF: ftyp + free + moov(mvhd + trak*) + mdat(junk).
+    tracks: (handler_kind, sample_entry_fourcc) pairs."""
+    ftyp = _mp4_box(b"ftyp", brand + b"\x00\x00\x02\x00" + b"isomiso2")
+    if mvhd_v1:
+        mvhd_body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                     + struct.pack(">I", timescale)
+                     + struct.pack(">Q", duration) + b"\x00" * 80)
+    else:
+        mvhd_body = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                     + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    traks = b""
+    for kind, codec in tracks:
+        hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 12 + b"t\x00")
+        entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+        stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        minf = _mp4_box(b"minf", _mp4_box(b"stbl", stsd))
+        traks += _mp4_box(b"trak", _mp4_box(b"mdia", hdlr + minf))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body) + traks,
+                    largesize=largesize_moov)
+    mdat = _mp4_box(b"mdat", bytes((i * 11) % 256 for i in range(64)))
+    return ftyp + _mp4_box(b"free", b"\x00" * 12) + moov + mdat
+
+
+def build_container_media() -> tuple[list[dict], list[dict]]:
+    """Returns (container_rows, container_goldens): every golden field is
+    closed-form from the construction parameters — duration n*1152/rate
+    (MP3) or duration/timescale (MP4) — never from running the parser."""
+    rows: list[dict] = []
+    gold: list[dict] = []
+
+    def add(item_id: int, fmt: str, content: bytes, codec: str, n_units: int,
+            sample_rate: int | None, dur: Fraction) -> None:
+        rows.append({"item_id": item_id, "format": fmt,
+                     "content": bytearray(content)})
+        gold.append({"item_id": item_id, "container": fmt, "codec": codec,
+                     "n_units": n_units, "sample_rate": sample_rate,
+                     "dur9": _mean9(dur)})
+
+    # MP3: CBR / VBR / padded / ID3-tagged, across all three sample rates
+    mp3s = [
+        (4001, [(9, 0, 0)] * 25, None),            # CBR 128k @ 44100
+        (4002, [(14, 1, 0)] * 40, None),           # CBR 320k @ 48000
+        (4003, [(1 + (k % 14), 2, 0) for k in range(33)], None),  # VBR @ 32k
+        (4004, [(9, 0, k % 2) for k in range(21)], None),  # alternating pad
+        (4005, [(5, 1, 0)] * 17, 0),               # empty ID3v2 tag
+        (4006, [(11, 0, 1)] * 29, 341),            # ID3v2 tag with body
+    ]
+    for item_id, specs, id3 in mp3s:
+        rate = _MP3_SR[specs[0][1]]
+        add(item_id, "mp3", mp3_stream(specs, id3_size=id3), "mp3",
+            len(specs), rate, Fraction(len(specs) * 1152, rate))
+
+    # MP4: video-only, audio-only, muxed, v1 mvhd, largesize moov
+    mp4s = [
+        (4101, b"isom", 90000, 123457, [(b"vide", b"avc1")], False, False),
+        (4102, b"M4A ", 44100, 977531, [(b"soun", b"mp4a")], False, False),
+        (4103, b"mp42", 1000, 73211,
+         [(b"vide", b"avc1"), (b"soun", b"mp4a")], False, False),
+        (4104, b"isom", 600, 44449,
+         [(b"soun", b"mp4a"), (b"vide", b"hvc1")], True, False),
+        (4105, b"isom", 30000, 299993, [(b"vide", b"av01")], False, True),
+    ]
+    for item_id, brand, ts, dur, tracks, v1, large in mp4s:
+        codec = "+".join(sorted(
+            f"{k.decode()}:{c.decode()}" for k, c in tracks))
+        add(item_id, "mp4",
+            mp4_file(brand, ts, dur, tracks, mvhd_v1=v1, largesize_moov=large),
+            codec, len(tracks), None, Fraction(dur, ts))
+    return rows, gold
+
+
+# ---------------------------------------------------------------------------
 # parquet materialization (same per-user atomic-rename cache pattern as
 # sources/fixtures.py: content-hashed dir, 0700, rename-or-discard)
 # ---------------------------------------------------------------------------
@@ -729,10 +838,13 @@ def load_media(spark: SparkSession) -> dict[str, DataFrame]:
     if key not in _handles:
         images, _, gifs, _ = build_media()
         avis, _, audio, _ = build_av_media()
+        containers, _ = build_container_media()
         tables = {"images": (images, 4), "gifs": (gifs, 2),
-                  "avis": (avis, 2), "audio": (audio, 2)}
+                  "avis": (avis, 2), "audio": (audio, 2),
+                  "containers": (containers, 2)}
         digest = hashlib.md5(
-            b"".join(bytes(r["content"]) for r in images + gifs + avis + audio)
+            b"".join(bytes(r["content"])
+                     for r in images + gifs + avis + audio + containers)
         ).hexdigest()[:16]
         base = _media_dir(f"v2_{digest}")
         if not os.path.isdir(base):

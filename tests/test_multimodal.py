@@ -1851,3 +1851,67 @@ def test_extract_resized_features_thumb_roundtrip(spark):
         g = gold[item_id]
         if g["rmean9"] is not None:
             assert abs(r["mean_intensity"] - float(g["rmean9"])) < 1e-9
+
+
+# ---- compressed-container metadata (header walk only) ----
+
+
+def test_mp3_metadata_analytic_and_rejects():
+    """Frame count / rate / exact duration from constructed streams (CBR,
+    VBR, padding, ID3v2); desync, rate changes, truncation, and non-
+    syncsafe ID3 sizes raise."""
+    import pytest
+
+    from brontes_spark.operators.multimodal import parse_mp3_metadata
+    from brontes_spark.sources.media_fixture import mp3_stream
+
+    m = parse_mp3_metadata(mp3_stream([(9, 0, 0)] * 25))
+    assert (m["n_units"], m["sample_rate"]) == (25, 44100)
+    assert (m["dur_num"], m["dur_den"]) == (25 * 1152, 44100)
+    vbr = mp3_stream([(1 + (k % 14), 2, k % 2) for k in range(10)], id3_size=77)
+    m = parse_mp3_metadata(vbr)
+    assert (m["n_units"], m["sample_rate"]) == (10, 32000)
+
+    with pytest.raises(ValueError):
+        parse_mp3_metadata(mp3_stream([(9, 0, 0)])[:-1])  # truncated tail
+    with pytest.raises(ValueError):
+        parse_mp3_metadata(b"\xff\xfb\x00\x00")  # free-format bitrate
+    with pytest.raises(ValueError):  # sample-rate change mid-stream
+        parse_mp3_metadata(mp3_stream([(9, 0, 0)]) + mp3_stream([(9, 1, 0)]))
+    bad_id3 = bytearray(mp3_stream([(9, 0, 0)], id3_size=5))
+    bad_id3[6] |= 0x80  # non-syncsafe size byte
+    with pytest.raises(ValueError):
+        parse_mp3_metadata(bytes(bad_id3))
+
+
+def test_mp4_metadata_box_walk_and_rejects():
+    """Brand/tracks/codecs/exact duration across mvhd v0, v1 (64-bit) and
+    largesize moov; missing mvhd and overrunning boxes raise."""
+    import pytest
+
+    from brontes_spark.operators.multimodal import (
+        container_metadata,
+        parse_mp4_metadata,
+    )
+    from brontes_spark.sources.media_fixture import mp4_file
+
+    m = parse_mp4_metadata(mp4_file(
+        b"mp42", 1000, 73211, [(b"vide", b"avc1"), (b"soun", b"mp4a")]))
+    assert m["codec"] == "soun:mp4a+vide:avc1"
+    assert (m["n_units"], m["dur_num"], m["dur_den"]) == (2, 73211, 1000)
+    m = parse_mp4_metadata(mp4_file(
+        b"isom", 600, 44449, [(b"soun", b"mp4a")], mvhd_v1=True))
+    assert (m["dur_num"], m["dur_den"]) == (44449, 600)
+    m = parse_mp4_metadata(mp4_file(
+        b"isom", 30000, 7, [(b"vide", b"av01")], largesize_moov=True))
+    assert m["codec"] == "vide:av01"
+
+    data = mp4_file(b"isom", 1000, 5, [(b"vide", b"avc1")])
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(data[:40])  # box overruns file
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(data[:32])  # ftyp only: no mvhd
+    # dispatch: ftyp at offset 4 -> mp4; 0xFFEx sync -> mp3; else reject
+    assert container_metadata(data)["container"] == "mp4"
+    with pytest.raises(ValueError):
+        container_metadata(b"\x00\x01\x02\x03" * 8)
