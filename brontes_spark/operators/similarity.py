@@ -234,6 +234,35 @@ def lsh_buckets(
     return proj.select("id", bucket.alias("bucket"))
 
 
+def _seeded_centroids(uv: DataFrame, k_clusters: int) -> DataFrame:
+    """Broadcast (cid_seed, cuvec, cn2) centroid dim: the first k_clusters
+    vectors ranked by md5(id) — a deterministic pseudo-random sample with
+    an exact SQL twin (no Lloyd iterations). TakeOrderedAndProject keeps
+    the seed selection a per-partition partial top-K even at billions of
+    ids."""
+    seeds = (
+        uv.select("id")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k_clusters)
+        .select(F.col("id").alias("cid_seed"))
+    )
+    return F.broadcast(
+        uv.join(F.broadcast(seeds), uv["id"] == seeds["cid_seed"]).select(
+            "cid_seed", F.col("uvec").alias("cuvec"), F.col("n2").alias("cn2")
+        )
+    )
+
+
+def _centroid_sims(side: DataFrame, cents: DataFrame) -> DataFrame:
+    """(.., cid_seed, sim) — broadcast NLJ of `side` against the K-row
+    centroid dim with the exact in-row dot; K rows per input row."""
+    return side.join(cents).withColumn(
+        "sim",
+        _dot("uvec", "cuvec").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -267,32 +296,12 @@ def ivf_topk(
     # 3 recomputed parquet scans + quantizations cost more).
     uv = _uvectors(df, id_col, vec_col).cache()
 
-    # first-K-by-md5 via sort+limit over the SOURCE ids (one row per vector,
-    # no component explode): Spark plans TakeOrderedAndProject (per-partition
-    # partial top-K, driver merge) — no single-partition global window even
-    # at billions of ids. Restricted to ids with non-empty vectors (uv
-    # already filters those) so a null/empty vector can never seed a dead
-    # cluster — the oracle seeds from DISTINCT comp ids, and this filter is
-    # the explode-free equivalent.
-    seeds = (
-        uv.select("id")
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(k_clusters)
-        .select(F.col("id").alias("cid_seed"))
-    )
-    cents = F.broadcast(
-        uv.join(F.broadcast(seeds), uv["id"] == seeds["cid_seed"]).select(
-            "cid_seed", F.col("uvec").alias("cuvec"), F.col("n2").alias("cn2")
-        )
-    )
-
-    def sims_to_centroids(side: DataFrame) -> DataFrame:
-        # (id, cid_seed, sim): broadcast NLJ to K centroids, in-row exact dot
-        return side.join(cents).withColumn(
-            "sim",
-            _dot("uvec", "cuvec").cast("double")
-            / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
-        )
+    # centroid seeding restricted to ids with non-empty vectors (uv already
+    # filters those) so a null/empty vector can never seed a dead cluster —
+    # the oracle seeds from DISTINCT comp ids, and uv's filter is the
+    # explode-free equivalent.
+    cents = _seeded_centroids(uv, k_clusters)
+    sims_to_centroids = lambda side: _centroid_sims(side, cents)  # noqa: E731
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     asg = (
@@ -403,4 +412,77 @@ def cosine_dup_pairs(
         )
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    k_clusters: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    then compare pairs ONLY within each cluster and drop every vector with
+    a same-cluster mate of smaller id at/above the cosine threshold.
+
+    Returns (id, cluster, kept boolean) for every vector with a valid
+    (non-empty, non-zero-quantizing) embedding.
+
+    Deviations from the paper (Abbas et al. 2023), both deterministic by
+    design: centroids are the md5-seeded pseudo-random sample of
+    _seeded_centroids (no Lloyd iterations — the whole index stays a
+    closed-form relational plan with an exact SQL twin), and the survivor
+    of a near-dup pair is the MIN id rather than the member farthest from
+    the centroid (an id is stable across reruns; a float distance argmax
+    is not).
+
+    Scale shape: clustering is what makes semantic dedup tractable — the
+    candidate self-join is per-cluster, so pair cost is sum(|cluster|^2)/2
+    instead of N^2/2. k_clusters is the dial: grow it ~N/target_cluster_size
+    (the paper uses 50k clusters for LAION-scale corpora) and the per-
+    cluster quadratic stays bounded while the assignment pass stays a
+    broadcast-NLJ over K centroid rows. The pair stream carries the two
+    micro-unit arrays only inside the in-row dot projection — one row per
+    pair, never ×dim.
+    """
+    uv = _uvectors(df, id_col, vec_col).cache()
+    cents = _seeded_centroids(uv, k_clusters)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    asg = (
+        _centroid_sims(uv.repartition(n_part, F.col("id")), cents)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid_seed").alias("cluster"))
+    )
+    withvec = asg.join(uv, "id")
+    a = withvec.select(
+        "cluster", F.col("id").alias("id_a"),
+        F.col("uvec").alias("uv_a"), F.col("n2").alias("n2_a"),
+    )
+    b = withvec.select(
+        "cluster", F.col("id").alias("id_b"),
+        F.col("uvec").alias("uv_b"), F.col("n2").alias("n2_b"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            _dot("uv_a", "uv_b").cast("double")
+            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_b")
+        .distinct()
+    )
+    return asg.join(
+        dropped, asg["id"] == dropped["id_b"], "left"
+    ).select(
+        "id", "cluster", F.col("id_b").isNull().alias("kept")
     )

@@ -814,10 +814,10 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH {_SQL_COMP},
+#: DuckDB twin of the md5-seeded centroid assignment shared by ivf_topk and
+#: semantic_dedup (operators/similarity._seeded_centroids + top-1 window):
+#: requires the `comp` CTE in scope; yields `norms` and `asg(id, cluster)`.
+_SQL_IVF_ASG = """
     norms AS (SELECT id, SUM(comp * comp) AS n2 FROM comp GROUP BY id
               HAVING SUM(comp * comp) > 0),
     seeds AS (
@@ -844,7 +844,15 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, cid_seed,
                row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid_seed ASC) AS rn
         FROM csim)
-      WHERE rn = 1),
+      WHERE rn = 1)
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    {_SQL_IVF_ASG},
     probes AS (
       SELECT id AS qid, cid_seed AS cluster FROM (
         SELECT id, cid_seed,
@@ -947,6 +955,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, planes=planes
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    {_SQL_IVF_ASG},
+    cpairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM asg a JOIN asg b USING (cluster)
+      WHERE a.id < b.id),
+    dots AS (
+      SELECT p.id_a, p.id_b, SUM(ca.comp * cb.comp) AS dot
+      FROM cpairs p
+      JOIN comp ca ON ca.id = p.id_a
+      JOIN comp cb ON cb.id = p.id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT d.id_b
+      FROM dots d
+      JOIN norms na ON na.id = d.id_a
+      JOIN norms nb ON nb.id = d.id_b
+      WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.3)
+    SELECT a.id AS vec_id, a.cluster, (dr.id_b IS NULL) AS kept
+    FROM asg a LEFT JOIN dropped dr ON dr.id_b = a.id
+    """,
+    survey_ref="SemDeDup-style semantic deduplication (operators/"
+    "similarity.semantic_dedup): md5-seeded deterministic centroids (shared "
+    "with IVF), max-cosine cluster assignment, within-cluster-only pair "
+    "comparison, min-id survivor. Candidate cost sum(|cluster|^2)/2 vs "
+    "N^2/2 — the clustering IS the scale story; the oracle recomputes the "
+    "full within-cluster pair set in SQL (threshold 0.3 exercises the plan "
+    "on the synthetic vectors, a parameter in production)",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, k_clusters=8
+    ).select(F.col("id").alias("vec_id"), "cluster", "kept")
 
 
 @register(

@@ -53,6 +53,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_simhash_pairs",    # registered r6 (simhash hamming LSH pairs)
     "mm_resize_features",     # registered r6 (fused decode+nearest-resize)
     "mm_container_metadata",  # registered r6 (MP3/MP4 header-walk metadata)
+    "dedup_semantic",         # registered r6 (SemDeDup cluster-blocked dedup)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

@@ -64,3 +64,29 @@ def test_planes_for_scale_dial():
         assert n / 2**p > 8, (n, p)  # not wildly over-partitioned
     # 10x corpus adds ~log2(10) ~ 3-4 planes
     assert 3 <= planes_for(50_000) - planes_for(5_000) <= 4
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Identical vectors always share a cluster (same assignment argmax)
+    and all but the min id are dropped; orthogonal one-hot vectors are
+    never near-duplicates of anything; zero vectors are excluded."""
+    from brontes_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    rows = []
+    dup = [0.5, 0.25, 0.0, 0.125, 0.0, 0.0, 0.0, 0.0]
+    for vid in (5, 9, 12):
+        rows.append((vid, dup))
+    for i in range(dim):  # mutually-orthogonal one-hots
+        rows.append((100 + i, [1.0 if j == i else 0.0 for j in range(dim)]))
+    rows.append((999, [0.0] * dim))  # zero vector: dropped by the n2 guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, k_clusters=4
+    ).collect()}
+
+    assert 999 not in out
+    assert out[5]["kept"] and not out[9]["kept"] and not out[12]["kept"]
+    assert len({out[v]["cluster"] for v in (5, 9, 12)}) == 1
+    for i in range(dim):
+        assert out[100 + i]["kept"]
