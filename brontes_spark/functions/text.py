@@ -78,3 +78,42 @@ def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
         counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         cur = F.regexp_replace(cur, pat, rep)
     return cur, counts
+
+
+#: HTML entity decode order: named entities first, the ampersand LAST so
+#: double-escaped sequences (&amp;lt;) decode exactly one level per pass —
+#: the standard single-pass entity semantics
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Extract visible text from HTML markup: drop <script>/<style> blocks
+    and comments, strip remaining tags to spaces, decode the common
+    entities, collapse whitespace (explicit class — see norm_text for why
+    not \\s). The crawl-pipeline landing transform that runs BEFORE every
+    text operator in this module.
+
+    Pure column expressions restricted to regex constructs Java regex and
+    RE2 evaluate identically ((?is) flags and lazy quantifiers; NO
+    backreferences — script and style strip as separate patterns because
+    RE2 has no \\1). Documented limitation, shared with every regex-based
+    extractor: a literal '>' inside an attribute value truncates that tag
+    early.
+
+    DuckDB twin: the same regexp_replace(x, pat, ' ', 'gis') chain +
+    replace() entity ladder.
+    """
+    c = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"[ \t\n\r\f\x0B]+", " "))

@@ -538,6 +538,109 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: linear quality-classifier weights in the cross-multiplied integer form
+#: (see txt_quality_classifier): fixture stand-ins for a trained model's —
+#: the engine contribution is the exact decision plumbing, not the values
+_QC_W_STOP, _QC_W_LEN, _QC_W_BIAS = 2200, 10, -165
+
+
+@register(
+    "txt_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+             {_SQL_TOKENS} AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, nc, CAST(len(toks) AS BIGINT) AS nw,
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(_ALL_STOPS)}, x))) AS BIGINT) AS ns
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST({_QC_W_STOP} * ns * nc + {_QC_W_LEN} * nc * nc
+                + {_QC_W_BIAS} * nw * nc AS BIGINT) AS margin,
+           ({_QC_W_STOP} * ns * nc + {_QC_W_LEN} * nc * nc
+            + {_QC_W_BIAS} * nw * nc) > 0 AS keep
+    FROM f
+    """,
+    survey_ref="model-based quality filtering: logistic-regression-style "
+    "linear classifier over (stopword ratio, avg word length) evaluated in "
+    "CROSS-MULTIPLIED integer form — margin_ratio has denominators "
+    "n_words*n_chars > 0, so sign(margin_ratio) == sign(integer margin) "
+    "and the keep decision (p > 0.5 <=> margin > 0, sigmoid monotone) is "
+    "bit-exact in both engines with no float, no exp. Weights are fixture "
+    "stand-ins for a trained model's; at 100 TB this is one codegen "
+    "projection, zero shuffles",
+)
+def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in _ALL_STOPS])
+    f = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("nc"),
+        ws_tokens(F.col("text")).alias("toks"),
+    ).filter(F.size("toks") > 0).select(
+        "doc_id",
+        "nc",
+        F.size("toks").cast("long").alias("nw"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: F.array_contains(stops, x))
+        ).cast("long").alias("ns"),
+    )
+    margin = (
+        F.lit(_QC_W_STOP) * F.col("ns") * F.col("nc")
+        + F.lit(_QC_W_LEN) * F.col("nc") * F.col("nc")
+        + F.lit(_QC_W_BIAS) * F.col("nw") * F.col("nc")
+    )
+    return f.select(
+        "doc_id",
+        margin.cast("long").alias("margin"),
+        (margin > 0).alias("keep"),
+    )
+
+
+@register(
+    "txt_html_extract",
+    oracle=r"""
+    SELECT doc_id,
+           md5('d' || CAST(doc_id AS VARCHAR) || ' '
+               || trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))
+               || ' "tail" &nbsp; trailing') AS fp,
+           CAST(length('d' || CAST(doc_id AS VARCHAR) || ' '
+               || trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))
+               || ' "tail" &nbsp; trailing') AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    survey_ref="HTML -> text extraction (functions/text.html_to_text: "
+    "script/style/comment drop, tag strip, entity ladder with &amp; last, "
+    "whitespace collapse — the crawl landing transform). Self-verifying "
+    "gate: each document is wrapped in a deterministic HTML page (title, "
+    "styled div, a script whose BODY contains markup, double-escaped "
+    "entities) and the oracle asserts extraction recovers EXACTLY the "
+    "original text plus the decoded visible tail — the oracle never runs "
+    "a regex over HTML, it states the functional spec",
+)
+def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<html><head><title>d'),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style type="text/css">p { color: red }</style>'
+              '<script>if (1 &lt; 2) { f("</p>") }</script></head>'
+              '<body>\n<div class="main"><p>'),
+        F.col("text"),
+        F.lit('</p><!-- note\n --> &quot;tail&quot; &amp;nbsp; trailing'
+              '</div></body></html>'),
+    )
+    extracted = html_to_text(wrapped)
+    return docs.select(
+        "doc_id",
+        F.md5(extracted).alias("fp"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
 _LANGS = ["en", "es", "de", "fr", "zh"]  # fixed precedence for argmax ties
 
 

@@ -54,6 +54,8 @@ DRIVER_ORDER: list[str] = [
     "mm_resize_features",     # registered r6 (fused decode+nearest-resize)
     "mm_container_metadata",  # registered r6 (MP3/MP4 header-walk metadata)
     "dedup_semantic",         # registered r6 (SemDeDup cluster-blocked dedup)
+    "txt_quality_classifier", # registered r6 (integer-margin linear filter)
+    "txt_html_extract",       # registered r6 (HTML->text landing transform)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

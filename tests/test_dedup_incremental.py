@@ -276,3 +276,34 @@ def test_scrub_pii_adversarial_precedence(spark):
     # confusables: no ASCII match, text unchanged (documented scope)
     assert out[4]["t"] == rows[3][1]
     assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (0, 0, 0)
+
+
+def test_html_to_text_adversarial(spark):
+    """Handcrafted markup: script bodies containing tags, multi-line
+    comments, attributes, entity decode order (&amp;lt; decodes ONE
+    level), and the documented '>'-in-attribute limitation."""
+    from pyspark.sql import functions as F
+
+    from brontes_spark.functions.text import html_to_text
+
+    cases = [
+        # script body contains closing-tag-looking markup: whole block drops
+        ('<p>keep</p><script a="b">var x = "<p>no</p>";</script>', "keep"),
+        # style + multi-line comment + nested tags
+        ("<style>p{a:1}</style>A<!-- x\n y -->B <b><i>C</i></b>", "A B C"),
+        # entity ladder: one decode level, ampersand last
+        ("1 &lt; 2 &amp;lt; &quot;q&quot; &#39;s&#39; &nbsp;.", "1 < 2 &lt; \"q\" 's' ."),
+        # whitespace collapse incl. vertical tab
+        ("a\x0b\t b\n\nc", "a b c"),
+        # documented limitation: '>' inside an attribute truncates the tag
+        ('<img alt="x > y">z', 'y">z'),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", html_to_text(F.col("html")).alias("out")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
