@@ -486,3 +486,100 @@ def semantic_dedup(
     ).select(
         "id", "cluster", F.col("id_b").isNull().alias("kept")
     )
+
+
+def _refined_centroids(uv: DataFrame, asg: DataFrame) -> DataFrame:
+    """One Lloyd update in exact integer arithmetic: the new centroid of a
+    cluster is the element-wise TRUNCATED mean of its members' micro-unit
+    components (`div` — both engines truncate toward zero, so the
+    re-quantization is engine-identical). The mean lands back on the same
+    6dp micro-unit grid as the vectors themselves (|mean| <= max |comp|),
+    so the follow-up assignment reuses _centroid_sims with the same
+    overflow bounds as the seeded pass — the whole iteration stays a
+    closed-form relational plan with an exact SQL twin. Clusters that lose
+    all members (or whose mean truncates to the zero vector) simply emit
+    no centroid row, mirrored by the oracle's HAVING guard."""
+    members = asg.join(uv, "id").select(
+        "cluster", "id", F.posexplode("uvec").alias("pos", "comp")
+    )
+    sums = members.groupBy("cluster", "pos").agg(
+        F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_pos = sums.select(
+        "cluster", "pos", F.expr("CAST(s div n AS BIGINT)").alias("ccomp")
+    )
+    cents = (
+        per_pos.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ccomp"))),
+                lambda x: x["ccomp"],
+            ).alias("cuvec")
+        )
+        .withColumn(
+            "cn2",
+            F.aggregate("cuvec", F.lit(0).cast("long"), lambda a, x: a + x * x),
+        )
+        .filter(F.col("cn2") > 0)
+        .select(F.col("cluster").alias("cid_seed"), "cuvec", "cn2")
+    )
+    return F.broadcast(cents)
+
+
+def kmeans_refine_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """Deterministic Lloyd-refined clustering: md5-seeded centroids, then
+    `iters` rounds of (assign -> exact-integer mean -> reassign). Returns
+    (id, cluster, cluster0) — the refined and the seeded assignment — so
+    callers can measure movement.
+
+    This is the index-quality upgrade for ivf_topk/semantic_dedup: the
+    seeded sample is unbiased but ignores density; one or two Lloyd rounds
+    pull centroids toward mass and equalize cluster occupancy (tighter
+    IVF probes, fewer quadratic outlier clusters for SemDeDup). Unlike
+    textbook float k-means, every step here is exact integer arithmetic
+    (truncated-mean re-quantization onto the micro-unit grid), so the
+    fixpoint of each round is bit-identical across engines, partitionings,
+    and reruns — an ITERATIVE algorithm expressed as a deterministic
+    relational plan.
+
+    Scale: each round is one explode + groupBy(cluster, pos) over N*dim
+    rows (the same shuffle family as lsh_buckets' projections) plus a
+    broadcast-NLJ reassignment; K never touches the shuffle width. Rounds
+    are a driver-side Python loop over lazy plans — `iters` is small (1-2)
+    by design, the paper-standard budget for index building.
+    """
+    uv = _uvectors(df, id_col, vec_col).cache()
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def top1(side: DataFrame, cents: DataFrame) -> DataFrame:
+        return (
+            _centroid_sims(side, cents)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("id").orderBy(
+                        F.col("sim").desc(), F.col("cid_seed").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("cid_seed").alias("cluster"))
+        )
+
+    base = uv.repartition(n_part, F.col("id"))
+    asg0 = top1(base, _seeded_centroids(uv, k_clusters))
+    asg = asg0
+    for _ in range(iters):
+        # localCheckpoint cuts the growing lineage (same pattern as the
+        # connected-components rounds in operators/graph_cc.py)
+        asg = top1(base, _refined_centroids(uv, asg)).localCheckpoint(eager=False)
+    return (
+        asg.join(asg0.withColumnRenamed("cluster", "cluster0"), "id")
+        .select("id", "cluster", "cluster0")
+    )

@@ -1061,6 +1061,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_kmeans_refine",
+    oracle=f"""
+    WITH {_SQL_COMP},
+    {_SQL_IVF_ASG},
+    rcent AS (
+      SELECT a.cluster, c.pos, CAST(SUM(c.comp) // COUNT(*) AS BIGINT) AS ccomp
+      FROM asg a JOIN comp c ON c.id = a.id
+      GROUP BY a.cluster, c.pos),
+    rn2 AS (
+      SELECT cluster, SUM(ccomp * ccomp) AS cn2 FROM rcent
+      GROUP BY cluster HAVING SUM(ccomp * ccomp) > 0),
+    rsim AS (
+      SELECT v.id, t.cluster,
+             CAST(t.dot AS DOUBLE) / sqrt(CAST(v.n2 AS DOUBLE) * CAST(r.cn2 AS DOUBLE)) AS sim
+      FROM (
+        SELECT c.id, rc.cluster, SUM(c.comp * rc.ccomp) AS dot
+        FROM comp c JOIN rcent rc ON rc.pos = c.pos
+        GROUP BY 1, 2) t
+      JOIN norms v ON v.id = t.id
+      JOIN rn2 r ON r.cluster = t.cluster),
+    rasg AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster ASC) AS rn
+        FROM rsim)
+      WHERE rn = 1)
+    SELECT r.id AS vec_id, r.cluster, a.cluster AS cluster0
+    FROM rasg r JOIN asg a USING (id)
+    """,
+    survey_ref="Lloyd-refined clustering (operators/similarity."
+    "kmeans_refine_assign): one exact-integer Lloyd round over the "
+    "md5-seeded centroids — new centroid = element-wise TRUNCATED mean "
+    "(div, identical in both engines) back onto the micro-unit grid, "
+    "then cosine reassignment. An iterative algorithm as a deterministic "
+    "relational plan; the index-quality upgrade for IVF/SemDeDup",
+)
+def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_refine_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine_assign(
+        emb, "vec_id", "embedding", k_clusters=8, iters=1
+    ).select(F.col("id").alias("vec_id"), "cluster", "cluster0")
+
+
+@register(
     "dedup_semantic",
     oracle=f"""
     WITH {_SQL_COMP},

@@ -56,6 +56,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_semantic",         # registered r6 (SemDeDup cluster-blocked dedup)
     "txt_quality_classifier", # registered r6 (integer-margin linear filter)
     "txt_html_extract",       # registered r6 (HTML->text landing transform)
+    "ann_kmeans_refine",      # registered r6 (exact-integer Lloyd round)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

@@ -90,3 +90,36 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert len({out[v]["cluster"] for v in (5, 9, 12)}) == 1
     for i in range(dim):
         assert out[100 + i]["kept"]
+
+
+def test_kmeans_refine_converges_on_planted_groups(spark):
+    """Two tight direction-groups: after one Lloyd round every member of a
+    group shares a cluster with its group-mates (the seeded sample may
+    split them; the refined mean centroids cannot), output is stable
+    across reruns, and iters=2 composes."""
+    import random
+
+    from brontes_spark.operators.similarity import kmeans_refine_assign
+
+    rng = random.Random(3)
+    rows = []
+    for vid in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if vid % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [c + rng.uniform(-0.05, 0.05) for c in base]
+        rows.append((vid, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out1 = kmeans_refine_assign(df, "vec_id", "embedding", k_clusters=2, iters=1)
+    got = {r["id"]: r["cluster"] for r in out1.collect()}
+    evens = {got[v] for v in range(0, 40, 2)}
+    odds = {got[v] for v in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+    rerun = {r["id"]: r["cluster"]
+             for r in kmeans_refine_assign(
+                 df, "vec_id", "embedding", k_clusters=2, iters=1).collect()}
+    assert rerun == got
+
+    out2 = kmeans_refine_assign(df, "vec_id", "embedding", k_clusters=2, iters=2)
+    got2 = {r["id"]: r["cluster"] for r in out2.collect()}
+    assert got2 == got  # already at the fixpoint after one round
