@@ -57,6 +57,8 @@ DRIVER_ORDER: list[str] = [
     "txt_quality_classifier", # registered r6 (integer-margin linear filter)
     "txt_html_extract",       # registered r6 (HTML->text landing transform)
     "ann_kmeans_refine",      # registered r6 (exact-integer Lloyd round)
+    "x9_funnel_stages",       # registered r6 (one-shuffle ordered funnel)
+    "x10_retention_cohorts",  # registered r6 (cohort retention matrix)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

@@ -749,3 +749,111 @@ def x5_intermediary_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "from_token", "to_token", "mid_token", to_dbl("price").alias("price")
     )
+
+
+@register(
+    "x9_funnel_stages",
+    oracle=f"""
+    WITH {EV_CTE},
+    s1 AS (SELECT user_id, MIN(ts_ns) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_ns) AS t2 FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts_ns > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts_ns) AS t3 FROM ev e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts_ns > s2.t2 GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM ev)
+    SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+    survey_ref="ordered funnel analysis (view -> click -> purchase, strictly "
+    "increasing timestamps): ONE user_id shuffle — per-user sorted event "
+    "list + an in-row aggregate fold computes all stage times, vs the "
+    "textbook 3-join formulation the oracle uses (equivalent because the "
+    "strict > makes same-timestamp tie order irrelevant: the fold's first "
+    "qualifying event IS the join's MIN). At 100 TB the single shuffle "
+    "replaces three self-join shuffles over the full event stream; the "
+    "fold is per-user linear",
+)
+def x9_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    evs = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts_ns").alias("ts"), F.col("event_type").alias("et")
+        ).alias("e"),
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+
+    def step(acc, e):
+        t1 = F.when(
+            acc["t1"].isNull() & (e["et"] == F.lit("view")), e["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull() & acc["t1"].isNotNull()
+            & (e["et"] == F.lit("click")) & (e["ts"] > acc["t1"]),
+            e["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull() & acc["t2"].isNotNull()
+            & (e["et"] == F.lit("purchase")) & (e["ts"] > acc["t2"]),
+            e["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    agg = evs.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("e")), init, step
+        ).alias("r")
+    )
+    return agg.select(
+        "user_id",
+        F.col("r.t1").alias("t1"),
+        F.col("r.t2").alias("t2"),
+        F.col("r.t3").alias("t3"),
+        F.when(F.col("r.t3").isNotNull(), 3)
+        .when(F.col("r.t2").isNotNull(), 2)
+        .when(F.col("r.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )
+
+
+@register(
+    "x10_retention_cohorts",
+    oracle=f"""
+    WITH {EV_CTE},
+    d AS (SELECT DISTINCT user_id, ts_ns // 86400000000000 AS day FROM ev),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+    FROM d JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey_ref="retention cohort matrix: cohort = each user's first active "
+    "epoch-day, n_users active per (cohort, day-offset) cell — the classic "
+    "growth-analytics rollup. Two hash aggs on the SAME user_id "
+    "partitioning (the distinct-day agg and the cohort min reuse one "
+    "shuffle; the final (cohort, offset) agg is over user-days, already "
+    "tiny). Day arithmetic is integer `div` (ns epoch / 86400e9), "
+    "identical in both engines",
+)
+def x10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    ).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
