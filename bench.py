@@ -50,7 +50,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    "ann_kmeans_refine",
     "dedup_embedding_cosine",
+    "dedup_semantic",
+    "x9_funnel_stages",
     # blockchain-native families (fixture-sized inputs — timed chiefly so
     # plan/overhead drift in the composer or the V3 replay+quote path is
     # visible round-over-round, per VERDICT r3 #6)

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.decimals import dec9
-from ..functions.hashing import md5_bit
+from ..functions.hashing import md5_bit, md5_long
 
 
 def _components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -582,4 +582,44 @@ def kmeans_refine_assign(
     return (
         asg.join(asg0.withColumnRenamed("cluster", "cluster0"), "id")
         .select("id", "cluster", "cluster0")
+    )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") bag-of-words embedding: every
+    token maps to bucket md5_60(token) % dim with a ±1 sign from an
+    independent hash bit, and the document's vector is the per-bucket
+    signed token count — the classic way to produce FIXED-dimension text
+    vectors with no vocabulary, no training, and no driver state
+    (Weinberger et al. 2009). The bridge from the text stack into the
+    similarity/dedup stack when no model embeddings exist.
+
+    Returns EXPLODED (id, pos, val) rows — only occupied buckets, exactly
+    what the `_components`-based consumers (lsh_buckets, cosine paths)
+    take as input. One token explode + one hash agg on (id, pos); integer-
+    exact, engine-deterministic. dim is the usual dial (hash collisions
+    average out under the signed sum; grow dim to cut collision variance).
+    """
+    from ..functions.text import ws_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+    )
+    hv = md5_long(F.col("tok"))
+    return (
+        toks.select(
+            "id",
+            (hv % dim).cast("int").alias("pos"),
+            F.when(F.shiftright(hv, 4) % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("id", "pos")
+        .agg(F.sum("s").cast("long").alias("val"))
     )

@@ -1061,6 +1061,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_hash_embedding",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok)
+    SELECT doc_id, CAST(hv % 16 AS INTEGER) AS pos,
+           CAST(SUM(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2
+    """,
+    survey_ref="feature-hashing text embedding (operators/similarity."
+    "feature_hash_embed): tokens -> bucket md5%dim with an independent "
+    "sign bit, vector = per-bucket signed count — fixed-dim vectors with "
+    "no vocabulary/training/driver state (the hashing trick), bridging "
+    "the text stack into the similarity/dedup stack. One explode + one "
+    "hash agg, integer-exact",
+)
+def txt_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import feature_hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_embed(docs, "doc_id", "text", dim=16).select(
+        F.col("id").alias("doc_id"), "pos", "val"
+    )
+
+
+@register(
     "ann_kmeans_refine",
     oracle=f"""
     WITH {_SQL_COMP},

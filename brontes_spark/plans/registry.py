@@ -59,6 +59,7 @@ DRIVER_ORDER: list[str] = [
     "ann_kmeans_refine",      # registered r6 (exact-integer Lloyd round)
     "x9_funnel_stages",       # registered r6 (one-shuffle ordered funnel)
     "x10_retention_cohorts",  # registered r6 (cohort retention matrix)
+    "txt_hash_embedding",     # registered r6 (hashing-trick text vectors)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",
