@@ -310,3 +310,77 @@ def test_gif_lzw_roundtrip_property(indices, min_code):
 
     stream = _lzw_encode(indices, min_code)
     assert _lzw_decode(stream, min_code, len(indices)) == indices
+
+
+def test_funnel_fold_equals_three_join_bruteforce(spark):
+    """Property behind x9_funnel_stages' one-shuffle claim: the sorted-fold
+    stage times equal the textbook 3-join formulation (first view; first
+    click strictly after it; first purchase strictly after that) on random
+    event streams INCLUDING same-timestamp ties and missing stages."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from brontes_spark.plans.timeseries import x9_funnel_stages
+
+    rng = random.Random(29)
+    rows = []
+    eid = 0
+    for user in range(40):
+        n = rng.randrange(0, 12)
+        for _ in range(n):
+            eid += 1
+            # coarse ts grid forces plenty of exact ties
+            rows.append((eid, rng.randrange(0, 6) * 1000, user,
+                         rng.choice(["view", "click", "purchase", "error"])))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, user_id long, event_type string"
+    )
+    import brontes_spark.plans.timeseries as ts_mod
+    import brontes_spark.sources.testdata as td
+
+    orig = td.load_events
+    ts_mod.load_events = lambda s, d: df
+    try:
+        got = {r["user_id"]: (r["t1"], r["t2"], r["t3"], r["stage"])
+               for r in x9_funnel_stages(spark, "ignored").collect()}
+    finally:
+        ts_mod.load_events = orig
+
+    by_user: dict[int, list] = {}
+    for _, ts, user, et in rows:
+        by_user.setdefault(user, []).append((ts, et))
+    for user, evs in by_user.items():
+        t1 = min((ts for ts, et in evs if et == "view"), default=None)
+        t2 = (min((ts for ts, et in evs if et == "click" and ts > t1),
+                  default=None) if t1 is not None else None)
+        t3 = (min((ts for ts, et in evs if et == "purchase" and ts > t2),
+                  default=None) if t2 is not None else None)
+        stage = 3 if t3 is not None else 2 if t2 is not None else \
+            1 if t1 is not None else 0
+        assert got[user] == (t1, t2, t3, stage), user
+
+
+def test_feature_hash_embed_equals_python_mirror(spark):
+    """feature_hash_embed's (pos, sign) mapping and signed counts equal a
+    direct Python md5 mirror over random token streams."""
+    import hashlib
+    import random
+
+    from brontes_spark.operators.similarity import feature_hash_embed
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id"], r["pos"]): r["val"]
+           for r in feature_hash_embed(df, "doc_id", "text", dim=16).collect()}
+
+    want: dict[tuple[int, int], int] = {}
+    for doc_id, text in rows:
+        for tok in [t for t in text.lower().split(" ") if t]:
+            hv = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            key = (doc_id, hv % 16)
+            want[key] = want.get(key, 0) + (1 if (hv >> 4) & 1 else -1)
+    assert got == want
