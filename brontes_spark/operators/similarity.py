@@ -623,3 +623,90 @@ def feature_hash_embed(
         .groupBy("id", "pos")
         .agg(F.sum("s").cast("long").alias("val"))
     )
+
+
+def hierarchical_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int,
+    nprobe_super: int = 2,
+    branch: int | None = None,
+) -> DataFrame:
+    """Two-level cluster assignment — the scale fix for the N x K
+    broadcast-NLJ that flat assignment pays (SCALE.md round-6: at k=320
+    the assignment, not the pair stage, dominates semantic_dedup).
+
+    The K md5-seeded centroids are themselves grouped under `branch`
+    (default ceil(sqrt(K))) super-centroids (the same md5-seeded sampling,
+    applied to the centroid set); a vector probes its `nprobe_super`
+    nearest supers (N x branch dots), then argmaxes only over those
+    supers' member centroids (N x nprobe_super*K/branch expected dots) —
+    total ~N*(branch + nprobe_super*K/branch) vs N*K, the classic
+    IVF-within-IVF trick.
+
+    Approximation contract: with nprobe_super >= branch the candidate set
+    is ALL centroids and the result is EXACTLY flat assignment (the pytest
+    anchor); smaller nprobe_super trades recall for the usual probe
+    miss — same dial family as ivf_topk's nprobe. Returns (id, cluster).
+    """
+    uv = _uvectors(df, id_col, vec_col).cache()
+    cents = _seeded_centroids(uv, k_clusters)
+    branch = branch or max(1, int(k_clusters ** 0.5 + 0.999999))
+
+    # super-centroids: md5-seeded sample OF THE CENTROIDS, reusing the
+    # same machinery by presenting centroids as a (id, uvec, n2) relation
+    cent_rel = cents.select(
+        F.col("cid_seed").alias("id"), F.col("cuvec").alias("uvec"),
+        F.col("cn2").alias("n2"),
+    )
+    supers = _seeded_centroids(cent_rel, branch).select(
+        F.col("cid_seed").alias("super_id"), F.col("cuvec").alias("suvec"),
+        F.col("cn2").alias("sn2"),
+    )
+
+    def top_supers(side: DataFrame, n_keep: int) -> DataFrame:
+        sims = side.join(F.broadcast(supers)).withColumn(
+            "ssim",
+            _dot("uvec", "suvec").cast("double")
+            / F.sqrt(F.col("n2").cast("double") * F.col("sn2").cast("double")),
+        )
+        return (
+            sims.withColumn(
+                "srn",
+                F.row_number().over(
+                    W.partitionBy("id").orderBy(
+                        F.col("ssim").desc(), F.col("super_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("srn") <= n_keep)
+            .select("id", "super_id")
+        )
+
+    cent_map = F.broadcast(
+        top_supers(cent_rel, 1).select(
+            F.col("id").alias("cid_seed"), "super_id"
+        ).join(cents, "cid_seed")
+    )
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    probed = top_supers(uv.repartition(n_part, F.col("id")), nprobe_super)
+    cand = probed.join(cent_map, "super_id")
+    scored = cand.join(uv, "id").withColumn(
+        "sim",
+        _dot("uvec", "cuvec").cast("double")
+        / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(
+                    F.col("sim").desc(), F.col("cid_seed").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid_seed").alias("cluster"))
+    )

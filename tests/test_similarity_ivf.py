@@ -123,3 +123,59 @@ def test_kmeans_refine_converges_on_planted_groups(spark):
     out2 = kmeans_refine_assign(df, "vec_id", "embedding", k_clusters=2, iters=2)
     got2 = {r["id"]: r["cluster"] for r in out2.collect()}
     assert got2 == got  # already at the fixpoint after one round
+
+
+def test_hierarchical_assign_exactness_anchor(spark):
+    """With nprobe_super >= branch the two-level candidate set is every
+    centroid, so the assignment EQUALS flat top-1 assignment; with
+    nprobe_super=1 it still assigns every vector to some probed-super
+    member (the documented approximation)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from brontes_spark.operators.similarity import (
+        _centroid_sims,
+        _seeded_centroids,
+        _uvectors,
+        hierarchical_assign,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uv = _uvectors(df, "vec_id", "embedding")
+    flat = {
+        r["id"]: r["cluster"]
+        for r in _centroid_sims(uv, _seeded_centroids(uv, 9))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(
+                    F.col("sim").desc(), F.col("cid_seed").asc())),
+        )
+        .filter("rn = 1")
+        .select("id", F.col("cid_seed").alias("cluster"))
+        .collect()
+    }
+    exact = {
+        r["id"]: r["cluster"]
+        for r in hierarchical_assign(
+            df, "vec_id", "embedding", k_clusters=9,
+            branch=3, nprobe_super=3,
+        ).collect()
+    }
+    assert exact == flat
+
+    approx = {
+        r["id"]: r["cluster"]
+        for r in hierarchical_assign(
+            df, "vec_id", "embedding", k_clusters=9,
+            branch=3, nprobe_super=1,
+        ).collect()
+    }
+    assert set(approx) == set(flat)  # every vector still assigned
+    agree = sum(1 for k in flat if approx[k] == flat[k])
+    assert agree >= len(flat) // 2  # probe misses exist but are a minority
