@@ -222,6 +222,50 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_LEN = 1024
+
+
+def _aframe_values() -> str:
+    rows = []
+    for g in _AGOLD:
+        nf = g["n_samples"] // _FRAME_LEN
+        for k in range(nf):
+            rows.append(
+                f"({g['item_id']}, {k}, {nf}, CAST({g['rms9']} AS DOUBLE))"
+            )
+    joined = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(n_frames AS INTEGER) AS n_frames, rms9
+    FROM (VALUES
+      {joined}
+    ) AS t(item_id, frame_idx, n_frames, rms9)
+    """
+
+
+@register(
+    "mm_audio_frames",
+    oracle=_aframe_values(),
+    survey_ref="windowed per-frame audio features (operators/multimodal."
+    "extract_audio_frames: spectrogram-style framing, floor(n/frame_len) "
+    "full frames per item, per-frame RMS/zero-cross in one mapInPandas "
+    "pass). Oracle: every fixture is a constant-|x| square wave whose "
+    "dyadic amplitude round-trips square/sqrt exactly, so per-frame RMS "
+    "equals the planted amplitude for EVERY frame boundary — the frame "
+    "grid needs no alignment with the wave period",
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_frames
+
+    audio = load_media(spark)["audio"]
+    frames = extract_audio_frames(audio, frame_len=_FRAME_LEN)
+    return frames.select(
+        "item_id", "frame_idx", "n_frames",
+        F.round("rms", 9).alias("rms9"),
+    )
+
+
 def _container_values() -> str:
     from ..sources.media_fixture import build_container_media
 

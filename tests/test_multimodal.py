@@ -1915,3 +1915,29 @@ def test_mp4_metadata_box_walk_and_rejects():
     assert container_metadata(data)["container"] == "mp4"
     with pytest.raises(ValueError):
         container_metadata(b"\x00\x01\x02\x03" * 8)
+
+
+def test_audio_frames_zero_cross_aligned(spark):
+    """When frame_len is a multiple of the square-wave period, every frame
+    carries the identical analytic zero-cross rate (2*L/P - 1)/(L - 1) and
+    RMS equals the amplitude; a partial tail (n % L != 0) is dropped."""
+    import struct
+    from fractions import Fraction
+
+    from brontes_spark.operators.multimodal import extract_audio_frames
+    from brontes_spark.sources.media_fixture import _square, wav_container
+
+    n, period, amp, L = 4096 + 100, 64, 20001, 512  # +100: partial tail
+    pcm = _square(n, period, amp, -amp)
+    wav = wav_container(1, 1, 8000, 16, struct.pack(f"<{n}h", *pcm))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "item_id long, content binary"
+    )
+    rows = extract_audio_frames(df, frame_len=L).collect()
+    assert len(rows) == n // L == 8
+    want_zc = float(Fraction(2 * L // period - 1, L - 1))
+    want_rms = amp / 32768
+    for r in rows:
+        assert r["n_frames"] == 8
+        assert abs(r["rms"] - want_rms) < 1e-12
+        assert abs(r["zero_cross"] - want_zc) < 1e-12
