@@ -421,6 +421,8 @@ def semantic_dedup(
     vec_col: str,
     threshold: float = 0.9,
     k_clusters: int = 8,
+    hierarchical: bool = False,
+    nprobe_super: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space,
     then compare pairs ONLY within each cluster and drop every vector with
@@ -447,19 +449,27 @@ def semantic_dedup(
     pair, never ×dim.
     """
     uv = _uvectors(df, id_col, vec_col).cache()
-    cents = _seeded_centroids(uv, k_clusters)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    asg = (
-        _centroid_sims(uv.repartition(n_part, F.col("id")), cents)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
-            ),
+    if hierarchical:
+        # the large-K configuration: two-level probing cuts the N x K
+        # assignment to ~N*(sqrt(K) + nprobe*K/sqrt(K)) — see
+        # hierarchical_assign for the exactness anchor and recall dial
+        asg = hierarchical_assign(
+            df, id_col, vec_col, k_clusters, nprobe_super=nprobe_super
         )
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("cid_seed").alias("cluster"))
-    )
+    else:
+        cents = _seeded_centroids(uv, k_clusters)
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        asg = (
+            _centroid_sims(uv.repartition(n_part, F.col("id")), cents)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("cid_seed").alias("cluster"))
+        )
     withvec = asg.join(uv, "id")
     a = withvec.select(
         "cluster", F.col("id").alias("id_a"),

@@ -179,3 +179,25 @@ def test_hierarchical_assign_exactness_anchor(spark):
     assert set(approx) == set(flat)  # every vector still assigned
     agree = sum(1 for k in flat if approx[k] == flat[k])
     assert agree >= len(flat) // 2  # probe misses exist but are a minority
+
+
+def test_semantic_dedup_hierarchical_exact_probe_equals_flat(spark):
+    """semantic_dedup(hierarchical=True) with nprobe_super >= branch is
+    bit-identical to the flat path (exhaustive probing == flat argmax)."""
+    import random
+
+    from brontes_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat = {(r["id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", threshold=0.3, k_clusters=9
+            ).collect()}
+    hier = {(r["id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", threshold=0.3, k_clusters=9,
+                hierarchical=True, nprobe_super=3,
+            ).collect()}
+    assert hier == flat
