@@ -840,20 +840,26 @@ def x9_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="retention cohort matrix: cohort = each user's first active "
     "epoch-day, n_users active per (cohort, day-offset) cell — the classic "
-    "growth-analytics rollup. Two hash aggs on the SAME user_id "
-    "partitioning (the distinct-day agg and the cohort min reuse one "
-    "shuffle; the final (cohort, offset) agg is over user-days, already "
-    "tiny). Day arithmetic is integer `div` (ns epoch / 86400e9), "
+    "growth-analytics rollup. ONE scan, TWO exchanges (plan-audited): an "
+    "up-front user_id repartition satisfies both the (user, day) distinct "
+    "(subset-key clustering) and the per-user cohort-min window, so no "
+    "second scan and no join; only the final tiny (cohort, offset) agg "
+    "re-shuffles. Day arithmetic is integer `div` (ns epoch / 86400e9), "
     "identical in both engines",
 )
 def x10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    d = ev.select(
-        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
-    ).distinct()
-    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        ev.select("user_id", F.expr("ts_ns div 86400000000000").alias("day"))
+        .repartition(n_part, F.col("user_id"))
+        .dropDuplicates(["user_id", "day"])
+    )
+    cohort = F.min("day").over(W.partitionBy("user_id"))
     return (
-        d.join(c, "user_id")
-        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        d.withColumn("cohort_day", cohort)
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
