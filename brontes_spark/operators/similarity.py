@@ -491,8 +491,10 @@ def semantic_dedup(
         .select("id_b")
         .distinct()
     )
+    # dropped is id-only and at most one row per duplicate — broadcast it so
+    # the keep-flag join never re-shuffles the (much larger) assignment side
     return asg.join(
-        dropped, asg["id"] == dropped["id_b"], "left"
+        F.broadcast(dropped), asg["id"] == dropped["id_b"], "left"
     ).select(
         "id", "cluster", F.col("id_b").isNull().alias("kept")
     )
