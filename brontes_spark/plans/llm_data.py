@@ -1060,6 +1060,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W, _CHUNK_STRIDE = 40, 25  # window/stride in tokens (overlap 15)
+
+
+@register(
+    "txt_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    st AS (
+      SELECT doc_id, toks, n,
+             unnest(range(1, n + 1, {_CHUNK_STRIDE})) AS start
+      FROM nn)
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(start AS INTEGER) AS start_tok,
+           CAST(LEAST({_CHUNK_W}, n - start + 1) AS INTEGER) AS n_toks,
+           md5(array_to_string(list_slice(toks, start, start + {_CHUNK_W} - 1), ' ')) AS chunk_fp
+    FROM st
+    """,
+    survey_ref="document chunking into overlapping token windows (RAG "
+    "indexing / long-document splitting): per-doc window starts via an "
+    "in-row sequence + explode, per-chunk token slice + md5 fingerprint — "
+    "all codegen column math, zero shuffles (chunk rows leave the scan "
+    "partition that holds the document). Window/stride are the usual "
+    "dials; overlap = window - stride",
+)
+def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") >= 1)
+    st = t.select(
+        "doc_id", "toks", "n",
+        F.posexplode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_W)
+    return st.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start") + 1)
+        .cast("int").alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
 @register(
     "txt_hash_embedding",
     oracle=f"""
