@@ -39,7 +39,10 @@ def register(name: str, oracle: str | None, survey_ref: str):
 #: round row and an unchanged implementation rotate to the tail (they stay
 #: covered by the local sf0.01 oracle-parity suite, tests/test_oracle_parity.py).
 DRIVER_ORDER: list[str] = [
-    # r5 curation. This list is only the TIE-BREAK inside each staleness
+    # r6 curation (18 gates registered this round lead; the automatic
+    # staleness ordering still seats them plus all 29 r4-stale gates plus 3
+    # most-stale re-checks in the 50-slot window — verified in-session).
+    # This list is only the TIE-BREAK inside each staleness
     # group of _ordered() — the primary sort key is driver history + change
     # fingerprints — so its job is to decide who gets the last window slots
     # when a group straddles the 50-entry boundary. Priority re-checks (the

@@ -41,11 +41,15 @@ from brontes_spark.operators.dedup import (
     simhash,
 )
 from brontes_spark.operators.packing import pack_sequences
+from brontes_spark.operators.dedup import hamming_neardup_pairs
 from brontes_spark.operators.similarity import (
     cosine_dup_pairs,
     cosine_topk,
+    hierarchical_assign,
     ivf_topk,
+    kmeans_refine_assign,
     lsh_buckets,
+    semantic_dedup,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,6 +163,29 @@ def main() -> None:
             d.filter((F.col("doc_id") % 97 != 0) | (F.col("doc_id") >= OFFSET)),
             d.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < OFFSET)),
             "doc_id", "text", n=3,
+        ),
+        # SemDeDup: fixed k shows the quadratic pair stage, scaled k the
+        # linear operating point (SCALE.md round-6 cluster dial)
+        "dedup_semantic_fixed_k": lambda d, e, big: semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.3, k_clusters=8
+        ),
+        "dedup_semantic_scaled_k": lambda d, e, big: semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.3,
+            k_clusters=80 if big else 8,
+            hierarchical=big, nprobe_super=3,
+        ),
+        "ann_kmeans_refine": lambda d, e, big: kmeans_refine_assign(
+            e, "vec_id", "embedding", k_clusters=25 if big else 8, iters=1
+        ),
+        "ann_hierarchical_assign": lambda d, e, big: hierarchical_assign(
+            e, "vec_id", "embedding", k_clusters=80 if big else 8,
+            nprobe_super=2,
+        ),
+        # banded Hamming over 32-bit simhash: 4x8-bit bands (the oracle
+        # geometry); SCALE.md documents the width dial separately
+        "dedup_simhash_pairs": lambda d, e, big: hamming_neardup_pairs(
+            simhash(d, "doc_id", "text", bits=32), "id", "simhash",
+            bits=32, bands=4, max_hamming=3,
         ),
         "txt_pack_sequences": lambda d, e, big: pack_sequences(
             d.select("doc_id", "lang",
