@@ -37,29 +37,74 @@ def subtree_bounds(
     tx_col: str = "tx_hash",
     idx_col: str = "trace_idx",
     path_col: str = "trace_address",
+    method: str = "window",
+    max_depth: int = 32,
 ) -> DataFrame:
-    """Adds `subtree_end` = max trace_idx within the node's subtree.
+    """Adds `subtree_end` = max trace_idx within the node's subtree —
+    the interval the reference maintains implicitly via its Node tree
+    (tree/node.rs:12-20).
 
-    Prefix self-join within tx (descendants have the node's trace_address as
-    a path prefix), then max-aggregate. Mirrors the interval the reference
-    maintains implicitly via its Node tree (tree/node.rs:12-20).
+    method="window" (default): trace_idx is the PREORDER position of the
+    frame within its tx (EVM traces are emitted depth-first), so a node's
+    descendants are CONTIGUOUS and subtree_end = (first following index
+    whose depth <= own depth) - 1, else the tx's max index. "Next at-or-
+    shallower index" is computed as one conditional running-min window
+    expression per depth level 0..max_depth — O(n * max_depth) work on a
+    single tx-shuffle, replacing the per-tx QUADRATIC prefix self-join
+    (SCALE.md §limits closed in round 6). max_depth bounds the supported
+    call depth (practical EVM traces stay far below 32; deeper frames
+    raise rather than mis-bound).
+
+    method="join": the original prefix self-join — kept for inputs whose
+    idx is NOT preorder-consistent with the path column (no contiguity
+    assumption; quadratic within a tx).
     """
-    nodes = df.select(
-        F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__idx"), F.col(path_col).alias("__path")
+    if method == "join":
+        nodes = df.select(
+            F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__idx"), F.col(path_col).alias("__path")
+        )
+        desc = df.select(
+            F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__didx"), F.col(path_col).alias("__dpath")
+        )
+        ends = (
+            nodes.join(desc, "__tx")
+            .filter(_is_prefix(F.col("__path"), F.col("__dpath")))
+            .groupBy("__tx", "__idx")
+            .agg(F.max("__didx").alias("subtree_end"))
+        )
+        return df.join(
+            ends,
+            (df[tx_col] == ends["__tx"]) & (df[idx_col] == ends["__idx"]),
+        ).drop("__tx", "__idx")
+    if method != "window":
+        raise ValueError(method)
+
+    from pyspark.sql import Window as W
+
+    depth = F.size(F.col(path_col))
+    w_after = (
+        W.partitionBy(tx_col).orderBy(idx_col).rowsBetween(1, W.unboundedFollowing)
     )
-    desc = df.select(
-        F.col(tx_col).alias("__tx"), F.col(idx_col).alias("__didx"), F.col(path_col).alias("__dpath")
+    w_tx = W.partitionBy(tx_col)
+    # nxt[d] = smallest following idx whose depth <= d; own subtree ends
+    # right before nxt[own depth]
+    nxt = F.array(*[
+        F.min(F.when(depth <= d, F.col(idx_col))).over(w_after)
+        for d in range(0, max_depth + 1)
+    ])
+    guarded = F.when(depth <= max_depth, depth).otherwise(
+        F.raise_error(F.lit(
+            f"subtree_bounds: frame deeper than max_depth={max_depth}; "
+            "raise max_depth or use method='join'"
+        )).cast("int")
     )
-    ends = (
-        nodes.join(desc, "__tx")
-        .filter(_is_prefix(F.col("__path"), F.col("__dpath")))
-        .groupBy("__tx", "__idx")
-        .agg(F.max("__didx").alias("subtree_end"))
+    return df.withColumn(
+        "subtree_end",
+        F.coalesce(
+            F.element_at(nxt, guarded + 1) - 1,
+            F.max(F.col(idx_col)).over(w_tx),
+        ),
     )
-    return df.join(
-        ends,
-        (df[tx_col] == ends["__tx"]) & (df[idx_col] == ends["__idx"]),
-    ).drop("__tx", "__idx")
 
 
 def collect_spans(
