@@ -1060,6 +1060,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT 'lang:' || lang AS key, text AS tok FROM documents
+      UNION ALL
+      SELECT 'src:' || source AS key, lang AS tok FROM documents),
+    h AS (
+      SELECT DISTINCT key, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM tok),
+    r AS (
+      SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS pos
+      FROM h),
+    sk AS (SELECT key, hv, pos FROM r WHERE pos <= 64),
+    agg AS (
+      SELECT key, COUNT(*) AS n_seen,
+             MAX(CASE WHEN pos = 64 THEN hv END) AS kth_min
+      FROM sk GROUP BY key)
+    SELECT key, CAST(n_seen AS BIGINT) AS n_seen, kth_min,
+           CAST(CASE WHEN n_seen < 64 THEN n_seen
+                ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // kth_min
+                END AS BIGINT) AS est_distinct
+    FROM agg
+    """,
+    survey_ref="KMV (k-minimum-values) distinct-count sketch (operators/"
+    "sketches.kmv_distinct): the deterministic alternative to HLL — the k "
+    "smallest md5 values per group are a pure function of the data, so "
+    "sketch AND estimate are engine-identical and partitioning-invariant "
+    "(HLL internals never hash-match across engines). Estimate "
+    "(k-1)*M div h_(k), exact-count fallback below k; per-group vocabulary "
+    "estimation: distinct TEXTS per lang (cardinality > k: exercises the "
+    "(k-1)*M div h_(k) estimator — dedup-cardinality estimation, the "
+    "pass a corpus pipeline runs before committing to a full dedup) AND "
+    "distinct langs per source (< k: the exact fallback). Map-side-"
+    "combined hash dedup + bounded rank<=k window — k rows per group "
+    "leave the shuffle",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("key"),
+        F.col("text").alias("tok"),
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("src:"), F.col("source")).alias("key"),
+            F.col("lang").alias("tok"),
+        )
+    )
+    return kmv_distinct(tok, "key", "tok", k=64)
+
+
 _CHUNK_W, _CHUNK_STRIDE = 40, 25  # window/stride in tokens (overlap 15)
 
 

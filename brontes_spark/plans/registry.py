@@ -65,6 +65,7 @@ DRIVER_ORDER: list[str] = [
     "txt_hash_embedding",     # registered r6 (hashing-trick text vectors)
     "mm_audio_frames",        # registered r6 (windowed audio framing)
     "txt_chunk_windows",      # registered r6 (RAG overlapping chunking)
+    "sketch_kmv_distinct",    # registered r6 (deterministic KMV sketch)
     "g4_univ3_state",
     "g4_univ3_tick_liquidity",
     "g4_univ3_swap_quotes",

@@ -439,3 +439,42 @@ def test_subtree_bounds_window_depth_guard(spark):
     )
     with pytest.raises(Exception, match="deeper than max_depth"):
         subtree_bounds(df, method="window", max_depth=2).collect()
+
+
+def test_kmv_sketch_accuracy_merge_and_exact_fallback(spark):
+    """KMV invariants: (a) groups under k report EXACT counts; (b) the
+    estimate lands within the ~1/sqrt(k) error band on a 5k-distinct
+    group; (c) sketches MERGE — union of two halves' sketches re-ranked
+    to k equals the full sketch (the distributed fold property)."""
+    from pyspark.sql import functions as F
+
+    from brontes_spark.operators.sketches import kmv_distinct, kmv_sketch
+
+    small = [("s", f"v{i}") for i in range(40)]
+    big = [("b", f"w{i}") for i in range(5000)]
+    df = spark.createDataFrame(small + big, "key string, v string")
+    got = {r["key"]: r for r in kmv_distinct(df, "key", "v", k=64).collect()}
+    assert got["s"]["est_distinct"] == 40 and got["s"]["n_seen"] == 40
+    assert got["b"]["n_seen"] == 64
+    assert abs(got["b"]["est_distinct"] - 5000) < 5000 * 0.4  # ~3/sqrt(64)
+
+    half1 = df.filter(F.md5("v").startswith(tuple("01234567")[0]) | True).limit(0)
+    # split deterministically by hash parity instead
+    a = df.filter(F.expr("pmod(conv(substring(md5(v), 1, 15), 16, 10), 2) = 0"))
+    b = df.filter(F.expr("pmod(conv(substring(md5(v), 1, 15), 16, 10), 2) = 1"))
+    merged = (
+        kmv_sketch(a, "key", "v", k=64)
+        .unionByName(kmv_sketch(b, "key", "v", k=64))
+        .select("key", "hv")
+    )
+    from pyspark.sql import Window as W
+
+    rerank = (
+        merged.withColumn(
+            "pos", F.row_number().over(W.partitionBy("key").orderBy("hv"))
+        )
+        .filter(F.col("pos") <= 64)
+        .select("key", "pos", "hv")
+    )
+    full = kmv_sketch(df, "key", "v", k=64).select("key", "pos", "hv")
+    assert sorted(map(tuple, rerank.collect())) == sorted(map(tuple, full.collect()))
