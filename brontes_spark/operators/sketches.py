@@ -76,3 +76,22 @@ def kmv_distinct(
         .cast("long")
         .alias("est_distinct"),
     )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge KMV sketches (outputs of kmv_sketch over disjoint or
+    overlapping slices): union the value lists, drop duplicate hashes, and
+    re-rank to the k smallest per key — the distributed fold that lets a
+    100 TB corpus sketch per-partition and combine. Union of the SAME data
+    split any way reproduces the full-data sketch exactly (property-pinned
+    in tests/test_property.py)."""
+    merged = sketches[0].select("key", "hv")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select("key", "hv"))
+    w = W.partitionBy("key").orderBy("hv")
+    return (
+        merged.distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("key", "pos", "hv")
+    )

@@ -123,3 +123,41 @@ def test_decay_vwap_rides_the_unweighted_shuffles(spark):
         pp = _plan(spark, plain)
         assert pw.count("Exchange") == pp.count("Exchange"), weighted
         assert "Python" not in pw, weighted
+
+
+def test_funnel_single_shuffle(spark):
+    """x9_funnel_stages: the sorted-fold formulation pays exactly ONE
+    exchange (the user_id groupBy) — the 3-join textbook shape would pay
+    three full-stream shuffles plus joins."""
+    plan = _plan(spark, "x9_funnel_stages")
+    assert _n_shuffles(plan) == 1
+    assert "Join" not in plan
+
+
+def test_retention_one_scan_two_exchanges(spark):
+    """x10_retention_cohorts: one parquet scan (no second-branch rescan),
+    the up-front user_id repartition serving both the (user, day) distinct
+    and the cohort-min window, plus only the final (cohort, offset) agg
+    exchange."""
+    import re
+
+    plan = _plan(spark, "x10_retention_cohorts")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert _n_shuffles(plan) == 2
+    assert "Join" not in plan
+
+
+def test_chunk_windows_zero_shuffle(spark):
+    """txt_chunk_windows: chunking is pure per-row column math — chunk rows
+    must leave the scan partition with NO exchange and NO Python."""
+    plan = _plan(spark, "txt_chunk_windows")
+    assert _n_shuffles(plan) == 0
+    assert "Python" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_and_dropped(spark):
+    """dedup_semantic: the K-row centroid dim and the dropped-id set ride
+    BroadcastExchange; no cartesian product anywhere."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

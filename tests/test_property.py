@@ -462,19 +462,12 @@ def test_kmv_sketch_accuracy_merge_and_exact_fallback(spark):
     # split deterministically by hash parity instead
     a = df.filter(F.expr("pmod(conv(substring(md5(v), 1, 15), 16, 10), 2) = 0"))
     b = df.filter(F.expr("pmod(conv(substring(md5(v), 1, 15), 16, 10), 2) = 1"))
-    merged = (
-        kmv_sketch(a, "key", "v", k=64)
-        .unionByName(kmv_sketch(b, "key", "v", k=64))
-        .select("key", "hv")
-    )
-    from pyspark.sql import Window as W
+    from brontes_spark.operators.sketches import kmv_merge
 
-    rerank = (
-        merged.withColumn(
-            "pos", F.row_number().over(W.partitionBy("key").orderBy("hv"))
-        )
-        .filter(F.col("pos") <= 64)
-        .select("key", "pos", "hv")
-    )
+    rerank = kmv_merge(
+        kmv_sketch(a, "key", "v", k=64),
+        kmv_sketch(b, "key", "v", k=64),
+        k=64,
+    ).select("key", "pos", "hv")
     full = kmv_sketch(df, "key", "v", k=64).select("key", "pos", "hv")
     assert sorted(map(tuple, rerank.collect())) == sorted(map(tuple, full.collect()))
