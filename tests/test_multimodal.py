@@ -1941,3 +1941,53 @@ def test_audio_frames_zero_cross_aligned(spark):
         assert r["n_frames"] == 8
         assert abs(r["rms"] - want_rms) < 1e-12
         assert abs(r["zero_cross"] - want_zc) < 1e-12
+
+
+def test_mp3_mp4_metadata_fuzz_property():
+    """Random valid container constructions parse to their construction
+    parameters; random byte mutations either raise ValueError or still
+    parse (never crash with anything else, never loop)."""
+    import random
+
+    from brontes_spark.operators.multimodal import (
+        container_metadata,
+        parse_mp3_metadata,
+        parse_mp4_metadata,
+    )
+    from brontes_spark.sources.media_fixture import mp3_stream, mp4_file
+
+    rng = random.Random(59)
+    for _ in range(40):
+        specs = [
+            (rng.randrange(1, 15), 2, rng.randrange(0, 2))
+            for _ in range(rng.randrange(1, 30))
+        ]
+        # pin rate index per stream (parser rejects mid-stream changes)
+        ri = rng.randrange(0, 3)
+        specs = [(b, ri, p) for b, _, p in specs]
+        id3 = rng.choice([None, 0, rng.randrange(1, 400)])
+        data = mp3_stream(specs, id3_size=id3)
+        m = parse_mp3_metadata(data)
+        assert m["n_units"] == len(specs)
+        assert m["dur_num"] == len(specs) * 1152
+
+        kinds = [(b"vide", b"avc1"), (b"soun", b"mp4a"), (b"vide", b"hvc1")]
+        tracks = [rng.choice(kinds) for _ in range(rng.randrange(1, 4))]
+        ts, dur = rng.randrange(1, 10**5), rng.randrange(1, 10**7)
+        v = mp4_file(b"isom", ts, dur, tracks, mvhd_v1=rng.random() < 0.5)
+        m = parse_mp4_metadata(v)
+        assert (m["n_units"], m["dur_num"], m["dur_den"]) == (len(tracks), dur, ts)
+
+        # mutation robustness: flip a byte / truncate — ValueError or a
+        # clean parse, nothing else
+        for payload in (data, v):
+            mut = bytearray(payload)
+            mut[rng.randrange(len(mut))] ^= 0xFF
+            try:
+                container_metadata(bytes(mut))
+            except ValueError:
+                pass
+            try:
+                container_metadata(bytes(payload[: rng.randrange(len(payload))]))
+            except ValueError:
+                pass
