@@ -779,51 +779,13 @@ def x5_intermediary_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fold is per-user linear",
 )
 def x9_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_stage_times
+
     ev = load_events(spark, sf_dir)
-    evs = ev.select(
-        "user_id",
-        F.struct(
-            F.col("ts_ns").alias("ts"), F.col("event_type").alias("et")
-        ).alias("e"),
-    )
-    init = F.struct(
-        F.lit(None).cast("long").alias("t1"),
-        F.lit(None).cast("long").alias("t2"),
-        F.lit(None).cast("long").alias("t3"),
-    )
-
-    def step(acc, e):
-        t1 = F.when(
-            acc["t1"].isNull() & (e["et"] == F.lit("view")), e["ts"]
-        ).otherwise(acc["t1"])
-        t2 = F.when(
-            acc["t2"].isNull() & acc["t1"].isNotNull()
-            & (e["et"] == F.lit("click")) & (e["ts"] > acc["t1"]),
-            e["ts"],
-        ).otherwise(acc["t2"])
-        t3 = F.when(
-            acc["t3"].isNull() & acc["t2"].isNotNull()
-            & (e["et"] == F.lit("purchase")) & (e["ts"] > acc["t2"]),
-            e["ts"],
-        ).otherwise(acc["t3"])
-        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
-
-    agg = evs.groupBy("user_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("e")), init, step
-        ).alias("r")
-    )
-    return agg.select(
-        "user_id",
-        F.col("r.t1").alias("t1"),
-        F.col("r.t2").alias("t2"),
-        F.col("r.t3").alias("t3"),
-        F.when(F.col("r.t3").isNotNull(), 3)
-        .when(F.col("r.t2").isNotNull(), 2)
-        .when(F.col("r.t1").isNotNull(), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("stage"),
+    # prefilter=False: every user appears (stage 0 for never-entered) in
+    # the same single shuffle — matches the oracle's DISTINCT-user spine
+    return funnel_stage_times(
+        ev, ["view", "click", "purchase"], prefilter=False
     )
 
 

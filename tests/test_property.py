@@ -471,3 +471,56 @@ def test_kmv_sketch_accuracy_merge_and_exact_fallback(spark):
     ).select("key", "pos", "hv")
     full = kmv_sketch(df, "key", "v", k=64).select("key", "pos", "hv")
     assert sorted(map(tuple, rerank.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_funnel_n_stage_general_and_prefilter(spark):
+    """The generalized N-stage funnel equals brute force for a 4-stage
+    sequence; prefilter=True drops keys with no stage events,
+    prefilter=False keeps them at stage 0 with identical stage times."""
+    import random
+
+    from brontes_spark.operators.funnel import funnel_stage_times
+
+    rng = random.Random(67)
+    stages = ["a", "b", "c", "d"]
+    rows = []
+    eid = 0
+    for user in range(30):
+        for _ in range(rng.randrange(0, 15)):
+            eid += 1
+            rows.append((eid, rng.randrange(0, 5) * 100, user,
+                         rng.choice(stages + ["x", "y"])))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, user_id long, event_type string"
+    )
+    full = {r["user_id"]: r for r in funnel_stage_times(
+        df, stages, prefilter=False).collect()}
+    pre = {r["user_id"]: r for r in funnel_stage_times(
+        df, stages, prefilter=True).collect()}
+
+    by_user: dict[int, list] = {}
+    users = set()
+    for _, ts, user, et in rows:
+        users.add(user)
+        by_user.setdefault(user, []).append((ts, et))
+    for user in users:
+        evs = by_user[user]
+        prev = None
+        want = []
+        for sname in stages:
+            cand = [ts for ts, et in evs
+                    if et == sname and (prev is None or ts > prev)]
+            prev = min(cand) if cand else None
+            want.append(prev)
+            if prev is None:
+                want += [None] * (len(stages) - len(want))
+                break
+        stage = sum(1 for t in want if t is not None)
+        got = full[user]
+        assert [got[f"t{i}"] for i in range(1, 5)] == want, user
+        assert got["stage"] == stage
+        has_stage_events = any(et in stages for _, et in evs)
+        if has_stage_events:
+            assert pre[user].asDict() == got.asDict()
+        else:
+            assert user not in pre
