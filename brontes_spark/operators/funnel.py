@@ -38,17 +38,24 @@ def funnel_stage_times(
     prefilter=True (the 100 TB default) drops non-stage event types before
     the shuffle — keys with NO stage events then emit no row. Pass False
     to keep every key present (all-null times, stage 0) in one shuffle
-    with no extra distinct/join — the driver gate's configuration."""
+    with no extra distinct/join — the driver gate's configuration. Either
+    way only STAGE events enter the per-key array (prefilter=False wraps
+    non-stage rows in a null struct that collect_list skips), so the
+    collect_list row is bounded by the key's stage-event count, never its
+    full event history."""
     n = len(stages)
     if n == 0:
         raise ValueError("at least one funnel stage required")
-    src = df.filter(F.col(type_col).isin(list(stages))) if prefilter else df
-    evs = src.select(
-        F.col(key_col).alias("key"),
-        F.struct(
-            F.col(ts_col).alias("ts"), F.col(type_col).alias("et")
-        ).alias("e"),
+    e_struct = F.struct(
+        F.col(ts_col).alias("ts"), F.col(type_col).alias("et")
     )
+    if prefilter:
+        src = df.filter(F.col(type_col).isin(list(stages)))
+        e_col = e_struct
+    else:
+        src = df
+        e_col = F.when(F.col(type_col).isin(list(stages)), e_struct)
+    evs = src.select(F.col(key_col).alias("key"), e_col.alias("e"))
     init = F.struct(
         *[F.lit(None).cast("long").alias(f"t{i}") for i in range(1, n + 1)]
     )

@@ -57,7 +57,11 @@ def subtree_bounds(
 
     method="join": the original prefix self-join — kept for inputs whose
     idx is NOT preorder-consistent with the path column (no contiguity
-    assumption; quadratic within a tx).
+    assumption; quadratic within a tx). The two methods also differ on
+    MALFORMED input with several depth-0 rows per tx (duplicate empty
+    paths): the join's empty-prefix rule spans them all, the window method
+    bounds each at its next depth-0 sibling — well-formed traces have one
+    root, so the divergence only exists off-contract.
     """
     if method == "join":
         nodes = df.select(
@@ -114,11 +118,13 @@ def collect_spans(
     type_col: str = "action_type",
     tx_col: str = "tx_hash",
     idx_col: str = "trace_idx",
+    **subtree_kwargs,
 ) -> DataFrame:
     """T2: subtree roots whose descendant set contains all/any of
     `required_types`. Returns the root rows + `span_types` (distinct types
-    in the span)."""
-    b = subtree_bounds(df, tx_col=tx_col, idx_col=idx_col)
+    in the span). Extra kwargs (method=, max_depth=) forward to
+    subtree_bounds so deep or non-preorder traces stay reachable."""
+    b = subtree_bounds(df, tx_col=tx_col, idx_col=idx_col, **subtree_kwargs)
     members = df.select(
         F.col(tx_col).alias("__tx"),
         F.col(idx_col).alias("__midx"),
@@ -147,12 +153,14 @@ def absorb_children(
     tx_col: str = "tx_hash",
     idx_col: str = "trace_idx",
     type_col: str = "action_type",
+    **subtree_kwargs,
 ) -> DataFrame:
     """C7: parents of `parent_types` absorb descendant rows of `child_types`
     (deepest parent wins, matching the reference's deepest-first processing);
     returns the input with absorbed children removed and parents gaining
-    `child_idxs` (sorted trace_idx array of what they absorbed)."""
-    b = subtree_bounds(df, tx_col=tx_col, idx_col=idx_col)
+    `child_idxs` (sorted trace_idx array of what they absorbed). Extra
+    kwargs (method=, max_depth=) forward to subtree_bounds."""
+    b = subtree_bounds(df, tx_col=tx_col, idx_col=idx_col, **subtree_kwargs)
     parents = b.filter(F.col(type_col).isin(list(parent_types))).select(
         F.col(tx_col).alias("__tx"),
         F.col(idx_col).alias("__pidx"),

@@ -1530,7 +1530,6 @@ def parse_mp3_metadata(data: bytes) -> dict:
         pos = 10 + sz
     n_frames = 0
     rate = None
-    bitrate_sum = 0
     while pos + 4 <= len(data):
         h = int.from_bytes(data[pos : pos + 4], "big")
         if (h >> 21) & 0x7FF != 0x7FF:
@@ -1547,7 +1546,6 @@ def parse_mp3_metadata(data: bytes) -> dict:
         elif rate != _MP3_RATES[ri]:
             raise ValueError("sample-rate change mid-stream")
         frame_len = (144000 * _MP3_BITRATES[bi]) // rate + pad
-        bitrate_sum += _MP3_BITRATES[bi]
         n_frames += 1
         pos += frame_len
     if pos != len(data) or n_frames == 0:
@@ -1624,6 +1622,11 @@ def parse_mp4_metadata(data: bytes) -> dict:
                                             # version+flags, entry_count,
                                             # then first entry: size+fourcc
                                             codec = data[sb + 12 : sb + 16].decode("latin1")
+                    if kind is None or codec is None:
+                        raise ValueError(
+                            "trak missing hdlr/stsd — quarantine, not "
+                            "silently-typed metadata"
+                        )
                     tracks.append(f"{kind}:{codec}")
     if brand is None or timescale in (None, 0):
         raise ValueError("not a playable ISO-BMFF file (ftyp/mvhd missing)")

@@ -454,7 +454,7 @@ def semantic_dedup(
         # assignment to ~N*(sqrt(K) + nprobe*K/sqrt(K)) — see
         # hierarchical_assign for the exactness anchor and recall dial
         asg = hierarchical_assign(
-            df, id_col, vec_col, k_clusters, nprobe_super=nprobe_super
+            df, id_col, vec_col, k_clusters, nprobe_super=nprobe_super, uv=uv
         )
     else:
         cents = _seeded_centroids(uv, k_clusters)
@@ -491,10 +491,13 @@ def semantic_dedup(
         .select("id_b")
         .distinct()
     )
-    # dropped is id-only and at most one row per duplicate — broadcast it so
-    # the keep-flag join never re-shuffles the (much larger) assignment side
+    # NO broadcast hint on dropped: it holds one id per duplicate, which on
+    # a real dedup corpus is O(N) (SemDeDup drops 30-50%) — a forced
+    # broadcast would OOM at exactly the scale this operator targets. AQE
+    # broadcasts it at runtime when it IS small; otherwise the join
+    # shuffles on id like the other member joins.
     return asg.join(
-        F.broadcast(dropped), asg["id"] == dropped["id_b"], "left"
+        dropped, asg["id"] == dropped["id_b"], "left"
     ).select(
         "id", "cluster", F.col("id_b").isNull().alias("kept")
     )
@@ -628,7 +631,11 @@ def feature_hash_embed(
         toks.select(
             "id",
             (hv % dim).cast("int").alias("pos"),
-            F.when(F.shiftright(hv, 4) % 2 == 1, F.lit(1))
+            # sign from bit 40: INDEPENDENT of the bucket (hv % dim uses
+            # the low bits) for any dim < 2^40 — a low sign bit would make
+            # all of a bucket's collisions share one sign and add instead
+            # of cancelling, the property the signed sum exists for
+            F.when(F.shiftright(hv, 40) % 2 == 1, F.lit(1))
             .otherwise(F.lit(-1))
             .alias("s"),
         )
@@ -644,6 +651,7 @@ def hierarchical_assign(
     k_clusters: int,
     nprobe_super: int = 2,
     branch: int | None = None,
+    uv: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level cluster assignment — the scale fix for the N x K
     broadcast-NLJ that flat assignment pays (SCALE.md round-6: at k=320

@@ -1170,7 +1170,7 @@ def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok)
     SELECT doc_id, CAST(hv % 16 AS INTEGER) AS pos,
-           CAST(SUM(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS val
+           CAST(SUM(CASE WHEN (hv >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS val
     FROM h GROUP BY 1, 2
     """,
     survey_ref="feature-hashing text embedding (operators/similarity."
