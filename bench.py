@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -101,7 +102,7 @@ def main() -> None:
             q[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
         samples.sort()
-        med = samples[len(samples) // 2]
+        med = statistics.median(samples)
         timings[name] = round(samples[0], 3)
         medians[name] = round(med, 3)
         noise[name] = round(med / samples[0], 2) if samples[0] > 0 else 1.0

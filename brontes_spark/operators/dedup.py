@@ -445,6 +445,11 @@ def hamming_neardup_pairs(
     never all-pairs; verification is one codegen expression. Returns
     (id_a, id_b, hamming) with id_a < id_b.
     """
+    if not 0 < bits <= 64:
+        raise ValueError(
+            "fingerprints must fit a 64-bit long (the cast would silently "
+            "truncate wider hashes and void the completeness guarantee)"
+        )
     if bits % bands:
         raise ValueError("bands must divide the fingerprint width")
     if max_hamming >= bands:

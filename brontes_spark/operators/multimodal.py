@@ -305,15 +305,21 @@ def _gif_deinterlace(rows):
     return out
 
 
-def gif_parse_frames(data: bytes, max_frames: int | None = None):
+def gif_parse_frames(data: bytes, max_frames: int | None = None,
+                     indices=None):
     """Full GIF87a/89a parse: logical screen, global/local color tables,
     graphic-control extensions (disposal methods 0-3, transparency), 4-pass
     interlace, and per-frame LZW decode, COMPOSITED onto the logical-screen
-    canvas in frame order. Returns (list of (sh, sw, 3) uint8 canvases).
+    canvas in frame order. Returns a list of (sh, sw, 3) uint8 canvases —
+    or, when `indices` is given, a dict {frame_idx: canvas} holding ONLY
+    the requested frames.
 
     GIF frames are delta-coded (each draws a sub-rect over the prior
-    canvas), so decoding frame k requires frames 0..k — `max_frames` bounds
-    that work for frame sampling. Disposal: 0/1 leave the canvas, 2
+    canvas), so decoding frame k requires COMPOSITING frames 0..k — but
+    not RETAINING them: `indices` keeps memory at O(sampled x H x W)
+    instead of O(n_frames x H x W) (a 600-frame HD GIF sampled every 30
+    would otherwise hold ~1.6 GB to return 20 frames), while `max_frames`
+    only bounds the compositing work. Disposal: 0/1 leave the canvas, 2
     restores the frame rect to the background color, 3 restores the
     pre-frame canvas. Built from the published GIF89a specification.
     """
@@ -332,7 +338,11 @@ def gif_parse_frames(data: bytes, max_frames: int | None = None):
         pos += 3 * n
     bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    want = None if indices is None else {int(i) for i in indices}
+    last_want = max(want) if want else None
+    sampled: dict[int, object] = {}
     frames: list = []
+    n_done = 0
     disposal, transparent = 0, None  # pending graphic-control state
     while pos < len(data):
         b = data[pos]
@@ -381,9 +391,15 @@ def gif_parse_frames(data: bytes, max_frames: int | None = None):
                 region[mask] = px[mask]
             else:
                 region[:] = px
-            frames.append(canvas.copy())
-            if max_frames is not None and len(frames) >= max_frames:
-                return frames
+            if want is None:
+                frames.append(canvas.copy())
+            elif n_done in want:
+                sampled[n_done] = canvas.copy()
+            n_done += 1
+            if want is not None and last_want is not None and n_done > last_want:
+                return sampled
+            if max_frames is not None and n_done >= max_frames:
+                return sampled if want is not None else frames
             if disposal == 2:  # restore rect to background
                 canvas[top : top + h, left : left + w] = bg_rgb
             elif disposal == 3 and before is not None:
@@ -393,6 +409,10 @@ def gif_parse_frames(data: bytes, max_frames: int | None = None):
             break
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
+    if want is not None:
+        if n_done == 0:
+            raise ValueError("no GIF image data")
+        return sampled
     if not frames:
         raise ValueError("no GIF image data")
     return frames
@@ -1225,6 +1245,11 @@ def decode_wav(data: bytes) -> dict:
             spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
         if spb < 1 or block_align < 4 * n_ch + 4:
             raise ValueError("bad ADPCM block geometry")
+        # a lying wSamplesPerBlock beyond the block's nibble capacity would
+        # zero-fill phantom samples (silent wrong RMS/duration) — raise into
+        # the quarantine path instead
+        if spb > (block_align - 4 * n_ch) * 2 // n_ch + 1:
+            raise ValueError("ADPCM wSamplesPerBlock exceeds block capacity")
         x = _ima_decode(raw, n_ch, block_align, spb).astype(np.float64) / 32768.0
         x = x.reshape(-1)
     else:  # integer PCM
@@ -1444,7 +1469,13 @@ def decode_flac(data: bytes) -> dict:
             bits.read(8)
         elif sr_code in (13, 14):
             bits.read(16)
-        frame_bps = _FLAC_SAMPLE_SIZE.get(ss_code, bps)
+        if ss_code == 0:
+            frame_bps = bps  # "get from STREAMINFO"
+        elif ss_code in _FLAC_SAMPLE_SIZE:
+            frame_bps = _FLAC_SAMPLE_SIZE[ss_code]
+        else:  # code 3 is reserved — decoding at a guessed width would
+            # misalign every subsequent bit read into silent garbage
+            raise ValueError(f"reserved FLAC sample-size code {ss_code}")
         bits.read(8)  # header CRC-8
         if ch_code < 8:
             if ch_code + 1 != n_ch:
@@ -2055,7 +2086,7 @@ def extract_gif_frame_features(
                     if n <= 0:
                         continue
                     idxs = list(range(0, n, every_k))
-                    frames = gif_parse_frames(raw, max_frames=idxs[-1] + 1)
+                    frames = gif_parse_frames(raw, indices=idxs)
                 except Exception:
                     continue  # quarantine path in production
                 for k in idxs:
@@ -2184,14 +2215,23 @@ def avi_parse_frames(data: bytes, indices) -> dict:
         if cid[2:4] not in (b"dc", b"db"):
             continue
         if k in want:
+            px = None
             if body[:2] == b"\xff\xd8":  # JPEG SOI
-                out[k] = decode_jpeg_pixels(bytes(body))
-            else:
+                try:
+                    px = decode_jpeg_pixels(bytes(body))
+                except ValueError:
+                    # a raw DIB whose first BGR pixel happens to be
+                    # (0xFF, 0xD8, ...) passes the SOI sniff — fall back to
+                    # the strf-geometry DIB path instead of quarantining a
+                    # perfectly decodable frame
+                    px = None
+            if px is None:
                 if fmt is None:
                     fmt = _avi_video_format(data)
                     if fmt is None:
                         raise ValueError("raw DIB frame without strf header")
-                out[k] = _dib_frame(bytes(body), *fmt)
+                px = _dib_frame(bytes(body), *fmt)
+            out[k] = px
         k += 1
         if k > last:
             break  # all sampled frames decoded; skip the tail chunks too
@@ -2241,8 +2281,7 @@ def extract_video_frame_features(
                         if n <= 0:
                             continue
                         idxs = list(range(0, n, every_k))
-                        frames = gif_parse_frames(raw, max_frames=idxs[-1] + 1)
-                        sampled = {k: frames[k] for k in idxs}
+                        sampled = gif_parse_frames(raw, indices=idxs)
                     else:
                         n = avi_frame_count(raw)
                         if n <= 0:

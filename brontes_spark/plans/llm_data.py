@@ -1042,21 +1042,19 @@ _SQL_BUCKETS = """
     "a parameter in production)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..operators.similarity import cosine_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # the planes-vs-corpus dial, applied live: bucket occupancy (and so the
-    # candidate-join cost) stays bounded only if planes grow ~log2(N) — the
-    # fixed-8-planes configuration is SCALE.md's one measured super-linear
-    # exponent (1.23; 0.94 with the dial). 8 planes up to 2.5k vectors
-    # (sf0.01/sf0.1 keep their oracle), +1 per doubling beyond (sf1: 11).
-    # The count is a parquet-footer metadata read, not a data scan.
-    n = emb.count()
-    planes = 8 + max(0, int(math.log2(max(n, 1) / 2500))) if n > 2500 else 8
+    # planes PINNED to the oracle's 8 (_SQL_BUCKETS hard-codes range(0, 8)):
+    # a live log2(N) dial here would silently compute a DIFFERENT function
+    # than the oracle on any >=5k-vector input and fail the gate spuriously
+    # (round-6 review finding). The planes-vs-corpus dial itself stays a
+    # first-class, MEASURED operator knob — cosine_dup_pairs(planes=...) +
+    # planes_for(), with the 10x slope evidence in SCALE.md and
+    # scripts/scale_slope.py's fixed-vs-scaled rows — it just is not wired
+    # to this fixed-configuration correctness gate.
     return cosine_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, planes=planes
+        emb, "vec_id", "embedding", threshold=0.3, planes=8
     )
 
 
