@@ -106,3 +106,62 @@ def test_streaming_first_kept_wins_out_of_order(spark, tmp_path):
 
     flags = {(r["doc_id"], r["dup_of"]) for r in spark.read.parquet(out).collect()}
     assert flags == {(3, 10), (20, 10)}
+
+
+def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
+    """Streaming funnel (streaming/funnel.py): nondecreasing-ts arrival over
+    two micro-batches with a restart between them — the LAST emitted row
+    per key equals batch funnel_stage_times(prefilter=True) exactly."""
+    import random
+
+    from brontes_spark.operators.funnel import funnel_stage_times
+    from brontes_spark.streaming.funnel import funnel_stream
+
+    rng = random.Random(71)
+    stages = ["view", "click", "purchase"]
+    rows = []
+    eid = 0
+    for user in range(25):
+        for _ in range(rng.randrange(1, 14)):
+            eid += 1
+            rows.append((eid, rng.randrange(0, 8) * 100, user,
+                         rng.choice(stages + ["error"])))
+    rows.sort(key=lambda r: r[1])  # nondecreasing ts across the batch split
+    ddl = "event_id long, ts_ns long, user_id long, event_type string"
+    half = len(rows) // 2
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def drain():
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (
+            funnel_stream(stream, stages)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:half], ddl).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(rows[half:], ddl).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    # LAST emitted row per key wins (update-mode stream into an append
+    # file sink: later batches append; deepest stage is monotone, so take
+    # the max-stage row, tie-broken by the most timestamps set)
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        cur = latest.get(r["user_id"])
+        if cur is None or r["stage"] >= cur["stage"]:
+            latest[r["user_id"]] = r
+    df = spark.createDataFrame(rows, ddl)
+    want = {r["user_id"]: r for r in funnel_stage_times(
+        df, stages, prefilter=True).collect()}
+    assert set(latest) == set(want)
+    for uid, w in want.items():
+        g = latest[uid]
+        assert (g["t1"], g["t2"], g["t3"], g["stage"]) == (
+            w["t1"], w["t2"], w["t3"], w["stage"]), uid
