@@ -339,7 +339,9 @@ def gif_parse_frames(data: bytes, max_frames: int | None = None,
     bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
     want = None if indices is None else {int(i) for i in indices}
-    last_want = max(want) if want else None
+    if want is not None and not want:
+        return {}  # nothing sampled: skip ALL decode work
+    last_want = max(want) if want is not None else None
     sampled: dict[int, object] = {}
     frames: list = []
     n_done = 0
@@ -2219,10 +2221,12 @@ def avi_parse_frames(data: bytes, indices) -> dict:
             if body[:2] == b"\xff\xd8":  # JPEG SOI
                 try:
                     px = decode_jpeg_pixels(bytes(body))
-                except ValueError:
+                except Exception:  # noqa: BLE001
                     # a raw DIB whose first BGR pixel happens to be
-                    # (0xFF, 0xD8, ...) passes the SOI sniff — fall back to
-                    # the strf-geometry DIB path instead of quarantining a
+                    # (0xFF, 0xD8, ...) passes the SOI sniff and garbage
+                    # "markers" can raise struct.error/KeyError/IndexError
+                    # from deeper in the JPEG walk — fall back to the
+                    # strf-geometry DIB path instead of quarantining a
                     # perfectly decodable frame
                     px = None
             if px is None:

@@ -669,8 +669,13 @@ def hierarchical_assign(
     is ALL centroids and the result is EXACTLY flat assignment (the pytest
     anchor); smaller nprobe_super trades recall for the usual probe
     miss — same dial family as ivf_topk's nprobe. Returns (id, cluster).
+
+    `uv` lets a caller already holding the cached _uvectors relation
+    (semantic_dedup) pass it in instead of paying the scan + quantization
+    and a second cache twice.
     """
-    uv = _uvectors(df, id_col, vec_col).cache()
+    if uv is None:
+        uv = _uvectors(df, id_col, vec_col).cache()
     cents = _seeded_centroids(uv, k_clusters)
     branch = branch or max(1, int(k_clusters ** 0.5 + 0.999999))
 

@@ -46,8 +46,9 @@ def funnel_stream(
     n = len(stages)
     if n == 0:
         raise ValueError("at least one funnel stage required")
+    key_type = dict(events.dtypes)[key_col]
     out_schema = (
-        f"{key_col} long, "
+        f"{key_col} {key_type}, "
         + ", ".join(f"t{i} long" for i in range(1, n + 1))
         + ", stage int"
     )
@@ -73,17 +74,26 @@ def funnel_stream(
         yield pd.DataFrame(
             [
                 {
-                    key_col: int(key[0]),
+                    key_col: key[0],
                     **{f"t{i+1}": ts[i] for i in range(n)},
                     "stage": stage,
                 }
             ]
         )
 
-    filtered = events.filter(F.col(type_col).isin(stage_list)).select(
-        F.col(key_col).alias(key_col),
-        F.col(ts_col).alias("ts"),
-        F.col(type_col).alias("et"),
+    # null ts or null key cannot participate in a funnel (and pandas would
+    # promote a NaN-bearing ts column to float64, corrupting ns precision
+    # for every OTHER event in the batch) — drop them before the shuffle,
+    # the per-record quarantine the batch operator gets from its nulls-
+    # sort-out window semantics
+    filtered = (
+        events.filter(F.col(type_col).isin(stage_list))
+        .filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias(key_col),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("et"),
+        )
     )
     return filtered.groupBy(key_col).applyInPandasWithState(
         fold,

@@ -1991,3 +1991,29 @@ def test_mp3_mp4_metadata_fuzz_property():
                 container_metadata(bytes(payload[: rng.randrange(len(payload))]))
             except ValueError:
                 pass
+
+
+def test_avi_dib_frame_mimicking_jpeg_soi_decodes():
+    """Round-6 review regression test: a raw-DIB frame whose first BGR
+    pixel is (0xFF, 0xD8, ...) — RGB blue=255, green=216 — passes the JPEG
+    SOI sniff; the decoder must fall back to the DIB path and return the
+    correct pixels instead of quarantining the item."""
+    from brontes_spark.operators.multimodal import avi_parse_frames
+    from brontes_spark.sources.media_fixture import avi_dib_solid
+
+    data = avi_dib_solid(8, 8, [(1, 216, 255)])  # stored BGR: FF D8 01
+    out = avi_parse_frames(data, [0])
+    assert list(out) == [0]
+    px = out[0]
+    assert px.shape == (8, 8, 3)
+    assert (px[0, 0] == (1, 216, 255)).all()
+
+
+def test_gif_parse_frames_empty_indices_short_circuits():
+    from brontes_spark.operators.multimodal import gif_parse_frames
+    from brontes_spark.sources.media_fixture import gif_solid_frames
+
+    gif = gif_solid_frames(16, 12, [(10, 20, 30), (40, 50, 60)], [0, 1, 0])
+    assert gif_parse_frames(gif, indices=[]) == {}
+    out = gif_parse_frames(gif, indices=[2])
+    assert list(out) == [2] and (out[2][0, 0] == (10, 20, 30)).all()
