@@ -55,6 +55,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_semantic",
     "x9_funnel_stages",
+    "x10_retention_cohorts",
+    "txt_hash_embedding",
+    "txt_chunk_windows",
+    "sketch_kmv_distinct",
     # blockchain-native families (fixture-sized inputs — timed chiefly so
     # plan/overhead drift in the composer or the V3 replay+quote path is
     # visible round-over-round, per VERDICT r3 #6)
