@@ -112,6 +112,37 @@ def main() -> None:
         noise[name] = round(med / samples[0], 2) if samples[0] > 0 else 1.0
 
     total = round(sum(timings.values()), 3)
+    # The driver records only the LAST ~2000 chars of bench stdout; r6's
+    # primary line (3 maps x 37 queries) outgrew that and the official perf
+    # record truncated mid-object (VERDICT r6 "what's wrong" #1). So: the
+    # medians/noise detail goes to BENCH_DETAIL_r{N}.json on disk, and the
+    # primary line — total + per-query min only, ~1.2 KB at 40 queries — is
+    # printed LAST so the tail capture always contains it whole.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "noise_median_over_min": noise,
+        "runs": runs,
+        "sf": sf,
+    }
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    rnd = max(rounds, default=0) + 1  # bench runs before the round's gate file lands
+    try:
+        with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the primary line below is the record
     print(
         json.dumps(
             {
@@ -119,11 +150,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "noise_median_over_min": noise,
                 "runs": runs,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -459,8 +459,24 @@ def hamming_neardup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
+    h_in = F.col(hash_col).cast("long")
+    if bits < 64:
+        # a value wider than `bits` would leave its high bits un-banded
+        # (voiding the pigeonhole completeness guarantee) while bit_count
+        # still measures the full 64-bit xor — raise instead of silently
+        # missing pairs (ADVICE r6). ~((1<<bits)-1) == -(1<<bits) in two's
+        # complement; negative h (bit 63 set) is wider by definition.
+        h_in = F.when(
+            h_in.bitwiseAND(F.lit(-(1 << bits))) != 0,
+            F.raise_error(
+                F.lit(
+                    f"hamming_neardup_pairs: fingerprint wider than bits={bits}; "
+                    "banding would skip its high bits — pass the true width"
+                )
+            ),
+        ).otherwise(h_in)
     banded = df.select(
-        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+        F.col(id_col).alias("id"), h_in.alias("h")
     ).withColumn(
         "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
     ).withColumn(

@@ -39,6 +39,7 @@ def subtree_bounds(
     path_col: str = "trace_address",
     method: str = "window",
     max_depth: int = 32,
+    validate: bool = True,
 ) -> DataFrame:
     """Adds `subtree_end` = max trace_idx within the node's subtree —
     the interval the reference maintains implicitly via its Node tree
@@ -62,6 +63,16 @@ def subtree_bounds(
     paths): the join's empty-prefix rule spans them all, the window method
     bounds each at its next depth-0 sibling — well-formed traces have one
     root, so the divergence only exists off-contract.
+
+    validate (window method only, default True): enforces the preorder
+    contract instead of silently mis-bounding non-preorder input (ADVICE
+    r6): a DFS preorder emission satisfies, for every consecutive idx pair
+    within a tx, depth(cur) <= depth(prev)+1 AND cur's parent path is a
+    prefix of prev's path (the classic DFS stack invariant; a depth-0 row
+    starts a new tree). Checked with one lag() on the same (tx, idx)
+    window ordering the bounds already use — O(n), same stage, no extra
+    shuffle — and raises on the first violating row. Pass validate=False
+    for trusted inputs or method="join" for non-preorder ones.
     """
     if method == "join":
         nodes = df.select(
@@ -102,13 +113,32 @@ def subtree_bounds(
             "raise max_depth or use method='join'"
         )).cast("int")
     )
-    return df.withColumn(
-        "subtree_end",
-        F.coalesce(
-            F.element_at(nxt, guarded + 1) - 1,
-            F.max(F.col(idx_col)).over(w_tx),
-        ),
+    end = F.coalesce(
+        F.element_at(nxt, guarded + 1) - 1,
+        F.max(F.col(idx_col)).over(w_tx),
     )
+    if validate:
+        w_prev = W.partitionBy(tx_col).orderBy(idx_col)
+        prev_path = F.lag(F.col(path_col)).over(w_prev)
+        violated = (depth > 0) & (
+            prev_path.isNull()
+            | (depth > F.size(prev_path) + 1)
+            | (
+                F.slice(F.col(path_col), 1, depth - 1)
+                != F.slice(prev_path, 1, depth - 1)
+            )
+        )
+        end = F.when(
+            violated,
+            F.raise_error(
+                F.lit(
+                    "subtree_bounds: idx order is not a DFS preorder of the "
+                    "path column; use method='join' (no contiguity "
+                    "assumption) or validate=False if this is intended"
+                )
+            ),
+        ).otherwise(end)
+    return df.withColumn("subtree_end", end)
 
 
 def collect_spans(

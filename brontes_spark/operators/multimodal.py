@@ -1077,9 +1077,11 @@ def with_image_dhash(
                 try:
                     px = decode_fn(bytes(content) if content is not None else b"")
                     v = image_dhash(px)
+                    # row materialization inside the try: a null/NaN id must
+                    # quarantine this ROW, not fail the task (ADVICE r6)
+                    out.append({"item_id": int(item_id), "dhash": v})
                 except Exception:
                     continue  # quarantine path in production
-                out.append({"item_id": int(item_id), "dhash": v})
             yield pd.DataFrame(out, columns=["item_id", "dhash"])
 
     selected = df.select(
@@ -1713,18 +1715,20 @@ def extract_container_metadata(
             for item_id, content in zip(pdf["item_id"], pdf["content"]):
                 try:
                     m = parse_fn(bytes(content) if content is not None else b"")
+                    # row materialization inside the try: a null id or a
+                    # zero dur_den quarantines the ROW, not the task
+                    out.append(
+                        {
+                            "item_id": int(item_id),
+                            "container": m["container"],
+                            "codec": m["codec"],
+                            "n_units": m["n_units"],
+                            "sample_rate": m["sample_rate"],
+                            "duration": m["dur_num"] / m["dur_den"],
+                        }
+                    )
                 except Exception:
                     continue  # quarantine path in production
-                out.append(
-                    {
-                        "item_id": int(item_id),
-                        "container": m["container"],
-                        "codec": m["codec"],
-                        "n_units": m["n_units"],
-                        "sample_rate": m["sample_rate"],
-                        "duration": m["dur_num"] / m["dur_den"],
-                    }
-                )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -1801,23 +1805,28 @@ def extract_audio_frames(
                     x = decode_fn(bytes(content) if content is not None else b"")[
                         "samples"
                     ]
+                    # whole-item row build inside the try (ADVICE r6): a
+                    # null id or bad frame quarantines the ITEM atomically
+                    # (no partial frame rows), never the task
+                    nf = len(x) // frame_len
+                    rows = []
+                    for k in range(nf):
+                        seg = x[k * frame_len : (k + 1) * frame_len]
+                        zc = float(
+                            np.mean(np.abs(np.diff(np.signbit(seg).astype(np.int8))))
+                        )
+                        rows.append(
+                            {
+                                "item_id": int(item_id),
+                                "frame_idx": k,
+                                "n_frames": nf,
+                                "rms": float(np.sqrt(np.mean(seg * seg))),
+                                "zero_cross": zc,
+                            }
+                        )
                 except Exception:
                     continue  # quarantine path in production
-                nf = len(x) // frame_len
-                for k in range(nf):
-                    seg = x[k * frame_len : (k + 1) * frame_len]
-                    zc = float(
-                        np.mean(np.abs(np.diff(np.signbit(seg).astype(np.int8))))
-                    )
-                    out.append(
-                        {
-                            "item_id": int(item_id),
-                            "frame_idx": k,
-                            "n_frames": nf,
-                            "rms": float(np.sqrt(np.mean(seg * seg))),
-                            "zero_cross": zc,
-                        }
-                    )
+                out.extend(rows)
             yield pd.DataFrame(
                 out,
                 columns=["item_id", "frame_idx", "n_frames", "rms", "zero_cross"],
@@ -1856,9 +1865,13 @@ def extract_audio_features(
                     feats = audio_features(
                         decode_fn(bytes(content) if content is not None else b"")
                     )
+                    # inside the try: null id / null content (len() would
+                    # TypeError) quarantines the row, not the task (ADVICE r6)
+                    out.append(
+                        {"item_id": int(item_id), "n_bytes": len(content), **feats}
+                    )
                 except Exception:
                     continue  # quarantine path in production
-                out.append({"item_id": int(item_id), "n_bytes": len(content), **feats})
             yield pd.DataFrame(out, columns=cols)
 
     return selected.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
@@ -1891,19 +1904,21 @@ def extract_image_features(
             for item_id, content, fmt in zip(pdf["item_id"], pdf["content"], pdf["format"]):
                 try:
                     feats = decode_fn(bytes(content) if content is not None else b"")
+                    # inside the try: null id / null content quarantines the
+                    # row, not the task (ADVICE r6)
+                    out.append(
+                        {
+                            "item_id": int(item_id),
+                            "n_bytes": len(content),
+                            "format": fmt,
+                            "width": feats["width"],
+                            "height": feats["height"],
+                            "mean_intensity": feats["mean_intensity"],
+                            "feature_vec": feats["feature_vec"],
+                        }
+                    )
                 except Exception:
                     continue  # quarantine path in production
-                out.append(
-                    {
-                        "item_id": int(item_id),
-                        "n_bytes": len(content),
-                        "format": fmt,
-                        "width": feats["width"],
-                        "height": feats["height"],
-                        "mean_intensity": feats["mean_intensity"],
-                        "feature_vec": feats["feature_vec"],
-                    }
-                )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -1991,21 +2006,23 @@ def extract_resized_features(
                 try:
                     px = decode_fn(bytes(content) if content is not None else b"")
                     small = resize_nearest(px, out_h, out_w)
+                    # inside the try: null id quarantines the row, not the
+                    # task (ADVICE r6)
+                    gray = small.astype(np.float64).mean(axis=2) / 255.0
+                    out.append(
+                        {
+                            "item_id": int(item_id),
+                            "format": fmt,
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "out_w": out_w,
+                            "out_h": out_h,
+                            "mean_intensity": float(gray.mean()),
+                            "thumb": np.ascontiguousarray(small).tobytes(),
+                        }
+                    )
                 except Exception:
                     continue  # quarantine path in production
-                gray = small.astype(np.float64).mean(axis=2) / 255.0
-                out.append(
-                    {
-                        "item_id": int(item_id),
-                        "format": fmt,
-                        "width": int(px.shape[1]),
-                        "height": int(px.shape[0]),
-                        "out_w": out_w,
-                        "out_h": out_h,
-                        "mean_intensity": float(gray.mean()),
-                        "thumb": np.ascontiguousarray(small).tobytes(),
-                    }
-                )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -2043,9 +2060,10 @@ def with_frame_counts(
             for item_id, content in zip(pdf["item_id"], pdf["content"]):
                 try:
                     n = gif_frame_count(bytes(content) if content is not None else b"")
+                    # inside the try: null id quarantines the row (ADVICE r6)
+                    out.append({"item_id": int(item_id), "n_frames": n})
                 except Exception:
                     continue  # quarantine path in production
-                out.append({"item_id": int(item_id), "n_frames": n})
             yield pd.DataFrame(out, columns=["item_id", "n_frames"])
 
     selected = df.select(
@@ -2089,18 +2107,22 @@ def extract_gif_frame_features(
                         continue
                     idxs = list(range(0, n, every_k))
                     frames = gif_parse_frames(raw, indices=idxs)
+                    # whole-item row build inside the try: a null id or a
+                    # bad frame quarantines the ITEM atomically (ADVICE r6)
+                    rows = []
+                    for k in idxs:
+                        st = _gray_stats(frames[k])
+                        rows.append(
+                            {
+                                "item_id": int(item_id), "frame_idx": k,
+                                "n_frames": n, "width": st["width"],
+                                "height": st["height"],
+                                "mean_intensity": st["mean_intensity"],
+                            }
+                        )
                 except Exception:
                     continue  # quarantine path in production
-                for k in idxs:
-                    st = _gray_stats(frames[k])
-                    out.append(
-                        {
-                            "item_id": int(item_id), "frame_idx": k,
-                            "n_frames": n, "width": st["width"],
-                            "height": st["height"],
-                            "mean_intensity": st["mean_intensity"],
-                        }
-                    )
+                out.extend(rows)
             yield pd.DataFrame(out, columns=cols)
 
     selected = df.select(
@@ -2292,18 +2314,22 @@ def extract_video_frame_features(
                             continue
                         idxs = list(range(0, n, every_k))
                         sampled = avi_parse_frames(raw, idxs)
+                    # whole-item row build inside the try: a null id or a
+                    # bad frame quarantines the ITEM atomically (ADVICE r6)
+                    rows = []
+                    for k in idxs:
+                        st = _gray_stats(sampled[k])
+                        rows.append(
+                            {
+                                "item_id": int(item_id), "frame_idx": k,
+                                "n_frames": n, "width": st["width"],
+                                "height": st["height"],
+                                "mean_intensity": st["mean_intensity"],
+                            }
+                        )
                 except Exception:
                     continue  # quarantine path in production
-                for k in idxs:
-                    st = _gray_stats(sampled[k])
-                    out.append(
-                        {
-                            "item_id": int(item_id), "frame_idx": k,
-                            "n_frames": n, "width": st["width"],
-                            "height": st["height"],
-                            "mean_intensity": st["mean_intensity"],
-                        }
-                    )
+                out.extend(rows)
             yield pd.DataFrame(out, columns=cols)
 
     selected = df.select(

@@ -67,12 +67,17 @@ def kmv_distinct(
     # Python and ship it as a DECIMAL(38,0) literal — a `{k-1} * {M}` SQL
     # expression would constant-fold in LONG and overflow under ANSI
     numer = (k - 1) * _M
+    # nullif guards the 2^-60-per-value corner where a hash is exactly 0 and
+    # h_(k)=0 (non-zero odds over a 100 TB corpus): the estimate degrades to
+    # NULL instead of the division throwing under ANSI mode (ADVICE r6).
     return agg.select(
         "key",
         "n_seen",
         "kth_min",
         F.when(F.col("n_seen") < k, F.col("n_seen"))
-        .otherwise(F.expr(f"CAST('{numer}' AS DECIMAL(38,0)) div kth_min"))
+        .otherwise(
+            F.expr(f"CAST('{numer}' AS DECIMAL(38,0)) div nullif(kth_min, 0)")
+        )
         .cast("long")
         .alias("est_distinct"),
     )

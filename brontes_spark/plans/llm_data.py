@@ -484,6 +484,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 60-bit twin of _SQL_SIMHASH (the corpus-scale geometry: md5_long's full
+#: 60-bit hash width, 15-bit bands)
+_SQL_SIMHASH_60 = f"""
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, b.i AS b,
+             SUM(CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hv, range(0, 60) b(i)
+      GROUP BY doc_id, b.i),
+    sh AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_pairs_wide",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_60}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    survey_ref="SimHash near-duplicate pairs at the CORPUS-SCALE band "
+    "geometry (VERDICT r6 directive 4): 60-bit fingerprints, 4x15-bit "
+    "bands — the configuration SCALE.md measures as the 100 TB dial (512 "
+    "pairs vs 129k at 32-bit on the sf1 corpus: wider bands = sharper "
+    "buckets = near-linear candidate cost). Same pigeonhole completeness "
+    "contract (Hamming <= bands-1 = 3) as dedup_simhash_pairs; the oracle "
+    "recomputes the 60-bit fingerprints in SQL and brute-forces ALL pairs, "
+    "so the gate proves the banded join loses nothing at THIS geometry too",
+)
+def dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs, "doc_id", "text", bits=60)
+    return hamming_neardup_pairs(
+        fps, "id", "simhash", bits=60, bands=4, max_hamming=3
+    )
+
+
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
     "es": ["el", "la", "de", "los", "y"],
@@ -1078,7 +1122,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sk GROUP BY key)
     SELECT key, CAST(n_seen AS BIGINT) AS n_seen, kth_min,
            CAST(CASE WHEN n_seen < 64 THEN n_seen
-                ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // kth_min
+                ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+                     // nullif(kth_min, 0)
                 END AS BIGINT) AS est_distinct
     FROM agg
     """,

@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # stage-progress bars interleave with stdout and can push the bench's
+        # primary JSON line past the driver's 2000-char tail capture
+        # (VERDICT r6 "what's wrong" #1) — suppress them everywhere
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -155,9 +155,11 @@ def test_chunk_windows_zero_shuffle(spark):
     assert "Python" not in plan
 
 
-def test_semantic_dedup_broadcasts_centroids_and_dropped(spark):
-    """dedup_semantic: the K-row centroid dim and the dropped-id set ride
-    BroadcastExchange; no cartesian product anywhere."""
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """dedup_semantic: the K-row centroid dim rides BroadcastExchange; no
+    cartesian product anywhere. (The dropped-id set is deliberately NOT
+    broadcast-hinted — it is O(N) at real drop rates; see the OOM rationale
+    in operators/similarity.py — so this test asserts nothing about it.)"""
     plan = _plan(spark, "dedup_semantic")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
