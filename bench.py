@@ -71,7 +71,41 @@ HEADLINE = [
     # times the Python decode kernels + Arrow plumbing)
     "mm_image_features",
     "mm_gif_frame_sample",
+    # bench-only hierarchical twins (see EXTRA below)
+    "dedup_semantic_hier",
+    "ann_kmeans_refine_hier",
 ]
+
+
+def _dedup_semantic_hier(spark, sf_dir):
+    from brontes_spark.operators.similarity import semantic_dedup
+    from brontes_spark.plans.llm_data import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.3,
+                          k_clusters=64, hierarchical=True, nprobe_super=2)
+
+
+def _ann_kmeans_refine_hier(spark, sf_dir):
+    from brontes_spark.operators.similarity import kmeans_refine_assign
+    from brontes_spark.plans.llm_data import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine_assign(emb, "vec_id", "embedding", k_clusters=64,
+                                iters=1, hierarchical=True, nprobe_super=2)
+
+
+#: bench-only two-level-probe twins of dedup_semantic / ann_kmeans_refine at
+#: a corpus-ish K (VERDICT r6 directive 8). Deliberately NOT registry gates:
+#: a brand-new registry entry seats at the head of the driver's 50-slot
+#: verification window and would eject an r5 re-attestation this round (the
+#: rotation contract); their correctness anchor is the bit-equal
+#: nprobe>=branch pytest in test_similarity_ivf.py, and the flat k=8 gates
+#: stay oracle-pinned.
+EXTRA = {
+    "dedup_semantic_hier": _dedup_semantic_hier,
+    "ann_kmeans_refine_hier": _ann_kmeans_refine_hier,
+}
 
 
 def main() -> None:
@@ -79,7 +113,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("brontes-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    q = queries()
+    q = {**queries(), **EXTRA}
 
     # warmup: touch every input once so OS page cache + JVM JIT are steady
     q["q1_pricing_summary"](spark, sf_dir).count()

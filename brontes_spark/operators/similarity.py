@@ -547,6 +547,9 @@ def kmeans_refine_assign(
     vec_col: str,
     k_clusters: int = 8,
     iters: int = 1,
+    hierarchical: bool = False,
+    nprobe_super: int = 2,
+    branch: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-refined clustering: md5-seeded centroids, then
     `iters` rounds of (assign -> exact-integer mean -> reassign). Returns
@@ -568,11 +571,25 @@ def kmeans_refine_assign(
     broadcast-NLJ reassignment; K never touches the shuffle width. Rounds
     are a driver-side Python loop over lazy plans — `iters` is small (1-2)
     by design, the paper-standard budget for index building.
+
+    ``hierarchical=True`` swaps EVERY flat N x K assignment (the seeded
+    pass plus both sides of each Lloyd round) for the two-level probe of
+    `hierarchical_assign` — ~N*(branch + nprobe_super*K/branch) dots per
+    pass, the large-K configuration (SCALE.md round-6 measured flat
+    refinement at 10.1s for k=320 where the two-level pass costs ~2.6x
+    less per assignment). Supers are re-seeded from each round's CURRENT
+    centroid set, so refined centroids get a refined routing level too.
+    With nprobe_super >= branch the probe is exhaustive and the result is
+    bit-equal to hierarchical=False (the pytest anchor); smaller
+    nprobe_super trades the usual IVF recall for speed.
     """
     uv = _uvectors(df, id_col, vec_col).cache()
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    br = branch or max(1, int(k_clusters ** 0.5 + 0.999999))
 
     def top1(side: DataFrame, cents: DataFrame) -> DataFrame:
+        if hierarchical:
+            return _two_level_top1(side, cents, nprobe_super, br)
         return (
             _centroid_sims(side, cents)
             .withColumn(
@@ -678,7 +695,34 @@ def hierarchical_assign(
         uv = _uvectors(df, id_col, vec_col).cache()
     cents = _seeded_centroids(uv, k_clusters)
     branch = branch or max(1, int(k_clusters ** 0.5 + 0.999999))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return _two_level_top1(
+        uv.repartition(n_part, F.col("id")), cents, nprobe_super, branch
+    )
 
+
+def _two_level_top1(
+    side: DataFrame,
+    cents: DataFrame,
+    nprobe_super: int,
+    branch: int,
+) -> DataFrame:
+    """Two-level probe core, shared by hierarchical_assign (seeded
+    centroids) and kmeans_refine_assign (refined centroids): assign each
+    `side` row (id, uvec, n2) to its max-cosine centroid among `cents`
+    (cid_seed, cuvec, cn2), probing only the nprobe_super nearest of
+    `branch` super-centroids md5-seeded FROM the centroid set itself.
+    With nprobe_super >= branch every centroid is a candidate (each
+    appears exactly once, under its unique top-1 super) and the same
+    (sim desc, cid_seed asc) tie-break applies, so the result is
+    bit-equal to the flat argmax — the pytest anchor."""
+    # the centroid relation feeds FOUR plan branches (super seeding, the
+    # centroid->super routing probe, the cent_map join, and through it the
+    # candidate join); without materialization each branch recomputes it —
+    # for kmeans_refine_assign's REFINED centroids that is the full
+    # N x dim explode + agg, measured 4x the whole pass cost at k=320.
+    # localCheckpoint collapses them to one computation; K rows is tiny.
+    cents = F.broadcast(cents.localCheckpoint(eager=False))
     # super-centroids: md5-seeded sample OF THE CENTROIDS, reusing the
     # same machinery by presenting centroids as a (id, uvec, n2) relation
     cent_rel = cents.select(
@@ -690,8 +734,8 @@ def hierarchical_assign(
         F.col("cn2").alias("sn2"),
     )
 
-    def top_supers(side: DataFrame, n_keep: int) -> DataFrame:
-        sims = side.join(F.broadcast(supers)).withColumn(
+    def top_supers(s: DataFrame, n_keep: int) -> DataFrame:
+        sims = s.join(F.broadcast(supers)).withColumn(
             "ssim",
             _dot("uvec", "suvec").cast("double")
             / F.sqrt(F.col("n2").cast("double") * F.col("sn2").cast("double")),
@@ -715,10 +759,9 @@ def hierarchical_assign(
         ).join(cents, "cid_seed")
     )
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    probed = top_supers(uv.repartition(n_part, F.col("id")), nprobe_super)
+    probed = top_supers(side, nprobe_super)
     cand = probed.join(cent_map, "super_id")
-    scored = cand.join(uv, "id").withColumn(
+    scored = cand.join(side, "id").withColumn(
         "sim",
         _dot("uvec", "cuvec").cast("double")
         / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),

@@ -311,6 +311,58 @@ def mm_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mp12_values() -> str:
+    from ..sources.media_fixture import build_mp12_media
+
+    _, mgold = build_mp12_media()
+    rows = ",\n      ".join(
+        "({}, {}, {}, {}, {}, {}, {}, CAST({} AS DOUBLE))".format(
+            g["item_id"], g["layer"], g["sample_rate"], g["n_channels"],
+            g["n_frames"], g["n_granules"], g["dom_subband"], g["rms9"],
+        )
+        for g in mgold
+    )
+    return f"""
+    SELECT CAST(item_id AS BIGINT) AS item_id, CAST(layer AS INTEGER) AS layer,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_granules AS INTEGER) AS n_granules,
+           CAST(dom_subband AS INTEGER) AS dom_subband, rms9
+    FROM (VALUES
+      {rows}
+    ) AS t(item_id, layer, sample_rate, n_channels, n_frames, n_granules,
+           dom_subband, rms9)
+    """
+
+
+@register(
+    "mm_mp2_features",
+    oracle=_mp12_values(),
+    survey_ref="MPEG-1 Layer I/II audio payload decode (operators/"
+    "multimodal.decode_mp12: frame-header walk, Layer I 4-bit allocation "
+    "ladder + Table B.2a Layer II allocation classes, scfsi scalefactor "
+    "spreads, grouped 3/5/9-level base-steps packing, normative "
+    "closed-form requantization C*(s'''+D)*SF) via "
+    "extract_mp12_subband_features mapInPandas. Oracle: planted +-v codes "
+    "per quantizer family — dominant-subband RMS is the exact rational "
+    "_mp12_exact value; the independent fixture encoder (mp1_planted/"
+    "mp2_planted) shares no code with the decoder. PCM synthesis is the "
+    "documented orthonormal-DCT-IV approximation (prototype window table "
+    "deliberately not reproduced); subband output is exact",
+)
+def mm_mp2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_mp12_subband_features
+
+    mpeg = load_media(spark)["mpeg_audio"]
+    feats = extract_mp12_subband_features(mpeg)
+    return feats.select(
+        "item_id", "layer", "sample_rate", "n_channels", "n_frames",
+        "n_granules", "dom_subband",
+        F.round("dom_rms", 9).alias("rms9"),
+    )
+
+
 def _resize_values() -> str:
     from ..sources.media_fixture import RESIZE_H, RESIZE_W
 

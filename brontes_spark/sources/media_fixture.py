@@ -813,6 +813,229 @@ def build_container_media() -> tuple[list[dict], list[dict]]:
 
 
 # ---------------------------------------------------------------------------
+# MPEG-1 Layer I/II fixtures — an INDEPENDENT encoder (own bit writer, own
+# layout walk) so the decoder gate is a genuine round-trip, mirroring the
+# separate-implementation pattern of flac_constant_square
+# ---------------------------------------------------------------------------
+
+
+class _MpegBits:
+    """MSB-first bit writer (independent of the decoder's _FlacBits)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = self.n = 0
+
+    def frame(self, total_bytes: int) -> bytes:
+        if self.n:
+            self.buf.append(self.acc << (8 - self.n))
+            self.acc = self.n = 0
+        if len(self.buf) > total_bytes:
+            raise ValueError("planted payload overflows the frame")
+        return bytes(self.buf) + bytes(total_bytes - len(self.buf))
+
+
+#: fixture-side mirror of the decoder's Table B.2a columns
+_FIX_B2A = [
+    (4, (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383,
+         32767, 65535)),
+    (4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+         65535)),
+    (3, (3, 5, 7, 9, 15, 31, 65535)),
+    (2, (3, 5, 65535)),
+]
+
+
+def _fix_b2a_row(sb: int) -> tuple[int, tuple[int, ...]]:
+    return _FIX_B2A[0 if sb < 3 else 1 if sb < 11 else 2 if sb < 23 else 3]
+
+
+_MP2_FIX_KBPS = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                 320, 384]
+_MP1_FIX_KBPS = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                 384, 416, 448]
+
+
+def mp2_planted(n_frames: int, kbps_idx: int, plant: list[tuple],
+                n_ch: int = 1) -> bytes:
+    """MPEG-1 Layer II 48 kHz stream with planted subband content.
+
+    `plant` rows are (sb, steps, scfsi, sf_idx_by_third, hi_code, lo_code):
+    subband `sb` gets the quantizer with `steps` levels, scalefactor
+    indices per granule-third consistent with `scfsi` (0: three, 1: two
+    applied a,a,b; 2: one; 3: two applied a,b,b), and granule-alternating
+    codes hi (even granules) / lo (odd). Grouped quantizers (3/5/9) pack
+    the code three-identical base-`steps`; channels are planted
+    identically (channel-average == either channel)."""
+    out = bytearray()
+    frame_len = (144 * _MP2_FIX_KBPS[kbps_idx] * 1000) // 48000
+    by_sb = {p[0]: p for p in plant}
+    for _ in range(n_frames):
+        b = _MpegBits()
+        b.w(0x7FF, 11)
+        b.w(0x3, 2)        # MPEG-1
+        b.w(0x2, 2)        # Layer II
+        b.w(1, 1)          # no CRC
+        b.w(kbps_idx, 4)
+        b.w(1, 2)          # 48 kHz
+        b.w(0, 1)          # no padding
+        b.w(0, 1)          # private
+        b.w(0x3 if n_ch == 1 else 0x0, 2)  # mono / stereo
+        b.w(0, 2); b.w(0, 1); b.w(0, 1); b.w(0, 2)
+        for sb in range(27):  # allocation
+            nbal, col = _fix_b2a_row(sb)
+            code = col.index(by_sb[sb][1]) + 1 if sb in by_sb else 0
+            for _c in range(n_ch):
+                b.w(code, nbal)
+        for sb in range(27):  # scfsi
+            if sb in by_sb:
+                for _c in range(n_ch):
+                    b.w(by_sb[sb][2], 2)
+        for sb in range(27):  # scalefactors
+            if sb in by_sb:
+                _, _, scfsi, sf3, _, _ = by_sb[sb]
+                sent = {0: (sf3[0], sf3[1], sf3[2]), 1: (sf3[0], sf3[2]),
+                        2: (sf3[0],), 3: (sf3[0], sf3[1])}[scfsi]
+                for _c in range(n_ch):
+                    for s in sent:
+                        b.w(s, 6)
+        for gr in range(12):  # sample codes
+            for sb in range(27):
+                if sb not in by_sb:
+                    continue
+                _, steps, _, _, hi, lo = by_sb[sb]
+                c = hi if gr % 2 == 0 else lo
+                for _c in range(n_ch):
+                    if steps in (3, 5, 9):
+                        b.w(c + steps * c + steps * steps * c,
+                            {3: 5, 5: 7, 9: 10}[steps])
+                    else:
+                        for _j in range(3):
+                            b.w(c, steps.bit_length())
+        out += b.frame(frame_len)
+    return bytes(out)
+
+
+def mp1_planted(n_frames: int, kbps_idx: int, plant: list[tuple]) -> bytes:
+    """Mono MPEG-1 Layer I 48 kHz stream; `plant` rows are
+    (sb, alloc, sf_idx, hi_code, lo_code) — allocation `alloc` means
+    alloc+1-bit codes (2^(alloc+1)-1 levels), samples alternate hi (even
+    sample index) / lo (odd)."""
+    out = bytearray()
+    frame_len = ((12 * _MP1_FIX_KBPS[kbps_idx] * 1000) // 48000) * 4
+    by_sb = {p[0]: p for p in plant}
+    for _ in range(n_frames):
+        b = _MpegBits()
+        b.w(0x7FF, 11); b.w(0x3, 2); b.w(0x3, 2); b.w(1, 1)
+        b.w(kbps_idx, 4); b.w(1, 2); b.w(0, 1); b.w(0, 1)
+        b.w(0x3, 2); b.w(0, 2); b.w(0, 1); b.w(0, 1); b.w(0, 2)
+        for sb in range(32):
+            b.w(by_sb[sb][1] if sb in by_sb else 0, 4)
+        for sb in range(32):
+            if sb in by_sb:
+                b.w(by_sb[sb][2], 6)
+        for t in range(12):
+            for sb in range(32):
+                if sb in by_sb:
+                    _, alloc, _, hi, lo = by_sb[sb]
+                    b.w(hi if t % 2 == 0 else lo, alloc + 1)
+        out += b.frame(frame_len)
+    return bytes(out)
+
+
+def _mp12_exact(code: int, steps: int, sf_idx: int) -> Fraction:
+    """EXACT rational decode of one planted code: C*(s'''+D)*SF with
+    C = 2^nb/steps, s''' = code/2^(nb-1) - 1, D = 1/2 (grouped) or
+    2^(1-nb), SF = 2^(1 - idx/3) — fixture golds only use sf_idx
+    multiples of 3, where the scalefactor is an exact dyadic."""
+    assert sf_idx % 3 == 0
+    nb = steps.bit_length()
+    s3 = Fraction(code, 1 << (nb - 1)) - 1
+    d = Fraction(1, 2) if steps in (3, 5, 9) else Fraction(2, 1 << nb)
+    sf = Fraction(2, 1 << (sf_idx // 3))
+    return Fraction(1 << nb, steps) * (s3 + d) * sf
+
+
+def build_mp12_media() -> tuple[list[dict], list[dict]]:
+    """Returns (mpeg_rows, mpeg_goldens): Layer I/II streams whose
+    dominant-subband RMS is closed-form — each item plants symmetric
+    +-v codes (|v| constant per third), so dom_rms is an exact rational
+    computed by _mp12_exact, never by running the decoder."""
+    rows: list[dict] = []
+    gold: list[dict] = []
+
+    def add(item_id: int, layer: int, content: bytes, n_ch: int,
+            n_frames: int, dom_sb: int, rms: Fraction) -> None:
+        rows.append({"item_id": item_id, "format": f"mp{layer}",
+                     "content": bytearray(content)})
+        gold.append({"item_id": item_id, "layer": layer,
+                     "sample_rate": 48000, "n_channels": n_ch,
+                     "n_frames": n_frames,
+                     "n_granules": (36 if layer == 2 else 12) * n_frames,
+                     "dom_subband": dom_sb, "rms9": _mean9(rms)})
+
+    # Layer II mono: one planted subband per quantizer family, each in a
+    # different Table B.2a allocation class (codes chosen so hi = -lo)
+    l2 = [
+        (5001, 0, 3, 2, 0, 2, 3),        # grouped 3-level, LOW class
+        (5002, 7, 5, 2, 4, 0, 6),        # grouped 5-level, MID class
+        (5003, 12, 9, 2, 8, 0, 3),       # grouped 9-level, HIGH class
+        (5004, 2, 15, 2, 14, 0, 0),      # ungrouped 4-bit, LOW class
+        (5005, 25, 65535, 2, (1 << 15) + (1 << 12) - 1,
+         (1 << 15) - (1 << 12) - 1, 9),  # ungrouped 16-bit, TOP class
+    ]
+    for item_id, sb, steps, scfsi, hi, lo, sfi in l2:
+        nf = 3 + item_id % 3
+        content = mp2_planted(nf, 6, [(sb, steps, scfsi, (sfi,) * 3, hi, lo)])
+        v = _mp12_exact(hi, steps, sfi)
+        assert v == -_mp12_exact(lo, steps, sfi)
+        add(item_id, 2, content, 1, nf, sb, abs(v))
+    # Layer II stereo (mode 00), channel-identical: average == either
+    nf = 4
+    content = mp2_planted(nf, 10, [(0, 3, 2, (3, 3, 3), 2, 0)], n_ch=2)
+    add(5006, 2, content, 2, nf, 0, abs(_mp12_exact(2, 3, 3)))
+    # Layer II scfsi variety: sb0 dominates with a constant scalefactor
+    # (scfsi=0, three identical transmitted); sb4 exercises the 2-of-3
+    # scfsi=1 spread (thirds a,a,b with b quieter) — a mis-spread desyncs
+    # the whole payload, so dom stays closed-form while scfsi is exercised
+    nf = 5
+    content = mp2_planted(nf, 6, [
+        (0, 3, 0, (3, 3, 3), 2, 0),
+        (4, 3, 1, (6, 6, 12), 2, 0),
+    ])
+    add(5007, 2, content, 1, nf, 0, abs(_mp12_exact(2, 3, 3)))
+    # scfsi=3 spread (thirds a,b,b), dominant on the OTHER subband
+    nf = 3
+    content = mp2_planted(nf, 6, [
+        (1, 3, 3, (9, 15, 15), 2, 0),
+        (11, 3, 2, (3, 3, 3), 2, 0),
+    ])
+    add(5008, 2, content, 1, nf, 11, abs(_mp12_exact(2, 3, 3)))
+
+    # Layer I: 3-bit and 15-bit quantizers
+    for item_id, sb, alloc, sfi, hi, lo, kbps_idx, nf in (
+        (5011, 5, 2, 6, 6, 0, 2, 4),
+        (5012, 30, 14, 0, (1 << 14) + (1 << 11) - 1,
+         (1 << 14) - (1 << 11) - 1, 4, 3),
+    ):
+        content = mp1_planted(nf, kbps_idx, [(sb, alloc, sfi, hi, lo)])
+        steps = (1 << (alloc + 1)) - 1
+        v = _mp12_exact(hi, steps, sfi)
+        assert v == -_mp12_exact(lo, steps, sfi)
+        add(item_id, 1, content, 1, nf, sb, abs(v))
+    return rows, gold
+
+
+# ---------------------------------------------------------------------------
 # parquet materialization (same per-user atomic-rename cache pattern as
 # sources/fixtures.py: content-hashed dir, 0700, rename-or-discard)
 # ---------------------------------------------------------------------------
@@ -839,12 +1062,15 @@ def load_media(spark: SparkSession) -> dict[str, DataFrame]:
         images, _, gifs, _ = build_media()
         avis, _, audio, _ = build_av_media()
         containers, _ = build_container_media()
+        mpeg_audio, _ = build_mp12_media()
         tables = {"images": (images, 4), "gifs": (gifs, 2),
                   "avis": (avis, 2), "audio": (audio, 2),
-                  "containers": (containers, 2)}
+                  "containers": (containers, 2),
+                  "mpeg_audio": (mpeg_audio, 2)}
         digest = hashlib.md5(
             b"".join(bytes(r["content"])
-                     for r in images + gifs + avis + audio + containers)
+                     for r in images + gifs + avis + audio + containers
+                     + mpeg_audio)
         ).hexdigest()[:16]
         base = _media_dir(f"v2_{digest}")
         if not os.path.isdir(base):

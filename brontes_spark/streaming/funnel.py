@@ -15,8 +15,17 @@ arrival that is nondecreasing in ts across batches reproduces the batch
 operator exactly — pinned by tests/test_streaming_dedup.py's funnel test
 across a checkpoint restart. Out-of-order late events follow the usual
 online contract: an event older than an already-satisfied stage cannot
-retroactively improve it (first-qualifying-wins), which is the
-dashboard-correct behavior when reprocessing is off the table.
+retroactively improve it (first-qualifying-wins), and a dependent-stage
+event that arrives before its prerequisite is consumed without effect.
+The guarantee is ONE-SIDED and test-pinned
+(test_streaming_funnel_out_of_order_understates_never_overstates): for
+ANY arrival order, streaming depth <= the batch replay's depth and every
+satisfied streaming t_i >= the batch t_i — a live dashboard can
+undercount conversions until reprocessing, never overcount. (Proof
+sketch: by induction, any event advancing the stream state has
+ts > t_{i-1}^stream >= t_{i-1}^batch, so it also qualifies in the batch
+fold at an equal-or-earlier position.) This is the dashboard-correct
+behavior when reprocessing is off the table.
 
 State size: N longs per key — bounded by the key universe, not stream
 length; RocksDB state store at scale, fold unchanged.

@@ -2017,3 +2017,104 @@ def test_gif_parse_frames_empty_indices_short_circuits():
     assert gif_parse_frames(gif, indices=[]) == {}
     out = gif_parse_frames(gif, indices=[2])
     assert list(out) == [2] and (out[2][0, 0] == (10, 20, 30)).all()
+
+
+def test_mp12_decode_roundtrip_exact():
+    """Every planted MPEG-1 Layer I/II fixture decodes to its exact
+    rational gold: dominant subband, per-subband RMS, frame/granule
+    counts — the independent-encoder round trip behind mm_mp2_features."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import decode_mp12
+    from brontes_spark.sources.media_fixture import build_mp12_media
+
+    rows, gold = build_mp12_media()
+    gmap = {g["item_id"]: g for g in gold}
+    assert len(rows) == len(gold) == 10
+    for r in rows:
+        d = decode_mp12(bytes(r["content"]))
+        g = gmap[r["item_id"]]
+        sub = d["subbands"]
+        assert (d["layer"], d["sample_rate"], d["n_channels"],
+                d["n_frames"]) == (g["layer"], g["sample_rate"],
+                                   g["n_channels"], g["n_frames"])
+        assert sub.shape == (g["n_granules"], 32)
+        energy = (sub * sub).sum(axis=0)
+        dom = int(np.argmax(energy))
+        assert dom == g["dom_subband"]
+        rms = float(np.sqrt(np.mean(sub[:, dom] ** 2)))
+        assert abs(rms - float(g["rms9"])) < 1e-9
+        # orthonormal DCT-IV synthesis: PCM energy == subband energy
+        pcm = d["samples"]
+        assert len(pcm) == 32 * sub.shape[0]
+        assert np.isclose(np.sqrt(np.mean(pcm ** 2)),
+                          np.sqrt(np.mean(sub ** 2)), rtol=1e-12)
+
+
+def test_mp12_grouped_unpack_order_and_scfsi_spreads():
+    """Grouped codes unpack base-steps FIRST-SAMPLE-FIRST (v % steps is
+    granule sample 0 — ISO 11172-3 §2.4.3.3.4), pinned with three DISTINCT
+    codes in one group; scfsi spreads map transmitted scalefactors to
+    granule thirds as (a,b,c)/(a,a,b)/(a,a,a)/(a,b,b)."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import _mp12_dequant, decode_mp12
+    from brontes_spark.sources.media_fixture import _MpegBits
+
+    # hand-assembled single 96 kbps mono Layer II frame: sb7 steps=5,
+    # scfsi=0 (three scalefactors 3/9/3), every granule carries the
+    # grouped code for (c0, c1, c2) = (0, 2, 4)
+    b = _MpegBits()
+    b.w(0x7FF, 11); b.w(3, 2); b.w(2, 2); b.w(1, 1)
+    b.w(6, 4); b.w(1, 2); b.w(0, 1); b.w(0, 1)
+    b.w(3, 2); b.w(0, 2); b.w(0, 1); b.w(0, 1); b.w(0, 2)
+    for sb in range(27):  # allocation: sb7 -> code 2 (steps=5 in MID)
+        nbal = 4 if sb < 11 else 3 if sb < 23 else 2
+        b.w(2 if sb == 7 else 0, nbal)
+    b.w(0, 2)  # scfsi=0
+    for sf in (3, 9, 3):
+        b.w(sf, 6)
+    group = 0 + 5 * 2 + 25 * 4  # (c0, c1, c2) = (0, 2, 4)
+    for _gr in range(12):
+        b.w(group, 7)
+    data = b.frame((144 * 96000) // 48000)
+    d = decode_mp12(data)
+    sub = d["subbands"]
+    assert sub.shape == (36, 32)
+    v0, v2, v4 = (_mp12_dequant(c, 5) for c in (0, 2, 4))
+    assert (v0, v2, v4) == (-0.8, 0.0, 0.8)
+    for gr in range(12):
+        scale = 1.0 if gr // 4 != 1 else 0.25  # sf 3 -> 1.0, sf 9 -> 0.25
+        got = sub[3 * gr : 3 * gr + 3, 7]
+        assert np.allclose(got, [v0 * scale, v2 * scale, v4 * scale])
+    assert np.count_nonzero(sub[:, [s for s in range(32) if s != 7]]) == 0
+
+
+def test_mp12_rejects_out_of_envelope():
+    import pytest
+
+    from brontes_spark.operators.multimodal import decode_audio, decode_mp12
+    from brontes_spark.sources.media_fixture import (
+        build_mp12_media,
+        mp2_planted,
+        mp3_stream,
+    )
+
+    with pytest.raises(ValueError, match="codec boundary"):
+        decode_mp12(mp3_stream([(9, 0, 0)] * 3))
+    # Layer II below the Table B.2a envelope (32 kbps mono)
+    with pytest.raises(ValueError, match="B.2a envelope"):
+        decode_mp12(mp2_planted(1, 1, [(0, 3, 2, (3, 3, 3), 2, 0)]))
+    good = bytes(build_mp12_media()[0][0]["content"])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mp12(good[:-7])
+    with pytest.raises(ValueError, match="frame sync"):
+        decode_mp12(b"\x12\x34" + good)
+    # joint stereo (mode 01) rejected: flip the mode bits of a good header
+    h = bytearray(good)
+    h[3] = (h[3] & 0x3F) | 0x40
+    with pytest.raises(ValueError, match="joint-stereo"):
+        decode_mp12(bytes(h))
+    # the sniffing dispatch routes MPEG sync bytes to decode_mp12
+    d = decode_audio(good)
+    assert d["layer"] == 2 and d["sample_rate"] == 48000

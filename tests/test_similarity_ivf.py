@@ -201,3 +201,36 @@ def test_semantic_dedup_hierarchical_exact_probe_equals_flat(spark):
                 hierarchical=True, nprobe_super=3,
             ).collect()}
     assert hier == flat
+
+
+def test_kmeans_refine_hierarchical_exact_probe_equals_flat(spark):
+    """kmeans_refine_assign(hierarchical=True) with nprobe_super >= branch
+    is bit-identical to the flat refine loop across TWO Lloyd rounds — the
+    exhaustive probe covers every centroid at every round (seeded pass plus
+    both refined reassignments), so the iterative fixpoint is the same."""
+    import random
+
+    from brontes_spark.operators.similarity import kmeans_refine_assign
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    flat = {(r["id"], r["cluster"], r["cluster0"])
+            for r in kmeans_refine_assign(
+                df, "vec_id", "embedding", k_clusters=9, iters=2
+            ).collect()}
+    hier = {(r["id"], r["cluster"], r["cluster0"])
+            for r in kmeans_refine_assign(
+                df, "vec_id", "embedding", k_clusters=9, iters=2,
+                hierarchical=True, branch=3, nprobe_super=3,
+            ).collect()}
+    assert hier == flat
+
+    # the approximate configuration still assigns every vector exactly once
+    approx = kmeans_refine_assign(
+        df, "vec_id", "embedding", k_clusters=9, iters=1,
+        hierarchical=True, branch=3, nprobe_super=1,
+    ).collect()
+    assert len(approx) == len(flat)
+    assert len({r["id"] for r in approx}) == len(flat)

@@ -165,3 +165,102 @@ def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
         g = latest[uid]
         assert (g["t1"], g["t2"], g["t3"], g["stage"]) == (
             w["t1"], w["t2"], w["t3"], w["stage"]), uid
+
+
+def test_streaming_funnel_out_of_order_understates_never_overstates(
+    spark, tmp_path
+):
+    """Out-of-order arrival contract (VERDICT r6 directive 7), pinned in
+    both directions:
+
+    (a) a LATE stage-1 event with an earlier timestamp cannot retroactively
+        move an already-satisfied t1 (first-qualifying-wins);
+    (b) a stage-2 event that arrives BEFORE its stage-1 prerequisite is
+        consumed without effect and is NOT retro-applied once stage 1
+        lands — streaming depth UNDERSTATES the batch replay;
+    (c) the inequality is one-sided: for random arrival orders, streaming
+        stage depth <= batch depth for every key, and each satisfied
+        streaming t_i >= the batch t_i (induction on the strict-> fold:
+        any event that advances the stream state would also have advanced
+        the batch fold at an equal-or-earlier timestamp)."""
+    import random
+
+    from brontes_spark.operators.funnel import funnel_stage_times
+    from brontes_spark.streaming.funnel import funnel_stream
+
+    stages = ["view", "click", "purchase"]
+    ddl = "event_id long, ts_ns long, user_id long, event_type string"
+
+    def run_stream(batches, tag):
+        src, ckpt, out = (
+            str(tmp_path / f"{tag}_{d}") for d in ("src", "ckpt", "out")
+        )
+        for b in batches:
+            spark.createDataFrame(b, ddl).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                funnel_stream(
+                    spark.readStream.schema(ddl).parquet(src), stages
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        latest = {}
+        for r in spark.read.parquet(out).collect():
+            cur = latest.get(r["user_id"])
+            if cur is None or r["stage"] >= cur["stage"]:
+                latest[r["user_id"]] = r
+        return latest
+
+    # (a) late-but-earlier stage-1: t1 stays at the first arrival's ts
+    got = run_stream(
+        [[(1, 100, 7, "view"), (2, 200, 7, "click")], [(3, 50, 7, "view")]],
+        "late1",
+    )
+    assert (got[7]["t1"], got[7]["t2"], got[7]["stage"]) == (100, 200, 2)
+
+    # (b) prerequisite arrives after its dependent: depth understates batch
+    got = run_stream([[(1, 200, 8, "click")], [(2, 100, 8, "view")]], "dep")
+    assert (got[8]["t1"], got[8]["t2"], got[8]["stage"]) == (100, None, 1)
+    batch = funnel_stage_times(
+        spark.createDataFrame(
+            [(1, 200, 8, "click"), (2, 100, 8, "view")], ddl
+        ),
+        stages,
+    ).collect()[0]
+    assert (batch["t2"], batch["stage"]) == (200, 2)
+
+    # (c) random arrival orders: one-sided inequality vs the batch replay
+    rng = random.Random(113)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randrange(2, 10)):
+            eid += 1
+            rows.append(
+                (eid, rng.randrange(0, 6) * 100, user,
+                 rng.choice(stages + ["noise"]))
+            )
+    arrival = rows[:]
+    rng.shuffle(arrival)  # deliberately NOT time-ordered
+    half = len(arrival) // 2
+    got = run_stream([arrival[:half], arrival[half:]], "prop")
+    want = {
+        r["user_id"]: r
+        for r in funnel_stage_times(
+            spark.createDataFrame(rows, ddl), stages
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["stage"] <= w["stage"], uid
+        for i in (1, 2, 3):
+            if g[f"t{i}"] is not None:
+                assert w[f"t{i}"] is not None and g[f"t{i}"] >= w[f"t{i}"], uid
