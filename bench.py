@@ -71,6 +71,7 @@ HEADLINE = [
     # times the Python decode kernels + Arrow plumbing)
     "mm_image_features",
     "mm_gif_frame_sample",
+    "mm_mp2_features",
     # bench-only hierarchical twins (see EXTRA below)
     "dedup_semantic_hier",
     "ann_kmeans_refine_hier",

@@ -1,4 +1,4 @@
-"""Deterministic cardinality sketches.
+"""Deterministic cardinality and frequency sketches.
 
 Engines estimate distinct counts with HLL-family sketches
 (`approx_count_distinct`); their merge internals are implementation-defined,
@@ -99,4 +99,176 @@ def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= k)
         .select("key", "pos", "hv")
+    )
+
+
+def quantiles_exact(
+    df: DataFrame,
+    val_col: str,
+    qs: list[float],
+    buckets: int = 4096,
+) -> DataFrame:
+    """EXACT order statistics without a full sort — the two-pass
+    histogram-refine pattern for "p50/p95/p99 over 100 TB":
+
+    Pass 1: one hash aggregate over equi-width buckets (exact DECIMAL
+    bucket math — (v-min)*B can overflow BIGINT on full-range longs). The
+    <= `buckets`-row histogram is collected driver-side: a bounded summary
+    dimension, the same documented exception class as the token-graph
+    (SURVEY §4) — it never grows with the data.
+    Pass 2: locate each target rank's bucket in the histogram, then ONE
+    filtered scan shuffles ONLY the targeted buckets' rows (~N/buckets
+    each) into per-bucket sort windows and picks the in-bucket offsets.
+
+    Rank convention: k = max(1, ceil(q*N)) over non-null values ascending
+    (the percentile_disc 'lower' form — every returned value is an actual
+    data value, never an interpolation). Returns (q double, rank long,
+    value long). Integral columns only: exactness is integer exactness
+    (quantize doubles upstream, the repo-wide decimal policy).
+
+    Worst case: a single dominant value concentrates its bucket (refine
+    sorts that bucket's rows); correctness is unaffected and `buckets` is
+    the dial. Min/max/count ride the same pass-1 aggregate, so the whole
+    operator is two scans + one bounded shuffle.
+    """
+    import math
+
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("quantiles must lie in [0, 1]")
+    spark = df.sparkSession
+    out_schema = "q double, rank long, value long"
+    vals = df.select(F.col(val_col).alias("v")).filter(F.col("v").isNotNull())
+    stats = vals.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return spark.createDataFrame([], out_schema)
+    mn, mx, n = int(stats["mn"]), int(stats["mx"]), int(stats["n"])
+    width_den = mx - mn + 1
+    hist = (
+        vals.groupBy(
+            F.expr(
+                f"CAST((CAST(v AS DECIMAL(38,0)) - {mn}) * {buckets} "
+                f"div {width_den} AS INT)"
+            ).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = {r["b"]: r["cnt"] for r in hist}
+    # cumulative counts in bucket order -> (bucket, in-bucket offset) per q
+    order = sorted(counts)
+    cum, running = {}, 0
+    for bkt in order:
+        cum[bkt] = running  # rows strictly before this bucket
+        running += counts[bkt]
+    targets: list[tuple[float, int, int, int]] = []  # (q, rank, bucket, off)
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        for bkt in order:
+            if cum[bkt] + counts[bkt] >= rank:
+                targets.append((q, rank, bkt, rank - cum[bkt]))
+                break
+    need = sorted({t[2] for t in targets})
+    in_bucket = (
+        vals.withColumn(
+            "b",
+            F.expr(
+                f"CAST((CAST(v AS DECIMAL(38,0)) - {mn}) * {buckets} "
+                f"div {width_den} AS INT)"
+            ),
+        )
+        .filter(F.col("b").isin(need))
+        .withColumn(
+            "pos", F.row_number().over(W.partitionBy("b").orderBy("v"))
+        )
+    )
+    wanted = spark.createDataFrame(
+        [(q, r, bkt, off) for q, r, bkt, off in targets],
+        "q double, rank long, b int, pos int",
+    )
+    return (
+        in_bucket.join(F.broadcast(wanted), ["b", "pos"])
+        .select("q", "rank", F.col("v").cast("long").alias("value"))
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    val_col: str,
+    freq_num: int = 1,
+    freq_den: int = 100,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (items with count > freq_num/freq_den of all
+    rows) in two passes — the 100 TB pattern for "frequent tokens /
+    domains / shingles" where a full groupBy would shuffle every row:
+
+    Pass 1 (NO shuffle): each partition folds its rows into a Misra-Gries
+    summary of `counters` entries inside one mapInPandas generator (state
+    carries across the partition's Arrow batches; per-batch exact
+    value_counts merge via the standard add-then-subtract-(k+1)th-largest
+    compaction of Agarwal et al. 2013, which is itself an MG summary).
+    Pigeonhole completeness: an item with global frequency > num/den has
+    partition frequency > 1/(counters+1) in at least one partition (the
+    default counters = den//num makes 1/(counters+1) < num/den), so it
+    SURVIVES that partition's summary — the candidate union provably
+    contains every true heavy hitter. Candidates are bounded by
+    partitions x counters rows (1000 executors x 100 counters = 10^5,
+    trivially broadcastable).
+
+    Pass 2 (one bounded shuffle): broadcast the candidate set, group the
+    full data by candidate-or-null (non-candidates collapse into the null
+    group, so the aggregate output is <= candidates+1 rows), take exact
+    counts, derive the total row count from the SAME aggregate (a window
+    sum over the tiny result — no second scan, no driver-side count), and
+    keep items with count * den > num * total: an exact integer
+    comparison, no float threshold.
+
+    Returns (val_col, n, total). Null keys are excluded up front (a null
+    is not an item; pandas value_counts would drop it mid-summary
+    otherwise). False positives from pass 1 are eliminated by pass 2's
+    exact counts, so the result equals the plain
+    groupBy-count-filter-by-fraction plan on ANY partitioning —
+    property-pinned in tests/test_sketches.py.
+
+    Reference analog: the reference keeps running most-active address/
+    searcher tallies (brontes-database searcher stats); this is the
+    bounded-memory form a 100 TB corpus needs.
+    """
+    import pandas as pd
+
+    if freq_num <= 0 or freq_den <= 0 or freq_num >= freq_den:
+        raise ValueError("need 0 < freq_num/freq_den < 1")
+    k = counters or max(1, freq_den // freq_num)
+    dtype = dict(df.dtypes)[val_col]
+    selected = df.select(F.col(val_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def summarize(batches) -> "object":
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k:
+                sub = sorted(counts.values(), reverse=True)[k]
+                counts = {v: c - sub for v, c in counts.items() if c > sub}
+        yield pd.DataFrame({"v": list(counts.keys())})
+
+    cand = selected.mapInPandas(summarize, schema=f"v {dtype}").distinct()
+    flagged = selected.join(
+        F.broadcast(cand.withColumn("is_c", F.lit(True))), "v", "left"
+    )
+    g = flagged.groupBy(
+        F.when(F.col("is_c"), F.col("v")).alias("cv")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = g.withColumn("total", F.sum("n").over(W.partitionBy(F.lit(1))))
+    return (
+        out.filter(
+            F.col("cv").isNotNull()
+            & (F.col("n") * freq_den > freq_num * F.col("total"))
+        )
+        .select(F.col("cv").alias(val_col), "n", "total")
     )

@@ -2118,3 +2118,43 @@ def test_mp12_rejects_out_of_envelope():
     # the sniffing dispatch routes MPEG sync bytes to decode_mp12
     d = decode_audio(good)
     assert d["layer"] == 2 and d["sample_rate"] == 48000
+
+
+def test_mp12_stereo_distinct_channels_average():
+    """Stereo with DIFFERENT per-channel content: the decoder's
+    channel-average must equal (v_left + v_right)/2 per granule sample —
+    pins the ch-inner interleave of allocation/scalefactor/sample reads
+    (a swapped order would mispair scalefactors and desync nothing, so
+    only a value check catches it)."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import _mp12_dequant, decode_mp12
+    from brontes_spark.sources.media_fixture import _MpegBits
+
+    # one 192 kbps stereo Layer II frame: sb0 planted on BOTH channels,
+    # steps=3 grouped, but ch0 uses sf idx 3 (SF=1) and ch1 sf idx 9
+    # (SF=1/4); ch0 alternates codes 2/0, ch1 plays constant code 2
+    b = _MpegBits()
+    b.w(0x7FF, 11); b.w(3, 2); b.w(2, 2); b.w(1, 1)
+    b.w(10, 4); b.w(1, 2); b.w(0, 1); b.w(0, 1)
+    b.w(0, 2); b.w(0, 2); b.w(0, 1); b.w(0, 1); b.w(0, 2)  # stereo
+    for sb in range(27):  # allocation, both channels
+        nbal = 4 if sb < 11 else 3 if sb < 23 else 2
+        for _ch in range(2):
+            b.w(1 if sb == 0 else 0, nbal)
+    b.w(2, 2); b.w(2, 2)  # scfsi=2 per channel
+    b.w(3, 6); b.w(9, 6)  # one scalefactor each: SF(3)=1, SF(9)=1/4
+    for gr in range(12):
+        c0 = 2 if gr % 2 == 0 else 0
+        b.w(c0 + 3 * c0 + 9 * c0, 5)   # ch0 group
+        b.w(2 + 3 * 2 + 9 * 2, 5)      # ch1 group (constant)
+    data = b.frame((144 * 192000) // 48000)
+    d = decode_mp12(data)
+    assert (d["n_channels"], d["layer"]) == (2, 2)
+    sub = d["subbands"]
+    v = _mp12_dequant(2, 3)  # +2/3
+    for gr in range(12):
+        ch0 = v if gr % 2 == 0 else -v
+        want = (ch0 * 1.0 + v * 0.25) / 2
+        assert np.allclose(sub[3 * gr : 3 * gr + 3, 0], want), gr
+    assert np.count_nonzero(sub[:, 1:]) == 0

@@ -433,12 +433,28 @@ def test_subtree_bounds_window_depth_guard(spark):
 
     from brontes_spark.operators.intervals import subtree_bounds
 
-    rows = [("t", 0, []), ("t", 1, [0, 0, 0])]
+    # a VALID DFS preorder (every parent precedes its child) that simply
+    # exceeds max_depth — since round 7 the preorder validation runs
+    # first, so an invalid fixture would trip THAT guard instead
+    rows = [
+        ("t", 0, []),
+        ("t", 1, [0]),
+        ("t", 2, [0, 0]),
+        ("t", 3, [0, 0, 0]),
+    ]
     df = spark.createDataFrame(
         rows, "tx_hash string, trace_idx long, trace_address array<int>"
     )
     with pytest.raises(Exception, match="deeper than max_depth"):
         subtree_bounds(df, method="window", max_depth=2).collect()
+    # and the new guard itself: a non-preorder idx ordering raises unless
+    # validate=False or method='join'
+    bad = spark.createDataFrame(
+        [("t", 0, []), ("t", 1, [0, 0, 0])],
+        "tx_hash string, trace_idx long, trace_address array<int>",
+    )
+    with pytest.raises(Exception, match="not a DFS preorder"):
+        subtree_bounds(bad, method="window", max_depth=8).collect()
 
 
 def test_kmv_sketch_accuracy_merge_and_exact_fallback(spark):

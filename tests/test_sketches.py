@@ -1,0 +1,249 @@
+"""frequent_items (two-pass exact Misra-Gries heavy hitters) — completeness
+and exactness pins. The KMV sketch family is covered by its driver gate and
+tests/test_property.py; this file owns the frequency sketch."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from brontes_spark.operators.sketches import frequent_items
+
+
+def _plain(df, num, den):
+    """The full-shuffle reference plan: groupBy-count, filter by fraction."""
+    total = df.filter(F.col("v").isNotNull()).count()
+    return {
+        (r["v"], r["n"])
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * den > num * total)
+        .collect()
+    }
+
+
+def test_frequent_items_equals_groupby_any_partitioning(spark):
+    rng = random.Random(41)
+    # zipf-ish: token i appears ~N/(i+1) times
+    vals = []
+    for i in range(60):
+        vals += [f"tok{i}"] * (2000 // (i + 1))
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    want = _plain(df, 1, 50)
+    assert want  # the head of the zipf curve IS heavy
+    for parts in (1, 7, 32):
+        got = {
+            (r["v"], r["n"])
+            for r in frequent_items(
+                df.repartition(parts), "v", freq_num=1, freq_den=50
+            ).collect()
+        }
+        assert got == want, parts
+        # every returned total is the true row count
+        totals = {
+            r["total"]
+            for r in frequent_items(
+                df.repartition(parts), "v", freq_num=1, freq_den=50
+            ).collect()
+        }
+        assert totals == {len(vals)}
+
+
+def test_frequent_items_adversarial_completeness(spark):
+    """Heavy items barely above threshold drowned in a sea of distincts,
+    with the MINIMUM default counter budget — the pigeonhole guarantee is
+    what keeps them in the candidate set."""
+    n_noise = 9000
+    rows = [(f"noise{i}",) for i in range(n_noise)]
+    # three heavy items, each just above 5% of the final total
+    total = n_noise + 3 * 600
+    assert 600 * 20 > 1 * total  # > 1/20th
+    for h in ("hot_a", "hot_b", "hot_c"):
+        rows += [(h,)] * 600
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, "v string").repartition(32)
+    got = {
+        r["v"]: r["n"]
+        for r in frequent_items(df, "v", freq_num=1, freq_den=20).collect()
+    }
+    assert got == {"hot_a": 600, "hot_b": 600, "hot_c": 600}
+
+
+def test_frequent_items_int_keys_nulls_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 30 + [(2,)] * 5 + [(None,)] * 40, "v long"
+    )
+    # nulls are excluded from both counts and the total (35 non-null rows)
+    got = {
+        (r["v"], r["n"], r["total"])
+        for r in frequent_items(df, "v", freq_num=1, freq_den=2).collect()
+    }
+    assert got == {(1, 30, 35)}
+    # no heavy hitters above 99%
+    assert frequent_items(df, "v", freq_num=99, freq_den=100).count() == 0
+    # empty input
+    empty = spark.createDataFrame([], "v string")
+    assert frequent_items(empty, "v").count() == 0
+    with pytest.raises(ValueError):
+        frequent_items(df, "v", freq_num=0, freq_den=5)
+    with pytest.raises(ValueError):
+        frequent_items(df, "v", freq_num=5, freq_den=5)
+
+
+def test_frequent_items_duckdb_parity(spark):
+    """Exact SQL-twin parity (the shape an r8 driver gate will pin):
+    DuckDB computes the same groupBy-fraction plan over the same rows."""
+    import duckdb
+
+    rng = random.Random(99)
+    vals = [f"w{rng.randrange(40) ** 2 % 97}" for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        (r["v"], r["n"], r["total"])
+        for r in frequent_items(
+            df.repartition(16), "v", freq_num=3, freq_den=100
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT v, COUNT(*) AS n, (SELECT COUNT(*) FROM t) AS total "
+            "FROM t GROUP BY v HAVING COUNT(*) * 100 > 3 * (SELECT COUNT(*) FROM t)"
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_quantiles_exact_matches_sorted_reference(spark):
+    import math
+    import random
+
+    from brontes_spark.operators.sketches import quantiles_exact
+
+    rng = random.Random(21)
+    # heavy ties + wide outliers + negatives: the bucket math must stay
+    # exact across the full long range direction
+    vals = (
+        [rng.randrange(-50, 50) for _ in range(3000)]
+        + [7] * 500
+        + [rng.randrange(10**12, 10**13) for _ in range(20)]
+        + [-(10**15)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q"]: (r["rank"], r["value"])
+        for r in quantiles_exact(df.repartition(16), "v", qs).collect()
+    }
+    ordered = sorted(vals)
+    n = len(vals)
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        assert got[q] == (rank, ordered[rank - 1]), q
+
+
+def test_quantiles_exact_edges(spark):
+    import pytest
+
+    from brontes_spark.operators.sketches import quantiles_exact
+
+    # all-equal values: every quantile is that value
+    df = spark.createDataFrame([(42,)] * 100, "v long")
+    got = {r["q"]: r["value"] for r in quantiles_exact(df, "v", [0.1, 0.5, 1.0]).collect()}
+    assert got == {0.1: 42, 0.5: 42, 1.0: 42}
+    # nulls excluded; single row
+    df2 = spark.createDataFrame([(None,), (5,)], "v long")
+    assert [
+        (r["rank"], r["value"])
+        for r in quantiles_exact(df2, "v", [0.5]).collect()
+    ] == [(1, 5)]
+    # empty input -> empty result
+    empty = spark.createDataFrame([], "v long")
+    assert quantiles_exact(empty, "v", [0.5]).count() == 0
+    with pytest.raises(ValueError):
+        quantiles_exact(df, "v", [1.5])
+    with pytest.raises(ValueError):
+        quantiles_exact(df, "v", [])
+
+
+def test_quantiles_exact_duckdb_parity(spark):
+    """The r8-gate shape: DuckDB's quantile_disc over the same rows (its
+    'lower' discrete convention picks index floor... verified against the
+    explicit ORDER BY/OFFSET form to avoid convention drift)."""
+    import math
+    import random
+
+    import duckdb
+
+    from brontes_spark.operators.sketches import quantiles_exact
+
+    rng = random.Random(31)
+    vals = [rng.randrange(0, 10**6) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.05, 0.5, 0.95]
+    got = {
+        r["q"]: (r["rank"], r["value"])
+        for r in quantiles_exact(df.repartition(8), "v", qs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    n = len(vals)
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        want = con.execute(
+            f"SELECT v FROM t ORDER BY v LIMIT 1 OFFSET {rank - 1}"
+        ).fetchone()[0]
+        assert got[q] == (rank, want), q
+
+
+def test_sketch_operators_randomized_sweep(spark):
+    """Seeded random sweep (the repo's Spark-side property-test idiom):
+    frequent_items vs the full groupBy plan and quantiles_exact vs the
+    sorted list, across random shapes, fractions, and bucket counts."""
+    import math
+    import random
+
+    from brontes_spark.operators.sketches import frequent_items, quantiles_exact
+
+    for seed in (3, 19, 67):
+        rng = random.Random(seed)
+        n_vals = rng.randrange(200, 2500)
+        zipf_head = rng.randrange(2, 9)
+        vals = [
+            f"k{min(rng.randrange(1, 10**rng.randrange(1, 4)), i % 50)}"
+            if rng.random() < 0.5 else f"u{i}"
+            for i in range(n_vals)
+        ] + [f"h{j}" for j in range(zipf_head) for _ in range(n_vals // zipf_head)]
+        rng.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        num, den = rng.choice([(1, 20), (1, 50), (3, 100)])
+        got = {
+            (r["v"], r["n"])
+            for r in frequent_items(
+                df.repartition(rng.choice([1, 5, 32])), "v",
+                freq_num=num, freq_den=den,
+            ).collect()
+        }
+        assert got == _plain(df, num, den), seed
+
+        ivals = [rng.randrange(-10**6, 10**6) for _ in range(n_vals)]
+        idf = spark.createDataFrame([(v,) for v in ivals], "v long")
+        qs = sorted({round(rng.random(), 3) for _ in range(4)})
+        res = {
+            r["q"]: (r["rank"], r["value"])
+            for r in quantiles_exact(
+                idf, "v", qs, buckets=rng.choice([16, 257, 4096])
+            ).collect()
+        }
+        ordered = sorted(ivals)
+        for q in qs:
+            rank = max(1, math.ceil(q * len(ivals)))
+            assert res[q] == (rank, ordered[rank - 1]), (seed, q)
