@@ -1,0 +1,80 @@
+"""Deterministic weighted sampling without replacement.
+
+Efraimidis & Spirakis 2006 (A-ES): drawing m items with probabilities
+proportional to weights, without replacement, equals ranking items by
+u_i^(1/w_i) (u_i uniform) and keeping the top m. Floating pow is not
+engine-portable, so this uses the integer-exact equivalent: the maximum of
+w_i independent uniform hashes has CDF t^w_i — the SAME distribution as
+u^(1/w_i) — and 60-bit md5 draws are pure functions of (salt, id, i). The
+ranking, and therefore the sample, is deterministic, engine-identical, and
+partitioning-invariant; changing `salt` redraws the whole sample.
+
+Cost shape: materializing w hash draws per item costs sum(w) exploded rows
+map-side, folded by a max-aggregate before the only shuffle (map-side
+combine reduces each item to ONE (id, key) row per task). For token-count
+weights this is ~the tokenization pass; `weight_scale` divides weights
+down (ceil) when sum(w) is the concern — scaling all weights preserves
+RELATIVE proportions approximately (exactly when all weights are
+multiples of the scale). Top-m is TakeOrdered (per-partition heads + one
+driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    salt: str = "ws",
+    weight_scale: int = 1,
+) -> DataFrame:
+    """(id, key) — each item's A-ES ranking key: max of ceil(w/scale)
+    uniform 60-bit draws. Items with (scaled) weight < 1 draw nothing and
+    are dropped (weight 0 = never sampled, matching p ∝ w)."""
+    if weight_scale < 1:
+        raise ValueError(f"weight_scale must be >= 1, got {weight_scale}")
+    w_eff = F.expr(
+        f"CAST((CAST({weight_col} AS BIGINT) + {weight_scale - 1}) "
+        f"div {weight_scale} AS BIGINT)"
+    )
+    # filter BEFORE sequence: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0], not empty, so non-positive weights must never reach it
+    reps = (
+        df.select(F.col(id_col).alias("id"), w_eff.alias("_w"))
+        .filter(F.col("_w") >= 1)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_w"))).alias("rep"),
+        )
+    )
+    key = md5_long(
+        F.concat(F.col("id").cast("string"), F.lit(":"), F.col("rep").cast("string")),
+        seed=salt,
+    )
+    return reps.select("id", key.alias("key")).groupBy("id").agg(
+        F.max("key").alias("key")
+    )
+
+
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    m: int,
+    salt: str = "ws",
+    weight_scale: int = 1,
+) -> DataFrame:
+    """The m sampled ids with their ranking keys: (id, key), weighted
+    without replacement. Deterministic tie-break (key DESC, id ASC) —
+    60-bit keys collide with ~2^-60 odds, but the order is total either
+    way, so both engines agree bit-for-bit."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    keys = weighted_sample_keys(df, id_col, weight_col, salt, weight_scale)
+    return keys.orderBy(F.col("key").desc(), F.col("id")).limit(m)

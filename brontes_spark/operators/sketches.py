@@ -272,3 +272,131 @@ def frequent_items(
         )
         .select(F.col("cv").alias(val_col), "n", "total")
     )
+
+
+def countmin_sketch(
+    df: DataFrame, val_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """(row, col, cnt) — a depth x width count-min counter matrix (Cormode
+    & Muthukrishnan 2005) of `val_col` occurrences. Deterministic: row r's
+    hash is md5_long(r || '|' || val) % width, so the matrix is a pure
+    function of the data — a DuckDB oracle recomputes it exactly.
+
+    Scale shape: occurrences explode to depth (row, col) pairs map-side,
+    but the groupBy's partial aggregation bounds what any task emits to
+    depth*width rows — the shuffle carries a BOUNDED summary per task
+    regardless of input size (the whole point of sketching 100 TB).
+    Estimates are one-sided: est >= true count always, with overcount
+    bounded by collisions (width is the dial, error ~ N/width per row,
+    min over depth rows takes the least-collided)."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width and depth must be >= 1, got {width}x{depth}")
+    pairs = [
+        F.struct(
+            F.lit(r).alias("row"),
+            (md5_long(F.col(val_col).cast("string"), seed=r) % width).alias("col"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("p"))
+        .select(F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of counter matrices: the sketch of a union of
+    slices is exactly the sum of the slices' sketches (how a 100 TB build
+    folds per-partition summaries, and how streaming micro-batches fold
+    into a running sketch)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    items: DataFrame, sketch: DataFrame, val_col: str, width: int, depth: int = 4
+) -> DataFrame:
+    """(val_col, est) — the count-min estimate (min over depth rows) for
+    each item. The sketch side is depth*width rows at most and broadcasts;
+    the item side explodes its depth probes in place, so the only shuffle
+    is the per-item min fold. A probed cell with no sketch row means count
+    0 (the item was never seen)."""
+    probes = [
+        F.struct(
+            F.lit(r).alias("row"),
+            (md5_long(F.col(val_col).cast("string"), seed=r) % width).alias("col"),
+        )
+        for r in range(depth)
+    ]
+    exploded = items.select(
+        F.col(val_col), F.explode(F.array(*probes)).alias("p")
+    ).select(val_col, F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    return (
+        exploded.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(val_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def kmv_set_relations(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Set-relation estimates between two keyed value sets from their KMV
+    sketches alone (Beyer et al. 2007's KMV synopses): per key,
+
+      (key, n_union_seen, est_union, n_both, jaccard_est, est_intersect)
+
+    The union sketch is the k smallest hashes of the merged value lists;
+    within those k, the fraction also present in BOTH inputs is an
+    unbiased Jaccard estimate (each of the union's k-minima is a uniform
+    sample of the union), and est_intersect = jaccard * est_union. When
+    the union has fewer than k distinct hashes the sketch saw everything
+    and every figure is exact (the same small-regime fallback as
+    kmv_distinct).
+
+    Inputs are kmv_sketch outputs — k rows per key — so this never touches
+    the original data: it's the "compare two 100 TB corpora from their
+    kilobyte summaries" operation (vocabulary overlap between sources,
+    user-set overlap between event streams). All integer/min/count math:
+    deterministic, oracle-checkable.
+    """
+    ua = sketch_a.select("key", "hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
+    ub = sketch_b.select("key", "hv", F.lit(0).alias("a"), F.lit(1).alias("b"))
+    u = (
+        ua.unionByName(ub)
+        .groupBy("key", "hv")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    w = W.partitionBy("key").orderBy("hv")
+    topk = u.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= k)
+    agg = topk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_union_seen"),
+        F.max(F.when(F.col("pos") == k, F.col("hv"))).alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    numer = (k - 1) * _M
+    est_union = (
+        F.when(F.col("n_union_seen") < k, F.col("n_union_seen"))
+        .otherwise(F.expr(f"CAST('{numer}' AS DECIMAL(38,0)) div nullif(kth, 0)"))
+        .cast("long")
+    )
+    return agg.select(
+        "key",
+        "n_union_seen",
+        est_union.alias("est_union"),
+        "n_both",
+        (F.col("n_both") / F.col("n_union_seen")).alias("jaccard_est"),
+    ).withColumn(
+        # integer div (not a double cast: Spark truncates, DuckDB rounds),
+        # in DECIMAL because n_both * est_union can pass 2^63 when the kth
+        # minimum is pathologically small
+        "est_intersect",
+        F.expr(
+            "CAST(CAST(n_both AS DECIMAL(38,0)) * est_union "
+            "div n_union_seen AS BIGINT)"
+        ),
+    )

@@ -1,0 +1,311 @@
+"""Gate specs built in round 7 but NOT yet in the driver registry.
+
+The driver verifies the FIRST 50 ordered registry entries per round, and a
+brand-new gate (no driver history) sorts risk-first — so registering these
+now would eject r5 re-attestations from the round-7 window and break the
+rotation contract (VERDICT r6 directive 1: all 48 r5-attested gates must
+come back green this round). They are therefore staged here with the SAME
+(builder, oracle, survey_ref) shape as registry entries and verified by the
+SAME sf0.01 DuckDB-parity harness (tests/test_pending_parity.py); round 8
+promotes them with one-line `register(...)` moves.
+
+Kept in a module no gate builder imports, so staging new work here does not
+flip any registered gate's change fingerprint (plans/fingerprints.py walks
+the import closure of each builder's module).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloom import decontaminate_bloom
+from ..operators.spans import duplicate_spans, span_dedup_stats
+from ..sources.testdata import load_table
+from .registry import QuerySpec
+
+PENDING: dict[str, QuerySpec] = {}
+
+
+def pending(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        PENDING[name] = QuerySpec(name=name, build=fn, oracle=oracle, survey_ref=survey_ref)
+        return fn
+
+    return deco
+
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+#: gram length for the span-dedup gates: long enough that a hit means a
+#: planted verbatim passage (the testdata generator repeats multi-sentence
+#: blocks across docs — 1015 duplicated 8-grams at sf0.01), short enough
+#: that the oracle's brute recomputation stays cheap.
+_SPAN_K = 8
+
+#: shared oracle body: merged keep-first duplicate-span intervals. The
+#: canonical occurrence is min(doc_id, pos) lexicographic; the oracle packs
+#: it into doc_id * 2^20 + pos (positions are < 2^20 at every testdata sf;
+#: the Spark side uses a struct min, identical for non-negative doc_id).
+_SQL_SPANS = f"""
+    tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS i, toks
+      FROM tok WHERE len(toks) >= {_SPAN_K}),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')), 1, 15))::BIGINT AS gh
+      FROM occ),
+    dup AS (
+      SELECT gh, MIN(doc_id * 1048576 + pos) AS canon
+      FROM g GROUP BY gh HAVING COUNT(*) > 1),
+    fl AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + {_SPAN_K} AS e
+      FROM g JOIN dup USING (gh)
+      WHERE g.doc_id * 1048576 + g.pos <> dup.canon),
+    pe AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM fl),
+    grps AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+      FROM pe),
+    spans AS (
+      SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+      FROM grps GROUP BY doc_id, grp)
+"""
+
+
+@pending(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH {_SQL_SPANS}
+    SELECT doc_id, span_start, span_end FROM spans
+    """,
+    survey_ref="substring-level exact dedup (duplicate-span removal), the "
+    "relational form of Lee et al. 2022's ExactSubstr: every k-token window "
+    "repeated anywhere in the corpus is flagged at all but its first "
+    "occurrence, overlapping/touching windows merged to maximal per-doc "
+    "removal intervals; inverted 60-bit gram index = one map-side-combined "
+    "groupBy, interval merge shuffles only flagged windows",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@pending(
+    "dedup_span_stats",
+    oracle=f"""
+    WITH {_SQL_SPANS},
+    per_doc AS (
+      -- SUM(BIGINT) is HUGEINT in DuckDB; cast back so the driver's
+      -- dtype-sensitive value hash sees int64 (oracle.py policy)
+      SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / GREATEST(len(t.toks), 1) AS dup_frac
+    FROM tok t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    survey_ref="per-document duplicated-token accounting over the merged "
+    "span intervals (the keep/trim/drop decision input of substring-level "
+    "dedup pipelines)",
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, "doc_id", "text", k=_SPAN_K).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+#: word-3-gram shingles, the txt_decontaminate convention (llm_data.py)
+_SQL_SHINGLES3 = f"""
+    tok3 AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    idx3 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tok3 WHERE len(toks) >= 3),
+    sh3 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS shingle_h
+      FROM idx3)
+"""
+
+
+@pending(
+    "txt_decontaminate_bloom",
+    # the oracle states the FUNCTIONAL spec — exact n-gram overlap, same as
+    # txt_decontaminate's (different eval split, % 89): the Bloom prefilter
+    # plus exact-verify join must be indistinguishable from the exact
+    # semi-join (zero false negatives by construction, false positives
+    # removed by the verify join)
+    oracle=f"""
+    WITH {_SQL_SHINGLES3},
+    ev AS (SELECT doc_id AS eval_id, shingle_h FROM sh3 WHERE doc_id % 89 = 0),
+    cs AS (SELECT doc_id, shingle_h FROM sh3 WHERE doc_id % 89 != 0)
+    SELECT cs.doc_id AS id,
+           COUNT(DISTINCT cs.shingle_h) AS n_hits,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM cs JOIN ev USING (shingle_h)
+    GROUP BY cs.doc_id
+    HAVING COUNT(DISTINCT cs.shingle_h) >= 1
+    """,
+    survey_ref="benchmark decontamination behind a deterministic Bloom "
+    "bitmap prefilter (operators/bloom.py): the 100 TB path when the "
+    "eval/blocklist shingle set outgrows a broadcast hash relation — "
+    "bitmap ships to executors, corpus never shuffles before the "
+    "candidate-only verify join; result exactly equals the exact overlap",
+)
+def txt_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 89 == 0)
+    corpus = docs.filter(F.col("doc_id") % 89 != 0)
+    return decontaminate_bloom(
+        corpus, eval_docs, "doc_id", "text", n=3, min_hits=1, m_bits=1 << 16
+    )
+
+
+@pending(
+    "sketch_countmin",
+    oracle="""
+    WITH tok AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS toks FROM documents),
+    occ AS (SELECT unnest(toks) AS v FROM tok),
+    pos AS (
+      SELECT r, v, ('0x' || substr(md5(r || '|' || v), 1, 15))::BIGINT % 64 AS c
+      FROM occ, range(4) t(r)),
+    cnt AS (SELECT r, c, COUNT(*) AS cnt FROM pos GROUP BY r, c),
+    items AS (SELECT DISTINCT v FROM occ),
+    probe AS (
+      SELECT i.v, r, ('0x' || substr(md5(r || '|' || i.v), 1, 15))::BIGINT % 64 AS c
+      FROM items i, range(4) t(r)),
+    est AS (
+      SELECT p.v, MIN(COALESCE(cnt.cnt, 0)) AS est
+      FROM probe p LEFT JOIN cnt ON p.r = cnt.r AND p.c = cnt.c
+      GROUP BY p.v),
+    exact AS (SELECT v, COUNT(*) AS exact_count FROM occ GROUP BY v)
+    SELECT est.v AS token, CAST(est.est AS BIGINT) AS est_count,
+           CAST(exact.exact_count AS BIGINT) AS exact_count
+    FROM est JOIN exact ON est.v = exact.v
+    """,
+    survey_ref="count-min frequency sketch (operators/sketches.countmin_*, "
+    "Cormode & Muthukrishnan 2005), deterministic md5 rows so the full "
+    "matrix is oracle-recomputable; width 64 << vocabulary forces real "
+    "collisions and the oracle pins est >= exact semantics cell-exactly; "
+    "bounded depth*width shuffle per task regardless of corpus size",
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.sketches import countmin_estimate, countmin_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(ws_tokens(F.col("text"))).alias("v"))
+    sk = countmin_sketch(occ, "v", width=64, depth=4)
+    est = countmin_estimate(occ.distinct(), sk, "v", width=64, depth=4)
+    exact = occ.groupBy("v").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "v").select(
+        F.col("v").alias("token"),
+        F.col("est").alias("est_count"),
+        F.col("exact_count"),
+    )
+
+
+@pending(
+    "sketch_kmv_jaccard",
+    oracle="""
+    WITH tokd AS (
+      SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    av AS (
+      SELECT DISTINCT lang AS key, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+      FROM (SELECT lang, unnest(toks) AS v FROM tokd WHERE doc_id % 2 = 0)),
+    bv AS (
+      SELECT DISTINCT lang AS key, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+      FROM (SELECT lang, unnest(toks) AS v FROM tokd WHERE doc_id % 2 = 1)),
+    ska AS (SELECT key, hv FROM (
+      SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS pos FROM av)
+      WHERE pos <= 128),
+    skb AS (SELECT key, hv FROM (
+      SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS pos FROM bv)
+      WHERE pos <= 128),
+    u AS (
+      SELECT key, hv, MAX(a) AS in_a, MAX(b) AS in_b
+      FROM (SELECT key, hv, 1 AS a, 0 AS b FROM ska
+            UNION ALL SELECT key, hv, 0 AS a, 1 AS b FROM skb)
+      GROUP BY key, hv),
+    topk AS (
+      SELECT key, hv, in_a, in_b,
+             row_number() OVER (PARTITION BY key ORDER BY hv) AS pos
+      FROM u QUALIFY pos <= 128),
+    agg AS (
+      SELECT key, COUNT(*) AS n_union_seen,
+             MAX(CASE WHEN pos = 128 THEN hv END) AS kth,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM topk GROUP BY key),
+    est AS (
+      SELECT key, CAST(n_union_seen AS BIGINT) AS n_union_seen, n_both,
+             CAST(CASE WHEN n_union_seen < 128 THEN n_union_seen
+                  ELSE (127::HUGEINT * 1152921504606846976::HUGEINT)
+                       // nullif(kth, 0)
+                  END AS BIGINT) AS est_union
+      FROM agg)
+    SELECT key, n_union_seen, est_union, n_both,
+           n_both / n_union_seen AS jaccard_est,
+           CAST((n_both::HUGEINT * est_union::HUGEINT) // n_union_seen AS BIGINT) AS est_intersect
+    FROM est
+    """,
+    survey_ref="KMV set-relation estimates (operators/sketches."
+    "kmv_set_relations, Beyer et al. 2007): per-language vocabulary "
+    "Jaccard/intersection between the even- and odd-doc_id corpus halves "
+    "from two k=128 sketches alone — compare-two-100TB-corpora-from-"
+    "kilobyte-summaries; exact below k (the en split exceeds k, exercising "
+    "the estimator; small langs hit the exact regime)",
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.sketches import kmv_set_relations, kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("key"), F.explode(ws_tokens(F.col("text"))).alias("v")
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    return kmv_set_relations(
+        kmv_sketch(a, "key", "v", k=128), kmv_sketch(b, "key", "v", k=128), k=128
+    )
+
+
+@pending(
+    "sample_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, (n_chars + 15) // 16 AS wt FROM documents),
+    reps AS (
+      SELECT doc_id, unnest(range(1, wt + 1)) AS rep FROM w WHERE wt >= 1),
+    keys AS (
+      SELECT doc_id AS id,
+             MAX(('0x' || substr(md5('ws|' || doc_id || ':' || rep), 1, 15))::BIGINT) AS key
+      FROM reps GROUP BY doc_id)
+    SELECT id, key FROM keys ORDER BY key DESC, id LIMIT 50
+    """,
+    survey_ref="deterministic weighted sampling without replacement "
+    "(operators/sampling.py, Efraimidis-Spirakis A-ES): ranking by the max "
+    "of w uniform 60-bit draws is distributionally identical to u^(1/w) "
+    "but integer-exact and engine-portable; 50 docs weighted by "
+    "ceil(n_chars/16), map-side max fold then TakeOrdered (no global sort)",
+)
+def sample_weighted_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    return sample_weighted(docs, "doc_id", "w", m=50, salt="ws", weight_scale=16)

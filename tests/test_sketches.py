@@ -247,3 +247,130 @@ def test_sketch_operators_randomized_sweep(spark):
         for q in qs:
             rank = max(1, math.ceil(q * len(ivals)))
             assert res[q] == (rank, ordered[rank - 1]), (seed, q)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def _cm_vals(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_countmin_overestimates_never_under(spark):
+    from brontes_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    rng = random.Random(7)
+    vals = [f"t{rng.randint(0, 80)}" for _ in range(3000)]
+    df = _cm_vals(spark, vals)
+    # width 32 << 81 distinct values: collisions guaranteed
+    sk = countmin_sketch(df, "v", width=32, depth=4)
+    est = {
+        r.v: r.est
+        for r in countmin_estimate(df.distinct(), sk, "v", width=32, depth=4).collect()
+    }
+    exact = {r.v: r["count"] for r in df.groupBy("v").count().collect()}
+    assert all(est[v] >= c for v, c in exact.items())
+    # min-over-depth beats the worst row: total overcount stays bounded by
+    # the per-row expectation N/width summed over items (loose 2x envelope)
+    over = sum(est[v] - c for v, c in exact.items())
+    assert over <= 2 * len(exact) * len(vals) // 32
+
+
+def test_countmin_exact_when_wide(spark):
+    from brontes_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    vals = [f"u{i}" for i in range(40) for _ in range(i + 1)]
+    df = _cm_vals(spark, vals)
+    sk = countmin_sketch(df, "v", width=4096, depth=4)
+    est = {
+        r.v: r.est
+        for r in countmin_estimate(
+            df.distinct(), sk, "v", width=4096, depth=4
+        ).collect()
+    }
+    exact = {r.v: r["count"] for r in df.groupBy("v").count().collect()}
+    assert est == exact  # 40 values in 4096 cells x 4 rows: no collision
+
+
+def test_countmin_merge_equals_full_build(spark):
+    from brontes_spark.operators.sketches import countmin_merge, countmin_sketch
+
+    vals = [f"w{i % 13}" for i in range(400)]
+    full = {
+        (r.row, r.col): r.cnt
+        for r in countmin_sketch(_cm_vals(spark, vals), "v", 64, 3).collect()
+    }
+    a = countmin_sketch(_cm_vals(spark, vals[:150]), "v", 64, 3)
+    b = countmin_sketch(_cm_vals(spark, vals[150:]), "v", 64, 3)
+    merged = {(r.row, r.col): r.cnt for r in countmin_merge(a, b).collect()}
+    assert merged == full
+
+
+def test_countmin_unseen_item_is_zero_or_collision(spark):
+    from brontes_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    sk = countmin_sketch(_cm_vals(spark, ["a", "b", "c"]), "v", width=4096, depth=4)
+    est = {
+        r.v: r.est
+        for r in countmin_estimate(
+            _cm_vals(spark, ["zebra"]), sk, "v", width=4096, depth=4
+        ).collect()
+    }
+    assert est["zebra"] == 0
+
+
+def test_countmin_bad_params(spark):
+    from brontes_spark.operators.sketches import countmin_sketch
+
+    with pytest.raises(ValueError):
+        countmin_sketch(_cm_vals(spark, ["a"]), "v", width=0)
+
+
+# ------------------------------------------------------- KMV set relations
+
+
+def test_kmv_set_relations_exact_small_regime(spark):
+    from brontes_spark.operators.sketches import kmv_set_relations, kmv_sketch
+
+    # union < k: every figure must be exact
+    a = spark.createDataFrame([("g", f"x{i}") for i in range(20)], "key string, v string")
+    b = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(10, 30)], "key string, v string"
+    )
+    out = kmv_set_relations(
+        kmv_sketch(a, "key", "v", k=64), kmv_sketch(b, "key", "v", k=64), k=64
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_union_seen == 30 and r.est_union == 30
+    assert r.n_both == 10 and r.est_intersect == 10
+    assert abs(r.jaccard_est - 10 / 30) < 1e-12
+
+
+def test_kmv_set_relations_estimate_accuracy(spark):
+    from brontes_spark.operators.sketches import kmv_set_relations, kmv_sketch
+
+    # |A| = |B| = 3000, overlap 1000 -> union 5000, jaccard 0.2
+    a = spark.createDataFrame([("g", f"v{i}") for i in range(3000)], "key string, v string")
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(2000, 5000)], "key string, v string"
+    )
+    k = 256
+    r = kmv_set_relations(
+        kmv_sketch(a, "key", "v", k=k), kmv_sketch(b, "key", "v", k=k), k=k
+    ).collect()[0]
+    assert r.n_union_seen == k
+    assert abs(r.est_union - 5000) / 5000 < 0.25   # ~1/sqrt(k) error regime
+    assert abs(r.jaccard_est - 0.2) < 0.1
+    assert abs(r.est_intersect - 1000) / 1000 < 0.45
+
+
+def test_kmv_set_relations_disjoint(spark):
+    from brontes_spark.operators.sketches import kmv_set_relations, kmv_sketch
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(500)], "key string, v string")
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(500)], "key string, v string")
+    r = kmv_set_relations(
+        kmv_sketch(a, "key", "v", k=64), kmv_sketch(b, "key", "v", k=64), k=64
+    ).collect()[0]
+    assert r.n_both == 0 and r.jaccard_est == 0.0 and r.est_intersect == 0
