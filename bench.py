@@ -75,6 +75,19 @@ HEADLINE = [
     # bench-only hierarchical twins (see EXTRA below)
     "dedup_semantic_hier",
     "ann_kmeans_refine_hier",
+    # round-7 wave-1 engine operators (no registry gate yet; correctness =
+    # pytest + DuckDB parity in their test modules)
+    "frequent_items",
+    "quantiles_exact",
+    "tfidf_topk",
+    # round-7 staged gates (plans/pending.py; r8 promotes to the registry)
+    "dedup_span_exact",
+    "txt_bigram_coverage",
+    "txt_decontaminate_bloom",
+    "x11_gapfill",
+    "x12_mad_outliers",
+    "sketch_countmin",
+    "sample_weighted",
 ]
 
 
@@ -103,9 +116,58 @@ def _ann_kmeans_refine_hier(spark, sf_dir):
 #: rotation contract); their correctness anchor is the bit-equal
 #: nprobe>=branch pytest in test_similarity_ivf.py, and the flat k=8 gates
 #: stay oracle-pinned.
+def _frequent_items(spark, sf_dir):
+    from brontes_spark.functions.text import ws_tokens
+    from brontes_spark.operators.sketches import frequent_items
+    from brontes_spark.plans.llm_data import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("v"))
+    return frequent_items(toks, "v", freq_num=1, freq_den=100)
+
+
+def _quantiles_exact(spark, sf_dir):
+    from brontes_spark.operators.sketches import quantiles_exact
+    from brontes_spark.plans.llm_data import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return quantiles_exact(li, "cents", [0.5, 0.95, 0.99])
+
+
+def _tfidf_topk(spark, sf_dir):
+    from brontes_spark.operators.tfidf import tfidf_topk_terms
+    from brontes_spark.plans.llm_data import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, "doc_id", "text", k=5)
+
+
+def _pending(name):
+    def run(spark, sf_dir):
+        from brontes_spark.plans.pending import PENDING
+
+        return PENDING[name].build(spark, sf_dir)
+
+    return run
+
+
 EXTRA = {
     "dedup_semantic_hier": _dedup_semantic_hier,
     "ann_kmeans_refine_hier": _ann_kmeans_refine_hier,
+    "frequent_items": _frequent_items,
+    "quantiles_exact": _quantiles_exact,
+    "tfidf_topk": _tfidf_topk,
+    "dedup_span_exact": _pending("dedup_span_exact"),
+    "txt_bigram_coverage": _pending("txt_bigram_coverage"),
+    "txt_decontaminate_bloom": _pending("txt_decontaminate_bloom"),
+    "x11_gapfill": _pending("x11_gapfill"),
+    "x12_mad_outliers": _pending("x12_mad_outliers"),
+    "sketch_countmin": _pending("sketch_countmin"),
+    "sample_weighted": _pending("sample_weighted"),
 }
 
 

@@ -309,3 +309,258 @@ def sample_weighted_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").alias("w")
     )
     return sample_weighted(docs, "doc_id", "w", m=50, salt="ws", weight_scale=16)
+
+
+#: 6-hour grid in nanoseconds for the gapfill gate
+_GF_STEP = 21_600_000_000_000
+
+
+@pending(
+    "x11_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_ns(ts) AS ts_ns, user_id, value FROM events
+      WHERE value IS NOT NULL),
+    rng AS (
+      SELECT user_id AS key, MIN(ts_ns) AS mn, MAX(ts_ns) AS mx
+      FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT key, unnest(generate_series((mn // {_GF_STEP}) * {_GF_STEP}, mx, {_GF_STEP})) AS ts,
+             CAST(NULL AS DOUBLE) AS v, 0 AS is_real
+      FROM rng),
+    realr AS (
+      SELECT user_id AS key, ts_ns AS ts, value AS v, 1 AS is_real FROM ev),
+    u AS (SELECT * FROM grid UNION ALL SELECT * FROM realr),
+    w AS (
+      SELECT key, ts, is_real,
+        last_value(CASE WHEN is_real = 1 THEN v END IGNORE NULLS) OVER win_p AS prev_v,
+        last_value(CASE WHEN is_real = 1 THEN ts END IGNORE NULLS) OVER win_p AS prev_ts,
+        first_value(CASE WHEN is_real = 1 THEN v END IGNORE NULLS) OVER win_f AS next_v,
+        first_value(CASE WHEN is_real = 1 THEN ts END IGNORE NULLS) OVER win_f AS next_ts
+      FROM u
+      WINDOW
+        win_p AS (PARTITION BY key ORDER BY ts, is_real DESC, v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        win_f AS (PARTITION BY key ORDER BY ts, is_real DESC, v
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT key, ts AS grid_ts, prev_v AS value_ffill,
+           CASE WHEN prev_v IS NULL THEN NULL
+                WHEN next_v IS NULL OR next_ts = prev_ts THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(ts - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE))
+           END AS value_interp
+    FROM w WHERE is_real = 0
+    """,
+    survey_ref="regular-grid gap filling (operators/gapfill.py): per-user "
+    "6-hour grid with locf forward fill + linear interpolation (the "
+    "TimescaleDB time_bucket_gapfill/locf/interpolate family over S3's "
+    "grid semantics); in-row sequence grid, one union, ONE per-key ordered "
+    "window for both fills — two key shuffles total; fixed IEEE evaluation "
+    "shape makes the interpolation bit-exact across engines",
+)
+def x11_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gapfill import gapfill
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return gapfill(ev, "user_id", "ts_ns", "value", step=_GF_STEP)
+
+
+@pending(
+    "x12_mad_outliers",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type AS key, value AS v FROM events
+      WHERE value IS NOT NULL),
+    r AS (
+      SELECT key, event_id, v,
+             row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS n
+      FROM ev),
+    m AS (
+      SELECT key, event_id, v,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) OVER (PARTITION BY key) AS med
+      FROM r),
+    d AS (SELECT key, event_id, v, med, ABS(v - med) AS dev FROM m),
+    r2 AS (
+      SELECT key, event_id, v, med, dev,
+             row_number() OVER (PARTITION BY key ORDER BY dev) AS rn2,
+             COUNT(*) OVER (PARTITION BY key) AS n2
+      FROM d),
+    mm AS (
+      SELECT key, event_id, v, med, dev,
+             MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN dev END) OVER (PARTITION BY key) AS mad
+      FROM r2)
+    SELECT key, event_id, v AS value, med, mad
+    FROM mm WHERE dev > 3.0 * mad
+    """,
+    survey_ref="median/MAD robust outlier flagging per event_type "
+    "(operators/anomaly.py, Hampel's rule |x-med| > k*MAD with 50% "
+    "breakdown — the robust complement of i14's avg+2sigma): lower order "
+    "statistics via two sort-windows over ONE key shuffle, selection not "
+    "arithmetic, so doubles are exact",
+)
+def x12_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import mad_anomalies
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return mad_anomalies(ev, "event_type", "value", k=3.0, keep_cols=["event_id"])
+
+
+@pending(
+    "txt_bigram_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+    bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM base)),
+    sampled AS (
+      SELECT bg.bg FROM bg
+      WHERE ('0x' || substr(md5('bgs|' || bg.doc_id), 1, 15))::BIGINT < 230584300921369408
+    ),
+    model AS (
+      SELECT bg FROM (
+        SELECT bg, COUNT(*) AS n FROM sampled GROUP BY bg
+        ORDER BY n DESC, bg LIMIT 200)),
+    scored AS (
+      SELECT b.doc_id, CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END AS in_m
+      FROM bg b LEFT JOIN model m USING (bg))
+    SELECT doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(in_m) AS BIGINT) AS covered,
+           CAST(SUM(in_m) AS BIGINT) / COUNT(*) AS coverage
+    FROM scored GROUP BY doc_id
+    """,
+    survey_ref="character-bigram model coverage (operators/ngram_lm.py): "
+    "the integer-exact counting core of CCNet-style LM perplexity quality "
+    "filtering — top-200 bigram table trained on a deterministic 20% md5 "
+    "document sample, every doc scored by covered-occurrence fraction; "
+    "M-row broadcast table, corpus shuffled once on doc id",
+)
+def txt_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ngram_lm import char_bigram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_bigram_coverage(
+        docs, "doc_id", "text", top_m=200, sample_rate=0.2, salt="bgs"
+    )
+
+
+#: deterministic adversarial URL synthesized per doc: four rotating shapes
+#: exercising uppercase scheme/host, default ports, fragments, bare
+#: authority + query, trailing slashes, and eTLD+1 three-label hosts.
+#: Spark and oracle build the SAME strings from the same columns.
+_URL_SPARK = None  # built in the builder below
+_URL_SQL = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTP://' || source || '.Example.COM:80/' || lang || '/' || doc_id || '/'
+      WHEN 1 THEN 'https://sub.' || source || '.co.uk:443/p' || doc_id || '#sec'
+      WHEN 2 THEN 'https://' || source || '.example.com?q=' || doc_id
+      ELSE 'https://User@' || source || '.example.com/a/' || doc_id || '/b/'
+    END
+"""
+
+
+def _url_col() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://"), F.col("source"), F.lit(".Example.COM:80/"),
+                     F.col("lang"), F.lit("/"), d, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://sub."), F.col("source"), F.lit(".co.uk:443/p"),
+                     d, F.lit("#sec")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com?q="), d),
+        )
+        .otherwise(
+            F.concat(F.lit("https://User@"), F.col("source"), F.lit(".example.com/a/"),
+                     d, F.lit("/b/")),
+        )
+    )
+
+
+@pending(
+    "txt_url_normalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c FROM u),
+    s2 AS (SELECT doc_id, url, lower(regexp_extract(c, '^([^/]*//[^/?]*)', 1))
+                     || regexp_replace(c, '^[^/]*//[^/?]*', '') AS c FROM s1),
+    s3 AS (SELECT doc_id, url, regexp_replace(c, '^(https://[^/:?]*):443($|[/?].*)', '\\1\\2') AS c FROM s2),
+    s4 AS (SELECT doc_id, url, regexp_replace(c, '^(http://[^/:?]*):80($|[/?].*)', '\\1\\2') AS c FROM s3),
+    s5 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/(\\?.*)?$', '\\1\\3') AS c FROM s4),
+    s6 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z+.-]+://[^/?]+)(\\?.*)?$', '\\1/\\2') AS c FROM s5),
+    h AS (SELECT doc_id, c AS url_norm,
+                 lower(regexp_extract(url, '^[^/]*//(?:[^/@?]*@)?([^/:?#]+)', 1)) AS host
+          FROM s6)
+    SELECT doc_id, url_norm, host,
+           CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+                WHEN regexp_extract(host, '([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1) != ''
+                  THEN regexp_extract(host, '([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1)
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) != ''
+                  THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                ELSE host END AS domain
+    FROM h
+    """,
+    survey_ref="URL canonicalization + host + structural eTLD+1 extraction "
+    "(functions/urls.py) over a deterministic adversarial URL fixture "
+    "(uppercase scheme/host, default ports, fragments, bare-authority "
+    "query, trailing slashes, userinfo, three-label co.uk hosts); pure "
+    "codegen regexp chains in the RE2-and-Java common subset",
+)
+def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import url_host, url_normalize, url_registered_domain
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return docs.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+        url_registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+@pending(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    h AS (SELECT doc_id,
+                 lower(regexp_extract(url, '^[^/]*//(?:[^/@?]*@)?([^/:?#]+)', 1)) AS host
+          FROM u),
+    d AS (SELECT doc_id,
+           CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+                WHEN regexp_extract(host, '([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1) != ''
+                  THEN regexp_extract(host, '([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1)
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) != ''
+                  THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                ELSE host END AS domain
+          FROM h),
+    r AS (SELECT doc_id, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ('0x' || substr(md5('dcap|' || doc_id), 1, 15))::BIGINT, doc_id
+                 ) AS rk
+          FROM d)
+    SELECT doc_id, domain FROM r WHERE rk <= 10
+    """,
+    survey_ref="per-domain diversity cap (functions/urls.cap_per_domain): "
+    "at most 10 docs per registered domain by deterministic md5 order — "
+    "the one-megasite-cannot-dominate rule of crawl pipelines; rank<=cap "
+    "compiles to Partial+Final WindowGroupLimit (map-side bounded)",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import cap_per_domain, url_registered_domain
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("url", _url_col())
+    with_dom = docs.select(
+        "doc_id", url_registered_domain(F.col("url")).alias("domain")
+    )
+    return cap_per_domain(with_dom, "doc_id", "domain", cap=10, salt="dcap")
