@@ -5,16 +5,23 @@ item 1.
 
 Spark has no native as-of join. This is the one-shuffle union trick:
 
-  union(left tagged 1, right tagged 0)
-  → window last(right_payload) ignore nulls
+  union(left tagged, right tagged)
+  → window last/first(right_payload) ignore nulls
       over (partition by keys order by time, tag, tiebreak)
 
-Every left row picks up the most recent right payload at-or-before its time.
-Scale: a single shuffle on the join keys, no range explosion, no driver-side
-loop; skewed keys are handled by AQE. Tie semantics: right rows at the exact
-left timestamp ARE visible (tag orders rights first); among equal-time right
-rows the greatest tiebreak wins — identical to
-  row_number() over (partition by left order by r.time desc, r.tiebreak desc) = 1.
+Every left row picks up the most recent right payload at-or-before
+(direction='backward'), the earliest at-or-after ('forward'), or the
+closer of the two ('nearest', backward wins exact ties) — pandas
+merge_asof's full direction surface, plus its `tolerance` (maximum time
+distance; a match farther than that is discarded).
+
+Scale: a single shuffle on the join keys for every direction ('nearest'
+adds a second sort over the SAME partitioning, not a second exchange);
+no range explosion, no driver-side loop; skewed keys are handled by AQE.
+Tie semantics: right rows at the exact left timestamp ARE visible in
+every direction; among equal-time right rows the greatest tiebreak wins —
+identical to
+  row_number() over (partition by left order by |Δt|, r.tiebreak desc) = 1.
 """
 
 from __future__ import annotations
@@ -34,12 +41,24 @@ def asof_join(
     tiebreak: str | None = None,
     payload_prefix: str = "r_",
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """For each left row: latest right row with right_time <= left_time.
-
-    Returns left columns + right payload columns renamed `{payload_prefix}{col}`.
-    ``how='left'`` keeps unmatched left rows with null payload.
+    """For each left row: the right row nearest in time on the requested
+    side(s). Returns left columns + right payload columns renamed
+    `{payload_prefix}{col}`. ``how='left'`` keeps unmatched left rows with
+    null payload; ``tolerance`` (same units as the time columns) voids
+    matches farther than that distance.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: unknown direction={direction!r} "
+            "(use 'backward', 'forward' or 'nearest')"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: unknown how={how!r} (use 'inner' or 'left')")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"asof_join: tolerance must be >= 0, got {tolerance}")
     on = list(on)
     r_payload = [c for c in right.columns if c not in on]
     tagged_r = right.select(
@@ -56,20 +75,92 @@ def asof_join(
         F.lit(None).cast(tagged_r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    order = [F.col("__t"), F.col("__tag")]
     if tiebreak is not None:
-        # among right rows with equal time, the greatest tiebreak must win →
-        # sort it last so `last()` picks it
         tagged_r = tagged_r.withColumn("__tb", F.col(f"__payload.{tiebreak}"))
-        tagged_l = tagged_l.withColumn("__tb", F.lit(None).cast(dict(tagged_r.dtypes)["__tb"]))
-        order = [F.col("__t"), F.col("__tag"), F.col("__tb").asc_nulls_last()]
-    w = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        tagged_l = tagged_l.withColumn(
+            "__tb", F.lit(None).cast(dict(tagged_r.dtypes)["__tb"])
+        )
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=False)
-    matched = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__tag") == 1)
-    if how not in ("inner", "left"):
-        raise ValueError(f"asof_join: unknown how={how!r} (use 'inner' or 'left')")
+
+    def back_cols(df):
+        """(payload, matched right time) at-or-before, greatest tiebreak
+        last in sort order so `last()` picks it."""
+        order = [F.col("__t"), F.col("__tag")]
+        if tiebreak is not None:
+            order.append(F.col("__tb").asc_nulls_last())
+        w = (
+            W.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        rt = F.when(F.col("__tag") == 0, F.col("__t"))
+        return (
+            F.last("__payload", ignorenulls=True).over(w),
+            F.last(rt, ignorenulls=True).over(w),
+        )
+
+    def fwd_cols(df):
+        """(payload, matched right time) at-or-after: lefts sort BEFORE
+        rights at equal time (tag desc) so the current-row-anchored
+        following frame sees them; greatest tiebreak first for first()."""
+        order = [F.col("__t"), F.col("__tag").desc()]
+        if tiebreak is not None:
+            order.append(F.col("__tb").desc_nulls_last())
+        w = (
+            W.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        rt = F.when(F.col("__tag") == 0, F.col("__t"))
+        return (
+            F.first("__payload", ignorenulls=True).over(w),
+            F.first(rt, ignorenulls=True).over(w),
+        )
+
+    if direction == "backward":
+        pay, rt = back_cols(unioned)
+        matched = unioned.withColumn("__match", pay).withColumn("__rt", rt)
+        dist = F.col("__t") - F.col("__rt")
+    elif direction == "forward":
+        pay, rt = fwd_cols(unioned)
+        matched = unioned.withColumn("__match", pay).withColumn("__rt", rt)
+        dist = F.col("__rt") - F.col("__t")
+    else:  # nearest
+        bpay, brt = back_cols(unioned)
+        fpay, frt = fwd_cols(unioned)
+        stepped = (
+            unioned.withColumn("__bp", bpay)
+            .withColumn("__brt", brt)
+            .withColumn("__fp", fpay)
+            .withColumn("__frt", frt)
+        )
+        b_dist = F.col("__t") - F.col("__brt")
+        f_dist = F.col("__frt") - F.col("__t")
+        if tolerance is not None:
+            b_ok = F.col("__brt").isNotNull() & (b_dist <= tolerance)
+            f_ok = F.col("__frt").isNotNull() & (f_dist <= tolerance)
+        else:
+            b_ok = F.col("__brt").isNotNull()
+            f_ok = F.col("__frt").isNotNull()
+        use_back = b_ok & (~f_ok | (b_dist <= f_dist))
+        matched = stepped.select(
+            *[c for c in stepped.columns if c not in ("__bp", "__brt", "__fp", "__frt")],
+            F.when(use_back, F.col("__bp"))
+            .when(f_ok, F.col("__fp"))
+            .alias("__match"),
+            F.when(use_back, F.col("__brt"))
+            .when(f_ok, F.col("__frt"))
+            .alias("__rt"),
+        )
+        dist = None  # tolerance already folded into the pick
+    if direction != "nearest" and tolerance is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__rt").isNotNull() & (dist <= tolerance), F.col("__match")
+            ),
+        )
+    matched = matched.filter(F.col("__tag") == 1)
     if how == "inner":
         # test the struct itself, not its first field — a matched right row
         # whose first payload column is legitimately NULL must survive

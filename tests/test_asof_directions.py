@@ -1,0 +1,114 @@
+"""asof_join direction='forward'/'nearest' and tolerance (operators/asof.py)
+— the pandas merge_asof surface: hand-computed matches, exact-time
+visibility in every direction, tie rules, tolerance voiding, and
+backward-compatibility of the default path."""
+
+from __future__ import annotations
+
+import pytest
+
+from brontes_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 310), (4, "k", 400)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 90, 9.0), ("k", 200, 20.0), ("k", 300, 30.0), ("k", 330, 33.0)],
+        "k string, rt long, price double",
+    )
+    return left, right
+
+
+def _run(spark, **kw):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        payload_prefix="r_", how="left", **kw,
+    )
+    return {r.lid: (r.r_rt, r.r_price) for r in out.collect()}
+
+
+def test_backward_default_unchanged(spark):
+    got = _run(spark)
+    assert got == {1: (90, 9.0), 2: (200, 20.0), 3: (300, 30.0), 4: (330, 33.0)}
+
+
+def test_forward(spark):
+    got = _run(spark, direction="forward")
+    # lid=1 t=100 -> next right at 200; lid=4 t=400 -> none
+    assert got == {1: (200, 20.0), 2: (300, 30.0), 3: (330, 33.0), 4: (None, None)}
+
+
+def test_forward_exact_time_visible(spark):
+    left = spark.createDataFrame([(1, "k", 200)], "lid long, k string, t long")
+    right = spark.createDataFrame([("k", 200, 2.0)], "k string, rt long, price double")
+    out = asof_join(left, right, ["k"], "t", "rt", how="left",
+                    direction="forward").collect()
+    assert out[0].r_price == 2.0
+
+
+def test_nearest_with_backward_tie_win(spark):
+    got = _run(spark, direction="nearest")
+    # lid=2 t=205: back 200 (d=5) vs fwd 300 (d=95) -> 200
+    # lid=3 t=310: back 300 (d=10) vs fwd 330 (d=20) -> 300
+    assert got == {1: (90, 9.0), 2: (200, 20.0), 3: (300, 30.0), 4: (330, 33.0)}
+    # exact tie: back d == fwd d -> backward wins
+    left = spark.createDataFrame([(1, "k", 250)], "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 200, 2.0), ("k", 300, 3.0)], "k string, rt long, price double"
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", how="left",
+                    direction="nearest").collect()
+    assert out[0].r_price == 2.0
+
+
+def test_tolerance_voids_far_matches(spark):
+    got = _run(spark, tolerance=10)
+    # lid=1 t=100: back 90 d=10 OK; lid=2 t=205: 200 d=5 OK;
+    # lid=3 t=310: 300 d=10 OK; lid=4 t=400: 330 d=70 void
+    assert got == {1: (90, 9.0), 2: (200, 20.0), 3: (300, 30.0), 4: (None, None)}
+    got_f = _run(spark, direction="forward", tolerance=10)
+    assert got_f == {1: (None, None), 2: (None, None), 3: (None, None), 4: (None, None)}
+    got_n = _run(spark, direction="nearest", tolerance=20)
+    # lid=1: back 90 d=10 ok; fwd 200 d=100 no -> 90
+    # lid=4: back 330 d=70 no; fwd none -> null
+    assert got_n == {1: (90, 9.0), 2: (200, 20.0), 3: (300, 30.0), 4: (None, None)}
+
+
+def test_nearest_prefers_forward_when_backward_out_of_tolerance(spark):
+    left = spark.createDataFrame([(1, "k", 295)], "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 200, 2.0), ("k", 300, 3.0)], "k string, rt long, price double"
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", how="left",
+                    direction="nearest", tolerance=50).collect()
+    assert out[0].r_price == 3.0  # back d=95 > 50 voided, fwd d=5 ok
+
+
+def test_inner_drops_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "t", "rt", how="inner",
+                    direction="forward")
+    assert sorted(r.lid for r in out.collect()) == [1, 2, 3]
+
+
+def test_forward_tiebreak_greatest_wins(spark):
+    left = spark.createDataFrame([(1, "k", 100)], "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 150, 1, 10.0), ("k", 150, 2, 20.0)],
+        "k string, rt long, seq int, price double",
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", tiebreak="seq",
+                    how="left", direction="forward").collect()
+    assert out[0].r_seq == 2 and out[0].r_price == 20.0
+
+
+def test_bad_params(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "t", "rt", direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "t", "rt", tolerance=-1)
