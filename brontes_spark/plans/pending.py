@@ -564,3 +564,68 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", url_registered_domain(F.col("url")).alias("domain")
     )
     return cap_per_domain(with_dom, "doc_id", "domain", cap=10, salt="dcap")
+
+
+@pending(
+    "dedup_fuzzy_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, text, length(text) AS n FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS dist
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 50
+    WHERE levenshtein(a.text, b.text) <= 50
+    """,
+    survey_ref="edit-distance fuzzy dedup (operators/fuzzy.py): the "
+    "dense-small-edit near-dup class every shingle method misses (pinned "
+    "in tests: a 10-edit mutation breaks 100% of 3-gram shingles), "
+    "lang-blocked with the lossless |len diff|<=d pushdown and Spark 4's "
+    "thresholded levenshtein kernel (O(len*d) early exit); both engines "
+    "agree char-exactly on ASCII (codepoint-vs-byte unicode divergence "
+    "test-pinned and documented)",
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import edit_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_dup_pairs(docs, "doc_id", "text", "lang", max_dist=50)
+
+
+#: decomposed suffixes planted per doc_id % 3 (0: e+COMBINING ACUTE,
+#: 1: A+COMBINING RING, 2: unchanged) — literal characters interpolated
+#: into BOTH engines' expressions so the inputs are byte-identical
+_NFC_E = "é"
+_NFC_A = "Å"
+
+
+@pending(
+    "txt_normalize_nfc",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN text || ' caf{_NFC_E}'
+               WHEN 1 THEN text || ' {_NFC_A}ngstrom'
+               ELSE text
+             END AS mutated
+      FROM documents)
+    SELECT doc_id, nfc_normalize(mutated) AS norm FROM m
+    """,
+    survey_ref="Unicode NFC normalization (functions/normalize.with_nfc, "
+    "Arrow-batched unicodedata kernel) cross-validated against DuckDB's "
+    "INDEPENDENT utf8proc implementation of the same Unicode standard, on "
+    "planted decomposed combining sequences; the landing-zone transform "
+    "that makes byte-different encodings fingerprint identically",
+)
+def txt_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.normalize import with_nfc
+
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" caf" + _NFC_E)))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" " + _NFC_A + "ngstrom")))
+        .otherwise(F.col("text"))
+        .alias("mutated"),
+    )
+    return with_nfc(mutated, "mutated", out_col="norm").select("doc_id", "norm")
