@@ -119,11 +119,15 @@ def asof_join(
 
     if direction == "backward":
         pay, rt = back_cols(unioned)
-        matched = unioned.withColumn("__match", pay).withColumn("__rt", rt)
+        matched = unioned.withColumn("__match", pay)
+        if tolerance is not None:  # the matched-time column exists only
+            matched = matched.withColumn("__rt", rt)  # when something reads it
         dist = F.col("__t") - F.col("__rt")
     elif direction == "forward":
         pay, rt = fwd_cols(unioned)
-        matched = unioned.withColumn("__match", pay).withColumn("__rt", rt)
+        matched = unioned.withColumn("__match", pay)
+        if tolerance is not None:
+            matched = matched.withColumn("__rt", rt)
         dist = F.col("__rt") - F.col("__t")
     else:  # nearest
         bpay, brt = back_cols(unioned)

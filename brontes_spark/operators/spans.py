@@ -145,3 +145,46 @@ def span_dedup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def trim_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(id, text_trimmed, n_tokens, kept_tokens) — the corpus with every
+    duplicate span REMOVED (keep-first: canonical occurrences survive),
+    i.e. the apply step of substring-level dedup. Documents with no
+    flagged span pass through with their tokenized form intact.
+
+    Plan: the merged intervals fold back onto the corpus as ONE per-doc
+    array (collect_list after the interval merge), and the token drop is
+    in-row array math — zip tokens with positions, keep those covered by
+    no interval, rejoin. The corpus is joined once against the (small)
+    flagged-doc interval table; untouched docs take the left-join null
+    path with zero work. Output is the token-normalized text (single
+    spaces): the trim operates on the SAME token stream the detection
+    hashed, so removed == flagged exactly."""
+    spans = duplicate_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("iv")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks")
+    )
+    joined = toks.join(per_doc, "id", "left")
+    kept = F.filter(
+        F.zip_with(
+            F.col("toks"),
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("iv"), F.array()),
+            lambda v: (s["i"] >= v["span_start"]) & (s["i"] < v["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_trimmed"),
+        F.size("toks").alias("n_tokens"),
+        F.size(kept).alias("kept_tokens"),
+    )

@@ -629,3 +629,123 @@ def txt_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mutated"),
     )
     return with_nfc(mutated, "mutated", out_col="norm").select("doc_id", "norm")
+
+
+@pending(
+    "dedup_span_trim",
+    oracle=f"""
+    WITH {_SQL_SPANS},
+    pos_t AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok),
+    ptok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM pos_t),
+    rem AS (
+      SELECT DISTINCT p.doc_id, p.pos
+      FROM ptok p JOIN spans s
+        ON p.doc_id = s.doc_id AND p.pos >= s.span_start AND p.pos < s.span_end),
+    keptoks AS (
+      SELECT p.doc_id,
+             string_agg(p.tok, ' ' ORDER BY p.pos) AS text_trimmed,
+             COUNT(*) AS kept
+      FROM ptok p LEFT JOIN rem r ON p.doc_id = r.doc_id AND p.pos = r.pos
+      WHERE r.pos IS NULL
+      GROUP BY p.doc_id)
+    SELECT t.doc_id,
+           COALESCE(k.text_trimmed, '') AS text_trimmed,
+           len(t.toks) AS n_tokens,
+           CAST(COALESCE(k.kept, 0) AS INT) AS kept_tokens
+    FROM tok t LEFT JOIN keptoks k USING (doc_id)
+    """,
+    survey_ref="the APPLY step of substring-level dedup (operators/spans."
+    "trim_duplicate_spans): duplicate spans removed keep-first, in-row "
+    "zip/filter token drop against the per-doc merged interval array — "
+    "flag and trim operate on the same token stream, so removed == "
+    "flagged exactly; untouched docs ride the left-join null path",
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import trim_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@pending(
+    "x15_window_suite",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, value FROM events
+      WHERE value IS NOT NULL)
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lag(value, 1) OVER w AS prev_value,
+           lead(value, 1) OVER w AS next_value,
+           value - first_value(value) OVER w AS delta_from_first,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    """,
+    survey_ref="analytic window-function breadth in one gate — row_number/"
+    "ntile/percent_rank/cume_dist/lag/lead/first_value over a per-user "
+    "event ordering (the §2.9 'window kernel' families an analytics "
+    "engine is judged on), all sharing ONE user_id exchange + sort; "
+    "percent_rank/cume_dist are exact rationals of integer ranks so the "
+    "doubles are bit-identical across engines",
+)
+def x15_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wp = W.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - F.first("value").over(w)).alias("delta_from_first"),
+        F.count(F.lit(1)).over(wp).alias("n_events"),
+    )
+
+
+@pending(
+    "o7_grouping_sets",
+    oracle="""
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+    survey_ref="multi-grain rollup via GROUPING SETS — the OLAP cube "
+    "surface of O5's wide rollups generalized: one pass emits (lang, "
+    "source)/(lang)/(source)/grand-total grains with GROUPING() ids "
+    "disambiguating real NULLs from subtotal rows; Spark expands grouping "
+    "sets in a single Expand+hash-agg (one exchange), identical "
+    "semantics in both engines",
+)
+def o7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_gs_documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, '<all>') AS lang,
+               COALESCE(source, '<all>') AS source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+        FROM _gs_documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )

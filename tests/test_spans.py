@@ -110,3 +110,41 @@ def test_superset_of_longer_matches(spark):
     shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
     df = _docs(spark, [(0, f"pre {shared} post"), (1, f"x {shared} y z")])
     assert _spans(df, 4) == [(1, 1, 11)]
+
+
+def test_trim_removes_exactly_flagged_tokens(spark):
+    from brontes_spark.operators.spans import trim_duplicate_spans
+
+    d0 = "a b c d e f g h"
+    d1 = "a b c d e f g h x y"   # shares the 8-token passage + extras
+    d2 = "q r s t u v w z"       # clean
+    df = _docs(spark, [(0, d0), (1, d1), (2, d2)])
+    out = {r.id: (r.text_trimmed, r.n_tokens, r.kept_tokens)
+           for r in trim_duplicate_spans(df, "doc_id", "text", k=4).collect()}
+    assert out[0] == (d0, 8, 8)          # canonical copy untouched
+    assert out[1] == ("x y", 10, 2)      # full passage removed
+    assert out[2] == (d2, 8, 8)
+
+
+def test_trim_full_duplicate_empties(spark):
+    from brontes_spark.operators.spans import trim_duplicate_spans
+
+    df = _docs(spark, [(0, "m n o p"), (1, "m n o p")])
+    out = {r.id: (r.text_trimmed, r.kept_tokens)
+           for r in trim_duplicate_spans(df, "doc_id", "text", k=4).collect()}
+    assert out[0] == ("m n o p", 4)
+    assert out[1] == ("", 0)
+
+
+def test_trim_consistent_with_stats(spark):
+    from brontes_spark.operators.spans import span_dedup_stats, trim_duplicate_spans
+
+    df = _docs(spark, [
+        (0, "a b c d w1 e f g h"), (1, "a b c d w2 w3 e f g h"),
+        (2, "z1 z2 z3 z4 z5"),
+    ])
+    stats = {r.id: r.dup_tokens for r in
+             span_dedup_stats(df, "doc_id", "text", k=4).collect()}
+    trim = {r.id: r.n_tokens - r.kept_tokens for r in
+            trim_duplicate_spans(df, "doc_id", "text", k=4).collect()}
+    assert stats == trim  # removed == accounted, token for token
