@@ -171,20 +171,20 @@ def trim_duplicate_spans(
         F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks")
     )
     joined = toks.join(per_doc, "id", "left")
+    # index-aware filter lambda: no zip_with/sequence companion array —
+    # sequence(0, size-1) is the DESCENDING [0, -1] on empty docs (the
+    # same Spark trap operators/sampling.py documents) and zip_with would
+    # null-pad; filter over the tokens themselves is empty-safe
     kept = F.filter(
-        F.zip_with(
-            F.col("toks"),
-            F.sequence(F.lit(0), F.size("toks") - 1),
-            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-        ),
-        lambda s: ~F.exists(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
             F.coalesce(F.col("iv"), F.array()),
-            lambda v: (s["i"] >= v["span_start"]) & (s["i"] < v["span_end"]),
+            lambda v: (i >= v["span_start"]) & (i < v["span_end"]),
         ),
     )
     return joined.select(
         "id",
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_trimmed"),
+        F.concat_ws(" ", kept).alias("text_trimmed"),
         F.size("toks").alias("n_tokens"),
         F.size(kept).alias("kept_tokens"),
     )

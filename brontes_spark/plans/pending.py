@@ -749,3 +749,95 @@ def o7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         """
     )
+
+
+@pending(
+    "txt_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(CAST(tf.tf AS HUGEINT) * (nd.n_docs + 1) * 1000000000
+                  // (dfreq.df + 1) AS BIGINT) AS score9
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+    ranked AS (
+      SELECT doc_id, term, score9,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score9 DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score9
+    FROM ranked WHERE rnk <= 5
+    """,
+    survey_ref="per-document top-5 tf-idf terms (operators/tfidf.py): "
+    "exact scaled-integer score9 via DECIMAL div (Spark's native decimal "
+    "division caps result scale at 6 — measured and routed around), "
+    "document frequency as a window over the tf relation (one token "
+    "scan), top-k via the WindowGroupLimit-compiling rank<=k window",
+)
+def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import tfidf_topk_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_topk_terms(docs, "doc_id", "text", k=5, rational=True)
+    return out.select(
+        "doc_id", "rnk", "term", F.col("score9").cast("long").alias("score9")
+    )
+
+
+@pending(
+    "sketch_frequent_items",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS v
+      FROM documents),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT t.v, CAST(COUNT(*) AS BIGINT) AS n, CAST(any_value(nn.total) AS BIGINT) AS total
+    FROM toks t CROSS JOIN n nn
+    GROUP BY t.v
+    HAVING COUNT(*) * 100 > 1 * any_value(nn.total)
+    """,
+    survey_ref="exact two-pass heavy hitters (operators/sketches."
+    "frequent_items, Misra-Gries candidates + exact verification): tokens "
+    "with frequency > 1% of the corpus — pass 1 shuffles NOTHING "
+    "(partition-local MG summaries via mapInPandas, pigeonhole-complete), "
+    "pass 2 counts only |candidates|+1 aggregate rows",
+)
+def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.sketches import frequent_items
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("v"))
+    return frequent_items(toks, "v", freq_num=1, freq_den=100)
+
+
+@pending(
+    "sketch_quantiles",
+    oracle="""
+    WITH s AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM s),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+    qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (0.5), (0.9), (0.99))
+    SELECT qs.q, CAST(r.rn AS BIGINT) AS rank, CAST(r.v AS BIGINT) AS value
+    FROM qs CROSS JOIN n
+    JOIN ranked r ON r.rn = CAST(GREATEST(1, CEIL(qs.q * n.n)) AS BIGINT)
+    """,
+    survey_ref="exact order statistics without a global sort (operators/"
+    "sketches.quantiles_exact): two-pass histogram->refine — pass 1 one "
+    "hash agg into exact-decimal buckets (<=4096-row driver summary), "
+    "pass 2 shuffles ONLY the targeted buckets; 6.2x over the sort-window "
+    "form at 20M rows (SCALE.md); percentile_disc 'lower' convention",
+)
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import quantiles_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantiles_exact(
+        docs.select(F.col("n_chars").alias("v")), "v", [0.25, 0.5, 0.9, 0.99]
+    )
