@@ -273,6 +273,42 @@ def cmd_db_clear(args: argparse.Namespace) -> int:
     return 0
 
 
+def _all_queries() -> dict:
+    """Registry gates plus round-staged pending gates, by name."""
+    from .plans import REGISTRY
+    from .plans.pending import PENDING
+
+    out = {n: s.build for n, s in REGISTRY.items()}
+    out.update({n: s.build for n, s in PENDING.items()})
+    return out
+
+
+def cmd_corpus_list(args: argparse.Namespace) -> int:
+    """corpus list: every runnable query/operator name."""
+    for n in sorted(_all_queries()):
+        print(n)
+    return 0
+
+
+def cmd_corpus_run(args: argparse.Namespace) -> int:
+    """corpus run: execute any registry/staged query over an sf dir —
+    the LLM-data-pipeline face of the CLI (dedup, sketches, sampling,
+    quality scoring, ANN, gap fill ... all the `queries()` surface)."""
+    qs = _all_queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; `corpus list` shows all",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = qs[args.query](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}", file=sys.stderr)
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="brontes-spark")
     p.add_argument("--cpus", default=None, help="local[N] cores (default: all)")
@@ -326,6 +362,19 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--tables-dir", required=True)
     cl.add_argument("--table", required=True)
     cl.set_defaults(fn=cmd_db_clear)
+
+    corpus = sub.add_parser(
+        "corpus", help="run any registry/staged query over an sf dir"
+    )
+    csub = corpus.add_subparsers(dest="corpuscmd", required=True)
+    cls_ = csub.add_parser("list")
+    cls_.set_defaults(fn=cmd_corpus_list)
+    crun = csub.add_parser("run")
+    crun.add_argument("--query", required=True)
+    crun.add_argument("--sf-dir", required=True)
+    crun.add_argument("--out", default=None, help="parquet output (default: show)")
+    crun.add_argument("--limit", type=int, default=20)
+    crun.set_defaults(fn=cmd_corpus_run)
     return p
 
 

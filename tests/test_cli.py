@@ -108,3 +108,19 @@ def test_cli_insert_and_snapshot(spark, tmp_path):
     assert spark.read.parquet(os.path.join(snap, "pools.parquet")).count() == 2 * before
     assert _run(["db", "snapshot", "--tables-dir", tables,
                  "--out", os.path.join(tables, "inner")]) == 2
+
+
+def test_cli_corpus_list_and_run(spark, tmp_path, capsys):
+    assert _run(["corpus", "list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "dedup_exact" in names and "dedup_span_exact" in names
+    # staged (pending) gates are runnable alongside registry gates
+    out = str(tmp_path / "corpus_out")
+    assert _run([
+        "--cpus", "4", "corpus", "run", "--query", "sketch_quantiles",
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 4 and set(got.columns) == {"q", "rank", "value"}
+    # unknown query is a clean usage error, not a traceback
+    assert _run(["corpus", "run", "--query", "nope", "--sf-dir", "x"]) == 2
