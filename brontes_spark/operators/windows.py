@@ -67,3 +67,58 @@ def window_dedup(df: DataFrame, keys: Sequence[str], order: Sequence[str]) -> Da
     """Keep the first row per key set under the (ascending) ordering."""
     w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    price_col: str,
+    bucket_ns: int,
+    qty_col: str | None = None,
+) -> DataFrame:
+    """OHLC candle downsampling — the finance-native grid reduction
+    (S3's grid_downsample keeps last-tick-per-cell; candles keep the
+    open/high/low/close envelope plus volume/vwap, which is what CEX
+    trade feeds aggregate to at storage time).
+
+    (key, bucket_start, open, high, low, close, n_ticks[, volume, vwap9])
+    per `bucket_ns` cell. Open/close are the first/last tick by
+    (ts, price) — the price tie-break makes duplicate-timestamp feeds
+    deterministic in both engines (max_by/min_by on the same composite).
+    One hash aggregate, no window: min/max_by(struct) give the endpoint
+    prices map-side, so each task emits one row per touched cell.
+
+    With `qty_col`: volume = exact decimal qty sum; vwap9 = the
+    9dp-scaled integer VWAP (sum(p*q) div sum(q) on the micro-grid),
+    engine-portable like every other rational in the repo.
+    """
+    if bucket_ns < 1:
+        raise ValueError(f"bucket_ns must be >= 1, got {bucket_ns}")
+    bucket = (F.col(ts_col).cast("long") - F.pmod(F.col(ts_col).cast("long"), F.lit(bucket_ns))).alias(
+        "bucket_start"
+    )
+    tick = F.struct(F.col(ts_col).cast("long").alias("ts"), F.col(price_col).alias("p"))
+    aggs = [
+        F.min_by(F.col(price_col), tick).alias("open"),
+        F.max(F.col(price_col)).alias("high"),
+        F.min(F.col(price_col)).alias("low"),
+        F.max_by(F.col(price_col), tick).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if qty_col is not None:
+        # exact integer math on the 9dp grid: p,q quantized upstream or
+        # integral already; sum(p*q) div sum(q) truncates identically in
+        # both engines
+        aggs += [
+            F.sum(F.col(qty_col).cast("decimal(38,0)")).cast("long").alias("volume"),
+            F.expr(
+                f"CAST(sum(CAST({price_col} AS DECIMAL(38,0)) * {qty_col}) "
+                f"div nullif(sum(CAST({qty_col} AS DECIMAL(38,0))), 0) AS BIGINT)"
+            ).alias("vwap9"),
+        ]
+    return (
+        df.filter(F.col(price_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), bucket)
+        .agg(*aggs)
+    )

@@ -841,3 +841,45 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_exact(
         docs.select(F.col("n_chars").alias("v")), "v", [0.25, 0.5, 0.9, 0.99]
     )
+
+
+#: 1-hour candle buckets in nanoseconds
+_OHLC_B = 3_600_000_000_000
+
+
+@pending(
+    "s11_ohlc_candles",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS key, epoch_ns(ts) AS ts_ns, value AS p
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT key, ts_ns - ts_ns % {_OHLC_B} AS bucket_start, ts_ns, p FROM ev),
+    r AS (
+      SELECT key, bucket_start, p,
+             row_number() OVER (PARTITION BY key, bucket_start
+                                ORDER BY ts_ns, p) AS ra,
+             row_number() OVER (PARTITION BY key, bucket_start
+                                ORDER BY ts_ns DESC, p DESC) AS rd
+      FROM b)
+    SELECT key, bucket_start,
+           MAX(CASE WHEN ra = 1 THEN p END) AS open,
+           MAX(p) AS high,
+           MIN(p) AS low,
+           MAX(CASE WHEN rd = 1 THEN p END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY key, bucket_start
+    """,
+    survey_ref="OHLC candle downsampling (operators/windows.ohlc_downsample) "
+    "— the finance-native grid reduction beside S3's last-tick grid: "
+    "open/high/low/close per 1h cell via min_by/max_by on the (ts, price) "
+    "composite (selection, not arithmetic — doubles exact), ONE hash "
+    "aggregate with map-side combine, no window; (ts,price) tie-break "
+    "makes duplicate-timestamp feeds deterministic",
+)
+def s11_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ohlc_downsample
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ohlc_downsample(ev, "event_type", "ts_ns", "value", bucket_ns=_OHLC_B)

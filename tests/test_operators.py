@@ -151,3 +151,38 @@ def test_keep_largest_and_dedup(spark):
     assert top == {"g": 2, "h": 4}  # tie at 9.0 broken by min id
     first = {r["grp"]: r["id"] for r in window_dedup(df, ["grp"], ["id"]).collect()}
     assert first == {"g": 1, "h": 4}
+
+
+def test_ohlc_downsample_with_volume(spark):
+    from brontes_spark.operators.windows import ohlc_downsample
+
+    rows = [
+        ("k", 5, 100, 2), ("k", 7, 120, 1), ("k", 9, 80, 1),   # bucket 0
+        ("k", 12, 90, 3),                                       # bucket 10
+        ("j", 5, 50, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, p long, q long")
+    got = {
+        (r.key, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks,
+                                  r.volume, r.vwap9)
+        for r in ohlc_downsample(df, "g", "ts", "p", 10, qty_col="q").collect()
+    }
+    # bucket 0 of k: open 100 (ts 5), high 120, low 80, close 80 (ts 9),
+    # volume 4, vwap = (200+120+80)/4 = 100
+    assert got[("k", 0)] == (100, 120, 80, 80, 3, 4, 100)
+    assert got[("k", 10)] == (90, 90, 90, 90, 1, 3, 90)
+    assert got[("j", 0)] == (50, 50, 50, 50, 1, 4, 50)
+
+
+def test_ohlc_duplicate_ts_tiebreak_and_zero_qty(spark):
+    from brontes_spark.operators.windows import ohlc_downsample
+
+    rows = [("k", 5, 100, 0), ("k", 5, 120, 0)]  # same ts: price breaks tie
+    df = spark.createDataFrame(rows, "g string, ts long, p long, q long")
+    r = ohlc_downsample(df, "g", "ts", "p", 10, qty_col="q").collect()[0]
+    assert (r.open, r.close) == (100, 120)  # (ts,p) min / max
+    assert r.volume == 0 and r.vwap9 is None  # div by zero qty -> null
+
+    import pytest
+    with pytest.raises(ValueError):
+        ohlc_downsample(df, "g", "ts", "p", 0)
