@@ -400,3 +400,44 @@ def kmv_set_relations(
             "div n_union_seen AS BIGINT)"
         ),
     )
+
+
+def value_histogram(
+    df: DataFrame, val_col: str, buckets: int = 64
+) -> DataFrame:
+    """(bucket, lo, hi, cnt) — equi-width histogram over an integral
+    column with EXACT decimal bucket math (quantiles_exact's pass 1
+    surfaced as its own operator: the one-hash-aggregate distribution
+    summary dashboards and optimizers both want). Bucket bounds are the
+    exact integer ranges [lo, hi] each bucket covers; empty buckets emit
+    no row (the consumer treats absence as zero, as with every sparse
+    summary in this module). One map-side-combined aggregate; the output
+    is bounded by `buckets`, never the data."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    vals = df.select(F.col(val_col).alias("v")).filter(F.col("v").isNotNull())
+    stats = vals.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    if stats["mn"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo long, hi long, cnt long"
+        )
+    mn, mx = int(stats["mn"]), int(stats["mx"])
+    width_den = mx - mn + 1
+    b = F.expr(
+        f"CAST((CAST(v AS DECIMAL(38,0)) - {mn}) * {buckets} div {width_den} AS INT)"
+    )
+    # exact inverse of the bucket map: bucket k covers
+    # [mn + ceil(k*span/B), mn + ceil((k+1)*span/B) - 1]
+    lo = F.expr(
+        f"{mn} + CAST((CAST(bucket AS DECIMAL(38,0)) * {width_den} + {buckets - 1}) "
+        f"div {buckets} AS BIGINT)"
+    )
+    hi = F.expr(
+        f"{mn} + CAST(((CAST(bucket AS DECIMAL(38,0)) + 1) * {width_den} + {buckets - 1}) "
+        f"div {buckets} AS BIGINT) - 1"
+    )
+    return (
+        vals.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bucket", lo.alias("lo"), hi.alias("hi"), "cnt")
+    )

@@ -883,3 +883,31 @@ def s11_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return ohlc_downsample(ev, "event_type", "ts_ns", "value", bucket_ns=_OHLC_B)
+
+
+@pending(
+    "sketch_histogram",
+    oracle="""
+    WITH s AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+    st AS (SELECT MIN(v) AS mn, MAX(v) - MIN(v) + 1 AS span FROM s),
+    b AS (
+      SELECT CAST(((v - st.mn) * 16) // st.span AS INT) AS bucket
+      FROM s CROSS JOIN st),
+    cnts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bucket)
+    SELECT c.bucket,
+           CAST(st.mn + (c.bucket * st.span + 15) // 16 AS BIGINT) AS lo,
+           CAST(st.mn + ((c.bucket + 1) * st.span + 15) // 16 - 1 AS BIGINT) AS hi,
+           c.cnt
+    FROM cnts c CROSS JOIN st
+    """,
+    survey_ref="equi-width value histogram with exact decimal bucket math "
+    "(operators/sketches.value_histogram — quantiles_exact's pass 1 as a "
+    "first-class distribution summary): one map-side-combined aggregate, "
+    "output bounded by bucket count, exact integer [lo, hi] tiling "
+    "(adjacent buckets meet with no gap or overlap, property-pinned)",
+)
+def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import value_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return value_histogram(docs.select(F.col("n_chars").alias("v")), "v", buckets=16)

@@ -374,3 +374,43 @@ def test_kmv_set_relations_disjoint(spark):
         kmv_sketch(a, "key", "v", k=64), kmv_sketch(b, "key", "v", k=64), k=64
     ).collect()[0]
     assert r.n_both == 0 and r.jaccard_est == 0.0 and r.est_intersect == 0
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def test_value_histogram_tiles_exactly(spark):
+    from brontes_spark.operators.sketches import value_histogram
+
+    rng = random.Random(5)
+    vals = [rng.randrange(-500, 10_000) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = sorted(tuple(r) for r in value_histogram(df, "v", buckets=32).collect())
+    assert sum(r[3] for r in rows) == len(vals)
+    assert rows[0][1] == min(vals) and rows[-1][2] == max(vals)
+    for a, b in zip(rows, rows[1:]):
+        # adjacent occupied buckets may skip empty ones, but bounds never
+        # overlap and every value maps into its bucket's [lo, hi]
+        assert b[1] > a[2]
+    by_bucket = {r[0]: r for r in rows}
+    span = max(vals) - min(vals) + 1
+    for v in vals[:200]:
+        k = ((v - min(vals)) * 32) // span
+        _, lo, hi, _ = by_bucket[k]
+        assert lo <= v <= hi, (v, k, lo, hi)
+
+
+def test_value_histogram_edge_cases(spark):
+    from brontes_spark.operators.sketches import value_histogram
+
+    # constant column: one bucket covering exactly that value
+    df = spark.createDataFrame([(7,)] * 10, "v long")
+    rows = [tuple(r) for r in value_histogram(df, "v", buckets=8).collect()]
+    assert rows == [(0, 7, 7, 10)]
+    # empty input: empty frame with the right schema
+    empty = spark.createDataFrame([], "v long")
+    out = value_histogram(empty, "v", buckets=8)
+    assert out.count() == 0 and out.columns == ["bucket", "lo", "hi", "cnt"]
+    import pytest
+    with pytest.raises(ValueError):
+        value_histogram(df, "v", buckets=0)
