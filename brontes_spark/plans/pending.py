@@ -12,6 +12,18 @@ promotes them with one-line `register(...)` moves.
 Kept in a module no gate builder imports, so staging new work here does not
 flip any registered gate's change fingerprint (plans/fingerprints.py walks
 the import closure of each builder's module).
+
+R8 PROMOTION PLAYBOOK (window math simulated at end of r7): after the r7
+driver run greens the current 50-gate window, the registry holds 49 gates
+last-green r6 with r7-changed fingerprints (staleness 5.25) plus ~5 fully
+current. Registering all 21 pending specs seats them first (staleness −1)
+and leaves 29 seats for the stalest r6 gates — 20 r6 gates then wait for
+r9, attestation age 2 rounds, the same designed lag this round carried for
+the 19 r5-stale gates (all covered meanwhile by the local sf0.01 parity
+suite). RECOMMENDED: promote all 21 at r8 start (new gates need driver
+rows promptly; the rotation self-heals in r9), refresh fingerprints, and
+re-simulate `_ordered()[:50]` before the gate — splitting the promotion
+across two rounds only trades new-gate latency for re-attestation age.
 """
 
 from __future__ import annotations
