@@ -40,8 +40,7 @@ def test_fingerprints_independent_of_import_state():
     ):
         importlib.import_module(extra)
     # recompute from scratch: the caches would mask any import-state leak
-    fingerprints._closure_cache.clear()
-    fingerprints._source_cache.clear()
+    fingerprints._clear_caches()
     after = fingerprints.compute_all()
     flipped = [n for n in before if before[n] != after[n]]
     assert flipped == [], f"fingerprints depend on interpreter import state: {flipped}"
@@ -50,24 +49,90 @@ def test_fingerprints_independent_of_import_state():
 def test_closure_sees_through_helper_imports():
     """txt_fingerprint's builder lives in plans/llm_data.py but depends on
     functions/text.py (norm_text) — the module whose round-3 change the
-    manual FORCE_RECHECK map missed. The closure must include it."""
+    manual FORCE_RECHECK map missed. The symbol closure must include it."""
     spec = registry.REGISTRY["txt_fingerprint"]
-    closure = fingerprints._module_closure(spec.build.__module__)
-    assert "brontes_spark.functions.text" in closure
+    keys = {k for k, _ in fingerprints._gate_closure(spec.build)}
+    assert "brontes_spark.functions.text:norm_text" in keys
     # the ordering-policy modules are excluded by design: editing them must
     # not flip every gate's fingerprint
-    assert "brontes_spark.plans.registry" not in closure
-    assert "brontes_spark.plans.fingerprints" not in closure
+    assert not any(k.startswith("brontes_spark.plans.registry:") for k in keys)
+    assert not any(k.startswith("brontes_spark.plans.fingerprints:") for k in keys)
+
+
+def _doctor(monkeypatch, module: str, extra_source: str):
+    """Append source to a module as seen by the fingerprint engine."""
+    src = fingerprints._module_source(module)
+    fingerprints._clear_caches()
+    monkeypatch.setitem(fingerprints._source_cache, module, src + extra_source)
 
 
 def test_dependency_edit_changes_fingerprint(monkeypatch):
-    base = fingerprints.compute_all()["txt_fingerprint"]
-    doctored = dict(fingerprints._source_cache)
-    doctored["brontes_spark.functions.text"] = doctored.get(
-        "brontes_spark.functions.text", ""
-    ) + "\n# doctored"
-    monkeypatch.setattr(fingerprints, "_source_cache", doctored)
-    assert fingerprints.compute_all()["txt_fingerprint"] != base
+    """Redefining norm_text (a symbol txt_fingerprint reaches) must flip the
+    gate — and, with symbol granularity, flip ONLY gates that reach it."""
+    base = fingerprints.compute_all()
+    _doctor(
+        monkeypatch,
+        "brontes_spark.functions.text",
+        "\n\ndef norm_text(col):\n    return col\n",
+    )
+    after = fingerprints.compute_all()
+    fingerprints._clear_caches()
+    assert after["txt_fingerprint"] != base["txt_fingerprint"]
+    for flipped in (n for n in base if after[n] != base[n]):
+        keys = {
+            k for k, _ in fingerprints._gate_closure(registry.REGISTRY[flipped].build)
+        }
+        assert "brontes_spark.functions.text:norm_text" in keys, flipped
+
+
+def test_symbol_granularity_isolates_shared_module_edits(monkeypatch):
+    """The r7 verdict's root-cause finding: whole-module fingerprints let ONE
+    edit to operators/windows.py invalidate 49 of 50 attestations. With
+    symbol granularity, (a) redefining grid_downsample flips exactly the
+    gates whose builders reach it (s3_grid_downsample), and (b) ADDING a new
+    operator to the shared module flips nothing at all."""
+    base = fingerprints.compute_all()
+    _doctor(
+        monkeypatch,
+        "brontes_spark.operators.windows",
+        "\n\ndef grid_downsample(df):\n    return df\n",
+    )
+    after = fingerprints.compute_all()
+    fingerprints._clear_caches()
+    assert {n for n in base if after[n] != base[n]} == {"s3_grid_downsample"}
+
+    _doctor(
+        monkeypatch,
+        "brontes_spark.operators.windows",
+        "\n\ndef a_brand_new_operator(df):\n    return df\n",
+    )
+    after2 = fingerprints.compute_all()
+    fingerprints._clear_caches()
+    assert {n for n in base if after2[n] != base[n]} == set()
+
+
+def test_comment_edits_do_not_invalidate(monkeypatch):
+    """Hashes are over ast.dump, so comment/formatting churn must not flush
+    gates back into the driver window."""
+    base = fingerprints.compute_all()
+    _doctor(
+        monkeypatch, "brontes_spark.operators.windows", "\n# a trailing comment\n"
+    )
+    after = fingerprints.compute_all()
+    fingerprints._clear_caches()
+    assert after == base
+
+
+def test_unparseable_module_degrades_to_whole_module(monkeypatch):
+    """A module the engine cannot parse must degrade to whole-source hashing
+    (flip everything that touches it), never to silence."""
+    base = fingerprints.compute_all()
+    _doctor(monkeypatch, "brontes_spark.operators.windows", "\ndef broken(:\n")
+    after = fingerprints.compute_all()
+    fingerprints._clear_caches()
+    flipped = {n for n in base if after[n] != base[n]}
+    assert "s3_grid_downsample" in flipped  # uses windows.grid_downsample
+    assert "s4_volume_rank" in flipped      # uses windows.volume_rank
 
 
 def test_refresh_stamps_changed_gate_with_current_round(tmp_path):
