@@ -80,7 +80,7 @@ HEADLINE = [
     "frequent_items",
     "quantiles_exact",
     "tfidf_topk",
-    # round-7 staged gates (plans/pending.py; r8 promotes to the registry)
+    # round-7 staged gates, registered at r8 start (plans/corpus.py et al.)
     "dedup_span_exact",
     "txt_bigram_coverage",
     "txt_decontaminate_bloom",
@@ -146,28 +146,12 @@ def _tfidf_topk(spark, sf_dir):
     return tfidf_topk_terms(docs, "doc_id", "text", k=5)
 
 
-def _pending(name):
-    def run(spark, sf_dir):
-        from brontes_spark.plans.pending import PENDING
-
-        return PENDING[name].build(spark, sf_dir)
-
-    return run
-
-
 EXTRA = {
     "dedup_semantic_hier": _dedup_semantic_hier,
     "ann_kmeans_refine_hier": _ann_kmeans_refine_hier,
     "frequent_items": _frequent_items,
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,
-    "dedup_span_exact": _pending("dedup_span_exact"),
-    "txt_bigram_coverage": _pending("txt_bigram_coverage"),
-    "txt_decontaminate_bloom": _pending("txt_decontaminate_bloom"),
-    "x11_gapfill": _pending("x11_gapfill"),
-    "x12_mad_outliers": _pending("x12_mad_outliers"),
-    "sketch_countmin": _pending("sketch_countmin"),
-    "sample_weighted": _pending("sample_weighted"),
 }
 
 

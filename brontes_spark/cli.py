@@ -274,10 +274,15 @@ def cmd_db_clear(args: argparse.Namespace) -> int:
 
 
 def _all_queries() -> dict:
-    """Registry gates plus round-staged pending gates, by name."""
+    """Registry gates plus round-staged pending gates, by name. A name
+    collision would silently run the staged builder under the registered
+    gate's identity — fail loudly instead."""
     from .plans import REGISTRY
     from .plans.pending import PENDING
 
+    overlap = REGISTRY.keys() & PENDING.keys()
+    if overlap:
+        raise RuntimeError(f"staged gates shadow registry entries: {sorted(overlap)}")
     out = {n: s.build for n, s in REGISTRY.items()}
     out.update({n: s.build for n, s in PENDING.items()})
     return out

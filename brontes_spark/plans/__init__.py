@@ -2,6 +2,7 @@ from .registry import REGISTRY, QuerySpec, queries, oracle_sql
 from . import (  # noqa: F401  (registration side effects)
     cex_fixture,
     classify_fixture,
+    corpus,
     llm_data,
     mev_fixture,
     multimodal_fixture,

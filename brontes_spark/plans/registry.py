@@ -39,6 +39,31 @@ def register(name: str, oracle: str | None, survey_ref: str):
 #: round row and an unchanged implementation rotate to the tail (they stay
 #: covered by the local sf0.01 oracle-parity suite, tests/test_oracle_parity.py).
 DRIVER_ORDER: list[str] = [
+    # r8 promotion (the 21 gates staged in r7's plans/pending.py, registered
+    # at r8 start): no driver history -> staleness -1 -> they lead the r8
+    # window; the remaining 29 slots seat the stalest r6 re-attestations by
+    # the positions below (21 r6 gates ride to r9; COVERAGE.md names them).
+    "dedup_span_exact",
+    "dedup_span_stats",
+    "dedup_span_trim",
+    "txt_decontaminate_bloom",
+    "sketch_countmin",
+    "sketch_kmv_jaccard",
+    "sketch_frequent_items",
+    "sketch_quantiles",
+    "sketch_histogram",
+    "sample_weighted",
+    "txt_bigram_coverage",
+    "txt_url_normalize",
+    "corpus_domain_cap",
+    "dedup_fuzzy_pairs",
+    "txt_normalize_nfc",
+    "txt_tfidf_topk",
+    "x11_gapfill",
+    "x12_mad_outliers",
+    "x15_window_suite",
+    "s11_ohlc_candles",
+    "o7_grouping_sets",
     # r6 curation (18 gates registered this round lead; the automatic
     # staleness ordering still seats them plus all 29 r4-stale gates plus 3
     # most-stale re-checks in the 50-slot window — verified in-session).

@@ -1087,3 +1087,37 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(to_dbl(F.sum(_disc_price() - cost)).alias("sum_profit"))
     )
+
+
+@register(
+    "o7_grouping_sets",
+    oracle="""
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+    survey_ref="multi-grain rollup via GROUPING SETS — the OLAP cube "
+    "surface of O5's wide rollups generalized: one pass emits (lang, "
+    "source)/(lang)/(source)/grand-total grains with GROUPING() ids "
+    "disambiguating real NULLs from subtotal rows; Spark expands grouping "
+    "sets in a single Expand+hash-agg (one exchange), identical "
+    "semantics in both engines",
+)
+def o7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_gs_documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, '<all>') AS lang,
+               COALESCE(source, '<all>') AS source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+        FROM _gs_documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )

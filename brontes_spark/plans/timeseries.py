@@ -825,3 +825,184 @@ def x10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+#: 6-hour grid in nanoseconds for the gapfill gate
+_GF_STEP = 21_600_000_000_000
+
+@register(
+    "x11_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_ns(ts) AS ts_ns, user_id, value FROM events
+      WHERE value IS NOT NULL),
+    rng AS (
+      SELECT user_id AS key, MIN(ts_ns) AS mn, MAX(ts_ns) AS mx
+      FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT key, unnest(generate_series((mn // {_GF_STEP}) * {_GF_STEP}, mx, {_GF_STEP})) AS ts,
+             CAST(NULL AS DOUBLE) AS v, 0 AS is_real
+      FROM rng),
+    realr AS (
+      SELECT user_id AS key, ts_ns AS ts, value AS v, 1 AS is_real FROM ev),
+    u AS (SELECT * FROM grid UNION ALL SELECT * FROM realr),
+    w AS (
+      SELECT key, ts, is_real,
+        last_value(CASE WHEN is_real = 1 THEN v END IGNORE NULLS) OVER win_p AS prev_v,
+        last_value(CASE WHEN is_real = 1 THEN ts END IGNORE NULLS) OVER win_p AS prev_ts,
+        first_value(CASE WHEN is_real = 1 THEN v END IGNORE NULLS) OVER win_f AS next_v,
+        first_value(CASE WHEN is_real = 1 THEN ts END IGNORE NULLS) OVER win_f AS next_ts
+      FROM u
+      WINDOW
+        win_p AS (PARTITION BY key ORDER BY ts, is_real DESC, v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        win_f AS (PARTITION BY key ORDER BY ts, is_real DESC, v
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT key, ts AS grid_ts, prev_v AS value_ffill,
+           CASE WHEN prev_v IS NULL THEN NULL
+                WHEN next_v IS NULL OR next_ts = prev_ts THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(ts - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE))
+           END AS value_interp
+    FROM w WHERE is_real = 0
+    """,
+    survey_ref="regular-grid gap filling (operators/gapfill.py): per-user "
+    "6-hour grid with locf forward fill + linear interpolation (the "
+    "TimescaleDB time_bucket_gapfill/locf/interpolate family over S3's "
+    "grid semantics); in-row sequence grid, one union, ONE per-key ordered "
+    "window for both fills — two key shuffles total; fixed IEEE evaluation "
+    "shape makes the interpolation bit-exact across engines",
+)
+def x11_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gapfill import gapfill
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return gapfill(ev, "user_id", "ts_ns", "value", step=_GF_STEP)
+
+@register(
+    "x12_mad_outliers",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type AS key, value AS v FROM events
+      WHERE value IS NOT NULL),
+    r AS (
+      SELECT key, event_id, v,
+             row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS n
+      FROM ev),
+    m AS (
+      SELECT key, event_id, v,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) OVER (PARTITION BY key) AS med
+      FROM r),
+    d AS (SELECT key, event_id, v, med, ABS(v - med) AS dev FROM m),
+    r2 AS (
+      SELECT key, event_id, v, med, dev,
+             row_number() OVER (PARTITION BY key ORDER BY dev) AS rn2,
+             COUNT(*) OVER (PARTITION BY key) AS n2
+      FROM d),
+    mm AS (
+      SELECT key, event_id, v, med, dev,
+             MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN dev END) OVER (PARTITION BY key) AS mad
+      FROM r2)
+    SELECT key, event_id, v AS value, med, mad
+    FROM mm WHERE dev > 3.0 * mad
+    """,
+    survey_ref="median/MAD robust outlier flagging per event_type "
+    "(operators/anomaly.py, Hampel's rule |x-med| > k*MAD with 50% "
+    "breakdown — the robust complement of i14's avg+2sigma): lower order "
+    "statistics via two sort-windows over ONE key shuffle, selection not "
+    "arithmetic, so doubles are exact",
+)
+def x12_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import mad_anomalies
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return mad_anomalies(ev, "event_type", "value", k=3.0, keep_cols=["event_id"])
+
+@register(
+    "x15_window_suite",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, value FROM events
+      WHERE value IS NOT NULL)
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lag(value, 1) OVER w AS prev_value,
+           lead(value, 1) OVER w AS next_value,
+           value - first_value(value) OVER w AS delta_from_first,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    """,
+    survey_ref="analytic window-function breadth in one gate — row_number/"
+    "ntile/percent_rank/cume_dist/lag/lead/first_value over a per-user "
+    "event ordering (the §2.9 'window kernel' families an analytics "
+    "engine is judged on), all sharing ONE user_id exchange + sort; "
+    "percent_rank/cume_dist are exact rationals of integer ranks so the "
+    "doubles are bit-identical across engines",
+)
+def x15_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wp = W.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - F.first("value").over(w)).alias("delta_from_first"),
+        F.count(F.lit(1)).over(wp).alias("n_events"),
+    )
+
+#: 1-hour candle buckets in nanoseconds
+_OHLC_B = 3_600_000_000_000
+
+@register(
+    "s11_ohlc_candles",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS key, epoch_ns(ts) AS ts_ns, value AS p
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT key, ts_ns - ts_ns % {_OHLC_B} AS bucket_start, ts_ns, p FROM ev),
+    r AS (
+      SELECT key, bucket_start, p,
+             row_number() OVER (PARTITION BY key, bucket_start
+                                ORDER BY ts_ns, p) AS ra,
+             row_number() OVER (PARTITION BY key, bucket_start
+                                ORDER BY ts_ns DESC, p DESC) AS rd
+      FROM b)
+    SELECT key, bucket_start,
+           MAX(CASE WHEN ra = 1 THEN p END) AS open,
+           MAX(p) AS high,
+           MIN(p) AS low,
+           MAX(CASE WHEN rd = 1 THEN p END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY key, bucket_start
+    """,
+    survey_ref="OHLC candle downsampling (operators/windows.ohlc_downsample) "
+    "— the finance-native grid reduction beside S3's last-tick grid: "
+    "open/high/low/close per 1h cell via min_by/max_by on the (ts, price) "
+    "composite (selection, not arithmetic — doubles exact), ONE hash "
+    "aggregate with map-side combine, no window; (ts,price) tie-break "
+    "makes duplicate-timestamp feeds deterministic",
+)
+def s11_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ohlc_downsample
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ohlc_downsample(ev, "event_type", "ts_ns", "value", bucket_ns=_OHLC_B)

@@ -1,8 +1,9 @@
-"""DuckDB-parity for the round-7 PENDING gates (plans/pending.py) at the
-driver's sf0.01 scale — identical harness to tests/test_oracle_parity.py.
-These specs are staged for r8 registration (registering them in r7 would
-eject r5 re-attestations from the driver's 50-slot window); this module IS
-their correctness gate until then."""
+"""DuckDB-parity for PENDING gates (plans/pending.py) at the driver's
+sf0.01 scale — identical harness to tests/test_oracle_parity.py. A staged
+spec's correctness gate IS this module until its round promotes it to the
+registry (empty staging area == zero parametrized cases, by design; the 21
+round-7 staged gates were promoted at r8 start and are covered by
+test_oracle_parity.py like every other registered gate)."""
 
 from __future__ import annotations
 
