@@ -213,12 +213,16 @@ def main() -> None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # key the detail artifact to the BENCH round, not the correctness round:
+    # the driver records this run as BENCH_r{max+1}, while CORRECTNESS_r{n}
+    # may already exist by bench time (r7 defect: the official r7 bench
+    # detail landed misfiled as r08 because it counted correctness files)
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
-    rnd = max(rounds, default=0) + 1  # bench runs before the round's gate file lands
+    rnd = max(rounds, default=0) + 1  # this run becomes BENCH_r{rnd}
     try:
         with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as f:
             json.dump(detail, f, indent=1)
