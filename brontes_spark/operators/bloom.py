@@ -60,7 +60,11 @@ def bloom_build(
         F.array(*_positions(F.col(val_col), m_bits, n_hashes))
     ).alias("pos")
     return (
-        df.select(pos)
+        # a NULL value hashes to NULL positions and would emit a (NULL
+        # word_idx, NULL mask) row that crashes bloom_words' int() — NULLs
+        # are not set members, drop them at the scan
+        df.filter(F.col(val_col).isNotNull())
+        .select(pos)
         .select(
             F.shiftright("pos", 6).alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("mask"),
@@ -108,7 +112,10 @@ def with_bloom_member(
             f"(element_at(_bw, CAST(shiftright(_bp{i}, 6) + 1 AS INT)) "
             f"& shiftleft(CAST(1 AS BIGINT), CAST(_bp{i} & 63 AS INT))) != 0"
         )
-    return out.withColumn(out_col, cond).drop(
+    # a NULL value probes NULL positions and the conjunction goes NULL —
+    # membership is a predicate, so NULL input means false, not unknown
+    # (bloom_member_join gets the same via its per-probe coalesce)
+    return out.withColumn(out_col, F.coalesce(cond, F.lit(False))).drop(
         "_bw", *[f"_bp{i}" for i in range(n_hashes)]
     )
 

@@ -49,7 +49,11 @@ def gapfill(
         "key",
         F.explode(
             F.sequence(
-                F.expr(f"(mn div {step}) * {step}"), F.col("mx"), F.lit(step).cast("long")
+                # FLOOR-aligned grid origin: mn - pmod(mn, step) floors for
+                # negative timestamps too, where `div` truncates toward zero
+                # and would diverge from the oracle's `//` (engine-parity
+                # policy; pre-epoch ts are legal inputs)
+                F.expr(f"mn - pmod(mn, {step})"), F.col("mx"), F.lit(step).cast("long")
             )
         ).alias("ts"),
         F.lit(None).cast("double").alias("v"),

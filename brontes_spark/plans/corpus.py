@@ -365,7 +365,7 @@ def _url_col() -> F.Column:
                      || regexp_replace(c, '^[^/]*//[^/?]*', '') AS c FROM s1),
     s3 AS (SELECT doc_id, url, regexp_replace(c, '^(https://[^/:?]*):443($|[/?].*)', '\\1\\2') AS c FROM s2),
     s4 AS (SELECT doc_id, url, regexp_replace(c, '^(http://[^/:?]*):80($|[/?].*)', '\\1\\2') AS c FROM s3),
-    s5 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/(\\?.*)?$', '\\1\\3') AS c FROM s4),
+    s5 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/+(\\?.*)?$', '\\1\\3') AS c FROM s4),
     s6 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z+.-]+://[^/?]+)(\\?.*)?$', '\\1/\\2') AS c FROM s5),
     h AS (SELECT doc_id, c AS url_norm,
                  lower(regexp_extract(url, '^[^/]*//(?:[^/@?]*@)?([^/:?#]+)', 1)) AS host

@@ -44,6 +44,21 @@ def test_gapfill_unaligned_start_head_nulls(spark):
     assert set(got) == {10, 20}
 
 
+def test_gapfill_negative_ts_floor_alignment(spark):
+    # pre-epoch timestamps: the grid origin must FLOOR (-15 -> -20), not
+    # truncate toward zero (-15 -> -10, Spark's `div`) — the engine-parity
+    # divergence ADVICE r7 flagged; DuckDB's // floors
+    df = _series(spark, [("a", -15, 1.0), ("a", 5, 3.0)])
+    got = {
+        r.grid_ts: (r.value_ffill, r.value_interp)
+        for r in gapfill(df, "k", "ts", "v", step=10).collect()
+    }
+    assert set(got) == {-20, -10, 0}
+    assert got[-20] == (None, None)  # precedes the first observation
+    assert got[-10] == (1.0, 1.0 + 2.0 * (5 / 20))
+    assert got[0] == (1.0, 1.0 + 2.0 * (15 / 20))
+
+
 def test_gapfill_tail_ffill(spark):
     df = _series(spark, [("a", 0, 2.0), ("a", 35, 8.0)])
     got = {

@@ -33,6 +33,10 @@ CASES = [
     ("https://localhost/x", "https://localhost/x", "localhost", "localhost"),
     ("https://a.gov.uk/", "https://a.gov.uk/", "a.gov.uk", "a.gov.uk"),
     ("https://b.a.gov.uk/", "https://b.a.gov.uk/", "b.a.gov.uk", "a.gov.uk"),
+    # trailing-slash RUNS normalize ('a//' == 'a/' == 'a' as dedup keys);
+    # interior '//' is preserved (distinct resources per RFC 3986)
+    ("http://x.example.com/a//", "http://x.example.com/a", "x.example.com", "example.com"),
+    ("https://example.com/a//b///?q=2", "https://example.com/a//b?q=2", "example.com", "example.com"),
 ]
 
 
@@ -83,7 +87,7 @@ def test_duckdb_twin_parity(spark, fixture_df):
                      || regexp_replace(c, '^[^/]*//[^/?]*', '') AS c FROM s1),
     s3 AS (SELECT i, regexp_replace(c, '^(https://[^/:?]*):443($|[/?].*)', '\1\2') AS c FROM s2),
     s4 AS (SELECT i, regexp_replace(c, '^(http://[^/:?]*):80($|[/?].*)', '\1\2') AS c FROM s3),
-    s5 AS (SELECT i, regexp_replace(c, '^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/(\?.*)?$', '\1\3') AS c FROM s4),
+    s5 AS (SELECT i, regexp_replace(c, '^([a-z+.-]+://[^/?]+(/[^?]*[^/?]))/+(\?.*)?$', '\1\3') AS c FROM s4),
     s6 AS (SELECT i, regexp_replace(c, '^([a-z+.-]+://[^/?]+)(\?.*)?$', '\1/\2') AS c FROM s5)
     SELECT i, c,
            lower(regexp_extract(url, '^[^/]*//(?:[^/@?]*@)?([^/:?#]+)', 1)) AS h
