@@ -1,0 +1,278 @@
+"""Public-Suffix-List registered-domain extraction as a broadcast dim join.
+
+`functions/urls.url_registered_domain` ships the structural eTLD+1 rule
+(last two labels, or three under a well-known second-level label). Real
+crawl pipelines use the Mozilla Public Suffix List (publicsuffix.org —
+public data, MPL 2.0), which is a DATA FILE with three rule kinds:
+
+  * normal     `co.uk`            — the suffix itself is public
+  * wildcard   `*.kawasaki.jp`    — ANY single label under the base is
+                                    public (so `foo.kawasaki.jp` is a
+                                    public suffix)
+  * exception  `!city.kawasaki.jp`— overrides a wildcard: this exact name
+                                    is NOT a public suffix (its parent is)
+
+Algorithm (publicsuffix.org/list/ spec): among all rules matching a host,
+an exception rule prevails outright; otherwise the rule with the most
+labels prevails; if nothing matches, the prevailing rule is `*` (the bare
+TLD is public). The registered (eTLD+1) domain is the public suffix plus
+one more label — NULL when the host IS a public suffix (nothing is
+registrable) and the host itself for IPv4 literals.
+
+This module implements that algorithm as pure DataFrame ops over a rules
+dim: per host, explode the O(label-count) candidate suffixes, ONE
+broadcast hash join against the rules (keyed by suffix for normal/
+exception rules and by the wildcard BASE for wildcard rules), then a
+max-struct fold picks the prevailing rule. No UDFs, no shuffle on the
+host side beyond the final per-host aggregate; the rules dim is ~10k rows
+fully loaded — kilobytes broadcast.
+
+`PSL_SNAPSHOT` is a curated in-repo subset of the list (the file format
+is parsed by `parse_psl_rules`, so pointing `load_psl_rules` at a full
+downloaded `public_suffix_list.dat` swaps in the real thing without code
+changes). The snapshot covers every rule KIND and the canonical
+adversarial cases from the publicsuffix.org test vectors: co.uk,
+pvt.k12.ma.us, the *.ck/!www.ck and *.kawasaki.jp/!city.kawasaki.jp
+wildcard+exception families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Curated snapshot in the exact publicsuffix.org file format (comments
+#: and blank lines included to exercise the parser). Source: the Public
+#: Suffix List, publicsuffix.org (public data, MPL 2.0) — entries
+#: transcribed for the rule families the tests and gates exercise.
+PSL_SNAPSHOT = """\
+// Public Suffix List snapshot (subset) — publicsuffix.org, MPL 2.0.
+// Swap in the full public_suffix_list.dat via load_psl_rules(path=...).
+
+// ===BEGIN ICANN DOMAINS===
+com
+net
+org
+edu
+gov
+mil
+int
+io
+ai
+co
+
+// United Kingdom
+uk
+ac.uk
+co.uk
+gov.uk
+ltd.uk
+me.uk
+net.uk
+org.uk
+plc.uk
+sch.uk
+
+// United States: the deep state/sector hierarchy
+us
+k12.ma.us
+cc.ma.us
+lib.ma.us
+pvt.k12.ma.us
+
+// Japan: prefecture wildcards with city exceptions
+jp
+ac.jp
+co.jp
+go.jp
+ne.jp
+or.jp
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+
+// Cook Islands: wildcard TLD with a www exception
+*.ck
+!www.ck
+
+// Australia
+au
+com.au
+net.au
+org.au
+edu.au
+gov.au
+
+// assorted ccTLDs
+de
+fr
+nl
+jp
+br
+com.br
+net.br
+// ===END ICANN DOMAINS===
+
+// ===BEGIN PRIVATE DOMAINS===
+blogspot.com
+github.io
+s3.amazonaws.com
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def parse_psl_rules(text: str) -> list[tuple[str, str]]:
+    """(name, kind) rules from PSL file text. kind: 'normal' | 'wildcard' |
+    'exception'. Wildcards store the BASE (rule minus the leading '*.') —
+    that is the join key; exceptions store the name minus '!'. Comments
+    (//) and blank lines are skipped, per the file-format spec; rules are
+    matched case-insensitively on punycode/ASCII hosts, so names lowercase."""
+    rules: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for raw in text.splitlines():
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0]  # spec: everything after whitespace ignored
+        if line.startswith("!"):
+            entry = (line[1:], "exception")
+        elif line.startswith("*."):
+            entry = (line[2:], "wildcard")
+        elif line == "*":
+            continue  # the implicit default rule; handled algorithmically
+        else:
+            entry = (line, "normal")
+        if entry not in seen:
+            seen.add(entry)
+            rules.append(entry)
+    return rules
+
+
+def load_psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """The rules dim as a 2-column DataFrame (name, kind). ``path`` points
+    at a full downloaded public_suffix_list.dat; default is the packaged
+    snapshot."""
+    if path is not None:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = PSL_SNAPSHOT
+    return spark.createDataFrame(parse_psl_rules(text), "name string, kind string")
+
+
+def psl_rules_sql_values(text: str | None = None) -> str:
+    """The same rules dim as a DuckDB VALUES relation (for oracle twins):
+    interpolate as `(VALUES {this}) rules(name, kind)`."""
+    rules = parse_psl_rules(text if text is not None else PSL_SNAPSHOT)
+    return ", ".join(f"('{n}', '{k}')" for n, k in rules)
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    rules: DataFrame,
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """Adds `out_col`: the PSL eTLD+1 of `host_col` — NULL when the host is
+    itself a public suffix, the host verbatim for IPv4 literals. All other
+    columns ride along.
+
+    Plan shape: candidate suffixes explode per host (bounded by label
+    count), ONE broadcast join against the rules dim on a unified key
+    (normal/exception rules key on the candidate suffix, wildcard rules on
+    the candidate's base = suffix minus its first label), then one
+    per-host max-struct aggregate applies PSL precedence (exception wins,
+    else most labels, with the implicit `*` default as labels=1)."""
+    id_cols = [c for c in df.columns]
+    host = F.lower(F.col(host_col))
+    base = df.withColumn("_h", host).withColumn(
+        "_labels", F.split(F.col("_h"), r"\.")
+    ).withColumn("_n", F.size("_labels"))
+
+    # candidate suffix starting at label i (0-based), as a string, plus the
+    # wildcard base (suffix minus its first label; '' when none)
+    cand = base.select(
+        *id_cols, "_h", "_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - 1),
+                lambda i: F.concat_ws(".", F.slice(F.col("_labels"), i + 1, F.col("_n"))),
+            )
+        ).alias("_i", "_suffix"),
+    ).withColumn(
+        "_wbase",
+        F.when(
+            F.col("_i") < F.col("_n") - 1,
+            F.expr("substring(_suffix, instr(_suffix, '.') + 1)"),
+        ),
+    )
+
+    r_exact = rules.filter(F.col("kind") != "wildcard").select(
+        F.col("name").alias("_suffix"), F.col("kind").alias("_kind_e")
+    )
+    r_wild = rules.filter(F.col("kind") == "wildcard").select(
+        F.col("name").alias("_wbase"), F.lit("wildcard").alias("_kind_w")
+    )
+    j = (
+        cand.join(F.broadcast(r_exact), "_suffix", "left")
+        .join(F.broadcast(r_wild), "_wbase", "left")
+    )
+    # public-suffix label count contributed by each match at offset _i:
+    #   normal:    n - i
+    #   wildcard:  n - i (base has n-i-1 labels; * consumes one more, and
+    #              the candidate's own first label is that one)
+    #   exception: n - i - 1 (the exception name is NOT public; its parent is)
+    n_lab = F.col("_n") - F.col("_i")
+    matches = j.select(
+        *id_cols, "_h", "_n",
+        F.when(F.col("_kind_e") == "exception", F.struct(F.lit(1).alias("exc"), (n_lab - 1).alias("lab")))
+        .when(F.col("_kind_e") == "normal", F.struct(F.lit(0).alias("exc"), n_lab.alias("lab")))
+        .alias("_m1"),
+        F.when(F.col("_kind_w") == "wildcard", F.struct(F.lit(0).alias("exc"), n_lab.alias("lab"))).alias("_m2"),
+    )
+    # prevailing rule: exception first, then most labels; implicit '*'
+    # default = 1 public label when nothing matches
+    best = (
+        matches.groupBy(*id_cols, "_h", "_n")
+        .agg(F.greatest(F.max("_m1"), F.max("_m2")).alias("_best"))
+        .withColumn("_ps_labels", F.coalesce(F.col("_best.lab"), F.lit(1)))
+    )
+    is_ip = F.col("_h").rlike(r"^[0-9.]+$")
+    reg = F.when(is_ip, F.col("_h")).when(
+        F.col("_n") > F.col("_ps_labels"),
+        F.expr(
+            "concat_ws('.', slice(split(_h, '\\\\.'), "
+            "cast(_n - _ps_labels as int), cast(_ps_labels + 1 as int)))"
+        ),
+    )
+    return best.select(*id_cols, reg.alias(out_col))
+
+
+def url_registered_domain_psl(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """PSL eTLD+1 straight from a URL column — the dim-join counterpart of
+    `functions/urls.url_registered_domain`'s structural rule (the swap-in
+    seam that module's scope note promises)."""
+    from .urls import url_host
+
+    return registered_domain_psl(
+        df.withColumn("_psl_host", url_host(F.col(url_col))),
+        "_psl_host",
+        rules,
+        out_col=out_col,
+    ).withColumnRenamed("_psl_host", "host")

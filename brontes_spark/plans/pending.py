@@ -101,3 +101,121 @@ PENDING["dedup_fuzzy_lsh_verified"] = QuerySpec(
     oracle=_fuzzy_lsh_oracle(),
     survey_ref=PENDING["dedup_fuzzy_lsh_verified"].survey_ref,
 )
+
+
+#: adversarial PSL host per doc: nine rotating shapes covering a plain
+#: normal rule, UK second-level, the 5-label US hierarchy, the *.ck
+#: wildcard + !www.ck exception pair (bare-suffix, exception, and
+#: registrable-subdomain cases), the JP designated-city exception, an
+#: unlisted TLD (implicit '*' default rule), and an IPv4 literal. Spark
+#: and the oracle synthesize the SAME strings from the same columns.
+_PSL_HOST_SQL = """
+    CASE CAST(doc_id % 9 AS INT)
+      WHEN 0 THEN source || '.example.com'
+      WHEN 1 THEN 'a.' || source || '.co.uk'
+      WHEN 2 THEN source || '.pvt.k12.ma.us'
+      WHEN 3 THEN 'www.ck'
+      WHEN 4 THEN source || '.ck'
+      WHEN 5 THEN 'b.' || source || '.ck'
+      WHEN 6 THEN 'www.city.kawasaki.jp'
+      WHEN 7 THEN source || '.unlisted' || CAST(doc_id % 7 AS INT)
+      ELSE '10.0.0.' || CAST(doc_id % 200 AS INT)
+    END
+"""
+
+
+def _psl_host_col() -> F.Column:
+    d9 = (F.col("doc_id") % 9).cast("int")
+    return (
+        F.when(d9 == 0, F.concat(F.col("source"), F.lit(".example.com")))
+        .when(d9 == 1, F.concat(F.lit("a."), F.col("source"), F.lit(".co.uk")))
+        .when(d9 == 2, F.concat(F.col("source"), F.lit(".pvt.k12.ma.us")))
+        .when(d9 == 3, F.lit("www.ck"))
+        .when(d9 == 4, F.concat(F.col("source"), F.lit(".ck")))
+        .when(d9 == 5, F.concat(F.lit("b."), F.col("source"), F.lit(".ck")))
+        .when(d9 == 6, F.lit("www.city.kawasaki.jp"))
+        .when(
+            d9 == 7,
+            F.concat(F.col("source"), F.lit(".unlisted"),
+                     (F.col("doc_id") % 7).cast("int").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("10.0.0."), (F.col("doc_id") % 200).cast("int").cast("string"))
+        )
+    )
+
+
+def _psl_oracle() -> str:
+    from ..functions.psl import psl_rules_sql_values
+
+    return f"""
+    WITH rules(name, kind) AS (VALUES {psl_rules_sql_values()}),
+    u AS (SELECT doc_id, 'https://' || {_PSL_HOST_SQL} || '/p' || doc_id AS url
+          FROM documents),
+    h AS (SELECT doc_id,
+                 lower(regexp_extract(url, '^[^/]*//(?:[^/@?]*@)?([^/:?#]+)', 1)) AS h
+          FROM u),
+    hl AS (SELECT doc_id, h, string_split(h, '.') AS labels,
+                  len(string_split(h, '.')) AS n
+           FROM h),
+    cand AS (
+      SELECT hl.doc_id, hl.h, hl.n, idx.off,
+             array_to_string(list_slice(labels, idx.off + 1, n), '.') AS suffix,
+             CASE WHEN idx.off < n - 1
+                  THEN array_to_string(list_slice(labels, idx.off + 2, n), '.')
+             END AS wbase
+      FROM hl, LATERAL (SELECT unnest(range(0, n)) AS off) idx),
+    m AS (
+      SELECT c.doc_id, c.h, c.n,
+             MAX(CASE WHEN re.kind = 'exception' THEN 1000000 + (c.n - c.off - 1)
+                      WHEN re.kind = 'normal' THEN c.n - c.off END) AS s_e,
+             MAX(CASE WHEN rw.kind = 'wildcard' THEN c.n - c.off END) AS s_w
+      FROM cand c
+      LEFT JOIN rules re ON re.kind != 'wildcard' AND re.name = c.suffix
+      LEFT JOIN rules rw ON rw.kind = 'wildcard' AND rw.name = c.wbase
+      GROUP BY c.doc_id, c.h, c.n),
+    ps AS (
+      SELECT doc_id, h, n,
+             COALESCE(GREATEST(s_e, s_w), 1) % 1000000 AS ps_labels
+      FROM m)
+    SELECT doc_id, h AS host,
+           CASE WHEN regexp_matches(h, '^[0-9.]+$') THEN h
+                WHEN n > ps_labels THEN array_to_string(
+                  list_slice(string_split(h, '.'), n - ps_labels, n), '.')
+           END AS registered_domain
+    FROM ps
+    """
+
+
+@pending(
+    "txt_url_psl_domain",
+    oracle=None,  # set below (needs the interpolated rules dim)
+    survey_ref="Public-Suffix-List eTLD+1 as a packaged broadcast dim "
+    "(functions/psl.py, VERDICT r7 directive 4): the publicsuffix.org "
+    "algorithm — exception beats wildcard beats longest normal rule, "
+    "implicit '*' default, NULL when the host IS a public suffix — as "
+    "candidate-suffix explode + ONE broadcast join + max-struct fold, no "
+    "UDFs; the oracle twin joins the SAME rules dim (VALUES-interpolated) "
+    "over an adversarial nine-shape host fixture (co.uk, pvt.k12.ma.us, "
+    "*.ck/!www.ck, !city.kawasaki.jp, unlisted TLD, IPv4); full "
+    "public_suffix_list.dat swaps in via load_psl_rules(path=...)",
+)
+def txt_url_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.psl import load_psl_rules, url_registered_domain_psl
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), _psl_host_col(), F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    out = url_registered_domain_psl(docs, "url", load_psl_rules(spark))
+    return out.select("doc_id", "host", "registered_domain")
+
+
+PENDING["txt_url_psl_domain"] = QuerySpec(
+    name="txt_url_psl_domain",
+    build=PENDING["txt_url_psl_domain"].build,
+    oracle=_psl_oracle(),
+    survey_ref=PENDING["txt_url_psl_domain"].survey_ref,
+)
