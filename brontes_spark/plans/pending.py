@@ -219,3 +219,74 @@ PENDING["txt_url_psl_domain"] = QuerySpec(
     oracle=_psl_oracle(),
     survey_ref=PENDING["txt_url_psl_domain"].survey_ref,
 )
+
+
+@pending(
+    "txt_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(list_slice(toks, 1, 3)) AS term
+      FROM tok WHERE doc_id % 97 = 0),
+    tfrel AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+    enr AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS df,
+             SUM(tf) OVER (PARTITION BY doc_id) AS dl
+      FROM tfrel),
+    dim AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(len(toks)) FROM tok) AS l_tokens),
+    c AS (
+      SELECT q.query_id, e.doc_id,
+             (44::HUGEINT * e.tf * d.l_tokens
+              * (2 * d.n_docs::HUGEINT - 2 * e.df + 1) * 1000000000)
+             // ((20::HUGEINT * e.tf * d.l_tokens
+                  + 6 * d.l_tokens::HUGEINT
+                  + 18 * e.dl::HUGEINT * d.n_docs)
+                 * (2 * e.df::HUGEINT + 1)) AS c9
+      FROM enr e JOIN q USING (term) CROSS JOIN dim d),
+    agg AS (
+      SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             CAST(SUM(c9) AS BIGINT) AS score9
+      FROM c GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, doc_id, n_hit, score9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score9 DESC, doc_id) AS rnk
+      FROM agg)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, n_hit, score9
+    FROM r WHERE rnk <= 5
+    """,
+    survey_ref="Okapi BM25 top-k retrieval (operators/bm25.py): per-query "
+    "document ranking with the k1=1.2/b=0.75 defaults as exact rationals, "
+    "score9 = sum of floor(1e9 * per-term contribution) so both engines "
+    "truncate identically (the tfidf score9 pattern; float-ln is the "
+    "documented pytest-only variant); queries are the first 3 tokens of "
+    "every doc_id % 97 == 0 document; ONE corpus token scan, df/dl as "
+    "windows over the tf relation, broadcast query join, WindowGroupLimit "
+    "top-k",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.bm25 import bm25_topk
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(ws_tokens(F.col("text")), 1, 3)).alias("term"),
+        )
+        .distinct()
+    )
+    out = bm25_topk(docs, queries, "doc_id", "text", k=5, rational=True)
+    return out.select(
+        "query_id", "rnk", "doc_id", "n_hit",
+        F.col("score9").cast("long").alias("score9"),
+    )
