@@ -102,6 +102,107 @@ def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def hll_sketch(
+    df: DataFrame, key_col: str, val_col: str, p: int = 6
+) -> DataFrame:
+    """(key, bucket, rho_max) — HyperLogLog registers (Flajolet et al.
+    2007) per `key_col` group, m = 2^p buckets, from the SAME deterministic
+    md5 hash as KMV so the registers themselves are oracle-recomputable:
+    bucket = the hash's top p bits, rho = position of the first 1-bit in
+    the remaining 60-p (via the integer-exact length-of-binary-string
+    trick — Spark `length(conv(w,10,2))` == DuckDB `length(bin(w))`, no
+    float log2 whose 1-ulp misround could shift a register).
+
+    Only OBSERVED buckets emit rows (absent bucket == register 0), so the
+    sketch is at most m rows per key and merges by max — the 100 TB fold
+    is a map-side-combined max groupBy, like count-min's."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    w_bits = 60 - p
+    hashed = df.select(
+        F.col(key_col).alias("key"), md5_long(F.col(val_col)).alias("hv")
+    )
+    bucketed = hashed.select(
+        "key",
+        F.shiftright("hv", w_bits).alias("bucket"),
+        # hv is non-negative 60-bit, so mod == low-bits mask (Column & is
+        # boolean AND in PySpark, not bitwise)
+        (F.col("hv") % F.lit(1 << w_bits)).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
+            F.lit(w_bits) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+        ),
+    )
+    return bucketed.groupBy("key", "bucket").agg(F.max("rho").alias("rho_max"))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL sketches (outputs of hll_sketch over any slicing): the
+    element-wise register max — union semantics exactly, the same
+    distributed fold as countmin_merge."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("key", "bucket").agg(F.max("rho_max").alias("rho_max"))
+
+
+def _hll_alpha(m: int) -> tuple[int, int]:
+    """The standard HLL bias constant as an exact rational (num, den)."""
+    if m == 16:
+        return 673, 1000
+    if m == 32:
+        return 697, 1000
+    if m == 64:
+        return 709, 1000
+    return 7213 * m, 10000 * m + 10790
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, val_col: str, p: int = 6
+) -> DataFrame:
+    """(key, n_buckets, zeros, s_num, raw_est, est_distinct) per group.
+
+    The raw HLL estimate alpha_m * m^2 / sum_j 2^(-M_j) is computed as ONE
+    integer division: the indicator sum scales to s_num = sum_j 2^(B - M_j)
+    with B = 61 - p (the max possible rho), empty registers contributing
+    2^B each — s_num <= m * 2^B = 2^61 fits a bigint, and
+    raw_est = alpha_num * m^2 * 2^B div (alpha_den * s_num) is exact and
+    engine-identical (`raw_est`, `s_num`, `zeros` are the gate-checkable
+    columns). `est_distinct` applies the standard small-range correction —
+    linear counting m * ln(m / zeros) when raw_est <= 5m/2 and zeros > 0 —
+    as a double (ln is float; pytest-pinned for accuracy, never hashed)."""
+    m = 1 << p
+    b = 61 - p
+    a_num, a_den = _hll_alpha(m)
+    sk = hll_sketch(df, key_col, val_col, p)
+    agg = sk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({b} - rho_max AS INT))")
+        ).alias("s_obs"),
+    )
+    zeros = F.lit(m) - F.col("n_buckets")
+    s_num = F.col("s_obs") + zeros * F.lit(1 << b)
+    raw = F.expr(
+        f"CAST({a_num} AS DECIMAL(38,0)) * {m} * {m}"
+        f" * CAST({1 << b} AS DECIMAL(38,0))"
+        f" div (CAST({a_den} AS DECIMAL(38,0)) * s_num)"
+    ).cast("long")
+    out = (
+        agg.withColumn("zeros", zeros)
+        .withColumn("s_num", s_num)
+        .withColumn("raw_est", raw)
+    )
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    est = F.when(
+        (F.col("raw_est") <= (5 * m) // 2) & (F.col("zeros") > 0), lc
+    ).otherwise(F.col("raw_est").cast("double"))
+    return out.select(
+        "key", "n_buckets", "zeros", "s_num", "raw_est", est.alias("est_distinct")
+    )
+
+
 def quantiles_exact(
     df: DataFrame,
     val_col: str,

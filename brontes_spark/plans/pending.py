@@ -290,3 +290,70 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rnk", "doc_id", "n_hit",
         F.col("score9").cast("long").alias("score9"),
     )
+
+
+@pending(
+    "sketch_hll_distinct",
+    # p=6: m=64 registers, w_bits=54 (2^54=18014398509481984), B=55
+    # (2^55=36028797018963968), alpha = 709/1000; the estimate is ONE
+    # integer division so both engines agree bit-exactly (the float-ln
+    # linear-counting correction column is pytest-only, not gated)
+    oracle="""
+    WITH tok AS (
+      SELECT lang AS key,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS v
+      FROM documents),
+    h AS (SELECT key, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM tok),
+    b AS (SELECT key, hv // 18014398509481984 AS bucket,
+                 hv % 18014398509481984 AS w
+          FROM h),
+    r AS (SELECT key, bucket,
+                 CASE WHEN w = 0 THEN 55 ELSE 54 - length(bin(w)) + 1 END AS rho
+          FROM b),
+    reg AS (SELECT key, bucket, MAX(rho) AS rho_max FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             SUM((1::BIGINT << CAST(55 - rho_max AS INT))) AS s_obs
+      FROM reg GROUP BY key),
+    est AS (
+      SELECT key, n_buckets,
+             CAST(64 - n_buckets AS BIGINT) AS zeros,
+             CAST(s_obs + (64 - n_buckets) * 36028797018963968 AS BIGINT) AS s_num
+      FROM agg),
+    ex AS (SELECT key, CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+           FROM tok GROUP BY key)
+    SELECT e.key, e.n_buckets, e.zeros, e.s_num,
+           CAST((709::HUGEINT * 64 * 64 * 36028797018963968)
+                // (1000::HUGEINT * e.s_num) AS BIGINT) AS raw_est,
+           x.exact_distinct
+    FROM est e JOIN ex x USING (key)
+    """,
+    survey_ref="HyperLogLog distinct-cardinality sketch (operators/"
+    "sketches.hll_*, Flajolet et al. 2007) beside the KMV estimator: "
+    "per-language distinct-token registers from the same deterministic "
+    "md5 hash, rho via the integer-exact length-of-binary-string trick "
+    "(no float log2), raw estimate as ONE integer division "
+    "(alpha_num*m^2*2^B div (alpha_den*s_num)) checked cell-exactly "
+    "against the exact distinct; sketch is <= m rows per key, merges by "
+    "max (map-side-combined groupBy) — the kilobyte summary for "
+    "count-distinct over 100 TB",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.sketches import hll_distinct
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("lang").alias("key"), F.explode(ws_tokens(F.col("text"))).alias("v")
+    )
+    est = hll_distinct(toks, "key", "v", p=6).drop("est_distinct")
+    exact = toks.groupBy("key").agg(F.count_distinct("v").alias("exact_distinct"))
+    return est.join(exact, "key").select(
+        "key",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("zeros").cast("long").alias("zeros"),
+        F.col("s_num").cast("long").alias("s_num"),
+        "raw_est",
+        "exact_distinct",
+    )
