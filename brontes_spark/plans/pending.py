@@ -357,3 +357,56 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_est",
         "exact_distinct",
     )
+
+
+@pending(
+    "x16_interval_join",
+    # functional-spec oracle: a brute-force inequality join is fine at
+    # sf0.01 (the Spark side's bucket banding is the scale path; the
+    # bucket-independence property is pinned in tests/test_range_join.py)
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type FROM events),
+    v AS (SELECT user_id, event_id AS view_id, ts_ns AS v_start,
+                 ts_ns + 7200000000000 AS v_end
+          FROM ev WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts_ns AS c_start,
+                 ts_ns + 3600000000000 AS c_end
+          FROM ev WHERE event_type = 'click')
+    SELECT v.user_id, v.view_id, v.v_start, v.v_end,
+           c.click_id, c.c_start, c.c_end,
+           GREATEST(v.v_start, c.c_start) AS overlap_start,
+           LEAST(v.v_end, c.c_end) AS overlap_end
+    FROM v JOIN c ON v.user_id = c.user_id
+     AND v.v_start < c.c_end AND c.c_start < v.v_end
+    """,
+    survey_ref="interval-overlap (range) join (operators/range_join.py): "
+    "per-user view[ts, ts+2h) x click[ts, ts+1h) attribution windows — "
+    "the inequality join Spark would otherwise nested-loop, re-expressed "
+    "as bucket banding (explode to covered 1h buckets, plain hash "
+    "equi-join, exact half-open predicate, exactly-once via the "
+    "overlap-start-bucket rule, zero dedup shuffle); bucket width is the "
+    "one dial and correctness is bucket-independent (property-pinned)",
+)
+def x16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import interval_overlap_join
+    from ..sources.testdata import load_events
+
+    HOUR = 3_600_000_000_000
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_ns").alias("v_start"),
+        (F.col("ts_ns") + 2 * HOUR).alias("v_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ns").alias("c_start"),
+        (F.col("ts_ns") + HOUR).alias("c_end"),
+    )
+    return interval_overlap_join(
+        views, clicks, "v_start", "v_end", "c_start", "c_end",
+        on=["user_id"], bucket=HOUR,
+    )
