@@ -1577,23 +1577,78 @@ def _mp12_dequant(code: int, steps: int) -> float:
     return float(1 << nb) / steps * (s3 + d)
 
 
+#: the 512-coefficient ISO/IEC 11172-3 Table 3-B.3 synthesis window.
+#: INJECTABLE DATA, None by default: the table has no closed form and this
+#: codebase refuses to reproduce data tables from memory unverified. Set
+#: it (e.g. from a spec copy or dist10's dewindow array) and decode_mp12
+#: switches from the DCT-IV energy-preserving approximation to the fully
+#: NORMATIVE polyphase synthesis — the pipeline itself (matrixing, V FIFO,
+#: U extraction, windowed accumulation) is implemented and
+#: structure-verified below; only these constants are external.
+MP12_SYNTHESIS_WINDOW = None
+
+#: 64x32 matrixing basis N[i][k] = cos((16+i)(2k+1)pi/64), ISO 11172-3
+#: §2.4.3.2 (lazily built, numpy)
+_MP12_MATRIX = None
+
+
+def mp12_synthesize(sub, window) -> "object":
+    """NORMATIVE MPEG-1 audio synthesis (ISO 11172-3 §2.4.3.2 figure A.2)
+    from (n_granules, 32) subband samples, vectorized: per granule,
+    V = N @ S (the 64-point matrixing); V-vectors stack into the 1024-deep
+    FIFO; U[64n + i] = V_fifo[128n + i], U[64n + 32 + i] =
+    V_fifo[128n + 96 + i] for n in 0..7; W = U * D; and output sample j is
+    sum_n W[32n + j]. `window` is the 512-coefficient D table
+    (MP12_SYNTHESIS_WINDOW). The structure is pinned against an
+    independent straight-from-the-spec loop implementation in
+    tests/test_multimodal.py, so dropping the ISO constants in yields
+    the normative decoder with no further verification needed here."""
+    import numpy as np
+
+    global _MP12_MATRIX
+    if _MP12_MATRIX is None:
+        i = np.arange(64)[:, None]
+        k = np.arange(32)[None, :]
+        _MP12_MATRIX = np.cos((16 + i) * (2 * k + 1) * np.pi / 64.0)
+    d = np.asarray(window, dtype=np.float64)
+    if d.shape != (512,):
+        raise ValueError(f"synthesis window must have 512 coefficients, got {d.shape}")
+    sub = np.asarray(sub, dtype=np.float64)
+    g = sub.shape[0]
+    v = sub @ _MP12_MATRIX.T  # (g, 64)
+    # FIFO state for granule t is [V_t, V_{t-1}, ..., V_{t-15}]: build all
+    # 16 shifted views with leading-zero history, then gather U
+    hist = np.zeros((16, g, 64))
+    for n in range(min(16, g)):  # n >= g would slice negatively: no history
+        hist[n, n:, :] = v[: g - n, :]
+    u = np.empty((g, 512))
+    for n in range(8):
+        u[:, 64 * n : 64 * n + 32] = hist[2 * n, :, 0:32]
+        u[:, 64 * n + 32 : 64 * n + 64] = hist[2 * n + 1, :, 32:64]
+    w = u * d[None, :]
+    return w.reshape(g, 16, 32).sum(axis=1).reshape(-1)
+
+
 #: orthonormal 32-point DCT-IV synthesis basis (lazily built, numpy)
 _MP12_IDCT = None
 
 
 def _mp12_pcm(sub) -> "object":
-    """PCM from subband samples via an orthonormal 32-point DCT-IV per
-    granule. DELIBERATE approximation boundary: the normative polyphase
-    synthesis window (Table B.3, 512 tabulated coefficients with no
-    closed form) is not reproduced from memory — an unverifiable data
-    table is exactly what this codebase refuses to fake. The DCT-IV
-    synthesis is orthonormal, so per-band ENERGY is preserved exactly
-    (Parseval): RMS-type features match the normative decode; waveform
-    phase (zero-cross, exact peak bins) differs by the missing prototype
-    filter and is therefore never gate-pinned for MPEG rows. Subband
-    samples themselves (decode_mp12's `subbands`) are the exact payload
-    decode."""
+    """PCM from subband samples. When MP12_SYNTHESIS_WINDOW is set this is
+    the fully NORMATIVE ISO polyphase synthesis (mp12_synthesize — the
+    matrixing/FIFO/windowing pipeline is implemented and structure-pinned;
+    only the 512 Table 3-B.3 constants are injectable data, which this
+    codebase refuses to reproduce from memory unverified). Otherwise an
+    orthonormal 32-point DCT-IV per granule: orthonormal means per-band
+    ENERGY is preserved exactly (Parseval), so RMS-type features match the
+    normative decode, while waveform phase (zero-cross, exact peak bins)
+    differs by the missing prototype filter and is therefore never
+    gate-pinned for MPEG rows. Subband samples themselves (decode_mp12's
+    `subbands`) are the exact payload decode either way."""
     import numpy as np
+
+    if MP12_SYNTHESIS_WINDOW is not None:
+        return mp12_synthesize(sub, MP12_SYNTHESIS_WINDOW)
 
     global _MP12_IDCT
     if _MP12_IDCT is None:

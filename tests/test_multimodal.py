@@ -2158,3 +2158,66 @@ def test_mp12_stereo_distinct_channels_average():
         want = (ch0 * 1.0 + v * 0.25) / 2
         assert np.allclose(sub[3 * gr : 3 * gr + 3, 0], want), gr
     assert np.count_nonzero(sub[:, 1:]) == 0
+
+
+def test_mp12_polyphase_structure_matches_spec_loops():
+    """mp12_synthesize (the vectorized normative synthesis pipeline) against
+    an independent straight-from-ISO-11172-3-§2.4.3.2 loop implementation:
+    explicit 1024-deep V FIFO shifted 64 per granule, the U gather, the
+    windowed sum. Random window + random subbands over several granule
+    counts — any matrixing/FIFO/indexing divergence surfaces. With this
+    pinned, only the 512 Table 3-B.3 constants separate the decode from
+    the normative PCM (MP12_SYNTHESIS_WINDOW injects them)."""
+    import numpy as np
+
+    from brontes_spark.operators.multimodal import mp12_synthesize
+
+    rng = np.random.default_rng(7)
+    window = rng.normal(size=512)
+
+    def spec_loops(sub):
+        n_mat = np.array(
+            [[np.cos((16 + i) * (2 * k + 1) * np.pi / 64.0) for k in range(32)]
+             for i in range(64)]
+        )
+        v_fifo = np.zeros(1024)
+        out = []
+        for s in sub:
+            v_fifo[64:] = v_fifo[:-64].copy()
+            v_fifo[:64] = n_mat @ s
+            u = np.zeros(512)
+            for n in range(8):
+                for i in range(32):
+                    u[64 * n + i] = v_fifo[128 * n + i]
+                    u[64 * n + 32 + i] = v_fifo[128 * n + 96 + i]
+            w = u * window
+            for j in range(32):
+                out.append(sum(w[32 * n + j] for n in range(16)))
+        return np.array(out)
+
+    for g in (1, 2, 17, 40):
+        sub = rng.normal(size=(g, 32))
+        got = mp12_synthesize(sub, window)
+        want = spec_loops(sub)
+        assert got.shape == (g * 32,)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_mp12_pcm_uses_injected_window():
+    """decode-path wiring: setting MP12_SYNTHESIS_WINDOW switches _mp12_pcm
+    to the normative synthesis; clearing it restores the DCT-IV path."""
+    import numpy as np
+
+    from brontes_spark.operators import multimodal as mm
+
+    sub = np.random.default_rng(3).normal(size=(4, 32))
+    window = np.random.default_rng(4).normal(size=512)
+    default = mm._mp12_pcm(sub)
+    try:
+        mm.MP12_SYNTHESIS_WINDOW = window
+        injected = mm._mp12_pcm(sub)
+    finally:
+        mm.MP12_SYNTHESIS_WINDOW = None
+    np.testing.assert_allclose(injected, mm.mp12_synthesize(sub, window))
+    assert not np.allclose(injected, default)
+    np.testing.assert_allclose(mm._mp12_pcm(sub), default)
