@@ -91,7 +91,22 @@ HEADLINE = [
     "x12_mad_outliers",
     "sketch_countmin",
     "sample_weighted",
+    # round-8 staged gates (plans/pending.py; r9 promotes to the registry)
+    "dedup_fuzzy_lsh_verified",
+    "txt_url_psl_domain",
+    "txt_bm25_topk",
+    "sketch_hll_distinct",
+    "x16_interval_join",
 ]
+
+
+def _staged(name):
+    def run(spark, sf_dir):
+        from brontes_spark.plans.pending import PENDING
+
+        return PENDING[name].build(spark, sf_dir)
+
+    return run
 
 
 #: bench-only flat-vs-hierarchical pairs at the two-level probe's WIN
@@ -185,6 +200,11 @@ EXTRA = {
     "frequent_items": _frequent_items,
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,
+    "dedup_fuzzy_lsh_verified": _staged("dedup_fuzzy_lsh_verified"),
+    "txt_url_psl_domain": _staged("txt_url_psl_domain"),
+    "txt_bm25_topk": _staged("txt_bm25_topk"),
+    "sketch_hll_distinct": _staged("sketch_hll_distinct"),
+    "x16_interval_join": _staged("x16_interval_join"),
 }
 
 
