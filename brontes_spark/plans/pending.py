@@ -410,3 +410,47 @@ def x16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, clicks, "v_start", "v_end", "c_start", "c_end",
         on=["user_id"], bucket=HOUR,
     )
+
+
+@pending(
+    "emb_gram_matrix",
+    # floor-quantized (x * 1e6) integer Gram entries: exact sums, so the
+    # d x d summary that drives distributed PCA is hash-checkable; the
+    # float eigen/projection phase is pytest-pinned (tests/test_pca.py)
+    oracle="""
+    WITH qv AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    p AS (
+      SELECT i.i, j.j, q[i.i + 1] AS qi, q[j.j + 1] AS qj
+      FROM qv,
+           LATERAL (SELECT unnest(range(0, len(q))) AS i) i,
+           LATERAL (SELECT unnest(range(0, len(q))) AS j) j
+      WHERE j.j >= i.i)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(SUM(qi * qj) AS BIGINT) AS g,
+           CAST(SUM(qi) AS BIGINT) AS s_i,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+    survey_ref="the distributed phase of PCA/whitening (operators/pca.py): "
+    "ONE map-side-combined aggregate produces the d x d Gram matrix over "
+    "floor-quantized integer embeddings — exact, partition-order "
+    "independent, shuffle bounded by d^2 rows per task regardless of "
+    "corpus size; the d x d eigenproblem then solves on the driver "
+    "(collect bounded by d^2, the pricing/graph.py pattern) and the k "
+    "axes broadcast back as literal arrays for a codegen projection "
+    "(F.aggregate dot products, no UDF) — projection/whitening "
+    "pytest-pinned against numpy",
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import gram_matrix
+    from ..sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding").select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "g", "s_i", "n",
+    )
