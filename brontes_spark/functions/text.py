@@ -117,3 +117,44 @@ def html_to_text(html: Column) -> Column:
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"[ \t\n\r\f\x0B]+", " "))
+
+
+#: Unicode script classes for script_profile: (name, Java regex, RE2/DuckDB
+#: regex). Java spells scripts \p{IsX}, RE2 \p{X}; the CLASSES are the same
+#: Unicode property and count identically (cross-engine parity is pinned in
+#: tests/test_script_profile.py on a mixed-script fixture).
+SCRIPT_CLASSES = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("hebrew", r"\p{IsHebrew}", r"\p{Hebrew}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("kana", r"[\p{IsHiragana}\p{IsKatakana}]", r"[\p{Hiragana}\p{Katakana}]"),
+    ("digit", r"[0-9]", r"[0-9]"),
+    ("space", r"\s", r"\s"),
+]
+
+
+def script_profile(text: Column) -> dict[str, Column]:
+    """Integer codepoint counts per Unicode script class, plus total and
+    the not-any-listed-class remainder — the script histogram multilingual
+    corpus curation filters on (wrong-script contamination, mixed-script
+    spam, digit walls). Pure codegen: count(class) = length(x) -
+    length(regexp_replace(x, class, '')), codepoint semantics in both
+    engines; classes are disjoint scripts so `other` = total - sum.
+
+    DuckDB twin per class: length(x) - length(regexp_replace(x, re2_pat,
+    '', 'g')) — the 'g' flag matters (DuckDB replaces first-only without
+    it; Spark always replaces all)."""
+    counts = {
+        name: F.length(text) - F.length(F.regexp_replace(text, java_pat, ""))
+        for name, java_pat, _ in SCRIPT_CLASSES
+    }
+    total = F.length(text)
+    other = total
+    for c in counts.values():
+        other = other - c
+    return {"n_chars_total": total, **{f"n_{k}": v for k, v in counts.items()},
+            "n_other": other}

@@ -454,3 +454,73 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("j"),
         "g", "s_i", "n",
     )
+
+
+#: planted multi-script suffixes (literal characters interpolated into BOTH
+#: engines' expressions, the NFC-gate pattern)
+_SCRIPT_SUFFIX = {
+    0: " Привет мир",
+    1: " 汉字处理中",
+    2: " مرحبا بالعالم",
+    3: " 数字123 テスト 한글",
+}
+
+
+def _script_mutation_sql() -> str:
+    cases = " ".join(
+        f"WHEN {k} THEN text || '{v}'" for k, v in _SCRIPT_SUFFIX.items()
+    )
+    return f"CASE CAST(doc_id % 5 AS INT) {cases} ELSE text END"
+
+
+def _script_profile_oracle() -> str:
+    from ..functions.text import SCRIPT_CLASSES
+
+    cols = ",\n           ".join(
+        f"CAST(length(m) - length(regexp_replace(m, '{re2}', '', 'g')) AS INT) AS n_{name}"
+        for name, _, re2 in SCRIPT_CLASSES
+    )
+    sum_all = " + ".join(f"n_{name}" for name, _, _ in SCRIPT_CLASSES)
+    return f"""
+    WITH m AS (SELECT doc_id, {_script_mutation_sql()} AS m FROM documents),
+    c AS (
+      SELECT doc_id, CAST(length(m) AS INT) AS n_chars_total,
+           {cols}
+      FROM m)
+    SELECT *, CAST(n_chars_total - ({sum_all}) AS INT) AS n_other FROM c
+    """
+
+
+@pending(
+    "txt_script_profile",
+    oracle=None,  # set below: column list derives from SCRIPT_CLASSES
+    survey_ref="Unicode script-class histogram (functions/text."
+    "script_profile): per-document codepoint counts for latin/cyrillic/"
+    "greek/han/arabic/hebrew/hangul/kana/digit/space + other — the "
+    "wrong-script-contamination filter of multilingual corpus curation; "
+    "pure codegen length-minus-stripped counting (Java \\p{IsX} == RE2 "
+    "\\p{X}, parity pinned per class), zero shuffle; gate plants "
+    "multi-script suffixes on four of five docs",
+)
+def txt_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import script_profile
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d5 = (F.col("doc_id") % 5).cast("int")
+    mut = F.col("text")
+    for k, v in _SCRIPT_SUFFIX.items():
+        mut = F.when(d5 == k, F.concat(F.col("text"), F.lit(v))).otherwise(mut)
+    prof = script_profile(F.col("m"))
+    return docs.select("doc_id", mut.alias("m")).select(
+        "doc_id",
+        *[c.cast("int").alias(name) for name, c in prof.items()],
+    )
+
+
+PENDING["txt_script_profile"] = QuerySpec(
+    name="txt_script_profile",
+    build=PENDING["txt_script_profile"].build,
+    oracle=_script_profile_oracle(),
+    survey_ref=PENDING["txt_script_profile"].survey_ref,
+)
