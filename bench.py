@@ -97,6 +97,7 @@ HEADLINE = [
     "txt_bm25_topk",
     "sketch_hll_distinct",
     "x16_interval_join",
+    "dedup_jaccard_join_exact",
 ]
 
 
@@ -205,6 +206,7 @@ EXTRA = {
     "txt_bm25_topk": _staged("txt_bm25_topk"),
     "sketch_hll_distinct": _staged("sketch_hll_distinct"),
     "x16_interval_join": _staged("x16_interval_join"),
+    "dedup_jaccard_join_exact": _staged("dedup_jaccard_join_exact"),
 }
 
 

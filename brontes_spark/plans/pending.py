@@ -524,3 +524,55 @@ PENDING["txt_script_profile"] = QuerySpec(
     oracle=_script_profile_oracle(),
     survey_ref=PENDING["txt_script_profile"].survey_ref,
 )
+
+
+@pending(
+    "dedup_jaccard_join_exact",
+    oracle=None,  # set below: shares llm_data's shingle CTE
+    survey_ref="EXACT set-similarity join via AllPairs prefix filtering "
+    "(operators/allpairs.py, Bayardo/Ma/Srikant WWW'07): every doc pair "
+    "with 5-gram-shingle Jaccard >= 1/10, NO false negatives — the exact "
+    "complement of dedup_minhash_lsh's probabilistic candidates; "
+    "df-rarest-first prefix tokens are the ONLY postings indexed and the "
+    "length band prunes before any intersection; threshold compares in "
+    "exact integer arithmetic (inter*den >= num*union) so the boundary "
+    "is engine-identical; brute-force parity property-pinned in "
+    "tests/test_allpairs.py, pruning factor measured in SCALE.md",
+)
+def dedup_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.allpairs import jaccard_join_elements
+    from ..operators.dedup import _doc_shingles
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # codegen shingle hasher (posexplode + window leads) — the F.transform
+    # array-lambda form runs interpreted and measured ~10x slower
+    shingles = _doc_shingles(docs, "doc_id", "text", n=5)
+    return jaccard_join_elements(shingles, "id", "shingle_h", None, num=1, den=10)
+
+
+def _jaccard_join_oracle() -> str:
+    from .llm_data import _SQL_SHINGLES
+
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM i JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, inter, sz_a, sz_b,
+           CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+    FROM j WHERE inter * 10 >= 1 * (sz_a + sz_b - inter)
+    """
+
+
+PENDING["dedup_jaccard_join_exact"] = QuerySpec(
+    name="dedup_jaccard_join_exact",
+    build=PENDING["dedup_jaccard_join_exact"].build,
+    oracle=_jaccard_join_oracle(),
+    survey_ref=PENDING["dedup_jaccard_join_exact"].survey_ref,
+)
