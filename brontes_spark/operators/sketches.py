@@ -443,6 +443,55 @@ def countmin_estimate(
     )
 
 
+def _kmv_union_topk(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """Shared core of the KMV set-relation estimators: per key, the union
+    sketch's k-minima with per-side membership tallies — (key,
+    n_union_seen, kth, n_a, n_b, n_both)."""
+    ua = sketch_a.select("key", "hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
+    ub = sketch_b.select("key", "hv", F.lit(0).alias("a"), F.lit(1).alias("b"))
+    u = (
+        ua.unionByName(ub)
+        .groupBy("key", "hv")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    w = W.partitionBy("key").orderBy("hv")
+    topk = u.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= k)
+    return topk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_union_seen"),
+        F.max(F.when(F.col("pos") == k, F.col("hv"))).alias("kth"),
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+
+
+def kmv_containment(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """ASYMMETRIC set overlap from KMV sketches: per key,
+
+      (key, n_union_seen, n_a, n_b, n_both,
+       containment_a_in_b, containment_b_in_a)
+
+    containment(A in B) = |A ∩ B| / |A|, estimated as n_both / n_a over
+    the union sketch's k-minima (each is a uniform union sample, so the
+    in-A subset is a uniform sample of A — Beyer et al. 2007's estimator
+    family). The asymmetric number is what Jaccard hides: a 100-line file
+    wholly pasted inside a 10,000-line file has Jaccard ~0.01 but
+    containment(A in B) ~1.0 — the quote-/subset-detection signal for
+    dedup triage and source attribution. Exact below k, like every KMV
+    figure; ratios are single-op integer-to-double divisions (both
+    engines IEEE-identical)."""
+    agg = _kmv_union_topk(sketch_a, sketch_b, k)
+    return agg.select(
+        "key", "n_union_seen", "n_a", "n_b", "n_both",
+        (F.col("n_both") / F.col("n_a")).alias("containment_a_in_b"),
+        (F.col("n_both") / F.col("n_b")).alias("containment_b_in_a"),
+    )
+
+
 def kmv_set_relations(
     sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
 ) -> DataFrame:
@@ -465,20 +514,7 @@ def kmv_set_relations(
     user-set overlap between event streams). All integer/min/count math:
     deterministic, oracle-checkable.
     """
-    ua = sketch_a.select("key", "hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
-    ub = sketch_b.select("key", "hv", F.lit(0).alias("a"), F.lit(1).alias("b"))
-    u = (
-        ua.unionByName(ub)
-        .groupBy("key", "hv")
-        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
-    )
-    w = W.partitionBy("key").orderBy("hv")
-    topk = u.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= k)
-    agg = topk.groupBy("key").agg(
-        F.count(F.lit(1)).alias("n_union_seen"),
-        F.max(F.when(F.col("pos") == k, F.col("hv"))).alias("kth"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
-    )
+    agg = _kmv_union_topk(sketch_a, sketch_b, k)
     numer = (k - 1) * _M
     est_union = (
         F.when(F.col("n_union_seen") < k, F.col("n_union_seen"))

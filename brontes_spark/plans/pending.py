@@ -576,3 +576,70 @@ PENDING["dedup_jaccard_join_exact"] = QuerySpec(
     oracle=_jaccard_join_oracle(),
     survey_ref=PENDING["dedup_jaccard_join_exact"].survey_ref,
 )
+
+
+@pending(
+    "sketch_kmv_containment",
+    # A = the doc_id % 10 == 0 tenth of the corpus, B = the rest, per
+    # lang: a genuinely ASYMMETRIC pair, so containment(A in B) runs high
+    # while Jaccard (and containment(B in A)) stays low — the signal this
+    # estimator exists for
+    oracle="""
+    WITH tokd AS (
+      SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    av AS (
+      SELECT DISTINCT lang AS key, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+      FROM (SELECT lang, unnest(toks) AS v FROM tokd WHERE doc_id % 10 = 0)),
+    bv AS (
+      SELECT DISTINCT lang AS key, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+      FROM (SELECT lang, unnest(toks) AS v FROM tokd WHERE doc_id % 10 != 0)),
+    ska AS (SELECT key, hv FROM (
+      SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS pos FROM av)
+      WHERE pos <= 128),
+    skb AS (SELECT key, hv FROM (
+      SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS pos FROM bv)
+      WHERE pos <= 128),
+    u AS (
+      SELECT key, hv, MAX(a) AS in_a, MAX(b) AS in_b
+      FROM (SELECT key, hv, 1 AS a, 0 AS b FROM ska
+            UNION ALL SELECT key, hv, 0 AS a, 1 AS b FROM skb)
+      GROUP BY key, hv),
+    topk AS (
+      SELECT key, hv, in_a, in_b,
+             row_number() OVER (PARTITION BY key ORDER BY hv) AS pos
+      FROM u QUALIFY pos <= 128),
+    agg AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n_union_seen,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(in_b) AS BIGINT) AS n_b,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM topk GROUP BY key)
+    SELECT key, n_union_seen, n_a, n_b, n_both,
+           n_both / n_a AS containment_a_in_b,
+           n_both / n_b AS containment_b_in_a
+    FROM agg
+    """,
+    survey_ref="asymmetric set containment from KMV sketches (operators/"
+    "sketches.kmv_containment, the Beyer et al. 2007 estimator family): "
+    "containment(A in B) = |A∩B|/|A| via the union sketch's k-minima — "
+    "the subset/quote-detection signal Jaccard hides (a doc wholly pasted "
+    "inside a much larger one has Jaccard ~0 but containment ~1); "
+    "per-lang vocabulary of a 10% corpus slice vs the rest, k=128 rows "
+    "per side regardless of corpus size",
+)
+def sketch_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.sketches import kmv_containment, kmv_sketch
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("key"),
+        F.explode(ws_tokens(F.col("text"))).alias("v"),
+    )
+    a = toks.filter(F.col("doc_id") % 10 == 0)
+    b = toks.filter(F.col("doc_id") % 10 != 0)
+    return kmv_containment(
+        kmv_sketch(a, "key", "v", k=128), kmv_sketch(b, "key", "v", k=128), k=128
+    )

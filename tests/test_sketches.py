@@ -414,3 +414,32 @@ def test_value_histogram_edge_cases(spark):
     import pytest
     with pytest.raises(ValueError):
         value_histogram(df, "v", buckets=0)
+
+
+def test_kmv_containment_exact_below_k_and_asymmetric(spark):
+    # A = 30 values wholly inside B's 300: containment(A in B) == 1.0
+    # exactly in the below-k regime; (B in A) == |A|/|B| == 0.1
+    from brontes_spark.operators.sketches import kmv_containment, kmv_sketch
+
+    a_rows = [("k", f"v{i}") for i in range(30)]
+    b_rows = [("k", f"v{i}") for i in range(300)]
+    a = kmv_sketch(spark.createDataFrame(a_rows, "key string, v string"), "key", "v", k=512)
+    b = kmv_sketch(spark.createDataFrame(b_rows, "key string, v string"), "key", "v", k=512)
+    r = kmv_containment(a, b, k=512).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both, r.n_union_seen) == (30, 300, 30, 300)
+    assert r.containment_a_in_b == 1.0
+    assert r.containment_b_in_a == 30 / 300
+
+
+def test_kmv_containment_estimates_above_k(spark):
+    # above k the ratio is an estimate: 2000 values, A = first 400 (all in
+    # B) -> containment(A in B) must still read ~1.0 and (B in A) ~0.2
+    from brontes_spark.operators.sketches import kmv_containment, kmv_sketch
+
+    a_rows = [("k", f"x{i}") for i in range(400)]
+    b_rows = [("k", f"x{i}") for i in range(2000)]
+    a = kmv_sketch(spark.createDataFrame(a_rows, "key string, v string"), "key", "v", k=128)
+    b = kmv_sketch(spark.createDataFrame(b_rows, "key string, v string"), "key", "v", k=128)
+    r = kmv_containment(a, b, k=128).collect()[0]
+    assert r.containment_a_in_b == 1.0  # every A hash IS in B: exact even estimated
+    assert abs(r.containment_b_in_a - 0.2) < 0.15
