@@ -98,6 +98,8 @@ HEADLINE = [
     "sketch_hll_distinct",
     "x16_interval_join",
     "dedup_jaccard_join_exact",
+    "sketch_kmv_containment",
+    "g7_pagerank",
 ]
 
 
@@ -163,6 +165,8 @@ def _kmeans_k320(hierarchical):
                                     nprobe_super=2)
 
     return run
+
+
 def _frequent_items(spark, sf_dir):
     from brontes_spark.functions.text import ws_tokens
     from brontes_spark.operators.sketches import frequent_items
@@ -207,6 +211,8 @@ EXTRA = {
     "sketch_hll_distinct": _staged("sketch_hll_distinct"),
     "x16_interval_join": _staged("x16_interval_join"),
     "dedup_jaccard_join_exact": _staged("dedup_jaccard_join_exact"),
+    "sketch_kmv_containment": _staged("sketch_kmv_containment"),
+    "g7_pagerank": _staged("g7_pagerank"),
 }
 
 

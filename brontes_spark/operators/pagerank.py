@@ -1,0 +1,123 @@
+"""Fixed-iteration PageRank in exact integer arithmetic — the iterative
+relational algorithm class (label propagation, SimRank, k-core...) done
+Spark-first: each iteration is one join + one aggregate, the driver loop
+only ASSEMBLES plans, and lineage is cut per iteration so the DAG does not
+grow superlinearly (the standard iterative-Spark discipline; without the
+localCheckpoint, iteration t re-derives iterations 0..t-1 in every branch
+and planning time alone goes quadratic).
+
+Scores are scaled integers (r0 = `scale` per node) and every step is a
+positive integer division, truncation-identical in Spark (`div`) and
+DuckDB (`//`):
+
+    contrib(u) = r(u) div outdeg(u)
+    r'(v)      = (scale * (den - num)) div den
+                 + (num * sum_{u->v} contrib(u)) div den
+
+with damping d = num/den (default 85/100). So a DuckDB oracle can replay
+the SAME fixed number of iterations as unrolled CTEs and hash-match the
+final scores exactly — the floats-never-match problem of iterative graph
+algorithms sidestepped the same way the sketch family does it.
+
+Semantics note (documented variant): dangling-node mass is NOT
+redistributed — a node with no outgoing edges absorbs its rank's damped
+share (the common "no dangling fix" simplification; with the default
+bidirectional corpus graphs below there are no dangling nodes anyway).
+Total mass is therefore conserved only on dangling-free graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 10**9,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """(node, rank) after `iters` synchronous iterations from a uniform
+    integer start of `scale` per node. `edges` is a directed edge list
+    (duplicates are collapsed); nodes = every distinct endpoint."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < d_num <= d_den:
+        raise ValueError(f"damping must be in (0, 1], got {d_num}/{d_den}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    # bounded relations reused every iteration: checkpoint once
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = (scale * (d_den - d_num)) // d_den
+
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
+            .select(
+                "node",
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .join(e, F.col("node") == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({d_num} * coalesce(s, 0)) div {d_den}")
+                ).cast("long").alias("rank"),
+            )
+            # cut lineage: iteration t must not carry 0..t-1's full plan
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 3,
+    scale: int = 10**9,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    """The DuckDB twin: the same fixed iterations UNROLLED as CTEs.
+    `edges_cte` must be a complete CTE body named `edges(src, dst)`
+    (duplicates allowed — deduped here, mirroring the operator)."""
+    teleport = (scale * (d_den - d_num)) // d_den
+    parts = [
+        f"WITH {edges_cte},",
+        "e AS (SELECT DISTINCT src, dst FROM edges),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst, SUM(r.rank // o.outdeg) AS s "
+            f"FROM r{t-1} r JOIN outdeg o ON r.node = o.src "
+            f"JOIN e ON e.src = r.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{t} AS (SELECT n.node, CAST({teleport} + "
+            f"({d_num} * COALESCE(c.s, 0)) // {d_den} AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{t} c ON n.node = c.dst)"
+            + ("," if t < iters else "")
+        )
+    parts.append(f"SELECT node, rank FROM r{iters}")
+    return "\n".join(parts)

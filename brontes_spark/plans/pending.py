@@ -643,3 +643,56 @@ def sketch_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_containment(
         kmv_sketch(a, "key", "v", k=128), kmv_sketch(b, "key", "v", k=128), k=128
     )
+
+
+#: customer <-> supplier trade graph: an edge per distinct trading pair in
+#: both directions (key spaces prefixed to disjoint node ids)
+_PR_EDGES_SQL = """edges(src, dst) AS (
+      SELECT 'c' || o_custkey, 's' || l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT 's' || l_suppkey, 'c' || o_custkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.pagerank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, iters=3)
+
+
+@pending(
+    "g7_pagerank",
+    oracle=None,  # set below: generated unrolled-iteration twin
+    survey_ref="fixed-iteration PageRank in exact integer arithmetic "
+    "(operators/pagerank.py) over the bidirectional customer<->supplier "
+    "trade graph — the iterative relational algorithm class done "
+    "Spark-first: one join + one aggregate per iteration, lineage cut "
+    "per iteration with localCheckpoint (without it, iteration t replans "
+    "0..t-1 in every branch), scaled-integer scores so the DuckDB twin "
+    "(the SAME iterations unrolled as generated CTEs) hash-matches "
+    "exactly; G2/G3's graph machinery extended from paths to global "
+    "centrality",
+)
+def g7_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank_integer
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_integer(edges, iters=3)
+
+
+PENDING["g7_pagerank"] = QuerySpec(
+    name="g7_pagerank",
+    build=PENDING["g7_pagerank"].build,
+    oracle=_pagerank_oracle(),
+    survey_ref=PENDING["g7_pagerank"].survey_ref,
+)
