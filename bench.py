@@ -100,6 +100,8 @@ HEADLINE = [
     "dedup_jaccard_join_exact",
     "sketch_kmv_containment",
     "g7_pagerank",
+    "o8_zorder_index",
+    "o9_table_profile",
 ]
 
 
@@ -213,6 +215,8 @@ EXTRA = {
     "dedup_jaccard_join_exact": _staged("dedup_jaccard_join_exact"),
     "sketch_kmv_containment": _staged("sketch_kmv_containment"),
     "g7_pagerank": _staged("g7_pagerank"),
+    "o8_zorder_index": _staged("o8_zorder_index"),
+    "o9_table_profile": _staged("o9_table_profile"),
 }
 
 

@@ -696,3 +696,94 @@ PENDING["g7_pagerank"] = QuerySpec(
     oracle=_pagerank_oracle(),
     survey_ref=PENDING["g7_pagerank"].survey_ref,
 )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import zorder_sql
+
+    return f"""
+    SELECT l_orderkey, l_partkey,
+           CAST({zorder_sql(['(l_orderkey % 65536)', '(l_partkey % 65536)'], 16)} AS BIGINT) AS z
+    FROM lineitem
+    """
+
+
+@pending(
+    "o8_zorder_index",
+    oracle=None,  # set below: generated interleave twin
+    survey_ref="Z-order (Morton) clustering key (operators/zorder.py): "
+    "bit-interleave of the two hottest filter columns as ONE codegen "
+    "projection — the write-side layout primitive that lets parquet "
+    "row-group min/max stats prune multi-dimensional predicates (the "
+    "OPTIMIZE ZORDER story); exact integer bit ops, generated DuckDB "
+    "twin, locality-beats-single-sort property pinned in "
+    "tests/test_zorder.py, measured file-skip ratio in SCALE.md",
+)
+def o8_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import zorder_index
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        (F.col("l_orderkey") % 65536).alias("_a"),
+        (F.col("l_partkey") % 65536).alias("_b"),
+    )
+    return li.select(
+        "l_orderkey", "l_partkey", zorder_index(["_a", "_b"], 16).alias("z")
+    )
+
+
+PENDING["o8_zorder_index"] = QuerySpec(
+    name="o8_zorder_index",
+    build=PENDING["o8_zorder_index"].build,
+    oracle=_zorder_oracle(),
+    survey_ref=PENDING["o8_zorder_index"].survey_ref,
+)
+
+
+@pending(
+    "o9_table_profile",
+    # integer/decimal/date/string columns only: float min/max RENDERING
+    # differs across engines (the operator's documented exclusion)
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+    p AS (
+      SELECT 'l_orderkey' AS "column",
+             CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             CAST(MIN(l_orderkey) AS VARCHAR) AS min_str,
+             CAST(MAX(l_orderkey) AS VARCHAR) AS max_str
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(COUNT(*) FILTER (l_suppkey IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+             CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', CAST(COUNT(*) FILTER (l_returnflag IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+             CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', CAST(COUNT(*) FILTER (l_shipdate IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+             CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+      FROM lineitem)
+    SELECT p."column", n.n AS n, p.n_null, p.n_distinct, p.min_str, p.max_str
+    FROM p CROSS JOIN n
+    """,
+    survey_ref="table profiling / column statistics (operators/profile.py "
+    "— the ANALYZE / SUMMARIZE surface): per-column nulls, EXACT distinct "
+    "count, min/max in ONE table scan (multi-COUNT(DISTINCT) via one "
+    "Expand + map-side partial agg; a per-column union would scan k "
+    "times), unpivoted with stack(); float columns excluded by policy "
+    "(engine-dependent string rendering)",
+)
+def o9_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"]
+    )
