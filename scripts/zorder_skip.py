@@ -41,12 +41,17 @@ def main() -> None:
     layouts = {
         "unsorted": li.repartition(N_FILES),
         "sort_orderkey": li.repartitionByRange(N_FILES, "l_orderkey"),
+        # zorder_index interleaves RAW bits, so the two dimensions must be
+        # pre-normalized to a common scale (the operator's documented
+        # contract: rank/bucket/truncated key) — interleaving a 2^18-range
+        # key with a 2^15-range key leaves the top z-bits dominated by one
+        # dimension and locality degrades to a single-key sort
         "zorder": li.select(
             "l_orderkey", "l_partkey",
-            (F.col("l_orderkey") % (1 << 20)).alias("_a"),
-            (F.col("l_partkey") % (1 << 20)).alias("_b"),
+            F.expr(f"(l_orderkey * 65536) div {lo_max + 1}").alias("_a"),
+            F.expr(f"(l_partkey * 65536) div {lp_max + 1}").alias("_b"),
         )
-        .withColumn("_z", zorder_index(["_a", "_b"], 20))
+        .withColumn("_z", zorder_index(["_a", "_b"], 16))
         .repartitionByRange(N_FILES, "_z")
         .select("l_orderkey", "l_partkey"),
     }
@@ -66,14 +71,20 @@ def main() -> None:
                 .collect()
             )
             o_lo, o_hi, p_lo, p_hi = box
-            candidates = sum(
+            cand_2d = sum(
                 1 for r in stats
                 if r.o_max >= o_lo and r.o_min <= o_hi
                 and r.p_max >= p_lo and r.p_min <= p_hi
             )
+            # the second dimension ALONE — where a single-key sort is
+            # useless and z-order still prunes
+            cand_partkey = sum(
+                1 for r in stats if r.p_max >= p_lo and r.p_min <= p_hi
+            )
             print(json.dumps({
                 "layout": name, "files": len(stats),
-                "candidate_files_for_2d_box": candidates,
+                "candidate_files_2d_box": cand_2d,
+                "candidate_files_partkey_only": cand_partkey,
             }))
     finally:
         shutil.rmtree(base, ignore_errors=True)
