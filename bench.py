@@ -102,6 +102,7 @@ HEADLINE = [
     "g7_pagerank",
     "o8_zorder_index",
     "o9_table_profile",
+    "txt_gopher_rules",
 ]
 
 
@@ -217,6 +218,7 @@ EXTRA = {
     "g7_pagerank": _staged("g7_pagerank"),
     "o8_zorder_index": _staged("o8_zorder_index"),
     "o9_table_profile": _staged("o9_table_profile"),
+    "txt_gopher_rules": _staged("txt_gopher_rules"),
 }
 
 

@@ -787,3 +787,88 @@ def o9_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"]
     )
+
+
+#: per-doc rule-violating mutations for the Gopher gate (same string
+#: synthesis in both engines): 0 unchanged, 1 too short, 2 bullet wall,
+#: 3 symbol wall, 4 ellipsis lines, 5 numeric non-alpha gibberish
+_GOPHER_MUT_SQL = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 1 THEN 'short doc'
+      WHEN 2 THEN '- item' || repeat(chr(10) || '- item', 9)
+      WHEN 3 THEN repeat('# ', 30) || '#'
+      WHEN 4 THEN text || repeat(chr(10) || 'and so on...', 5)
+      WHEN 5 THEN repeat('111 222 333 ', 20)
+      ELSE text
+    END
+"""
+
+
+@pending(
+    "txt_gopher_rules",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_GOPHER_MUT_SQL} AS m FROM documents),
+    feat AS (
+      SELECT doc_id,
+        list_filter(string_split(lower(m), ' '), x -> x != '') AS words,
+        string_split(m, chr(10)) AS lines,
+        CAST(length(m) - length(replace(m, '#', '')) AS BIGINT)
+          + (length(m) - length(replace(m, '...', ''))) // 3 AS n_symbols
+      FROM m),
+    c AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(length(array_to_string(words, '')) AS BIGINT) AS n_chars_in_words,
+        n_symbols,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*([-*•‣▪●])'))) AS BIGINT) AS n_bullet_lines,
+        CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.[ \t]*$'))) AS BIGINT) AS n_ellipsis_lines,
+        CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(words, s))) AS BIGINT) AS n_stop_hits
+      FROM feat)
+    SELECT doc_id, n_words, n_chars_in_words, n_symbols, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+           (n_chars_in_words >= 3 * n_words AND n_chars_in_words <= 10 * n_words) AS rule_mean_word_len,
+           (10 * n_symbols <= n_words) AS rule_symbol_ratio,
+           (10 * n_bullet_lines <= 9 * n_lines) AS rule_bullet_lines,
+           (10 * n_ellipsis_lines <= 3 * n_lines) AS rule_ellipsis_lines,
+           (10 * n_alpha_words >= 8 * n_words) AS rule_alpha_words,
+           (n_stop_hits >= 2) AS rule_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (n_chars_in_words >= 3 * n_words AND n_chars_in_words <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (10 * n_bullet_lines <= 9 * n_lines)
+            AND (10 * n_ellipsis_lines <= 3 * n_lines)
+            AND (10 * n_alpha_words >= 8 * n_words)
+            AND (n_stop_hits >= 2)) AS gopher_pass
+    FROM c
+    """,
+    survey_ref="Gopher-style rule-based quality filtering (functions/"
+    "gopher.py, Rae et al. 2021 SSA1.1 heuristics — the MassiveText/"
+    "RefinedWeb-class auditable filter beside the learned "
+    "txt_quality_classifier): word-count/mean-word-length/symbol-ratio/"
+    "bullet-lines/ellipsis-lines/alpha-words/stopword rules, every ratio "
+    "cleared to an integer inequality so thresholds are boundary-exact; "
+    "gate plants one violation class per doc_id % 6 residue",
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.gopher import gopher_rules
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d6 = (F.col("doc_id") % 6).cast("int")
+    nl = F.lit("\n")
+    mut = (
+        F.when(d6 == 1, F.lit("short doc"))
+        .when(d6 == 2, F.concat(F.lit("- item"), F.expr("repeat('\\n- item', 9)")))
+        .when(d6 == 3, F.concat(F.expr("repeat('# ', 30)"), F.lit("#")))
+        .when(d6 == 4, F.concat(F.col("text"), F.expr("repeat('\\nand so on...', 5)")))
+        .when(d6 == 5, F.expr("repeat('111 222 333 ', 20)"))
+        .otherwise(F.col("text"))
+    )
+    out = gopher_rules(F.col("m"))
+    return docs.select("doc_id", mut.alias("m")).select(
+        "doc_id", *[c.alias(k) for k, c in out.items()]
+    )
