@@ -882,3 +882,39 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", mut.alias("m")).select(
         "doc_id", *[c.alias(k) for k, c in out.items()]
     )
+
+
+@pending(
+    "x17_salted_join",
+    # the oracle is simply the UNSALTED join: salting must be invisible in
+    # the result for any salt assignment — that is the operator's contract
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_suppkey,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    survey_ref="salted equi-join (operators/salted.py): the explicit "
+    "hot-key mitigation — per-row salt on the skewed side, n_salts-way "
+    "replication of the other side, join on (key, salt); result == plain "
+    "join for ANY salt assignment (multiset-pinned in tests), which is "
+    "why nondeterministic per-row salts are sound; complements AQE's "
+    "skewedJoin for the cases it can't split (downstream same-key aggs, "
+    "hash joins, single-key-exceeds-a-partition); hot-key wall measured "
+    "flat in scripts/salted_skew.py",
+)
+def x17_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.salted import salted_join
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = salted_join(li, orders, ["k"], n_salts=8)
+    return out.select(
+        F.col("k").alias("o_orderkey"), "o_custkey", "l_linenumber",
+        "l_suppkey", "qty",
+    )
