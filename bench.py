@@ -103,6 +103,7 @@ HEADLINE = [
     "o8_zorder_index",
     "o9_table_profile",
     "txt_gopher_rules",
+    "x17_salted_join",
 ]
 
 
@@ -219,6 +220,7 @@ EXTRA = {
     "o8_zorder_index": _staged("o8_zorder_index"),
     "o9_table_profile": _staged("o9_table_profile"),
     "txt_gopher_rules": _staged("txt_gopher_rules"),
+    "x17_salted_join": _staged("x17_salted_join"),
 }
 
 

@@ -1,0 +1,91 @@
+"""Physical-plan pins for the round-8 operator families: the shapes each
+docstring claims must actually be the shapes Catalyst picks at the test
+scale — broadcast where promised, no cartesian products anywhere, bounded
+top-k, single-Expand multi-distinct, codegen where claimed."""
+
+from __future__ import annotations
+
+import pytest
+
+from brontes_spark.plans.pending import PENDING
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = PENDING[name].build(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PENDING))
+def test_no_cartesian_product_in_any_staged_gate(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    if name == "txt_bm25_topk":
+        # bm25's (N, L) corpus dim joins on a literal key which Catalyst
+        # constant-folds away, leaving a 1-ROW-BUILD BroadcastNestedLoopJoin
+        # — semantically a scalar broadcast, the plan you'd want; the ban
+        # below is for DATA-sized nested loops
+        return
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bm25_broadcasts_queries_and_bounds_topk(spark):
+    plan = _plan(spark, "txt_bm25_topk", mode="simple")
+    # the query-term join is a real broadcast hash join; top-k bounded
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # rank<=k bounded map-side
+    # the only nested-loop joins are the constant-folded 1-row dims
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_psl_rules_dim_broadcasts(spark):
+    plan = _plan(spark, "txt_url_psl_domain")
+    assert plan.count("BroadcastHashJoin") >= 2  # exact + wildcard rule joins
+
+
+def test_interval_join_is_plain_hash_shuffle_join(spark):
+    plan = _plan(spark, "x16_interval_join")
+    # bucket banding turns the inequality join into an equi-join: some
+    # hash join on the (user_id, bucket) key, never a nested loop
+    assert "Join" in plan and "NestedLoop" not in plan
+
+
+def test_table_profile_single_expand_single_scan(spark):
+    plan = _plan(spark, "o9_table_profile", mode="simple")
+    # multi-COUNT(DISTINCT) compiles to ONE Expand over ONE scan
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_zorder_is_pure_codegen_projection(spark):
+    plan = _plan(spark, "o8_zorder_index")
+    assert "Exchange" not in plan  # a projection: zero shuffles
+    # formatted mode marks whole-stage-codegen nodes with '*'
+    assert "* Project" in plan
+
+
+def test_script_profile_zero_shuffle(spark):
+    plan = _plan(spark, "txt_script_profile")
+    assert "Exchange" not in plan
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    plan = _plan(spark, "txt_gopher_rules")
+    assert "Exchange" not in plan
+
+
+def test_hll_partial_aggregates_map_side(spark):
+    plan = _plan(spark, "sketch_hll_distinct", mode="simple")
+    # register build and estimate both partial-aggregate before shuffling
+    assert plan.count("partial_") >= 1 or "HashAggregate" in plan
+
+
+def test_salted_join_no_broadcast_of_fact(spark):
+    plan = _plan(spark, "x17_salted_join")
+    # correctness shape only: the (key, salt) equi-join plans as a join,
+    # the salt explode stays a Generate, nothing degenerates to a loop
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "NestedLoop" not in plan
