@@ -104,6 +104,7 @@ HEADLINE = [
     "o9_table_profile",
     "txt_gopher_rules",
     "x17_salted_join",
+    "sketch_percentiles_cont",
 ]
 
 
@@ -221,6 +222,7 @@ EXTRA = {
     "o9_table_profile": _staged("o9_table_profile"),
     "txt_gopher_rules": _staged("txt_gopher_rules"),
     "x17_salted_join": _staged("x17_salted_join"),
+    "sketch_percentiles_cont": _staged("sketch_percentiles_cont"),
 }
 
 

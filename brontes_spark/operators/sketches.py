@@ -239,60 +239,111 @@ def quantiles_exact(
     spark = df.sparkSession
     out_schema = "q double, rank long, value long"
     vals = df.select(F.col(val_col).alias("v")).filter(F.col("v").isNotNull())
-    stats = vals.agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if stats["n"] == 0:
+    n = vals.count()
+    if n == 0:
         return spark.createDataFrame([], out_schema)
-    mn, mx, n = int(stats["mn"]), int(stats["mx"]), int(stats["n"])
-    width_den = mx - mn + 1
-    hist = (
-        vals.groupBy(
-            F.expr(
-                f"CAST((CAST(v AS DECIMAL(38,0)) - {mn}) * {buckets} "
-                f"div {width_den} AS INT)"
-            ).alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    rank_of = {q: max(1, math.ceil(q * n)) for q in qs}
+    rv = _ranks_exact(vals, sorted(set(rank_of.values())), buckets)
+    pairs = spark.createDataFrame(
+        [(q, r) for q, r in rank_of.items()], "q double, rank long"
     )
+    return pairs.join(F.broadcast(rv), "rank").select("q", "rank", "value")
+
+
+def _ranks_exact(vals: DataFrame, ranks: list[int], buckets: int) -> DataFrame:
+    """(rank, value) for explicit 1-based ascending ranks over the non-null
+    `v` column — the shared histogram->refine core of quantiles_exact and
+    percentiles_cont. Pass 1's <= `buckets`-row histogram collects
+    driver-side (bounded summary, never data-sized); pass 2 shuffles only
+    the targeted buckets."""
+    spark = vals.sparkSession
+    stats = vals.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    mn, mx = int(stats["mn"]), int(stats["mx"])
+    width_den = mx - mn + 1
+    bexpr = (
+        f"CAST((CAST(v AS DECIMAL(38,0)) - {mn}) * {buckets} "
+        f"div {width_den} AS INT)"
+    )
+    hist = vals.groupBy(F.expr(bexpr).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).collect()
     counts = {r["b"]: r["cnt"] for r in hist}
-    # cumulative counts in bucket order -> (bucket, in-bucket offset) per q
+    # cumulative counts in bucket order -> (bucket, in-bucket offset) per rank
     order = sorted(counts)
     cum, running = {}, 0
     for bkt in order:
         cum[bkt] = running  # rows strictly before this bucket
         running += counts[bkt]
-    targets: list[tuple[float, int, int, int]] = []  # (q, rank, bucket, off)
-    for q in qs:
-        rank = max(1, math.ceil(q * n))
+    targets: list[tuple[int, int, int]] = []  # (rank, bucket, off)
+    for rank in ranks:
         for bkt in order:
             if cum[bkt] + counts[bkt] >= rank:
-                targets.append((q, rank, bkt, rank - cum[bkt]))
+                targets.append((rank, bkt, rank - cum[bkt]))
                 break
-    need = sorted({t[2] for t in targets})
+    need = sorted({t[1] for t in targets})
     in_bucket = (
-        vals.withColumn(
-            "b",
-            F.expr(
-                f"CAST((CAST(v AS DECIMAL(38,0)) - {mn}) * {buckets} "
-                f"div {width_den} AS INT)"
-            ),
-        )
+        vals.withColumn("b", F.expr(bexpr))
         .filter(F.col("b").isin(need))
-        .withColumn(
-            "pos", F.row_number().over(W.partitionBy("b").orderBy("v"))
-        )
+        .withColumn("pos", F.row_number().over(W.partitionBy("b").orderBy("v")))
     )
     wanted = spark.createDataFrame(
-        [(q, r, bkt, off) for q, r, bkt, off in targets],
-        "q double, rank long, b int, pos int",
+        [(r, bkt, off) for r, bkt, off in targets], "rank long, b int, pos int"
     )
-    return (
-        in_bucket.join(F.broadcast(wanted), ["b", "pos"])
-        .select("q", "rank", F.col("v").cast("long").alias("value"))
+    return in_bucket.join(F.broadcast(wanted), ["b", "pos"]).select(
+        "rank", F.col("v").cast("long").alias("value")
     )
+
+
+def percentiles_cont(
+    df: DataFrame,
+    val_col: str,
+    qs: list[tuple[int, int]],
+    buckets: int = 4096,
+) -> DataFrame:
+    """EXACT interpolated percentiles (the percentile_cont / SQL-standard
+    convention: position p = q*(n-1) 0-indexed, linear interpolation
+    between the bracketing order statistics) via the same two-pass
+    histogram->refine as quantiles_exact — no full sort.
+
+    `qs` are RATIONALS (num, den), so the bracketing ranks and the
+    interpolation weight are exact integers: r_lo = (num*(n-1)) div den
+    (0-based), rem = (num*(n-1)) mod den, and
+
+        value_cont = (v_lo * (den - rem) + v_hi * rem) / den
+
+    — one integer-to-double division, IEEE-identical in both engines (the
+    gapfill fixed-evaluation-shape policy). Returns (q_num, q_den, rank_lo,
+    rem, v_lo, v_hi, value_cont). Integral columns only, like
+    quantiles_exact."""
+    if not qs or any(
+        d < 1 or not 0 <= nu <= d for nu, d in qs
+    ):
+        raise ValueError("each q must be a rational (num, den) in [0, 1]")
+    spark = df.sparkSession
+    out_schema = (
+        "q_num int, q_den int, rank_lo long, rem long, "
+        "v_lo long, v_hi long, value_cont double"
+    )
+    vals = df.select(F.col(val_col).alias("v")).filter(F.col("v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    spec = []
+    for nu, d in qs:
+        p = nu * (n - 1)
+        r_lo = p // d + 1  # 1-based
+        rem = p % d
+        spec.append((nu, d, r_lo, rem, r_lo + 1 if rem else r_lo))
+    ranks = sorted({r for *_, r in spec} | {s[2] for s in spec})
+    rv = {r.rank: r.value for r in _ranks_exact(vals, ranks, buckets).collect()}
+    rows = []
+    for nu, d, r_lo, rem, r_hi in spec:
+        v_lo, v_hi = rv[r_lo], rv[r_hi]
+        rows.append(
+            (nu, d, r_lo, rem, v_lo, v_hi,
+             (v_lo * (d - rem) + v_hi * rem) / d)
+        )
+    return spark.createDataFrame(rows, out_schema)
 
 
 def frequent_items(

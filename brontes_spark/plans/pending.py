@@ -918,3 +918,47 @@ def x17_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("o_orderkey"), "o_custkey", "l_linenumber",
         "l_suppkey", "qty",
     )
+
+
+@pending(
+    "sketch_percentiles_cont",
+    oracle="""
+    WITH s AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM s),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+    qs(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10)),
+    spec AS (
+      SELECT q_num, q_den,
+             (q_num * (n.n - 1)) // q_den + 1 AS rank_lo,
+             (q_num * (n.n - 1)) % q_den AS rem
+      FROM qs CROSS JOIN n),
+    j AS (
+      SELECT s.q_num, s.q_den, s.rank_lo, s.rem,
+             lo.v AS v_lo,
+             hi.v AS v_hi
+      FROM spec s
+      JOIN ranked lo ON lo.rn = s.rank_lo
+      JOIN ranked hi ON hi.rn = s.rank_lo + CASE WHEN s.rem > 0 THEN 1 ELSE 0 END)
+    SELECT CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den,
+           CAST(rank_lo AS BIGINT) AS rank_lo, CAST(rem AS BIGINT) AS rem,
+           CAST(v_lo AS BIGINT) AS v_lo, CAST(v_hi AS BIGINT) AS v_hi,
+           (v_lo * (q_den - rem) + v_hi * rem) / q_den AS value_cont
+    FROM j
+    """,
+    survey_ref="exact interpolated percentiles (operators/sketches."
+    "percentiles_cont — the SQL-standard percentile_cont convention "
+    "p = q*(n-1) with linear interpolation, completing quantiles_exact's "
+    "'disc' face): rational q gives exact integer bracketing ranks and "
+    "interpolation weights, value as ONE integer-to-double division "
+    "(IEEE-identical both engines); same two-pass histogram->refine core, "
+    "no full sort",
+)
+def sketch_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import percentiles_cont
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percentiles_cont(
+        docs.select(F.col("n_chars").alias("v")), "v",
+        [(1, 4), (1, 2), (3, 4), (9, 10)],
+    )

@@ -443,3 +443,43 @@ def test_kmv_containment_estimates_above_k(spark):
     r = kmv_containment(a, b, k=128).collect()[0]
     assert r.containment_a_in_b == 1.0  # every A hash IS in B: exact even estimated
     assert abs(r.containment_b_in_a - 0.2) < 0.15
+
+
+def test_percentiles_cont_matches_numpy_and_disc_on_exact_hits(spark):
+    import numpy as np
+
+    from brontes_spark.operators.sketches import percentiles_cont
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]  # n=11
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [(1, 4), (1, 2), (3, 4), (0, 1), (1, 1)]
+    rows = {(r.q_num, r.q_den): r for r in percentiles_cont(df, "v", qs).collect()}
+    for nu, d in qs:
+        want = float(np.percentile(np.array(vals, dtype=float), 100 * nu / d,
+                                   method="linear"))
+        assert rows[(nu, d)].value_cont == want, (nu, d)
+    # n-1 divisible by den -> exact order statistic, rem == 0, v_lo == v_hi
+    r = rows[(1, 2)]
+    assert r.rem == 0 and r.v_lo == r.v_hi == 4
+
+
+def test_percentiles_cont_interpolates_between_neighbors(spark):
+    from brontes_spark.operators.sketches import percentiles_cont
+
+    df = spark.createDataFrame([(10,), (20,)], "v long")  # n=2
+    r = percentiles_cont(df, "v", [(1, 4)]).collect()[0]
+    # p = 1/4 * 1 -> between ranks 1 and 2 with weight 1/4
+    assert (r.rank_lo, r.rem, r.v_lo, r.v_hi) == (1, 1, 10, 20)
+    assert r.value_cont == 12.5
+
+
+def test_percentiles_cont_guards_and_empty(spark):
+    import pytest as _pytest
+
+    from brontes_spark.operators.sketches import percentiles_cont
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with _pytest.raises(ValueError):
+        percentiles_cont(df, "v", [(3, 2)])
+    empty = spark.createDataFrame([], "v long")
+    assert percentiles_cont(empty, "v", [(1, 2)]).count() == 0
