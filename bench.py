@@ -105,6 +105,7 @@ HEADLINE = [
     "txt_gopher_rules",
     "x17_salted_join",
     "sketch_percentiles_cont",
+    "o10_scd2_history",
 ]
 
 
@@ -223,6 +224,7 @@ EXTRA = {
     "txt_gopher_rules": _staged("txt_gopher_rules"),
     "x17_salted_join": _staged("x17_salted_join"),
     "sketch_percentiles_cont": _staged("sketch_percentiles_cont"),
+    "o10_scd2_history": _staged("o10_scd2_history"),
 }
 
 

@@ -15,15 +15,15 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 14 gates below were built DURING
+cover; COVERAGE.md names them). The 16 gates below were built DURING
 round 8 and stage here for r9, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
-synthesized all-green CORRECTNESS_r08): promoting all 14 seats them at
-staleness -1, the remaining 36 slots take ALL 21 r6-deferred gates
+synthesized all-green CORRECTNESS_r08): promoting all 16 seats them at
+staleness -1, the remaining 34 slots take ALL 21 r6-deferred gates
 (staleness 5.25 — every one returns exactly as the r8 plan promised)
-plus the 15 stalest lg=7 gates (mm_mp2_features, changed in r8 by the
+plus the 13 stalest lg=7 gates (mm_mp2_features, changed in r8 by the
 polyphase wiring, leads them at 6.25). No gate's attestation age exceeds
 2 rounds. Symbol-level fingerprints keep the r10 backlog to gates whose
 reached code actually changes.
@@ -961,4 +961,51 @@ def sketch_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentiles_cont(
         docs.select(F.col("n_chars").alias("v")), "v",
         [(1, 4), (1, 2), (3, 4), (9, 10)],
+    )
+
+
+@pending(
+    "o10_scd2_history",
+    oracle="""
+    WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type FROM events),
+    ch AS (
+      SELECT user_id, ts_ns, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    v AS (SELECT * FROM ch WHERE prev_type IS NULL OR prev_type != event_type),
+    iv AS (
+      SELECT user_id, event_type, ts_ns AS valid_from,
+             lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS INT) AS version
+      FROM v)
+    SELECT user_id, event_type, valid_from, valid_to, version,
+           (valid_to IS NULL) AS is_current
+    FROM iv
+    """,
+    survey_ref="SCD2 (slowly-changing-dimension type 2) history build — "
+    "the warehouse temporal-dimension primitive: per-user event_type "
+    "change stream collapsed to consecutive-duplicate-free versions with "
+    "[valid_from, valid_to) validity intervals, open-ended current row, "
+    "monotone version numbers; ONE user_id exchange shared by the "
+    "change-detect lag, interval lead, and version row_number (the S10 "
+    "upsert sink's batch-side complement)",
+)
+def o10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_ns").alias("valid_from"),
+        F.lead("ts_ns").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.lead("ts_ns").over(w2).isNull().alias("is_current"),
     )
