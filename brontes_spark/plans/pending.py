@@ -1009,3 +1009,54 @@ def o10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("int").alias("version"),
         F.lead("ts_ns").over(w2).isNull().alias("is_current"),
     )
+
+
+@pending(
+    "corpus_tv_drift",
+    # per-lang drift between the even- and odd-doc_id corpus halves: the
+    # numerator is an exact integer (|a*N_b - b*N_a| summed), tv is ONE
+    # float division of it
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+      FROM documents),
+    a AS (SELECT lang AS k, tok, CAST(COUNT(*) AS BIGINT) AS a
+          FROM tok WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    b AS (SELECT lang AS k, tok, CAST(COUNT(*) AS BIGINT) AS b
+          FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.tok, b.tok) AS tok,
+             COALESCE(a.a, 0) AS a, COALESCE(b.b, 0) AS b
+      FROM a FULL OUTER JOIN b ON a.k = b.k AND a.tok = b.tok),
+    tot AS (
+      SELECT k, CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+      FROM j GROUP BY k),
+    s AS (
+      SELECT j.k, tot.n_a, tot.n_b,
+             SUM(ABS(a::HUGEINT * tot.n_b - b::HUGEINT * tot.n_a)) AS tv_num
+      FROM j JOIN tot USING (k) GROUP BY 1, 2, 3)
+    SELECT k, n_a, n_b, CAST(tv_num AS BIGINT) AS tv_num,
+           CAST(tv_num AS DOUBLE) / (2.0 * n_a * n_b) AS tv
+    FROM s WHERE n_a > 0 AND n_b > 0
+    """,
+    survey_ref="corpus distribution drift as total-variation distance "
+    "(operators/drift.py): per-lang token-distribution TV between the "
+    "even/odd corpus halves — the monitoring primitive for crawl/mixture "
+    "drift, chosen over KL/PSI/G because TV's numerator is an exact "
+    "integer (sum |a*N_b - b*N_a|) both engines hash-match, with the "
+    "distance itself ONE float division; one count join, empty sides "
+    "dropped loudly",
+)
+def corpus_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import token_counts, tv_drift
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = token_counts(docs.filter(F.col("doc_id") % 2 == 0), "text", ["lang"])
+    b = token_counts(docs.filter(F.col("doc_id") % 2 == 1), "text", ["lang"])
+    out = tv_drift(a, b, ["lang"])
+    return out.select(
+        F.col("lang").alias("k"), "n_a", "n_b",
+        F.col("tv_num").cast("long").alias("tv_num"), "tv",
+    )
