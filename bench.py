@@ -106,6 +106,7 @@ HEADLINE = [
     "x17_salted_join",
     "sketch_percentiles_cont",
     "o10_scd2_history",
+    "corpus_tv_drift",
 ]
 
 
@@ -225,6 +226,7 @@ EXTRA = {
     "x17_salted_join": _staged("x17_salted_join"),
     "sketch_percentiles_cont": _staged("sketch_percentiles_cont"),
     "o10_scd2_history": _staged("o10_scd2_history"),
+    "corpus_tv_drift": _staged("corpus_tv_drift"),
 }
 
 

@@ -15,15 +15,15 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 16 gates below were built DURING
+cover; COVERAGE.md names them). The 17 gates below were built DURING
 round 8 and stage here for r9, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
-synthesized all-green CORRECTNESS_r08): promoting all 16 seats them at
-staleness -1, the remaining 34 slots take ALL 21 r6-deferred gates
+synthesized all-green CORRECTNESS_r08): promoting all 17 seats them at
+staleness -1, the remaining 33 slots take ALL 21 r6-deferred gates
 (staleness 5.25 — every one returns exactly as the r8 plan promised)
-plus the 13 stalest lg=7 gates (mm_mp2_features, changed in r8 by the
+plus the 12 stalest lg=7 gates (mm_mp2_features, changed in r8 by the
 polyphase wiring, leads them at 6.25). No gate's attestation age exceeds
 2 rounds. Symbol-level fingerprints keep the r10 backlog to gates whose
 reached code actually changes.
