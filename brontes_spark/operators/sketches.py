@@ -37,7 +37,10 @@ def kmv_sketch(
 ) -> DataFrame:
     """(key, pos, hv) — the k smallest distinct 60-bit hashes of `val_col`
     per `key_col` group: the mergeable sketch itself (k rows per group)."""
-    hashed = df.select(
+    # NULL values are not set members — and a NULL hash would rank FIRST
+    # in Spark's ascending order but LAST in DuckDB's, displacing a real
+    # k-minimum (the bloom NULL bug class, ADVICE r7)
+    hashed = df.filter(F.col(val_col).isNotNull()).select(
         F.col(key_col).alias("key"), md5_long(F.col(val_col)).alias("hv")
     ).distinct()
     w = W.partitionBy("key").orderBy("hv")
@@ -119,7 +122,9 @@ def hll_sketch(
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     w_bits = 60 - p
-    hashed = df.select(
+    # NULLs are not set members (a NULL hash would emit a NULL-bucket
+    # register row and corrupt the estimate; same class as kmv/bloom)
+    hashed = df.filter(F.col(val_col).isNotNull()).select(
         F.col(key_col).alias("key"), md5_long(F.col(val_col)).alias("hv")
     )
     bucketed = hashed.select(
@@ -443,6 +448,7 @@ def countmin_sketch(
     min over depth rows takes the least-collided)."""
     if width < 1 or depth < 1:
         raise ValueError(f"width and depth must be >= 1, got {width}x{depth}")
+    df = df.filter(F.col(val_col).isNotNull())  # a NULL occurrence counts nothing
     pairs = [
         F.struct(
             F.lit(r).alias("row"),

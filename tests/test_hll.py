@@ -93,3 +93,21 @@ def test_duplicates_do_not_move_registers(spark):
     r1 = sorted(map(tuple, hll_sketch(df1, "key", "v", p=P).collect()))
     r2 = sorted(map(tuple, hll_sketch(df2, "key", "v", p=P).collect()))
     assert r1 == r2
+
+
+def test_null_values_are_not_set_members(spark):
+    """NULLs must not emit register rows (a NULL hash would also rank
+    differently across engines in the KMV order) — same bug class as the
+    bloom NULL fix."""
+    from brontes_spark.operators.sketches import countmin_sketch, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("k", None), ("k", "a"), ("k", None)], "key string, v string"
+    )
+    hll = hll_sketch(df, "key", "v", p=4).collect()
+    assert len(hll) == 1 and all(r.bucket is not None for r in hll)
+    kmv = kmv_sketch(df, "key", "v", k=8).collect()
+    assert len(kmv) == 1 and kmv[0].hv is not None
+    cm = countmin_sketch(df.select("v"), "v", width=8, depth=2).collect()
+    assert all(r.col is not None for r in cm)
+    assert sum(r.cnt for r in cm) == 2  # one value, two depth rows
