@@ -195,7 +195,10 @@ def registered_domain_psl(
     per-host max-struct aggregate applies PSL precedence (exception wins,
     else most labels, with the implicit `*` default as labels=1)."""
     id_cols = [c for c in df.columns]
-    host = F.lower(F.col(host_col))
+    # NULL hosts coalesce to '' so the row SURVIVES with a NULL domain
+    # (posexplode over a null candidate array would silently drop it — a
+    # profiling operator must never lose rows)
+    host = F.coalesce(F.lower(F.col(host_col)), F.lit(""))
     base = df.withColumn("_h", host).withColumn(
         "_labels", F.split(F.col("_h"), r"\.")
     ).withColumn("_n", F.size("_labels"))

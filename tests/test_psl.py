@@ -132,3 +132,15 @@ def test_duckdb_twin_parity(spark):
     duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     want = {i: exp for i, (_, exp) in enumerate(VECTORS)}
     assert duck == want
+
+
+def test_null_host_survives_with_null_domain(spark):
+    """A NULL host must not silently drop the row (posexplode over a null
+    candidate array would); it emits a NULL registered domain."""
+    rules = load_psl_rules(spark)
+    df = spark.createDataFrame(
+        [(1, None), (2, "example.com")], "i long, host string"
+    )
+    got = {r.i: r.registered_domain
+           for r in registered_domain_psl(df, "host", rules).collect()}
+    assert got == {1: None, 2: "example.com"}
