@@ -72,12 +72,6 @@ HEADLINE = [
     "mm_image_features",
     "mm_gif_frame_sample",
     "mm_mp2_features",
-    # bench-only hierarchical-vs-flat pairs at the operator's win geometry
-    # (see EXTRA below)
-    "dedup_semantic_flat_k320",
-    "dedup_semantic_hier_k320",
-    "ann_kmeans_refine_flat_k320",
-    "ann_kmeans_refine_hier_k320",
     # round-7 wave-1 engine operators (no registry gate yet; correctness =
     # pytest + DuckDB parity in their test modules)
     "frequent_items",
@@ -107,6 +101,17 @@ HEADLINE = [
     "sketch_percentiles_cont",
     "o10_scd2_history",
     "corpus_tv_drift",
+    # bench-only hierarchical-vs-flat pairs at the operator's win geometry
+    # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
+    # the heaviest heap/GC load in the headline, so tail placement keeps
+    # whatever allocator/GC state they leave behind out of every other
+    # row's samples (defensive isolation; the dominant run-to-run variance
+    # remains the shared VM's external load — BENCH_DETAIL noise columns
+    # are the way to tell a real regression from a noisy run)
+    "dedup_semantic_flat_k320",
+    "dedup_semantic_hier_k320",
+    "ann_kmeans_refine_flat_k320",
+    "ann_kmeans_refine_hier_k320",
 ]
 
 
