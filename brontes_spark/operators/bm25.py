@@ -16,7 +16,11 @@ Two variants share one plan shape, the tfidf.py convention:
   is a ratio of integers (L = total corpus tokens, N = docs, dl = doc
   length; derived by clearing k1/b/avgdl denominators, avgdl = L/N), so
   `score9` = SUM over query terms of floor(1e9 * contribution) is an
-  exact DECIMAL(38,0) both engines truncate identically. The ln of the
+  exact DECIMAL(38,0) both engines truncate identically. Precision
+  envelope: the numerator 44 * tf * L * (2N+1) * 1e9 must stay below
+  10^38, i.e. tf * L * N < ~1.1e27 — comfortable to ~10^12 tokens with
+  ~10^9 docs; at a full 100 TB corpus (10^13+ tokens) drop the 1e9 scale
+  to 1e6 or compute per-shard L (both preserve ranking). The ln of the
   classic Robertson idf is monotone, so SINGLE-term rankings are
   identical to the classic form; multi-term sums weight rare terms more
   steeply than ln does — a documented variant, chosen because cross-engine
