@@ -1,0 +1,45 @@
+"""Doc-count drift guard (ADVICE r7 item 1's suggestion made permanent):
+the gate counts quoted in README.md and COVERAGE.md must match the live
+REGISTRY / PENDING sizes, and the two registries must never collide."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import brontes_spark.plans  # noqa: F401  (populate REGISTRY)
+from brontes_spark.plans.pending import PENDING
+from brontes_spark.plans.registry import REGISTRY
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(name):
+    with open(os.path.join(ROOT, name), encoding="utf-8") as f:
+        return f.read()
+
+
+def test_registry_and_pending_disjoint():
+    assert not (REGISTRY.keys() & PENDING.keys())
+
+
+def test_readme_quotes_live_counts():
+    md = _read("README.md")
+    m = re.search(r"\*\*(\d+) driver-checked queries\*\*", md)
+    assert m, "README must quote the registry size"
+    assert int(m.group(1)) == len(REGISTRY)
+    m = re.search(r"plus (\d+) round-\d+ staged gates", md)
+    assert m, "README must quote the staged-gate count"
+    assert int(m.group(1)) == len(PENDING)
+
+
+def test_coverage_staged_list_matches_pending():
+    md = _read("COVERAGE.md")
+    m = re.search(
+        r"staged gates awaiting r\d+ promotion \((\d+) —", md
+    )
+    assert m, "COVERAGE must quote the staged-gate count"
+    assert int(m.group(1)) == len(PENDING)
+    # every staged gate is named in the doc
+    for name in PENDING:
+        assert name in md, f"staged gate {name} missing from COVERAGE.md"
