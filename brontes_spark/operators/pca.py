@@ -122,3 +122,35 @@ def pca_project(
             )
         )
     return df.select(F.col(id_col), F.array(*dots).alias("proj"))
+
+
+def pca_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    threshold: float | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, m2, is_outlier) — squared Mahalanobis distance of each
+    embedding within the top-k principal subspace (the whitened
+    projection's squared norm: whitening divides each axis by sqrt(its
+    eigenvalue), so ||proj_w||^2 IS the Mahalanobis form) — the embedding
+    anomaly screen corpus pipelines run before ANN indexing (mis-encoded
+    rows, collapsed embeddings, wrong-model contamination all land in the
+    tail). `threshold` defaults to 3x the subspace dimension — E[m2] = k
+    for in-distribution points, so 3k is the z~sqrt(3)-sigma-ish budget
+    flag; callers with a calibrated chi-square budget pass their own.
+    Same bounded driver-side eigensolve as pca_project; the screen itself
+    is one codegen projection."""
+    if threshold is None:
+        threshold = 3.0 * k
+    proj = pca_project(df, id_col, vec_col, k, scale=scale, whiten=True)
+    m2 = F.aggregate(
+        F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return proj.select(
+        F.col(id_col),
+        m2.alias("m2"),
+        (m2 > F.lit(float(threshold))).alias("is_outlier"),
+    )

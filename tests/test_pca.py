@@ -73,3 +73,25 @@ def test_whiten_unit_variance(df, data):
     got = pca_project(df, "vec_id", "embedding", k=3, whiten=True).collect()
     proj = np.stack([np.array(r.proj) for r in got])
     np.testing.assert_allclose(proj.var(axis=0), np.ones(3), rtol=1e-3)
+
+
+def test_pca_outliers_flags_planted_point(spark, data, df):
+    import numpy as np
+
+    from brontes_spark.operators.pca import pca_outliers
+
+    # plant one far-out point along the dominant direction
+    big = data.std(axis=0) * 25
+    rows = [(9999, [float(v) for v in big])]
+    df2 = df.unionByName(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    out = {r.vec_id: (r.m2, r.is_outlier)
+           for r in pca_outliers(df2, "vec_id", "embedding", k=3).collect()}
+    assert out[9999][1] is True
+    flagged = [i for i, (_, o) in out.items() if o]
+    # the planted point dominates; in-distribution mass stays mostly inside
+    assert 9999 in flagged and len(flagged) <= 1 + len(data) // 10
+    # E[m2] ~ k for the in-distribution cloud
+    m2s = np.array([m for i, (m, _) in out.items() if i != 9999])
+    assert 1.0 < m2s.mean() < 6.0
