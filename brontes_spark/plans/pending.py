@@ -1060,3 +1060,63 @@ def corpus_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("k"), "n_a", "n_b",
         F.col("tv_num").cast("long").alias("tv_num"), "tv",
     )
+
+
+@pending(
+    "g8_triangle_count",
+    # deterministic graph synthesized from doc_id on BOTH engines: a ring
+    # with +1/+2 chords (one triangle per vertex) plus hub edges
+    # (d -> d%23 and d -> d%23+1) that put every vertex in a triangle
+    # with a consecutive hub pair — so the triangle distribution is
+    # HEAVILY skewed at the 23 hubs, which is exactly the regime the
+    # degree orientation exists for
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS s, (doc_id + 1) % n.n AS t FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+      UNION ALL
+      SELECT doc_id, doc_id % 23 FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id % 23 + 1 FROM documents
+    ),
+    e AS (SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+          FROM e0 WHERE s != t),
+    tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM e a
+      JOIN e b ON b.u = a.v
+      JOIN e c ON c.u = a.u AND c.v = b.v),
+    nd AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nd GROUP BY node
+    """,
+    survey_ref="distributed triangle counting (operators/triangles.py, "
+    "Schank-Wagner forward / Suri-Vassilvitskii MapReduce formulation): "
+    "per-vertex triangle participation via degree-ordered wedge closing "
+    "— each edge oriented low-(deg,id) -> high, wedges generated at the "
+    "apex (out-degree bounded by sqrt(2m) so a celebrity hub generates "
+    "ZERO wedges instead of deg^2), closed by one (b,c) equi-join; the "
+    "fixture's 23 hubs carry ~N/23 triangles each, pinning exactly the "
+    "skew the orientation dismantles; oracle is the id-ordered 3-way "
+    "self-join",
+)
+def g8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import triangle_counts
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dim = docs.agg(F.count(F.lit(1)).alias("n")).withColumn("j", F.lit(1))
+    base = docs.withColumn("j", F.lit(1)).join(F.broadcast(dim), "j")
+    d = F.col("doc_id")
+    e0 = (
+        base.select(d.alias("s"), ((d + 1) % F.col("n")).alias("t"))
+        .unionAll(base.select(d.alias("s"), ((d + 2) % F.col("n")).alias("t")))
+        .unionAll(docs.select(d.alias("s"), (d % 23).alias("t")))
+        .unionAll(docs.select(d.alias("s"), (d % 23 + 1).alias("t")))
+    )
+    return triangle_counts(e0, "s", "t")
