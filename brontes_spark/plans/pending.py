@@ -1120,3 +1120,95 @@ def g8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(docs.select(d.alias("s"), (d % 23 + 1).alias("t")))
     )
     return triangle_counts(e0, "s", "t")
+
+
+@pending(
+    "txt_pmi_cooccur",
+    # directed skip-gram pairs at window 3; lift9 = the integer-scaled
+    # PMI exponent floor(1e9 * n_xy * T / (n_x * n_y)) — ln is monotone
+    # so PMI orderings are preserved and both engines truncate the same
+    # DECIMAL/HUGEINT division identically
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents),
+    pr AS (
+      SELECT t[i] AS w1, t[i + j] AS w2
+      FROM tok,
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii,
+           (SELECT unnest([1, 2, 3]) AS j) jj
+      WHERE i + j <= len(t)),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM pr GROUP BY 1, 2),
+    m AS (
+      SELECT w1, w2, n_xy,
+             SUM(n_xy) OVER (PARTITION BY w1) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY w2) AS n_y,
+             SUM(n_xy) OVER () AS t_pairs
+      FROM c)
+    SELECT w1, w2, n_xy, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+           CAST((n_xy::HUGEINT * t_pairs * 1000000000)
+                // (n_x::HUGEINT * n_y) AS BIGINT) AS lift9
+    FROM m WHERE n_xy >= 2
+    """,
+    survey_ref="skip-gram co-occurrence + PMI association "
+    "(operators/cooccur.py): the (center, context) pair statistics "
+    "word2vec/GloVe training data and collocation mining consume — pair "
+    "generation is NOT a join (each doc zips its own token array against "
+    "j-shifted slices of itself, so the only shuffle is the (w1,w2) hash "
+    "agg; the naive position self-join shuffles the token stream twice "
+    "and detonates on long docs); marginals as windows over the "
+    "aggregated pair relation, corpus total as a 1-row broadcast dim, "
+    "lift9 in the tfidf/bm25 exact-integer score convention",
+)
+def txt_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cooccur import pmi_cooccur
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_cooccur(docs, "text", window=3, min_count=2)
+
+
+@pending(
+    "dedup_snm_pairs",
+    # lang-blocked sorted neighborhood: sort by (n_chars, 16-char
+    # normalized prefix, doc_id), compare each record to its 3 sort
+    # successors; dist is exact Levenshtein (ASCII corpus — the
+    # fuzzy.py engine-parity envelope)
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY n_chars, substr(lower(text), 1, 16), doc_id) AS rn
+      FROM documents),
+    p AS (
+      SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(b.rn - a.rn AS BIGINT) AS gap,
+             CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      FROM s a JOIN s b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3)
+    SELECT lang, id_a, id_b, gap, dist FROM p
+    """,
+    survey_ref="sorted-neighborhood candidate generation (operators/"
+    "snm.py, Hernandez-Stolfo 1995) — the third dedup candidate family "
+    "beside hash blocking and LSH: ONE partitioned window over ONE "
+    "exchange carries each record's 3 sort-successors out via lead() "
+    "structs (no self-join, no O(n^2) block; text rides the sort instead "
+    "of being re-joined by id), Levenshtein verify runs in the same task "
+    "once per candidate; the oracle self-joins on rank distance — the "
+    "formulation the operator exists to avoid",
+)
+def dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snm import sorted_neighborhood_pairs
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs,
+        "doc_id",
+        "text",
+        ["lang"],
+        [F.col("n_chars"), F.substring(F.lower(F.col("text")), 1, 16)],
+        window=3,
+    )
