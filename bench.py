@@ -101,6 +101,9 @@ HEADLINE = [
     "sketch_percentiles_cont",
     "o10_scd2_history",
     "corpus_tv_drift",
+    "g8_triangle_count",
+    "txt_pmi_cooccur",
+    "dedup_snm_pairs",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -232,6 +235,9 @@ EXTRA = {
     "sketch_percentiles_cont": _staged("sketch_percentiles_cont"),
     "o10_scd2_history": _staged("o10_scd2_history"),
     "corpus_tv_drift": _staged("corpus_tv_drift"),
+    "g8_triangle_count": _staged("g8_triangle_count"),
+    "txt_pmi_cooccur": _staged("txt_pmi_cooccur"),
+    "dedup_snm_pairs": _staged("dedup_snm_pairs"),
 }
 
 

@@ -1064,18 +1064,18 @@ def corpus_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @pending(
     "g8_triangle_count",
-    # deterministic graph synthesized from doc_id on BOTH engines: a ring
-    # with +1/+2 chords (one triangle per vertex) plus hub edges
+    # deterministic graph synthesized from doc_id on BOTH engines: a path
+    # with +1/+2 chords (one triangle per interior vertex) plus hub edges
     # (d -> d%23 and d -> d%23+1) that put every vertex in a triangle
     # with a consecutive hub pair — so the triangle distribution is
     # HEAVILY skewed at the 23 hubs, which is exactly the regime the
-    # degree orientation exists for
+    # degree orientation exists for; the path (no wrap-around) keeps the
+    # fixture free of any corpus-count dim — zero scalar joins
     oracle="""
-    WITH n AS (SELECT COUNT(*) AS n FROM documents),
-    e0 AS (
-      SELECT doc_id AS s, (doc_id + 1) % n.n AS t FROM documents, n
+    WITH e0 AS (
+      SELECT doc_id AS s, doc_id + 1 AS t FROM documents
       UNION ALL
-      SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+      SELECT doc_id, doc_id + 2 FROM documents
       UNION ALL
       SELECT doc_id, doc_id % 23 FROM documents
       UNION ALL
@@ -1110,12 +1110,10 @@ def g8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dim = docs.agg(F.count(F.lit(1)).alias("n")).withColumn("j", F.lit(1))
-    base = docs.withColumn("j", F.lit(1)).join(F.broadcast(dim), "j")
     d = F.col("doc_id")
     e0 = (
-        base.select(d.alias("s"), ((d + 1) % F.col("n")).alias("t"))
-        .unionAll(base.select(d.alias("s"), ((d + 2) % F.col("n")).alias("t")))
+        docs.select(d.alias("s"), (d + 1).alias("t"))
+        .unionAll(docs.select(d.alias("s"), (d + 2).alias("t")))
         .unionAll(docs.select(d.alias("s"), (d % 23).alias("t")))
         .unionAll(docs.select(d.alias("s"), (d % 23 + 1).alias("t")))
     )
