@@ -104,6 +104,14 @@ HEADLINE = [
     "g8_triangle_count",
     "txt_pmi_cooccur",
     "dedup_snm_pairs",
+    # round-8 fourth wave (staged; r9 promotes)
+    "ev_markov_transitions",
+    "x18_twap",
+    "sample_stratified_n",
+    "o11_skyline",
+    "corpus_temperature_mix",
+    "g9_kcore",
+    "txt_bpe_pair_stats",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -238,6 +246,13 @@ EXTRA = {
     "g8_triangle_count": _staged("g8_triangle_count"),
     "txt_pmi_cooccur": _staged("txt_pmi_cooccur"),
     "dedup_snm_pairs": _staged("dedup_snm_pairs"),
+    "ev_markov_transitions": _staged("ev_markov_transitions"),
+    "x18_twap": _staged("x18_twap"),
+    "sample_stratified_n": _staged("sample_stratified_n"),
+    "o11_skyline": _staged("o11_skyline"),
+    "corpus_temperature_mix": _staged("corpus_temperature_mix"),
+    "g9_kcore": _staged("g9_kcore"),
+    "txt_bpe_pair_stats": _staged("txt_bpe_pair_stats"),
 }
 
 

@@ -78,3 +78,49 @@ def sample_weighted(
         raise ValueError(f"m must be >= 1, got {m}")
     keys = weighted_sample_keys(df, id_col, weight_col, salt, weight_scale)
     return keys.orderBy(F.col("key").desc(), F.col("id")).limit(m)
+
+
+def stratified_sample_exact_n(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministically.
+
+    The data-mixing primitive: equal-size (or capped) draws per language /
+    source / domain. Rank = md5 of (salt, stratum, id) so the draw is a
+    pure function of identity — re-running, re-partitioning, or growing
+    OTHER strata never changes a stratum's sample (each stratum's ordering
+    depends only on its own members), and `salt` redraws everything.
+
+    Scale shape: rank <= n over (stratum ORDER BY hash) compiles to
+    WindowGroupLimit — every task keeps at most n rows per stratum BEFORE
+    the shuffle, so the exchange carries O(n_strata * n) rows no matter the
+    corpus size. No global sort, no count pass.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql import Window as W
+
+    tag = md5_long(
+        F.concat(
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        ),
+        seed=salt,
+    )
+    w = W.partitionBy(strata_col).orderBy(tag, F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n_per_stratum)
+    )
+
+
+# NOTE: the FRACTION-based stratified sampler already exists as
+# operators/dedup.sample_stratified (per-stratum md5-threshold keep rates,
+# zero shuffle; gated as `sample_stratified` in plans/llm_data.py).
+# stratified_sample_exact_n above is its exact-count complement: fixed n
+# per stratum rather than a keep probability.

@@ -15,18 +15,21 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 17 gates below were built DURING
+cover; COVERAGE.md names them). The 27 gates below were built DURING
 round 8 and stage here for r9, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
-synthesized all-green CORRECTNESS_r08): promoting all 17 seats them at
-staleness -1, the remaining 33 slots take ALL 21 r6-deferred gates
+synthesized all-green CORRECTNESS_r08): promoting all 27 seats them at
+staleness -1, the remaining 23 slots take ALL 21 r6-deferred gates
 (staleness 5.25 — every one returns exactly as the r8 plan promised)
-plus the 12 stalest lg=7 gates (mm_mp2_features, changed in r8 by the
-polyphase wiring, leads them at 6.25). No gate's attestation age exceeds
-2 rounds. Symbol-level fingerprints keep the r10 backlog to gates whose
-reached code actually changes.
+plus the 2 stalest changed-in-r8 lg=7 gates (mm_mp2_features, changed by
+the polyphase wiring, leads at 6.25). The unchanged lg=7 remainder rides
+to r10 under local parity cover — the same accepted pattern as the
+r6-deferred cohort, and symbol-level fingerprints make "unchanged" a
+checked fact (byte-identical reached-symbol closure since the green
+row), not an assumption. Symbol-level fingerprints likewise keep the r10
+backlog to gates whose reached code actually changes.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import QuerySpec
+from .registry import EV_CTE, QuerySpec
 
 PENDING: dict[str, QuerySpec] = {}
 
@@ -1209,4 +1212,301 @@ def dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang"],
         [F.col("n_chars"), F.substring(F.lower(F.col("text")), 1, 16)],
         window=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-8 fourth wave
+# ---------------------------------------------------------------------------
+
+
+@pending(
+    "ev_markov_transitions",
+    oracle=f"""
+    WITH {EV_CTE},
+    st AS (
+      SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_ns, event_id) AS from_state,
+             event_type AS to_state
+      FROM ev),
+    c AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM st WHERE from_state IS NOT NULL GROUP BY 1, 2),
+    t AS (
+      SELECT c.*, CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from
+      FROM c)
+    SELECT from_state, to_state, n, n_from,
+           CAST((1000000000 * n) // n_from AS BIGINT) AS prob9
+    FROM t
+    """,
+    survey_ref="first-order Markov transition matrix (operators/markov.py) "
+    "over per-user ordered event sequences — the corpus-level 'what "
+    "follows what' of the reference's intra-block ordering analyses "
+    "(sandwich front->victim->back, inspectors/sandwich.rs); ONE key "
+    "shuffle for the lag (no self-join on consecutive ranks), transition "
+    "hash-agg output bounded by |states|^2, prob9 normalization window "
+    "over that bounded relation only; scaled-integer exact probabilities",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.markov import transition_stats
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return transition_stats(ev, "user_id", ["ts_ns", "event_id"], "event_type")
+
+
+@pending(
+    "x18_twap",
+    oracle=f"""
+    WITH {EV_CTE},
+    s AS (
+      SELECT user_id, event_id, ts_ns,
+             (ts_ns - (ts_ns % 1000000 + 1000000) % 1000000) // 1000000 AS ms,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM ev),
+    d AS (
+      SELECT user_id, cents,
+             COALESCE(lead(ms) OVER (
+               PARTITION BY user_id ORDER BY ts_ns, event_id) - ms, 0) AS dur_ms
+      FROM s),
+    a AS (
+      SELECT user_id AS key, COUNT(*) AS n_obs,
+             CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+             CAST(SUM(cents * dur_ms) AS BIGINT) AS num
+      FROM d GROUP BY 1)
+    SELECT key, n_obs, span_ms,
+           CASE WHEN span_ms > 0 THEN
+             (num // span_ms) * 10000000
+             + ((num - (num // span_ms) * span_ms) * 10000000) // span_ms
+           END AS twap9
+    FROM a
+    """,
+    survey_ref="time-weighted average price (operators/twap.py) — the "
+    "duration-weighted sibling of X4/X6's volume-weighted family, the "
+    "benchmark for quote snapshots (db/cex_utils.rs bid/ask tables); "
+    "piecewise-constant hold-until-next semantics, exact cents x "
+    "millisecond integer arithmetic, twap9 = floor(1e9*dollars) via the "
+    "overflow-safe two-step division; ONE key shuffle (lead window) + one "
+    "map-side-combined aggregate",
+)
+def x18_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.twap import twap
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return twap(ev, "user_id", "ts_ns", "value", "event_id")
+
+
+@pending(
+    "sample_stratified_n",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(
+                 'strat|' || lang || ':' || CAST(doc_id AS VARCHAR)
+               ), 1, 15))::BIGINT, doc_id) AS rk
+      FROM documents)
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+    """,
+    survey_ref="stratified exact-n sampling (operators/sampling.py "
+    "stratified_sample_exact_n) — the data-mixing draw: min(n, |stratum|) "
+    "rows per language, rank = md5(salt, stratum, id) so the sample is a "
+    "pure function of identity (re-partitioning or growing OTHER strata "
+    "never changes a stratum's draw); rank<=n compiles to WindowGroupLimit "
+    "so each task ships at most n rows per stratum into the exchange",
+)
+def sample_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample_exact_n
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact_n(docs, "lang", "doc_id", 3).select(
+        "lang", "doc_id", "rk"
+    )
+
+
+@pending(
+    "o11_skyline",
+    # quadratic NOT-EXISTS dominance — the formulation the operator's
+    # sweep exists to avoid (|distinct points|^2 pair checks)
+    # axes chosen to DECORRELATE (count vs min single-order price — the
+    # "many orders, none cheap" premium screen): total spend correlates
+    # with order count so strongly that its frontier collapses to 1-2
+    # points and the sweep has nothing to prune
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS floor_c
+      FROM orders GROUP BY 1),
+    p AS (SELECT n_orders, floor_c, COUNT(*) AS n_cust FROM c GROUP BY 1, 2)
+    SELECT CAST(a.n_orders AS BIGINT) AS n_orders, a.floor_c,
+           CAST(a.n_cust AS BIGINT) AS n_cust
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.n_orders >= a.n_orders AND b.floor_c >= a.floor_c
+        AND (b.n_orders > a.n_orders OR b.floor_c > a.floor_c))
+    """,
+    survey_ref="2-D skyline / Pareto frontier (operators/skyline.py) — "
+    "multi-criteria pruning (the reference's inspectors rank bundles on "
+    "several PnL axes at once, brontes-inspect composer ordering): "
+    "distinct-point collapse + per-x champion (two hash aggregates) + ONE "
+    "descending sweep window whose input is |distinct x|, with the "
+    "partition-local pre-prune (dominance transitivity) as the "
+    "high-cardinality path — prune_local=True here to keep the scale "
+    "shape under test; exact integer cents",
+)
+def o11_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_max2
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.min(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("floor_c"),
+    )
+    return (
+        skyline_max2(cust, "n_orders", "floor_c", prune_local=True)
+        .select(
+            F.col("x").alias("n_orders"),
+            F.col("y").alias("floor_c"),
+            F.col("n_pts").alias("n_cust"),
+        )
+    )
+
+
+@pending(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT source AS domain, COUNT(*) AS n FROM documents GROUP BY 1),
+    s AS (
+      SELECT domain, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s
+      FROM c),
+    t AS (SELECT CAST(SUM(s) AS BIGINT) AS s_total FROM s)
+    SELECT domain, n, s,
+           CAST((1000000000 * s) // s_total AS BIGINT) AS weight9
+    FROM s, t
+    """,
+    survey_ref="temperature-2 corpus mixing weights (operators/mixing.py) "
+    "— domain resampling p_i ∝ sqrt(n_i), the GPT-3/XLM-R rare-domain "
+    "up-weighting; engine-exact because IEEE 754 REQUIRES sqrt correctly "
+    "rounded (floor∘sqrt is the contract, identical in both engines even "
+    "in the near-perfect-square twilight), then pure-bigint weight9; one "
+    "map-side-combined aggregate to |domains| rows, 1-row scalar total "
+    "dim joined on a literal (the bm25 constant-folded broadcast); "
+    "general-T float path exists but is pytest-only by policy",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import temperature_weights_sqrt
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights_sqrt(docs, "source")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    edges = """
+      SELECT DISTINCT LEAST(s, t) AS s, GREATEST(s, t) AS t FROM (
+        SELECT doc_id AS s, doc_id // 2 AS t FROM documents
+        UNION ALL
+        SELECT doc_id AS s, doc_id // 3 AS t FROM documents
+      ) raw WHERE s != t"""
+    ctes = [f"e0 AS ({edges})"]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT node, COUNT(*) AS deg FROM ("
+            f"SELECT s AS node FROM e{r} UNION ALL SELECT t FROM e{r}"
+            f") u GROUP BY node)"
+        )
+        if r == rounds:
+            break
+        ctes.append(f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"e{r + 1} AS (SELECT s, t FROM e{r} "
+            f"WHERE s IN (SELECT node FROM k{r}) "
+            f"AND t IN (SELECT node FROM k{r}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(deg AS BIGINT) AS deg FROM d{rounds}"
+    )
+
+
+@pending(
+    "g9_kcore",
+    oracle=None,  # set below: generated unrolled-peel twin
+    survey_ref="k-core decomposition by fixed-round peeling "
+    "(operators/kcore.py) — the density screen of iterative graph "
+    "analytics (G3's 'prune the periphery first' generalized): each round "
+    "is one degree aggregate + two semi-joins, lineage cut per round "
+    "(each round reads the previous edge set TWICE, so the localCheckpoint "
+    "prevents quadratic re-execution, not just plan bloat); the division "
+    "tree (d->d//2, d->d//3) cascades a genuine multi-round peel (996 -> "
+    "494 -> 244 -> 120 -> 58 edges at sf0.01, k=3); DuckDB twin replays "
+    "the SAME 4 rounds as generated unrolled CTEs — the g7_pagerank "
+    "pattern for fixpoint-free exact parity",
+)
+def g9_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kcore import peel_rounds
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    edges = docs.select(d.alias("s"), (d / 2).cast("long").alias("t")).unionAll(
+        docs.select(d.alias("s"), (d / 3).cast("long").alias("t"))
+    )
+    return peel_rounds(edges, k=3, rounds=4)
+
+
+PENDING["g9_kcore"] = QuerySpec(
+    name="g9_kcore",
+    build=PENDING["g9_kcore"].build,
+    oracle=_kcore_oracle(k=3, rounds=4),
+    survey_ref=PENDING["g9_kcore"].survey_ref,
+)
+
+
+@pending(
+    "txt_bpe_pair_stats",
+    # the first BPE training iteration's pair table: adjacent-character
+    # counts weighted by word frequency, total-ordered top 40
+    oracle="""
+    WITH wx AS (
+      SELECT x FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS x FROM documents) u
+      WHERE regexp_matches(x, '^[a-z]+$')),
+    wd AS (SELECT x AS word, COUNT(*) AS n FROM wx GROUP BY 1),
+    pr AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS a,
+             substr(word, CAST(i AS INT) + 1, 1) AS b, n
+      FROM wd, LATERAL (SELECT unnest(range(1, length(word))) AS i) ii),
+    ag AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS pair_n FROM pr GROUP BY 1, 2)
+    SELECT a, b, pair_n FROM ag ORDER BY pair_n DESC, a, b LIMIT 40
+    """,
+    survey_ref="BPE tokenizer training, stats step (operators/bpe.py) — "
+    "Sennrich et al. 2016: the pair-count relation the merge argmax reads; "
+    "the scale contract is ONE corpus scan into the (word, n) vocabulary, "
+    "after which every merge round runs on the VOCAB relation (bounded by "
+    "distinct words, not corpus tokens) — bpe_train's loop + regex merge "
+    "semantics (left-to-right greedy, whole-symbol lookaround anchors) are "
+    "pinned against an independent list-walk Python reference in "
+    "tests/test_bpe.py; ascii_only keeps per-char arithmetic "
+    "codepoint-agnostic across engines (the fuzzy.py lesson)",
+)
+def txt_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import initial_symbols, pair_stats, word_vocabulary
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = initial_symbols(word_vocabulary(docs, "text"), end_marker=False)
+    return (
+        pair_stats(vocab)
+        .orderBy(F.col("pair_n").desc(), F.col("a"), F.col("b"))
+        .limit(40)
     )

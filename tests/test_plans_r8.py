@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
 SCALAR_DIM_GATES = {
     "txt_bm25_topk": 2,  # (N) x (L) corpus dims
     "txt_pmi_cooccur": 1,  # corpus pair total T
+    "corpus_temperature_mix": 1,  # sqrt-weight total
 }
 
 
@@ -132,3 +133,49 @@ def test_snm_is_one_window_no_self_join(spark):
     assert plan.count("Window") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------- r8 fourth wave
+
+
+def test_twap_single_exchange(spark):
+    # lead window and per-key aggregate share ONE hashpartitioning: the
+    # operator keeps the key's original attribute through the agg so
+    # Catalyst reuses the window exchange (aliasing first costs a shuffle)
+    plan = _plan(spark, "x18_twap", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_markov_exchanges_bounded(spark):
+    # user_id window + (from,to) count agg + prob window over the bounded
+    # aggregate — never more; the naive consecutive-rank self-join would
+    # add a fourth data-sized exchange plus a join
+    plan = _plan(spark, "ev_markov_transitions", mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Join" not in plan
+
+
+def test_stratified_sample_bounds_shuffle_with_wgl(spark):
+    # rank<=n must run map-side BEFORE the exchange (Partial) and again
+    # after (Final): each task ships at most n rows per stratum
+    plan = _plan(spark, "sample_stratified", mode="simple")
+    assert plan.count("WindowGroupLimit") == 2
+    assert "Partial" in plan
+
+
+def test_skyline_global_sweep_is_champion_sized(spark):
+    # the only SinglePartition exchange feeds the final sweep, whose input
+    # is the per-x champion relation — both data-sized stages are hash
+    # aggregates, and nothing joins
+    plan = _plan(spark, "o11_skyline", mode="simple")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_bpe_pair_stats_two_exchanges_and_bounded_topk(spark):
+    # vocab count agg + pair count agg; the top-40 is TakeOrdered, never a
+    # global sort
+    plan = _plan(spark, "txt_bpe_pair_stats", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
