@@ -112,6 +112,8 @@ HEADLINE = [
     "corpus_temperature_mix",
     "g9_kcore",
     "txt_bpe_pair_stats",
+    "x19_ols_trend",
+    "ev_attribution_linear",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -253,6 +255,8 @@ EXTRA = {
     "corpus_temperature_mix": _staged("corpus_temperature_mix"),
     "g9_kcore": _staged("g9_kcore"),
     "txt_bpe_pair_stats": _staged("txt_bpe_pair_stats"),
+    "x19_ols_trend": _staged("x19_ols_trend"),
+    "ev_attribution_linear": _staged("ev_attribution_linear"),
 }
 
 

@@ -50,9 +50,12 @@ def gapfill(
         F.explode(
             F.sequence(
                 # FLOOR-aligned grid origin: mn - pmod(mn, step) floors for
-                # negative timestamps too, where `div` truncates toward zero
-                # and would diverge from the oracle's `//` (engine-parity
-                # policy; pre-epoch ts are legal inputs)
+                # negative timestamps too. (Correction to the r7 advice
+                # note: DuckDB's integer `//` also truncates toward zero —
+                # measured -7 // 2 = -3, it floors only for DOUBLEs — so
+                # truncating `div` never actually diverged from the oracle;
+                # the pmod form stays because FLOOR is the right grid
+                # contract for pre-epoch ts, on BOTH sides.)
                 F.expr(f"mn - pmod(mn, {step})"), F.col("mx"), F.lit(step).cast("long")
             )
         ).alias("ts"),

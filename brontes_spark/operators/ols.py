@@ -1,0 +1,113 @@
+"""Group-wise simple linear regression (OLS trend), exact-integer.
+
+Per-key least-squares fit y = a + b·t — the trend screen behind drift
+detection, price-impact slopes, and per-entity health metrics (the
+reference's possible-MEV discovery uses mean+2σ outlier screens, I14;
+a fitted slope is the ordered-data sibling of that family).
+
+The closed form needs only four per-key sums:
+
+    b = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+
+and every one is an exact integer if t and y enter as integers. The
+engine-parity problem is OVERFLOW, not rounding, so the operator:
+
+  * re-bases t per key (t := t − min(t)) with a window over the SAME key
+    shuffle the aggregate uses — epoch-scale abscissas would put Σt² at
+    ~1e31 while a rebased span keeps it ≤ span²·n;
+  * keeps the sums as bigint (caller guarantees the documented envelope:
+    span_units²·n_rows < 2^63, e.g. 30-day second-grained keys with 10⁶
+    rows sit at 7e18·… — use a coarser grain when the envelope breaks);
+  * lifts ONLY the two final cross-products into decimal(38,0), where the
+    numerator/denominator (≤ ~1e21 at the envelope edge) are exact, and
+    floors the scaled slope in integer arithmetic. DuckDB runs the same
+    expressions in HUGEINT — both engines agree digit-for-digit.
+
+slope9 = floor(1e9 · b): positive-denominator floor division (the
+denominator is n·Σt² − (Σt)² ≥ 0 by Cauchy-Schwarz, zero only when all t
+coincide — those keys return NULL). INTEGER division truncates toward
+zero in BOTH engines (Spark `div`, and DuckDB's `//` too — it floors
+only for DOUBLEs; measured -7 // 2 = -3), so the floor for negative
+numerators is an explicit (num - (den-1)) adjustment on both sides —
+parity-pinned at the gate, where real per-user slopes go negative.
+
+Scale shape: ONE shuffle on the key (window min + aggregate share it, the
+twap.py exprId discipline), map-side-combined sums, output one row per
+key. Nothing downstream of the scan depends on row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DEC38 = "decimal(38,0)"
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+    t_unit: int = 1,
+) -> DataFrame:
+    """(key, n, t_span, slope9, intercept9) per key.
+
+    ``t_col`` integer abscissa; ``t_unit`` divides it (floor) to a coarser
+    grain FIRST — the envelope dial. ``y_col`` integer ordinate.
+    slope9 = floor(1e9 · b) in y-units per t-grain; intercept9 =
+    floor(1e9 · (ȳ − b·t̄)) at the REBASED origin (t = per-key min).
+    Keys where every observation shares one t (or n == 1) yield NULLs.
+    """
+    t_floor = F.expr(
+        f"({t_col} - pmod({t_col}, {t_unit})) div {t_unit}"
+    )
+    w = W.partitionBy(key_col)
+    base = df.select(
+        key_col,
+        t_floor.alias("_t_raw"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).withColumn("_t", F.col("_t_raw") - F.min("_t_raw").over(w))
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("_t").alias("t_span"),
+        F.sum("_t").alias("_st"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_sty"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+    )
+    # cross-products in decimal(38,0): exact for |value| < 1e38; the
+    # bigint envelope above keeps operands < 2^63 so products < ~8.5e37
+    num = F.expr(f"CAST(n AS {DEC38}) * CAST(_sty AS {DEC38})"
+                 f" - CAST(_st AS {DEC38}) * CAST(_sy AS {DEC38})")
+    den = F.expr(f"CAST(n AS {DEC38}) * CAST(_stt AS {DEC38})"
+                 f" - CAST(_st AS {DEC38}) * CAST(_st AS {DEC38})")
+    out = agg.withColumn("_num", num).withColumn("_den", den)
+    # floor division with a POSITIVE denominator and either-sign
+    # numerator: Spark `div` truncates toward zero, so subtract (den-1)
+    # from negative numerators first — equals DuckDB's native `//` floor
+    slope9 = F.expr(
+        "CAST(CASE WHEN _den = 0 THEN NULL "
+        "WHEN _num >= 0 THEN (_num * 1000000000) div _den "
+        "ELSE ((_num * 1000000000) - (_den - 1)) div _den END AS BIGINT)"
+    )
+    out = out.withColumn("slope9", slope9)
+    # intercept9 = floor(1e9·(Σy·den − b9_exact…)/…) — computed from the
+    # same exact sums: a = (Σy − b·Σt)/n with b = num/den, so
+    # a·1e9 = (1e9·Σy·den − 1e9·num·Σt) / (n·den)
+    inum = F.expr(
+        f"CAST(_sy AS {DEC38}) * _den * 1000000000"
+        f" - _num * 1000000000 * CAST(_st AS {DEC38})"
+    )
+    iden = F.expr(f"CAST(n AS {DEC38}) * _den")
+    intercept9 = F.expr(
+        "CAST(CASE WHEN _iden = 0 THEN NULL "
+        "WHEN _inum >= 0 THEN _inum div _iden "
+        "ELSE (_inum - (_iden - 1)) div _iden END AS BIGINT)"
+    )
+    return (
+        out.withColumn("_inum", inum)
+        .withColumn("_iden", iden)
+        .withColumn("intercept9", intercept9)
+        .select(key_col, "n", "t_span", "slope9", "intercept9")
+    )

@@ -15,21 +15,23 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 27 gates below were built DURING
+cover; COVERAGE.md names them). The 29 gates below were built DURING
 round 8 and stage here for r9, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
-synthesized all-green CORRECTNESS_r08): promoting all 27 seats them at
-staleness -1, the remaining 23 slots take ALL 21 r6-deferred gates
-(staleness 5.25 — every one returns exactly as the r8 plan promised)
-plus the 2 stalest changed-in-r8 lg=7 gates (mm_mp2_features, changed by
-the polyphase wiring, leads at 6.25). The unchanged lg=7 remainder rides
-to r10 under local parity cover — the same accepted pattern as the
-r6-deferred cohort, and symbol-level fingerprints make "unchanged" a
-checked fact (byte-identical reached-symbol closure since the green
-row), not an assumption. Symbol-level fingerprints likewise keep the r10
-backlog to gates whose reached code actually changes.
+synthesized all-green CORRECTNESS_r08): promoting all 29 seats them at
+staleness -1, and the remaining 21 slots take EXACTLY the 21 r6-deferred
+gates (staleness 5.25 — every one returns as the r8 plan promised); the
+window is exactly full. The changed-in-r8 lg=7 cohort (10 gates by the
+symbol-level fingerprint refresh — mm_mp2_features, mm_audio_*, the
+sketch NULL-boundary fixes, gapfill, txt_url_normalize) therefore rides
+to r10 as the FIRST seats after the r9 promotion wave, carrying interim
+cover from the local sf0.01 parity suite + the r8 robustness sweeps; the
+unchanged lg=7 remainder rides behind them — "unchanged" being a checked
+fact (byte-identical reached-symbol closure since the green row), not an
+assumption. Symbol-level fingerprints likewise keep the r10 backlog to
+gates whose reached code actually changes.
 """
 
 from __future__ import annotations
@@ -1509,4 +1511,125 @@ def txt_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_stats(vocab)
         .orderBy(F.col("pair_n").desc(), F.col("a"), F.col("b"))
         .limit(40)
+    )
+
+
+@pending(
+    "x19_ols_trend",
+    # the DuckDB twin runs the SAME exact-integer closed form in HUGEINT
+    # (int128) where Spark uses decimal(38,0). BOTH engines' integer
+    # division truncates toward zero (duckdb's `//` floors only for
+    # DOUBLEs — measured: -7 // 2 = -3), so BOTH sides carry the same
+    # explicit floor adjustment for negative numerators
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT user_id,
+             (ts_ns - (ts_ns % 1000000000 + 1000000000) % 1000000000)
+               // 1000000000 AS t_raw,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM ev),
+    r AS (
+      SELECT user_id,
+             t_raw - MIN(t_raw) OVER (PARTITION BY user_id) AS t, y
+      FROM b),
+    a AS (
+      SELECT user_id, COUNT(*) AS n, MAX(t) AS t_span,
+             CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(t * y) AS HUGEINT) AS sty,
+             CAST(SUM(t * t) AS HUGEINT) AS stt
+      FROM r GROUP BY 1),
+    f AS (
+      SELECT user_id, n, t_span,
+             n * sty - st * sy AS num, n * stt - st * st AS den, sy, st
+      FROM a)
+    SELECT user_id AS key, CAST(n AS BIGINT) AS n,
+           CAST(t_span AS BIGINT) AS t_span,
+           CAST(CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN (num * 1000000000) // den
+                ELSE ((num * 1000000000) - (den - 1)) // den
+                END AS BIGINT) AS slope9,
+           CAST(CASE WHEN den = 0 THEN NULL
+                WHEN sy * den * 1000000000 - num * 1000000000 * st >= 0
+                THEN (sy * den * 1000000000 - num * 1000000000 * st)
+                     // (n * den)
+                ELSE ((sy * den * 1000000000 - num * 1000000000 * st)
+                      - (n * den - 1)) // (n * den)
+                END AS BIGINT) AS intercept9
+    FROM f
+    """,
+    survey_ref="group-wise exact-integer OLS trend (operators/ols.py) — "
+    "per-user least-squares value-vs-time slope, the ordered-data sibling "
+    "of I14's mean+2σ screen: per-key t re-basing (window and aggregate "
+    "share ONE key exchange), bigint sums, cross-products lifted to "
+    "decimal(38,0) vs the twin's HUGEINT, floor-adjusted `div` vs native "
+    "`//` for negative numerators; slope9/intercept9 = floor(1e9·b), "
+    "floor(1e9·a) — engine-exact, no doubles anywhere",
+)
+def x19_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ols import ols_trend
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return ols_trend(
+        ev.select("user_id", "ts_ns", cents.alias("cents")),
+        "user_id",
+        "ts_ns",
+        "cents",
+        t_unit=1_000_000_000,
+    ).select(
+        F.col("user_id").alias("key"), "n", "t_span", "slope9", "intercept9"
+    )
+
+
+@pending(
+    "ev_attribution_linear",
+    # the oracle is the inequality self-join the operator's bucket-banded
+    # composition exists to avoid at scale
+    oracle=f"""
+    WITH {EV_CTE},
+    c AS (SELECT user_id, event_id AS conv_id, ts_ns AS conv_ts
+          FROM ev WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS touch_id, ts_ns AS touch_ts
+          FROM ev WHERE event_type = 'view'),
+    p AS (
+      SELECT c.user_id AS key, conv_id, touch_id,
+             conv_ts - touch_ts AS gap_ns, touch_ts
+      FROM c JOIN t ON c.user_id = t.user_id
+        AND t.touch_ts <= c.conv_ts
+        AND t.touch_ts >= c.conv_ts - 259200000000000),
+    w AS (
+      SELECT key, conv_id, touch_id, gap_ns, touch_ts,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n_touch,
+             MIN(touch_ts) OVER (PARTITION BY conv_id) AS f_ts,
+             MAX(touch_ts) OVER (PARTITION BY conv_id) AS l_ts
+      FROM p)
+    SELECT key, conv_id, touch_id, gap_ns, CAST(n_touch AS BIGINT) AS n_touch,
+           CAST(1000000000 // n_touch AS BIGINT) AS credit9,
+           touch_ts = f_ts AS is_first, touch_ts = l_ts AS is_last
+    FROM w
+    """,
+    survey_ref="multi-touch linear attribution (operators/attribution.py) "
+    "— view->purchase credit split over a 72h lookback: pair generation "
+    "COMPOSES the bucket-banded interval join (x16's equi-join scale "
+    "shape — never the oracle's inequality self-join), credit "
+    "normalization + first/last-touch flags share ONE conv-keyed window "
+    "exchange; credit9 = floor(1e9/n_touch) exact; last-touch alone "
+    "reduces to X1's as-of join, making this its many-to-many elder",
+)
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import linear_attribution
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return linear_attribution(
+        ev,
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        touch_type="view",
+        conv_type="purchase",
+        horizon_ns=259_200_000_000_000,  # 72h
     )

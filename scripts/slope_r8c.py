@@ -24,6 +24,8 @@ QUERIES = [
     "corpus_temperature_mix",
     "g9_kcore",
     "txt_bpe_pair_stats",
+    "x19_ols_trend",
+    "ev_attribution_linear",
 ]
 
 

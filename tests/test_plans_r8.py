@@ -159,7 +159,7 @@ def test_markov_exchanges_bounded(spark):
 def test_stratified_sample_bounds_shuffle_with_wgl(spark):
     # rank<=n must run map-side BEFORE the exchange (Partial) and again
     # after (Final): each task ships at most n rows per stratum
-    plan = _plan(spark, "sample_stratified", mode="simple")
+    plan = _plan(spark, "sample_stratified_n", mode="simple")
     assert plan.count("WindowGroupLimit") == 2
     assert "Partial" in plan
 
@@ -179,3 +179,19 @@ def test_bpe_pair_stats_two_exchanges_and_bounded_topk(spark):
     plan = _plan(spark, "txt_bpe_pair_stats", mode="simple")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ols_single_exchange(spark):
+    # re-base window + sum aggregate share the key exchange (the twap
+    # discipline); the decimal cross-products are pure projections
+    plan = _plan(spark, "x19_ols_trend", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_attribution_is_banded_equi_join(spark):
+    # the pair generator must inherit the interval join's equi-join shape
+    # (bucket-banded hash join), never the oracle's inequality self-join
+    plan = _plan(spark, "ev_attribution_linear", mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # bucket banding
