@@ -789,10 +789,13 @@ PENDING["o8_zorder_index"] = QuerySpec(
     """,
     survey_ref="table profiling / column statistics (operators/profile.py "
     "— the ANALYZE / SUMMARIZE surface): per-column nulls, EXACT distinct "
-    "count, min/max in ONE table scan (multi-COUNT(DISTINCT) via one "
-    "Expand + map-side partial agg; a per-column union would scan k "
-    "times), unpivoted with stack(); float columns excluded by policy "
-    "(engine-dependent string rendering)",
+    "count, min/max as a UNION of per-column pruned-scan aggregates — "
+    "MEASURED 13x over the folk one-scan Expand form at sf0.1 (9.06 s -> "
+    "0.66 s): on columnar storage k single-column scans total ~one "
+    "full-table byte read, while the Expand path reads every column AND "
+    "pushes a (k+1)x row blow-up through the aggregate; the expand "
+    "formulation stays as the documented row-oriented-source dial; float "
+    "columns excluded by policy (engine-dependent string rendering)",
 )
 def o9_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table

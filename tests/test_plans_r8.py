@@ -64,11 +64,16 @@ def test_interval_join_is_plain_hash_shuffle_join(spark):
     assert "Join" in plan and "NestedLoop" not in plan
 
 
-def test_table_profile_single_expand_single_scan(spark):
+def test_table_profile_union_of_pruned_scans(spark):
     plan = _plan(spark, "o9_table_profile", mode="simple")
-    # multi-COUNT(DISTINCT) compiles to ONE Expand over ONE scan
-    assert plan.count("Expand") == 1
-    assert plan.count("Scan parquet") == 1
+    # the union formulation: one pruned single-column scan per profiled
+    # column, NO Expand anywhere (measured 13x over the one-scan Expand
+    # form at sf0.1 — see operators/profile.py)
+    assert "Expand" not in plan
+    assert plan.count("Scan parquet") == 4  # one per profiled column
+    # every scan must prune to its single column (ReadSchema shows it)
+    plan_f = _plan(spark, "o9_table_profile")
+    assert plan_f.count("ReadSchema") == 4
 
 
 def test_zorder_is_pure_codegen_projection(spark):
