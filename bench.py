@@ -114,6 +114,8 @@ HEADLINE = [
     "txt_bpe_pair_stats",
     "x19_ols_trend",
     "ev_attribution_linear",
+    "g10_label_prop",
+    "o12_rrf_fusion",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -257,6 +259,8 @@ EXTRA = {
     "txt_bpe_pair_stats": _staged("txt_bpe_pair_stats"),
     "x19_ols_trend": _staged("x19_ols_trend"),
     "ev_attribution_linear": _staged("ev_attribution_linear"),
+    "g10_label_prop": _staged("g10_label_prop"),
+    "o12_rrf_fusion": _staged("o12_rrf_fusion"),
 }
 
 

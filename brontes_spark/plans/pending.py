@@ -15,15 +15,20 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 29 gates below were built DURING
-round 8 and stage here for r9, all sf0.01-parity green AND sf0.1
-hash-match-swept, all benched.
+cover; COVERAGE.md names them). The 31 gates below were built DURING
+round 8 and stage here, all sf0.01-parity green AND sf0.1
+hash-match-swept, all benched — in TWO promotion tiers, because the r9
+window has exactly 29 seats to give (see the math below): the first 29
+promote at r9; `g10_label_prop` and `o12_rrf_fusion` (the last two
+built, marked "r10 tier" in their survey_refs) stay staged through r9
+under parity cover and promote at r10.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
-synthesized all-green CORRECTNESS_r08): promoting all 29 seats them at
-staleness -1, and the remaining 21 slots take EXACTLY the 21 r6-deferred
-gates (staleness 5.25 — every one returns as the r8 plan promised); the
-window is exactly full. The changed-in-r8 lg=7 cohort (10 gates by the
+synthesized all-green CORRECTNESS_r08): promoting the 29-gate r9 tier
+seats them at staleness -1, and the remaining 21 slots take EXACTLY the
+21 r6-deferred gates (staleness 5.25 — every one returns as the r8 plan
+promised); the window is exactly full. Promoting all 31 would instead
+eject two r6-deferred gates and break that promise — hence the tiers. The changed-in-r8 lg=7 cohort (10 gates by the
 symbol-level fingerprint refresh — mm_mp2_features, mm_audio_*, the
 sketch NULL-boundary fixes, gapfill, txt_url_normalize) therefore rides
 to r10 as the FIRST seats after the r9 promotion wave, carrying interim
@@ -1636,3 +1641,129 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv_type="purchase",
         horizon_ns=259_200_000_000_000,  # 72h
     )
+
+
+def _labelprop_oracle(rounds: int) -> str:
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT LEAST(s, t) AS s, GREATEST(s, t) AS t FROM (
+        SELECT doc_id AS s, doc_id + 1 AS t FROM documents
+        UNION ALL
+        SELECT doc_id AS s, (doc_id // 50) * 50 AS t FROM documents
+      ) raw WHERE s != t)""",
+        "bidir AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0)",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM bidir)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""l{r + 1} AS (
+      SELECT node, n_label AS label FROM (
+        SELECT b.s AS node, l.label AS n_label, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY b.s
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM bidir b JOIN l{r} l ON l.node = b.t
+        GROUP BY b.s, l.label) x WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )
+
+
+@pending(
+    "g10_label_prop",
+    oracle=None,  # set below: generated unrolled-round twin
+    survey_ref="synchronous label propagation (operators/labelprop.py, "
+    "Raghavan et al. 2007 made deterministic: simultaneous updates + "
+    "total (count DESC, label ASC) tie order) — community detection "
+    "completing the iterative graph family (CC, PageRank, k-core, "
+    "triangles); one edge⋈label join + one count agg + one argmax per "
+    "round, lineage cut per round; the chain+block-hub fixture (d—d+1, "
+    "d—50-block hub) converges to block communities; DuckDB twin replays "
+    "the SAME 3 rounds as generated CTEs (the g7/g9 pattern); staged for "
+    "the r10 promotion tier (the r9 window is exactly full — see header)",
+)
+def g10_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.labelprop import label_propagation
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    edges = docs.select(d.alias("s"), (d + 1).alias("t")).unionAll(
+        docs.select(d.alias("s"), ((d / 50).cast("long") * 50).alias("t"))
+    )
+    return label_propagation(edges, rounds=3)
+
+
+PENDING["g10_label_prop"] = QuerySpec(
+    name="g10_label_prop",
+    build=PENDING["g10_label_prop"].build,
+    oracle=_labelprop_oracle(rounds=3),
+    survey_ref=PENDING["g10_label_prop"].survey_ref,
+)
+
+
+@pending(
+    "o12_rrf_fusion",
+    # two REAL single-criterion retrievers (parts by revenue, parts by
+    # ship volume) fused; the relational shape is identical to fusing
+    # BM25 + dense-ANN lists (tests pin that composition directly)
+    oracle="""
+    WITH rev AS (
+      SELECT l_returnflag AS query, l_partkey AS id,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC,
+                        l_partkey) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_partkey),
+    qty AS (
+      SELECT l_returnflag AS query, l_partkey AS id,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY SUM(l_quantity) DESC, l_partkey) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_partkey),
+    u AS (
+      SELECT query, id, 1000000000 // (60 + rk) AS term
+      FROM (SELECT * FROM rev WHERE rk <= 20
+            UNION ALL SELECT * FROM qty WHERE rk <= 20) z),
+    f AS (
+      SELECT query, id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(term) AS BIGINT) AS score9
+      FROM u GROUP BY query, id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query ORDER BY score9 DESC, id) AS fused_rank
+      FROM f)
+    SELECT query, id, n_lists, score9, CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM r WHERE fused_rank <= 10
+    """,
+    survey_ref="Reciprocal Rank Fusion (operators/fusion.py, Cormack et "
+    "al. 2009) — the hybrid-retrieval merge (BM25 + dense ANN + recency) "
+    "that needs ranks only, no score calibration: per-term "
+    "floor(1e9/(k+rank)) keeps the fused score an exact bigint; union of "
+    "top-N lists + one hash agg + WindowGroupLimit top-k, nothing "
+    "data-sized (the retrievers upstream did the heavy work); staged for "
+    "the r10 promotion tier",
+)
+def o12_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fusion import rrf_fuse
+    from ..sources.testdata import load_table
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def ranked(order_expr):
+        agg = li.groupBy(
+            F.col("l_returnflag").alias("query"),
+            F.col("l_partkey").alias("id"),
+        ).agg(order_expr.alias("_v"))
+        w = W.partitionBy("query").orderBy(F.col("_v").desc(), F.col("id"))
+        return (
+            agg.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("query", "id", "rk")
+        )
+
+    rev = ranked(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")))
+    qty = ranked(F.sum("l_quantity"))
+    return rrf_fuse([rev, qty], "query", "id", "rk", k=60, top=10)

@@ -26,6 +26,8 @@ QUERIES = [
     "txt_bpe_pair_stats",
     "x19_ols_trend",
     "ev_attribution_linear",
+    "g10_label_prop",
+    "o12_rrf_fusion",
 ]
 
 

@@ -36,7 +36,7 @@ def test_readme_quotes_live_counts():
 def test_coverage_staged_list_matches_pending():
     md = _read("COVERAGE.md")
     m = re.search(
-        r"staged gates awaiting r\d+ promotion \((\d+) —", md
+        r"staged gates awaiting (?:r\d+ )?promotion \((\d+) —", md
     )
     assert m, "COVERAGE must quote the staged-gate count"
     assert int(m.group(1)) == len(PENDING)
