@@ -116,6 +116,7 @@ HEADLINE = [
     "ev_attribution_linear",
     "g10_label_prop",
     "o12_rrf_fusion",
+    "x20_pearson_corr",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -261,6 +262,7 @@ EXTRA = {
     "ev_attribution_linear": _staged("ev_attribution_linear"),
     "g10_label_prop": _staged("g10_label_prop"),
     "o12_rrf_fusion": _staged("o12_rrf_fusion"),
+    "x20_pearson_corr": _staged("x20_pearson_corr"),
 }
 
 

@@ -111,3 +111,60 @@ def ols_trend(
         .withColumn("intercept9", intercept9)
         .select(key_col, "n", "t_span", "slope9", "intercept9")
     )
+
+
+def pearson_corr(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+    t_unit: int = 1,
+) -> DataFrame:
+    """(key, n, corr9) — per-key Pearson correlation of (t, y), exact
+    sums with ONE double step at the very end.
+
+    r = (n·Σty − Σt·Σy) / sqrt((n·Σt² − (Σt)²) · (n·Σy² − (Σy)²))
+
+    Numerator and both variance terms are exact integers (same envelope
+    discipline as ols_trend: per-key re-based t, bigint sums). The final
+    step converts each to double and computes 1e9·num/sqrt(d1·d2): every
+    operation in that chain — int64→double conversion, multiply, sqrt
+    (IEEE-mandated), divide — is correctly rounded, so identical inputs
+    give the bit-identical double in every conforming engine, and the
+    floor to corr9 agrees. (Never compute d1·d2 in integers first: the
+    >2^53 product would hit the decimal→double conversion divergence
+    documented in functions/decimals.py; converting d1 and d2 SEPARATELY
+    keeps every conversion an int64→double.) corr9 ∈ [-1e9, 1e9]; NULL
+    when either variance is zero (constant series) or n < 2."""
+    t_floor = F.expr(f"({t_col} - pmod({t_col}, {t_unit})) div {t_unit}")
+    w = W.partitionBy(key_col)
+    base = df.select(
+        key_col,
+        t_floor.alias("_t_raw"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).withColumn("_t", F.col("_t_raw") - F.min("_t_raw").over(w))
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_t").alias("_st"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_sty"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    num = F.expr(f"CAST(n AS {DEC38}) * CAST(_sty AS {DEC38})"
+                 f" - CAST(_st AS {DEC38}) * CAST(_sy AS {DEC38})")
+    d1 = F.expr(f"CAST(n AS {DEC38}) * CAST(_stt AS {DEC38})"
+                f" - CAST(_st AS {DEC38}) * CAST(_st AS {DEC38})")
+    d2 = F.expr(f"CAST(n AS {DEC38}) * CAST(_syy AS {DEC38})"
+                f" - CAST(_sy AS {DEC38}) * CAST(_sy AS {DEC38})")
+    out = (
+        agg.withColumn("_num", num.cast("long"))
+        .withColumn("_d1", d1.cast("long"))
+        .withColumn("_d2", d2.cast("long"))
+    )
+    corr9 = F.expr(
+        "CAST(CASE WHEN _d1 > 0 AND _d2 > 0 THEN "
+        "FLOOR(1000000000.0 * CAST(_num AS DOUBLE) / "
+        "SQRT(CAST(_d1 AS DOUBLE) * CAST(_d2 AS DOUBLE))) END AS BIGINT)"
+    )
+    return out.select(key_col, "n", corr9.alias("corr9"))

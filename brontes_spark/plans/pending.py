@@ -15,13 +15,13 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 31 gates below were built DURING
+cover; COVERAGE.md names them). The 32 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; `g10_label_prop` and `o12_rrf_fusion` (the last two
-built, marked "r10 tier" in their survey_refs) stay staged through r9
-under parity cover and promote at r10.
+promote at r9; `g10_label_prop`, `o12_rrf_fusion` and `x20_pearson_corr`
+(the last three built, marked "r10 tier" in their survey_refs) stay
+staged through r9 under parity cover and promote at r10.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
 synthesized all-green CORRECTNESS_r08): promoting the 29-gate r9 tier
@@ -1767,3 +1767,64 @@ def o12_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = ranked(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")))
     qty = ranked(F.sum("l_quantity"))
     return rrf_fuse([rev, qty], "query", "id", "rk", k=60, top=10)
+
+
+@pending(
+    "x20_pearson_corr",
+    # the single double step (int64->double, *, sqrt, /) is correctly
+    # rounded at every operation in both engines, so the floor agrees;
+    # casting num/d1/d2 to BIGINT before DOUBLE keeps both sides on the
+    # same int64->double conversion (never a >2^53 decimal/HUGEINT cast)
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT user_id,
+             (ts_ns - (ts_ns % 1000000000 + 1000000000) % 1000000000)
+               // 1000000000 AS t_raw,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM ev),
+    r AS (
+      SELECT user_id,
+             t_raw - MIN(t_raw) OVER (PARTITION BY user_id) AS t, y
+      FROM b),
+    a AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(t * y) AS HUGEINT) AS sty,
+             CAST(SUM(t * t) AS HUGEINT) AS stt,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM r GROUP BY 1),
+    f AS (
+      SELECT user_id, n,
+             CAST(n * sty - st * sy AS BIGINT) AS num,
+             CAST(n * stt - st * st AS BIGINT) AS d1,
+             CAST(n * syy - sy * sy AS BIGINT) AS d2
+      FROM a)
+    SELECT user_id AS key, CAST(n AS BIGINT) AS n,
+           CASE WHEN d1 > 0 AND d2 > 0 THEN
+             CAST(FLOOR(1000000000.0 * CAST(num AS DOUBLE)
+                  / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                  AS BIGINT)
+           END AS corr9
+    FROM f
+    """,
+    survey_ref="per-key Pearson correlation (operators/ols.pearson_corr) "
+    "— bivariate statistics on the OLS exact-sum core: integer num/d1/d2, "
+    "ONE final double chain (int64→double, *, IEEE sqrt, /) where every "
+    "op is correctly rounded so both engines produce the bit-identical "
+    "double and the corr9 floor agrees; one key exchange (window+agg "
+    "share it); staged for the r10 promotion tier",
+)
+def x20_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ols import pearson_corr
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return pearson_corr(
+        ev.select("user_id", "ts_ns", cents.alias("cents")),
+        "user_id",
+        "ts_ns",
+        "cents",
+        t_unit=1_000_000_000,
+    ).select(F.col("user_id").alias("key"), "n", "corr9")

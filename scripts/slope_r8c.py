@@ -28,6 +28,7 @@ QUERIES = [
     "ev_attribution_linear",
     "g10_label_prop",
     "o12_rrf_fusion",
+    "x20_pearson_corr",
 ]
 
 

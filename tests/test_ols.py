@@ -98,3 +98,56 @@ def test_rebasing_makes_epoch_scale_safe(spark):
     df = spark.createDataFrame(rows, "k int, ts long, y long")
     got = _got(ols_trend(df, "k", "ts", "y", t_unit=10**9))
     assert got[1] == (50, 49, 10**9, 100 * 10**9)
+
+
+# ------------------------------------------------------------- pearson
+
+
+def test_pearson_perfect_lines_and_constant(spark):
+    from brontes_spark.operators.ols import pearson_corr
+
+    rows = [(1, i, 3 * i + 5) for i in range(10)]
+    rows += [(2, i, -2 * i + 100) for i in range(10)]
+    rows += [(3, i, 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "k int, ts long, y long")
+    got = {r["k"]: r["corr9"] for r in pearson_corr(df, "k", "ts", "y").collect()}
+    assert got[1] == 10**9
+    assert got[2] == -(10**9)
+    assert got[3] is None
+
+
+def test_pearson_matches_python_reference(spark):
+    import math
+    import random
+
+    from brontes_spark.operators.ols import pearson_corr
+
+    rng = random.Random(17)
+    rows, ref = [], {}
+    for k in range(6):
+        pts = [(t, rng.randrange(-1000, 1000)) for t in range(rng.randrange(3, 40))]
+        rows += [(k, t, y) for t, y in pts]
+        n = len(pts)
+        st = sum(t for t, _ in pts); sy = sum(y for _, y in pts)
+        sty = sum(t * y for t, y in pts)
+        stt = sum(t * t for t, _ in pts); syy = sum(y * y for _, y in pts)
+        num, d1, d2 = n * sty - st * sy, n * stt - st * st, n * syy - sy * sy
+        ref[k] = (
+            math.floor(1e9 * float(num) / math.sqrt(float(d1) * float(d2)))
+            if d1 > 0 and d2 > 0 else None
+        )
+    df = spark.createDataFrame(rows, "k int, ts long, y long")
+    got = {r["k"]: r["corr9"] for r in pearson_corr(df, "k", "ts", "y").collect()}
+    assert got == ref
+
+
+def test_pearson_bounded(spark):
+    import random
+
+    from brontes_spark.operators.ols import pearson_corr
+
+    rng = random.Random(18)
+    rows = [(k, t, rng.randrange(10**6)) for k in range(4) for t in range(50)]
+    df = spark.createDataFrame(rows, "k int, ts long, y long")
+    for r in pearson_corr(df, "k", "ts", "y").collect():
+        assert -(10**9) <= r["corr9"] <= 10**9
