@@ -117,6 +117,8 @@ HEADLINE = [
     "g10_label_prop",
     "o12_rrf_fusion",
     "x20_pearson_corr",
+    "x21_rolling_distinct",
+    "g11_hits",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -263,6 +265,8 @@ EXTRA = {
     "g10_label_prop": _staged("g10_label_prop"),
     "o12_rrf_fusion": _staged("o12_rrf_fusion"),
     "x20_pearson_corr": _staged("x20_pearson_corr"),
+    "x21_rolling_distinct": _staged("x21_rolling_distinct"),
+    "g11_hits": _staged("g11_hits"),
 }
 
 

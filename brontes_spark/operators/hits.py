@@ -1,0 +1,85 @@
+"""Fixed-round HITS (hubs & authorities), exact-integer.
+
+Kleinberg 1999: on a directed graph, authority(v) accrues from the hubs
+pointing at it and hub(u) from the authorities it points at — the
+bipartite-flavored complement of PageRank's random walk (buyers are hubs,
+suppliers are authorities in a trade graph; crawlers vs content in a link
+graph). Standard HITS normalizes each round to keep floats bounded; this
+variant drops normalization entirely and keeps EXACT INTEGER scores —
+normalization is a positive scalar per round, so the RANKINGS (and score
+ratios within a side) are identical, while every value stays a bigint a
+DuckDB twin reproduces digit-for-digit with unrolled CTEs (the
+pagerank/kcore oracle pattern).
+
+Magnitude envelope: scores multiply by ~(avg in-deg × avg out-deg) per
+round — the caller's `rounds` must keep max_deg^(2·rounds) · |nodes|
+under 2^63 (3 rounds at deg ≤ 10³ is ~1e12; the gate's trade graph
+measures ~4.5e12). Overflow would be a loud decimal/bigint error, not a
+silent wrap.
+
+Per round: two joins + two aggregates (auth update from current hubs,
+then hub update from the NEW authorities — the classic ordering), over
+the cached distinct edge list; lineage cut per round (each round reads
+the previous scores twice)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hits_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """(node, auth, hub) after `rounds` un-normalized updates from an
+    all-ones start. Nodes = every distinct endpoint; a pure source has
+    auth 0-accrual only through updates (its start value is still 1
+    until the first auth update overwrites it with the in-sum, which is
+    0 for no in-edges)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # scores stay SPARSE inside the loop: a node missing from `auth`
+    # means auth = 0, and zero scores contribute nothing through the
+    # inner join-aggregate anyway — carrying explicit zeros would add two
+    # node-sized left joins per round for no semantic difference. The
+    # dense zero-filled relation is assembled ONCE at the end.
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("auth"), F.lit(0)).alias("auth"),
+            F.coalesce(F.col("hub"), F.lit(0)).alias("hub"),
+        )
+    )

@@ -15,13 +15,14 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 32 gates below were built DURING
+cover; COVERAGE.md names them). The 34 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; `g10_label_prop`, `o12_rrf_fusion` and `x20_pearson_corr`
-(the last three built, marked "r10 tier" in their survey_refs) stay
-staged through r9 under parity cover and promote at r10.
+promote at r9; the five marked "r10 tier" in their survey_refs
+(`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
+`x21_rolling_distinct`, `g11_hits`) stay staged through r9 under parity
+cover and promote at r10.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
 synthesized all-green CORRECTNESS_r08): promoting the 29-gate r9 tier
@@ -1828,3 +1829,106 @@ def x20_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         t_unit=1_000_000_000,
     ).select(F.col("user_id").alias("key"), "n", "corr9")
+
+
+@pending(
+    "x21_rolling_distinct",
+    # 7-day rolling distinct users per day; the oracle is the W-scan
+    # correlated form the operator's collapse+explode exists to avoid
+    oracle=f"""
+    WITH {EV_CTE},
+    a AS (
+      SELECT DISTINCT user_id AS key,
+             (ts_ns - (ts_ns % 86400000000000 + 86400000000000)
+              % 86400000000000) // 86400000000000 AS day
+      FROM ev),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM a),
+    grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span)
+    SELECT g.day AS day,
+           CAST((SELECT COUNT(DISTINCT key) FROM a
+                 WHERE a.day BETWEEN g.day - 6 AND g.day) AS BIGINT)
+             AS n_active
+    FROM grid g
+    """,
+    survey_ref="sliding-window distinct counts / rolling WAU "
+    "(operators/rolling_distinct.py) — COUNT(DISTINCT) does not "
+    "decompose over sliding windows, so: collapse to distinct (key, day) "
+    "FIRST (bounds all later work by active-key-days, not events), "
+    "explode each into its W visible report days, one distinct agg per "
+    "report day; span-grid zero-fill without a calendar join; the "
+    "HLL-merge swap-in for W>90 documented; staged for the r10 tier",
+)
+def x21_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling_distinct import rolling_distinct
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return rolling_distinct(ev, "user_id", "ts_ns", window_days=7)
+
+
+def _hits_oracle(rounds: int) -> str:
+    ctes = [
+        """e AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""a{r + 1} AS (
+      SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(h.hub) AS s
+        FROM e JOIN h{r} h ON h.node = e.src GROUP BY e.dst) s
+      ON s.dst = n.node)"""
+        )
+        ctes.append(
+            f"""h{r + 1} AS (
+      SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hub
+      FROM nodes n LEFT JOIN (
+        SELECT e.src, SUM(a.auth) AS s
+        FROM e JOIN a{r + 1} a ON a.node = e.dst GROUP BY e.src) s
+      ON s.src = n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.node, a.auth, h.hub FROM a{rounds} a "
+        f"JOIN h{rounds} h ON h.node = a.node"
+    )
+
+
+@pending(
+    "g11_hits",
+    oracle=None,  # set below: generated unrolled-round twin
+    survey_ref="fixed-round integer HITS (operators/hits.py, Kleinberg "
+    "1999) — hubs & authorities over the directed customer->supplier "
+    "trade graph, completing the centrality family beside PageRank: "
+    "normalization dropped (a positive per-round scalar — rankings and "
+    "within-side ratios unchanged) so every score stays an exact bigint "
+    "the unrolled-CTE DuckDB twin reproduces digit-for-digit; two joins "
+    "+ two aggregates per round over the cached edge list, lineage cut "
+    "per round; magnitude envelope documented (deg^(2·rounds) under "
+    "2^63); staged for the r10 tier",
+)
+def g11_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hits import hits_integer
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hits_integer(pairs, rounds=2)
+
+
+PENDING["g11_hits"] = QuerySpec(
+    name="g11_hits",
+    build=PENDING["g11_hits"].build,
+    oracle=_hits_oracle(rounds=2),
+    survey_ref=PENDING["g11_hits"].survey_ref,
+)

@@ -29,6 +29,8 @@ QUERIES = [
     "g10_label_prop",
     "o12_rrf_fusion",
     "x20_pearson_corr",
+    "x21_rolling_distinct",
+    "g11_hits",
 ]
 
 
