@@ -119,6 +119,8 @@ HEADLINE = [
     "x20_pearson_corr",
     "x21_rolling_distinct",
     "g11_hits",
+    "o13_table_diff",
+    "x22_winsorize",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -267,6 +269,8 @@ EXTRA = {
     "x20_pearson_corr": _staged("x20_pearson_corr"),
     "x21_rolling_distinct": _staged("x21_rolling_distinct"),
     "g11_hits": _staged("g11_hits"),
+    "o13_table_diff": _staged("o13_table_diff"),
+    "x22_winsorize": _staged("x22_winsorize"),
 }
 
 

@@ -15,14 +15,14 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 34 gates below were built DURING
+cover; COVERAGE.md names them). The 36 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the five marked "r10 tier" in their survey_refs
+promote at r9; the seven marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
-`x21_rolling_distinct`, `g11_hits`) stay staged through r9 under parity
-cover and promote at r10.
+`x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`)
+stay staged through r9 under parity cover and promote at r10.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
 synthesized all-green CORRECTNESS_r08): promoting the 29-gate r9 tier
@@ -1932,3 +1932,134 @@ PENDING["g11_hits"] = QuerySpec(
     oracle=_hits_oracle(rounds=2),
     survey_ref=PENDING["g11_hits"].survey_ref,
 )
+
+
+@pending(
+    "o13_table_diff",
+    # old = orders as-is; new = deterministic in-plan mutation (drop
+    # %97-keys, flip priority on %89-keys, add shifted synthetic keys) —
+    # both engines synthesize the identical 'new' snapshot
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X-FLIPPED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'Z', 'SYNTH'
+      FROM orders WHERE o_orderkey % 101 = 0),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS d_status,
+             o.o_orderpriority IS DISTINCT FROM n.o_orderpriority AS d_prio
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN in_old AND NOT in_new THEN 'removed'
+                WHEN in_new AND NOT in_old THEN 'added'
+                ELSE 'changed' END AS status,
+           CASE WHEN in_old AND in_new THEN
+             concat_ws(',',
+               CASE WHEN d_status THEN 'o_orderstatus' END,
+               CASE WHEN d_prio THEN 'o_orderpriority' END)
+           ELSE '' END AS changed_cols
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new) OR d_status OR d_prio
+    """,
+    survey_ref="keyed table diff (operators/table_diff.py) — the "
+    "migration/backfill/CDC validation primitive (re-run a block range "
+    "after a classifier fix, diff the MevBlocks): ONE full-outer hash "
+    "join, NULL-safe per-column comparison vector in pure codegen, "
+    "detail output bounded by the true change set (the unchanged bulk "
+    "is dropped; diff_counts reports it from the same join); staged for "
+    "the r10 tier",
+)
+def o13_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.table_diff import table_diff
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    k = F.col("o_orderkey")
+    new = (
+        old.filter(k % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(k % 89 == 0, F.lit("X-FLIPPED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionAll(
+            old.filter(k % 101 == 0).select(
+                (k + 100_000_000).alias("o_orderkey"),
+                F.lit("Z").alias("o_orderstatus"),
+                F.lit("SYNTH").alias("o_orderpriority"),
+            )
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+@pending(
+    "x22_winsorize",
+    # per-event-type winsorized value stats at [p5, p95]; positional
+    # percentile_disc bounds via exact integer rank selection
+    oracle=f"""
+    WITH {EV_CTE},
+    v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             event_id
+      FROM ev),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    b AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN c END) AS lo,
+             MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN c END) AS hi
+      FROM r GROUP BY event_type),
+    w AS (
+      SELECT v.event_type,
+             LEAST(GREATEST(v.c, b.lo), b.hi) AS wc
+      FROM v JOIN b ON b.event_type = v.event_type)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(wc) AS BIGINT) AS lo_c, CAST(MAX(wc) AS BIGINT) AS hi_c,
+           CAST(SUM(wc) AS BIGINT) AS sum_c
+    FROM w GROUP BY event_type
+    """,
+    survey_ref="group-wise winsorization (operators/winsorize.py) — clip "
+    "to empirical [p5, p95] per event type, the repair sibling of x12's "
+    "MAD detection: positional percentile_disc bounds via exact integer "
+    "rank ceil(q·n) (no float touches rank selection), ONE key-shuffle "
+    "window pass + |keys|-row broadcast bounds join; winsorized sums "
+    "exact in cents; staged for the r10 tier",
+)
+def x22_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.winsorize import winsorize
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = winsorize(
+        ev.select("event_type", cents.alias("c"), "event_id"),
+        "event_type",
+        "c",
+        "event_id",
+        q_lo=(5, 100),
+        q_hi=(95, 100),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("clamped").alias("lo_c"),
+        F.max("clamped").alias("hi_c"),
+        F.sum("clamped").alias("sum_c"),
+    )

@@ -31,6 +31,8 @@ QUERIES = [
     "x20_pearson_corr",
     "x21_rolling_distinct",
     "g11_hits",
+    "o13_table_diff",
+    "x22_winsorize",
 ]
 
 
