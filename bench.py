@@ -121,6 +121,7 @@ HEADLINE = [
     "g11_hits",
     "o13_table_diff",
     "x22_winsorize",
+    "o14_dq_checks",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -271,6 +272,7 @@ EXTRA = {
     "g11_hits": _staged("g11_hits"),
     "o13_table_diff": _staged("o13_table_diff"),
     "x22_winsorize": _staged("x22_winsorize"),
+    "o14_dq_checks": _staged("o14_dq_checks"),
 }
 
 

@@ -314,6 +314,35 @@ def cmd_corpus_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_explain(args: argparse.Namespace) -> int:
+    """corpus explain: a query's physical plan + shape features — the
+    CLI face of the PLAN_SHAPES.json regression pin (the same counters
+    scripts/plan_snapshot.py snapshots)."""
+    qs = _all_queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; `corpus list` shows all",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = qs[args.query](spark, args.sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), args.mode
+    )
+    print(plan)
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "plan_snapshot",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "scripts", "plan_snapshot.py"),
+    )
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    print("shape:", mod.shape_of(df), file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="brontes-spark")
     p.add_argument("--cpus", default=None, help="local[N] cores (default: all)")
@@ -380,6 +409,12 @@ def build_parser() -> argparse.ArgumentParser:
     crun.add_argument("--out", default=None, help="parquet output (default: show)")
     crun.add_argument("--limit", type=int, default=20)
     crun.set_defaults(fn=cmd_corpus_run)
+    cexp = csub.add_parser("explain")
+    cexp.add_argument("--query", required=True)
+    cexp.add_argument("--sf-dir", required=True)
+    cexp.add_argument("--mode", default="formatted",
+                      choices=["simple", "formatted", "extended", "cost"])
+    cexp.set_defaults(fn=cmd_corpus_explain)
     return p
 
 

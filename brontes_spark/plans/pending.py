@@ -15,14 +15,15 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 36 gates below were built DURING
+cover; COVERAGE.md names them). The 37 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the seven marked "r10 tier" in their survey_refs
+promote at r9; the eight marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
-`x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`)
-stay staged through r9 under parity cover and promote at r10.
+`x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
+`o14_dq_checks`) stay staged through r9 under parity cover and promote
+at r10.
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
 synthesized all-green CORRECTNESS_r08): promoting the 29-gate r9 tier
@@ -2063,3 +2064,79 @@ def x22_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("clamped").alias("hi_c"),
         F.sum("clamped").alias("sum_c"),
     )
+
+
+@pending(
+    "o14_dq_checks",
+    # a clean-data suite (zeros) plus checks DESIGNED to fire on the
+    # testdata (range tighter than reality, FK against a filtered parent)
+    # so the gate proves both directions
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+          GROUP BY 1 HAVING COUNT(*) > 1) d
+    UNION ALL
+    SELECT 'lineitem_orderkey_not_null',
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(COUNT(*) FILTER (l_returnflag NOT IN ('A','N','R')
+                                 OR l_returnflag IS NULL) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_fk_even_orders_only',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) o
+      ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'quantity_in_1_50',
+           CAST(COUNT(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+                                 OR l_quantity > 50) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_in_1_10_fires',
+           CAST(COUNT(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+                                 OR l_quantity > 10) AS BIGINT)
+    FROM lineitem
+    """,
+    survey_ref="declarative data-quality checks (operators/dq.py — the "
+    "dbt-tests/Deequ surface): unique / not-null / accepted-values / "
+    "referential-integrity / range constraints each compiled to one "
+    "scan+aggregate or anti-join, unioned into a (check, n_violations) "
+    "report; the gate runs a clean suite (zeros) AND deliberately-firing "
+    "checks (tightened range, filtered parent) so both directions are "
+    "pinned; staged for the r10 tier",
+)
+def o14_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import (
+        check_accepted,
+        check_foreign_key,
+        check_in_range,
+        check_not_null,
+        check_unique,
+        run_checks,
+    )
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    even_orders = orders.filter(F.col("o_orderkey") % 2 == 0)
+    return run_checks([
+        check_unique(orders, ["o_orderkey"], "orders_pk_unique"),
+        check_not_null(li, "l_orderkey", "lineitem_orderkey_not_null"),
+        check_accepted(li, "l_returnflag", ["A", "N", "R"], "returnflag_domain"),
+        check_foreign_key(li, "l_orderkey", orders, "o_orderkey",
+                          "lineitem_fk_orders"),
+        check_foreign_key(li, "l_orderkey", even_orders, "o_orderkey",
+                          "lineitem_fk_even_orders_only"),
+        check_in_range(li, "l_quantity", 1, 50, "quantity_in_1_50"),
+        check_in_range(li, "l_quantity", 1, 10, "quantity_in_1_10_fires"),
+    ])

@@ -33,6 +33,7 @@ QUERIES = [
     "g11_hits",
     "o13_table_diff",
     "x22_winsorize",
+    "o14_dq_checks",
 ]
 
 

@@ -124,3 +124,14 @@ def test_cli_corpus_list_and_run(spark, tmp_path, capsys):
     assert got.count() == 4 and set(got.columns) == {"q", "rank", "value"}
     # unknown query is a clean usage error, not a traceback
     assert _run(["corpus", "run", "--query", "nope", "--sf-dir", "x"]) == 2
+
+
+def test_cli_corpus_explain(spark, capsys):
+    rc = _run([
+        "--cpus", "4", "corpus", "explain", "--query", "t1_filter_project",
+        "--sf-dir", "/root/testdata/sf0.001", "--mode", "simple",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "FileScan" in out or "Scan" in out
+    assert _run(["corpus", "explain", "--query", "nope", "--sf-dir", "x"]) == 2
