@@ -635,3 +635,73 @@ def value_histogram(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("bucket", lo.alias("lo"), hi.alias("hi"), "cnt")
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    col_a: str,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pre-join cardinality estimate from kilobyte summaries — the
+    planner-adjacent question ("will this join explode?") answered
+    without running the join:
+
+      est_rows = est_keys_in_common · (rows_a / distinct_a)
+                                    · (rows_b / distinct_b)
+
+    i.e. the System-R uniform-multiplicity model with the key-overlap
+    term refined by a KMV intersection estimate (kmv_set_relations over
+    each side's join-column sketch) instead of the containment
+    assumption. Exact in the small regime (distinct union < k, uniform
+    multiplicities); at scale the error is the KMV ~1/sqrt(k) band times
+    the multiplicity-skew factor — a SKEWED join (hot keys) is
+    underestimated by design, the documented limit of any
+    frequency-blind sketch (count-min per side is the upgrade path when
+    skew matters).
+
+    One scan per side (sketch + count/distinct share it); output is a
+    single row: (rows_a, rows_b, est_distinct_a, est_distinct_b,
+    est_key_overlap, est_join_rows)."""
+    # md5_long hashes strings: normalize the join column's rendering once
+    ra = a.select(F.lit("j").alias("g"), F.col(col_a).cast("string").alias("v"))
+    rb = b.select(F.lit("j").alias("g"), F.col(col_b).cast("string").alias("v"))
+    sk_a = kmv_sketch(ra, "g", "v", k=k)
+    sk_b = kmv_sketch(rb, "g", "v", k=k)
+    rel = kmv_set_relations(sk_a, sk_b, k=k).select(
+        F.col("est_union"), F.col("n_both"), F.col("n_union_seen")
+    )
+    da = kmv_distinct(ra, "g", "v", k=k).select(
+        F.col("est_distinct").alias("est_distinct_a")
+    )
+    db = kmv_distinct(rb, "g", "v", k=k).select(
+        F.col("est_distinct").alias("est_distinct_b")
+    )
+    ca = a.agg(F.count(F.lit(1)).alias("rows_a"))
+    cb = b.agg(F.count(F.lit(1)).alias("rows_b"))
+    j = F.lit(1)
+    one = (
+        rel.withColumn("_j", j)
+        .join(F.broadcast(da.withColumn("_j", j)), "_j")
+        .join(F.broadcast(db.withColumn("_j", j)), "_j")
+        .join(F.broadcast(ca.withColumn("_j", j)), "_j")
+        .join(F.broadcast(cb.withColumn("_j", j)), "_j")
+    )
+    overlap = F.expr(
+        "CAST(CAST(n_both AS DECIMAL(38,0)) * est_union "
+        "div nullif(n_union_seen, 0) AS BIGINT)"
+    )
+    est = F.expr(
+        "CAST(CAST(est_key_overlap AS DECIMAL(38,0)) * rows_a * rows_b "
+        "div nullif(CAST(est_distinct_a AS DECIMAL(38,0)) "
+        "* est_distinct_b, 0) AS BIGINT)"
+    )
+    return (
+        one.withColumn("est_key_overlap", overlap)
+        .withColumn("est_join_rows", est)
+        .select(
+            "rows_a", "rows_b", "est_distinct_a", "est_distinct_b",
+            "est_key_overlap", "est_join_rows",
+        )
+    )

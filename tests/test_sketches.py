@@ -483,3 +483,59 @@ def test_percentiles_cont_guards_and_empty(spark):
         percentiles_cont(df, "v", [(3, 2)])
     empty = spark.createDataFrame([], "v long")
     assert percentiles_cont(empty, "v", [(1, 2)]).count() == 0
+
+
+# ------------------------------------------------- join size estimation
+
+
+def test_join_size_estimate_uniform_band(spark):
+    from pyspark.sql import functions as F
+
+    from brontes_spark.operators.sketches import join_size_estimate
+
+    a = spark.range(1000).select(F.explode(F.array_repeat(F.col("id"), 3)).alias("k"))
+    b = spark.range(500, 1500).select(F.explode(F.array_repeat(F.col("id"), 2)).alias("k"))
+    est = join_size_estimate(a, b, "k", "k", k=256).collect()[0]
+    true = a.join(b, "k").count()
+    assert true == 3000
+    assert est["rows_a"] == 3000 and est["rows_b"] == 2000
+    # KMV band ~1/sqrt(256) per figure: allow 25% end to end
+    assert 0.75 * true <= est["est_join_rows"] <= 1.25 * true
+
+
+def test_join_size_estimate_exact_small_regime(spark):
+    from brontes_spark.operators.sketches import join_size_estimate
+
+    # distinct union (40) < k: every sketch figure exact, multiplicity
+    # uniform (1) -> the estimate IS the true join size
+    a = spark.range(30).selectExpr("id AS k")
+    b = spark.range(10, 50).selectExpr("id AS k")
+    est = join_size_estimate(a, b, "k", "k", k=256).collect()[0]
+    assert est["est_key_overlap"] == 20
+    assert est["est_join_rows"] == a.join(b, "k").count() == 20
+
+
+def test_join_size_estimate_disjoint_is_zero(spark):
+    from brontes_spark.operators.sketches import join_size_estimate
+
+    a = spark.range(100).selectExpr("id AS k")
+    b = spark.range(1000, 1100).selectExpr("id AS k")
+    est = join_size_estimate(a, b, "k", "k", k=128).collect()[0]
+    assert est["est_key_overlap"] == 0 and est["est_join_rows"] == 0
+
+
+def test_join_size_estimate_underestimates_skew_as_documented(spark):
+    from pyspark.sql import functions as F
+
+    from brontes_spark.operators.sketches import join_size_estimate
+
+    # one hot key with 1000 copies on each side: true join has a 1e6-row
+    # blowup the frequency-blind sketch cannot see — the documented limit
+    hot = spark.range(1).select(F.explode(F.array_repeat(F.lit(7), 1000)).alias("k"))
+    base = spark.range(100).selectExpr("id AS k")
+    a = base.unionAll(hot)
+    b = base.unionAll(hot)
+    est = join_size_estimate(a, b, "k", "k", k=128).collect()[0]
+    true = a.join(b, "k").count()
+    assert true > 10**6
+    assert est["est_join_rows"] < true  # under, never silently over
