@@ -2140,3 +2140,72 @@ def o14_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_in_range(li, "l_quantity", 1, 50, "quantity_in_1_50"),
         check_in_range(li, "l_quantity", 1, 10, "quantity_in_1_10_fires"),
     ])
+
+
+@pending(
+    "x23_cusum",
+    # every statistic is an exact bigint: cents enter via the decimal cast,
+    # mu0/k/h are integer literals, and both engines run the identical
+    # prefix-sum / running-min windows over the identical total order
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT user_id, event_id, ts_ns,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM ev),
+    p AS (
+      SELECT user_id, ts_ns,
+             SUM(cents - 5000 - 500) OVER w AS pp,
+             SUM(5000 - cents - 500) OVER w AS pn
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    s AS (
+      SELECT user_id, ts_ns,
+             pp - LEAST(0, MIN(pp) OVER w) AS sp,
+             pn - LEAST(0, MIN(pn) OVER w) AS sn
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT user_id AS key, COUNT(*) AS n,
+           CAST(MAX(sp) AS BIGINT) AS max_pos,
+           CAST(MAX(sn) AS BIGINT) AS max_neg,
+           CAST(COALESCE(SUM(CASE WHEN sp > 50000 OR sn > 50000
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_alarm_rows,
+           MIN(CASE WHEN sp > 50000 OR sn > 50000 THEN ts_ns END)
+             AS first_alarm_ts
+    FROM s GROUP BY 1
+    """,
+    survey_ref="CUSUM change-point detection (operators/changepoint.py) — "
+    "Page's sequential drift detector, the ORDERED sibling of I14's "
+    "mean+2sigma screen. The max(0, S+d) recursion that looks like a "
+    "sequential fold collapses to prefix-sum minus running-min, so the "
+    "whole detector is ONE key-partitioned ordered window (running sum, "
+    "running min over it, per-key summary aggregate — all on a single "
+    "exchange, pure codegen, no UDF); exact integer cents against "
+    "mu0=5000c k=500c h=50000c fires 24 up-drift and 11 down-drift users "
+    "of 150 at sf0.01, exercising both sides; the resetting variant is "
+    "documented as genuinely sequential and deliberately out; staged for "
+    "the r10 promotion tier",
+)
+def x23_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changepoint import cusum_summary
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    rows = ev.select(
+        "user_id", "event_id", "ts_ns", cents.alias("cents")
+    )
+    return cusum_summary(
+        rows,
+        "user_id",
+        ["ts_ns", "event_id"],
+        "ts_ns",
+        "cents",
+        target=5000,
+        allowance=500,
+        threshold=50000,
+    ).select(F.col("user_id").alias("key"), "n", "max_pos", "max_neg",
+             "n_alarm_rows", "first_alarm_ts")
