@@ -124,6 +124,7 @@ HEADLINE = [
     "o14_dq_checks",
     # round-8 fifth wave (staged; r10 tier)
     "x23_cusum",
+    "g12_bfs_hops",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -276,6 +277,7 @@ EXTRA = {
     "x22_winsorize": _staged("x22_winsorize"),
     "o14_dq_checks": _staged("o14_dq_checks"),
     "x23_cusum": _staged("x23_cusum"),
+    "g12_bfs_hops": _staged("g12_bfs_hops"),
 }
 
 

@@ -2209,3 +2209,81 @@ def x23_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=50000,
     ).select(F.col("user_id").alias("key"), "n", "max_pos", "max_neg",
              "n_alarm_rows", "first_alarm_ts")
+
+
+def _bfs_oracle(rounds: int) -> str:
+    ctes = [
+        """eraw AS (
+      SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS t
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "edges AS (SELECT s, t FROM eraw UNION ALL SELECT t AS s, s AS t FROM eraw)",
+        """d0 AS (
+      SELECT 's' || s_suppkey AS node, 0 AS dist, 's' || s_suppkey AS root
+      FROM supplier WHERE s_suppkey % 10 = 0)""",
+        "f0 AS (SELECT node, root FROM d0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+      SELECT e.t AS node, MIN(f.root) AS root
+      FROM edges e JOIN f{r - 1} f ON f.node = e.s GROUP BY e.t)"""
+        )
+        ctes.append(
+            f"""n{r} AS (
+      SELECT c.node, {r} AS dist, c.root
+      FROM c{r} c LEFT JOIN d{r - 1} d ON d.node = c.node
+      WHERE d.node IS NULL)"""
+        )
+        ctes.append(
+            f"d{r} AS (SELECT * FROM d{r - 1} UNION ALL SELECT * FROM n{r})"
+        )
+        ctes.append(f"f{r} AS (SELECT node, root FROM n{r})")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist, root FROM d{rounds}"
+
+
+@pending(
+    "g12_bfs_hops",
+    oracle=None,  # set below: generated unrolled-round twin
+    survey_ref="distributed multi-source BFS with nearest-seed assignment "
+    "(operators/bfs.py) — the scale-out member of the reference's G2 "
+    "graph-walk family (its driver-side Dijkstra is right for the ~1e4-node "
+    "token graph; this is for graphs that do NOT fit a driver): hop "
+    "distance + graph-Voronoi root labels from 10 seed suppliers over the "
+    "DEDUPED bidirected trade graph, 3 rounds; per round ONE edge hash "
+    "join + one min-root agg + one anti-join, frontier shrinks as the "
+    "ball saturates, lineage cut per round; smallest-root tie-break makes "
+    "it a pure function of (edges, seeds, rounds) so the DuckDB twin "
+    "replays the SAME rounds as generated CTEs (g7/g9/g10 pattern); "
+    "staged for the r10 promotion tier",
+)
+def g12_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bfs import bfs_nearest_seed
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("t"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return bfs_nearest_seed(edges, seeds, rounds=3)
+
+
+PENDING["g12_bfs_hops"] = QuerySpec(
+    name="g12_bfs_hops",
+    build=PENDING["g12_bfs_hops"].build,
+    oracle=_bfs_oracle(rounds=3),
+    survey_ref=PENDING["g12_bfs_hops"].survey_ref,
+)
