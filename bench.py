@@ -125,6 +125,7 @@ HEADLINE = [
     # round-8 fifth wave (staged; r10 tier)
     "x23_cusum",
     "g12_bfs_hops",
+    "txt_chi2_features",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -278,6 +279,7 @@ EXTRA = {
     "o14_dq_checks": _staged("o14_dq_checks"),
     "x23_cusum": _staged("x23_cusum"),
     "g12_bfs_hops": _staged("g12_bfs_hops"),
+    "txt_chi2_features": _staged("txt_chi2_features"),
 }
 
 

@@ -2287,3 +2287,57 @@ PENDING["g12_bfs_hops"] = QuerySpec(
     oracle=_bfs_oracle(rounds=3),
     survey_ref=PENDING["g12_bfs_hops"].survey_ref,
 )
+
+
+@pending(
+    "txt_chi2_features",
+    # every quantity is a COUNT, so chi2 is an exact rational: both
+    # engines build num = 1e9*N*det^2 in wide integers (decimal(38,0) /
+    # HUGEINT) and take ONE positive-operand integer division
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> x != '')) AS toks
+      FROM documents),
+    nc AS (SELECT lang, COUNT(*) AS n_class FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    occ AS (SELECT lang, unnest(toks) AS term FROM tok),
+    ac AS (SELECT lang AS class, term, COUNT(*) AS a FROM occ GROUP BY 1, 2),
+    wd AS (SELECT class, term, a,
+                  CAST(SUM(a) OVER (PARTITION BY term) AS BIGINT) AS df
+           FROM ac),
+    f AS (SELECT w.class, w.term, w.a, w.df, nc.n_class, tot.n
+          FROM wd w JOIN nc ON nc.lang = w.class CROSS JOIN tot),
+    g AS (SELECT class, term, a, df, n_class, n,
+                 a * (n - df - n_class + a)
+                   - (df - a) * (n_class - a) AS det,
+                 df * (n - df) * n_class * (n - n_class) AS den
+          FROM f),
+    h AS (SELECT class, term, a, df, n_class,
+                 CAST((CAST(1000000000 AS HUGEINT) * n * det * det) // den
+                      AS BIGINT) AS chi2_9
+          FROM g WHERE den > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY class
+                                       ORDER BY chi2_9 DESC, term) AS rank
+          FROM h)
+    SELECT class, term, a, df, n_class, chi2_9, rank
+    FROM r WHERE rank <= 25
+    """,
+    survey_ref="chi-squared feature selection (operators/chi2.py) — the "
+    "vocabulary screen behind fastText-style quality/langid classifier "
+    "training (C4/CCNet lineage): presence-based 2x2 contingency per "
+    "(term, class) with chi2_9 = floor(1e9*N*det^2/den) in exact wide "
+    "integers; ONE distinct-(doc,term) explode scan, df as a window over "
+    "the term partition (no second scan), broadcast class sizes, "
+    "constant-folded N dim, rank<=25 via WindowGroupLimit; degenerate "
+    "df==N / n_class==N strata excluded on both engines; staged for the "
+    "r10 promotion tier",
+)
+def txt_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.chi2 import chi2_topk_terms
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_topk_terms(docs, "lang", ws_tokens(F.col("text")), k=25)
