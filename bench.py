@@ -126,6 +126,8 @@ HEADLINE = [
     "x23_cusum",
     "g12_bfs_hops",
     "txt_chi2_features",
+    "o15_k_anonymity",
+    "o16_benford",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -280,6 +282,8 @@ EXTRA = {
     "x23_cusum": _staged("x23_cusum"),
     "g12_bfs_hops": _staged("g12_bfs_hops"),
     "txt_chi2_features": _staged("txt_chi2_features"),
+    "o15_k_anonymity": _staged("o15_k_anonymity"),
+    "o16_benford": _staged("o16_benford"),
 }
 
 

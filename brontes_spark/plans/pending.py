@@ -2341,3 +2341,88 @@ def txt_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi2_topk_terms(docs, "lang", ws_tokens(F.col("text")), k=25)
+
+
+@pending(
+    "o15_k_anonymity",
+    # pure GROUP BY counts — exact integers; NULL QI classes group
+    # normally in both engines, NULL sensitive adds one explicit state
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+             COUNT(DISTINCT c_acctbal)
+               + MAX(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+               AS n_sensitive
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive,
+           class_size < 8 AS k_violation,
+           n_sensitive < 8 AS l_violation
+    FROM g WHERE class_size < 8 OR n_sensitive < 8
+    """,
+    survey_ref="k-anonymity / l-diversity release screen "
+    "(operators/kanon.py — Sweeney 2002 / Machanavajjhala 2007): every "
+    "(nation, segment) quasi-identifier class must hold >=k records AND "
+    ">=l distinct sensitive values before an extract ships; ONE hash "
+    "aggregate on the QI tuple (count + count-distinct compile to one "
+    "two-phase agg), filter to violators — the actionable relation of "
+    "the generalize-and-re-run release loop; NULL-QI classes audited, "
+    "not dropped; staged for the r10 promotion tier",
+)
+def o15_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kanon import kanon_violations
+    from ..sources.testdata import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return kanon_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=8, l_div=8
+    )
+
+
+@pending(
+    "o16_benford",
+    # the irrational log10 expectations are 1e9-scaled integer LITERALS
+    # (the operator's spec, identical by construction); the chi-square
+    # contribution is one positive-operand integer division over exact
+    # wide integers
+    oracle="""
+    WITH p9(digit, p9) AS (VALUES
+      (1, 301029995), (2, 176091259), (3, 124938736), (4, 96910013),
+      (5, 79181246), (6, 66946789), (7, 57991946), (8, 51152522),
+      (9, 45757490)),
+    obs AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit,
+             COUNT(*) AS n_obs
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs),
+    j AS (
+      SELECT p.digit, COALESCE(o.n_obs, 0) AS n_obs, p.p9, tot.n
+      FROM p9 p LEFT JOIN obs o ON o.digit = p.digit CROSS JOIN tot)
+    SELECT CAST(digit AS BIGINT) AS digit, n_obs, CAST(p9 AS BIGINT) AS p9,
+           CAST(((CAST(1000000000 AS HUGEINT) * n_obs - n * p9)
+                 * (CAST(1000000000 AS HUGEINT) * n_obs - n * p9))
+                // (n * p9) AS BIGINT) AS chi2_9
+    FROM j
+    """,
+    survey_ref="Benford first-digit conformance screen "
+    "(operators/benford.py) — the forensic/data-quality audit for "
+    "financial magnitude columns (the MEV accounting surfaces are such "
+    "columns): leading digit via exact string head on cents integers "
+    "(no doubles, no logs), expectations as 1e9-scaled integer literal "
+    "spec constants, per-digit chi2_9 in exact decimal(38)/HUGEINT with "
+    "ONE integer division; absent digits surface as n_obs=0 rows (the "
+    "loudest violation must not vanish); one column-pruned scan + 9-row "
+    "agg + broadcast dims; staged for the r10 promotion tier",
+)
+def o16_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.benford import benford_screen
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return benford_screen(orders, "cents")
