@@ -48,10 +48,22 @@ def test_snapshot_covers_every_gate():
     assert not any("ERROR" in v for v in SNAPSHOT.values())
 
 
+#: measured bistability, not drift: c2's classify fixture memoizes a CACHED
+#: relation, and whether one downstream requirement is satisfied by the
+#: InMemoryRelation's retained partitioning flips with session cache state
+#: (r8: snapshot regenerations recorded 75 and 76 across sessions with no
+#: code change on the c2 path — bisected to the cache, not a refactor).
+#: Every other feature of c2 stays exact.
+TOLERANCE = {"c2_classified_actions": {"x_hash": {75, 76}}}
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_plan_shape_unchanged(spark, name):
     got = _shape(spark, name)
-    want = SNAPSHOT[name]
+    want = dict(SNAPSHOT[name])
+    for feat, allowed in TOLERANCE.get(name, {}).items():
+        if got.get(feat) in allowed and want.get(feat) in allowed:
+            want[feat] = got.get(feat)
     assert got == want, (
         f"{name}: plan shape drifted {want} -> {got}; if intentional, "
         "re-run scripts/plan_snapshot.py and commit the diff"
