@@ -128,6 +128,7 @@ HEADLINE = [
     "txt_chi2_features",
     "o15_k_anonymity",
     "o16_benford",
+    "txt_nb_train",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -284,6 +285,7 @@ EXTRA = {
     "txt_chi2_features": _staged("txt_chi2_features"),
     "o15_k_anonymity": _staged("o15_k_anonymity"),
     "o16_benford": _staged("o16_benford"),
+    "txt_nb_train": _staged("txt_nb_train"),
 }
 
 

@@ -2426,3 +2426,45 @@ def o16_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return benford_screen(orders, "cents")
+
+
+@pending(
+    "txt_nb_train",
+    # training IS aggregation: every model quantity is a count, and the
+    # Laplace likelihood ships as an exact (num, den) rational pair
+    oracle="""
+    WITH base AS (
+      SELECT lang AS class,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents WHERE lang IS NOT NULL),
+    ndc AS (SELECT class, COUNT(*) AS n_docs_class FROM base GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM base),
+    occ AS (SELECT class, unnest(toks) AS term FROM base),
+    tf AS (SELECT class, term, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    ct AS (SELECT class, CAST(SUM(tf) AS BIGINT) AS class_tokens
+           FROM tf GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT term) AS vocab FROM tf)
+    SELECT t.class, t.term, t.tf, t.tf + 1 AS like_num,
+           c.class_tokens + v.vocab AS like_den,
+           ndc.n_docs_class, nd.n_docs, c.class_tokens, v.vocab
+    FROM tf t
+    JOIN ct c USING (class) JOIN ndc USING (class)
+    CROSS JOIN v CROSS JOIN nd
+    """,
+    survey_ref="multinomial Naive Bayes training (operators/nb.py) — the "
+    "count-native classifier behind CCNet/C4-style quality and language "
+    "filters, paired with chi2 vocabulary selection: ONE token-explode "
+    "scan + two hash aggregates (tf, class totals), model emitted as "
+    "exact integer rationals (tf+1)/(class_tokens+V) with priors — no "
+    "logs, no doubles, engine-exact; the scorer (nb_classify, broadcast "
+    "model + left join for sparse unseen-term mass) is the documented "
+    "double boundary, pinned against an independent Python reference in "
+    "tests/test_nb.py; staged for the r10 promotion tier",
+)
+def txt_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from ..operators.nb import nb_train
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_train(docs, "lang", ws_tokens(F.col("text")))
