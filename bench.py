@@ -129,6 +129,7 @@ HEADLINE = [
     "o15_k_anonymity",
     "o16_benford",
     "txt_nb_train",
+    "x24_rfm_segments",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -286,6 +287,7 @@ EXTRA = {
     "o15_k_anonymity": _staged("o15_k_anonymity"),
     "o16_benford": _staged("o16_benford"),
     "txt_nb_train": _staged("txt_nb_train"),
+    "x24_rfm_segments": _staged("x24_rfm_segments"),
 }
 
 

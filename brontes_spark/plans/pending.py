@@ -2468,3 +2468,79 @@ def txt_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return nb_train(docs, "lang", ws_tokens(F.col("text")))
+
+
+def _rfm_cut_cte(metric: str, tag: str) -> str:
+    picks = ", ".join(
+        f"MAX(CASE WHEN rn = ({i} * n.n + 4) // 5 THEN v END) AS c{i}"
+        for i in range(1, 5)
+    )
+    return f"""{tag} AS (
+      SELECT {picks}
+      FROM (SELECT {metric} AS v,
+                   row_number() OVER (ORDER BY {metric}) AS rn
+            FROM base) CROSS JOIN n)"""
+
+
+def _rfm_oracle() -> str:
+    bucket = lambda m, t: (  # noqa: E731
+        f"CAST(1 + (CASE WHEN {m} > {t}.c1 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {m} > {t}.c2 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {m} > {t}.c3 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {m} > {t}.c4 THEN 1 ELSE 0 END) AS INT)"
+    )
+    return f"""
+    WITH {EV_CTE},
+    agg AS (
+      SELECT user_id, MAX(ts_ns) AS last_ts, COUNT(*) AS frequency,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS monetary
+      FROM ev GROUP BY 1),
+    mx AS (SELECT MAX(last_ts) AS gmax FROM agg),
+    base AS (
+      SELECT user_id, mx.gmax - last_ts AS recency_ns, frequency, monetary
+      FROM agg CROSS JOIN mx),
+    n AS (SELECT COUNT(*) AS n FROM base),
+    {_rfm_cut_cte("recency_ns", "rcut")},
+    {_rfm_cut_cte("frequency", "fcut")},
+    {_rfm_cut_cte("monetary", "mcut")}
+    SELECT user_id AS key, recency_ns, frequency, monetary,
+           {bucket("recency_ns", "rcut")} AS r_bucket,
+           {bucket("frequency", "fcut")} AS f_bucket,
+           {bucket("monetary", "mcut")} AS m_bucket
+    FROM base CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut
+    """
+
+
+@pending(
+    "x24_rfm_segments",
+    oracle=None,  # set below: generated cut-pivot twin
+    survey_ref="RFM segmentation on exact-quantile bucketize "
+    "(operators/bucketize.py) — feature discretization WITHOUT the "
+    "global-ntile single-partition sort: quintile cuts via the two-pass "
+    "histogram->refine rank-selection core (one hash agg + one bounded "
+    "refine shuffle per metric over the per-user relation), then "
+    "pure-codegen comparison chains (bucket = 1 + sum[v > cut_i], zero "
+    "extra shuffle); percentile_disc-lower cuts, ties collapse to the "
+    "lower bucket, duplicate cuts skip labels identically on both "
+    "engines; staged for the r10 promotion tier",
+)
+def x24_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketize import rfm_segments
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    rows = ev.select("user_id", "ts_ns", cents.alias("cents"))
+    return rfm_segments(rows, "user_id", "ts_ns", "cents", k=5).select(
+        F.col("user_id").alias("key"), "recency_ns", "frequency", "monetary",
+        "r_bucket", "f_bucket", "m_bucket"
+    )
+
+
+PENDING["x24_rfm_segments"] = QuerySpec(
+    name="x24_rfm_segments",
+    build=PENDING["x24_rfm_segments"].build,
+    oracle=_rfm_oracle(),
+    survey_ref=PENDING["x24_rfm_segments"].survey_ref,
+)
