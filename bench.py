@@ -130,6 +130,8 @@ HEADLINE = [
     "o16_benford",
     "txt_nb_train",
     "x24_rfm_segments",
+    "x25_autocorr",
+    "o17_compaction_plan",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -288,6 +290,8 @@ EXTRA = {
     "o16_benford": _staged("o16_benford"),
     "txt_nb_train": _staged("txt_nb_train"),
     "x24_rfm_segments": _staged("x24_rfm_segments"),
+    "x25_autocorr": _staged("x25_autocorr"),
+    "o17_compaction_plan": _staged("o17_compaction_plan"),
 }
 
 

@@ -168,3 +168,76 @@ def pearson_corr(
         "SQRT(CAST(_d1 AS DOUBLE) * CAST(_d2 AS DOUBLE))) END AS BIGINT)"
     )
     return out.select(key_col, "n", corr9.alias("corr9"))
+
+
+def pearson_corr_xy(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """(key, n, corr9) — per-key Pearson correlation of two INTEGER
+    columns; the general bivariate face of pearson_corr (which fixes x to
+    re-based time). Same exactness contract: all five sums exact bigints,
+    cross-products in decimal(38,0), ONE final correctly-rounded double
+    chain; NULL when either variance is zero or n < 2. Rows where either
+    column is NULL are excluded (pairwise-complete semantics). Envelope:
+    caller keeps |x|,|y| small enough that sum(x*x) fits bigint — the
+    ols_trend discipline (re-base/rescale upstream)."""
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        key_col,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    num = F.expr(f"CAST(n AS {DEC38}) * CAST(_sxy AS {DEC38})"
+                 f" - CAST(_sx AS {DEC38}) * CAST(_sy AS {DEC38})")
+    d1 = F.expr(f"CAST(n AS {DEC38}) * CAST(_sxx AS {DEC38})"
+                f" - CAST(_sx AS {DEC38}) * CAST(_sx AS {DEC38})")
+    d2 = F.expr(f"CAST(n AS {DEC38}) * CAST(_syy AS {DEC38})"
+                f" - CAST(_sy AS {DEC38}) * CAST(_sy AS {DEC38})")
+    out = (
+        agg.withColumn("_num", num.cast("long"))
+        .withColumn("_d1", d1.cast("long"))
+        .withColumn("_d2", d2.cast("long"))
+    )
+    corr9 = F.expr(
+        "CAST(CASE WHEN _d1 > 0 AND _d2 > 0 THEN "
+        "FLOOR(1000000000.0 * CAST(_num AS DOUBLE) / "
+        "SQRT(CAST(_d1 AS DOUBLE) * CAST(_d2 AS DOUBLE))) END AS BIGINT)"
+    )
+    return out.select(key_col, "n", corr9.alias("corr9"))
+
+
+def autocorr(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    y_col: str,
+    lag: int,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation: (key, lag, n, corr9).
+
+    The sample ACF point estimate in its pairwise form — corr(y_t,
+    y_{t-lag}) over the key's totally-ordered series (pass a tiebreak in
+    ``order_cols``). The lag pairing is ONE ordered window (lag() rides
+    the same key exchange the correlation aggregate then reuses), so the
+    whole statistic costs exactly what pearson_corr costs. Keys with
+    fewer than lag+2 observations return NULL corr9 (n < 2 pairs) or no
+    row (n == 0 pairs). The drift-screen sibling of CUSUM: high lag-1
+    autocorrelation of residuals is the classic symptom CUSUM then
+    localizes in time."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    paired = df.withColumn("_prev", F.lag(y_col, lag).over(w))
+    return (
+        pearson_corr_xy(paired, key_col, "_prev", y_col)
+        .select(key_col, F.lit(lag).cast("long").alias("lag"), "n", "corr9")
+    )

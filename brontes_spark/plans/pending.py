@@ -2544,3 +2544,102 @@ PENDING["x24_rfm_segments"] = QuerySpec(
     oracle=_rfm_oracle(),
     survey_ref=PENDING["x24_rfm_segments"].survey_ref,
 )
+
+
+@pending(
+    "x25_autocorr",
+    # the x20 parity pattern: exact integer num/d1/d2 (HUGEINT/decimal38),
+    # then one int64->double, *, IEEE sqrt, / chain — every op correctly
+    # rounded, so the corr9 floor agrees bit-for-bit
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT user_id, event_id, ts_ns,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM ev),
+    p AS (
+      SELECT user_id, cents AS y,
+             LAG(cents, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ns, event_id) AS x
+      FROM b),
+    c AS (SELECT user_id, x, y FROM p WHERE x IS NOT NULL),
+    a AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM c GROUP BY 1),
+    f AS (
+      SELECT user_id, n,
+             CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+             CAST(n * syy - sy * sy AS BIGINT) AS d2
+      FROM a)
+    SELECT user_id AS key, CAST(1 AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN d1 > 0 AND d2 > 0 THEN
+             CAST(FLOOR(1000000000.0 * CAST(num AS DOUBLE)
+                  / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                  AS BIGINT)
+           END AS corr9
+    FROM f
+    """,
+    survey_ref="lag-1 autocorrelation (operators/ols.autocorr on the new "
+    "general pearson_corr_xy face) — the sample ACF point estimate in "
+    "pairwise form, the drift-screen sibling CUSUM then localizes in "
+    "time; ONE ordered window (lag) sharing the key exchange with the "
+    "exact-sum correlation aggregate, x20's correctly-rounded final "
+    "double chain; staged for the r10 promotion tier",
+)
+def x25_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ols import autocorr
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    rows = ev.select("user_id", "event_id", "ts_ns", cents.alias("cents"))
+    return autocorr(
+        rows, "user_id", ["ts_ns", "event_id"], "cents", lag=1
+    ).select(F.col("user_id").alias("key"), "lag", "n", "corr9")
+
+
+@pending(
+    "o17_compaction_plan",
+    # the file listing synthesizes deterministically from orders (one
+    # "file" per order date, size = rows x 97-byte proxy width) so both
+    # engines plan over the identical metadata relation
+    oracle="""
+    WITH f AS (
+      SELECT CAST(o_orderdate AS VARCHAR) AS file_id,
+             COUNT(*) * 97 AS size_bytes
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT file_id, size_bytes,
+             SUM(size_bytes) OVER (ORDER BY size_bytes DESC, file_id ASC
+                                   ROWS UNBOUNDED PRECEDING) - size_bytes
+               AS before
+      FROM f)
+    SELECT file_id AS file, CAST(size_bytes AS BIGINT) AS size_bytes,
+           CAST(before // 4000 AS BIGINT) AS bin
+    FROM p
+    """,
+    survey_ref="small-file compaction planning (operators/compaction.py) "
+    "— the OPTIMIZE scheduler as ONE ordered window over the "
+    "metadata-sized file listing: (size DESC, file) layout order, "
+    "running-byte boundary binning every target_bytes (bin = bytes-before "
+    "div target), oversized files isolate in their own bins, every bin "
+    "bounded by target + max_file; no driver loop, no sequential "
+    "first-fit fold; the global window is deliberate and bounded by "
+    "listing cardinality, never data; staged for the r10 promotion tier",
+)
+def o17_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import compaction_plan
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy("o_orderdate").agg(
+        (F.count(F.lit(1)) * 97).alias("size_bytes")
+    ).select(
+        F.col("o_orderdate").cast("string").alias("file_id"), "size_bytes"
+    )
+    return compaction_plan(files, "file_id", "size_bytes", target_bytes=4000)
