@@ -15,15 +15,20 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 37 gates below were built DURING
+cover; COVERAGE.md names them). The 46 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the eight marked "r10 tier" in their survey_refs
+promote at r9; the seventeen marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
-`o14_dq_checks`) stay staged through r9 under parity cover and promote
-at r10.
+`o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
+`txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
+`x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`) stay staged
+through r9 under parity cover and promote across r10/r11 as that
+window's headroom allows (17 candidates + the changed-lg cohort compete
+for r10's post-promotion seats; the r9 builder re-simulates the exact
+seating the way this header's math was produced).
 
 R9 PROMOTION PLAYBOOK (window math simulated end-of-r8 against a
 synthesized all-green CORRECTNESS_r08): promoting the 29-gate r9 tier
