@@ -132,6 +132,8 @@ HEADLINE = [
     "x24_rfm_segments",
     "x25_autocorr",
     "o17_compaction_plan",
+    "o18_assoc_rules",
+    "o19_pareto",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -292,6 +294,8 @@ EXTRA = {
     "x24_rfm_segments": _staged("x24_rfm_segments"),
     "x25_autocorr": _staged("x25_autocorr"),
     "o17_compaction_plan": _staged("o17_compaction_plan"),
+    "o18_assoc_rules": _staged("o18_assoc_rules"),
+    "o19_pareto": _staged("o19_pareto"),
 }
 
 

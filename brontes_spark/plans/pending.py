@@ -15,18 +15,19 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 46 gates below were built DURING
+cover; COVERAGE.md names them). The 48 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the seventeen marked "r10 tier" in their survey_refs
+promote at r9; the nineteen marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
 `txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
-`x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`) stay staged
+`x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
+`o18_assoc_rules`, `o19_pareto`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (17 candidates + the changed-lg cohort compete
+window's headroom allows (19 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -2648,3 +2649,113 @@ def o17_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("string").alias("file_id"), "size_bytes"
     )
     return compaction_plan(files, "file_id", "size_bytes", target_bytes=4000)
+
+
+@pending(
+    "o18_assoc_rules",
+    # every statistic is a basket count; support/confidence/lift ship as
+    # exact scaled-integer floors (one positive integer division each)
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS item
+      FROM lineitem),
+    ni AS (SELECT item, COUNT(*) AS n_i FROM m GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM m),
+    p AS (
+      SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_ab
+      FROM m a JOIN m c ON a.b = c.b AND a.item < c.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 90)
+    SELECT p.item_a, p.item_b,
+           na.n_i AS n_a, nc.n_i AS n_b, p.n_ab,
+           CAST((CAST(1000000000 AS HUGEINT) * p.n_ab) // nb.n AS BIGINT)
+             AS support_9,
+           CAST((CAST(1000000000 AS HUGEINT) * p.n_ab) // na.n_i AS BIGINT)
+             AS conf_a_to_b_9,
+           CAST((CAST(1000000000 AS HUGEINT) * p.n_ab) // nc.n_i AS BIGINT)
+             AS conf_b_to_a_9,
+           CAST((CAST(1000000000 AS HUGEINT) * nb.n * p.n_ab)
+                // (CAST(na.n_i AS HUGEINT) * nc.n_i) AS BIGINT) AS lift_9
+    FROM p
+    JOIN ni na ON na.item = p.item_a
+    JOIN ni nc ON nc.item = p.item_b
+    CROSS JOIN nb
+    """,
+    survey_ref="association rules over baskets (operators/assoc.py — "
+    "Agrawal & Srikant 1994's 2-itemset core): support / confidence / "
+    "lift as exact scaled-integer rationals; pair generation is a "
+    "basket-key self-join bounded by basket size (never corpus x "
+    "corpus, the PMI posture), min-support prunes BEFORE the broadcast "
+    "item-count lift join, N constant-folds; mega-basket skew documented "
+    "with the domain-cap/salting upgrade path; TPC-H orders x part "
+    "category (mod-50) baskets, min_pair_count=90 exercises the prune "
+    "on both sides; staged for the r10 promotion tier",
+)
+def o18_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.assoc import association_rules
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    return association_rules(li, "b", "item", min_pair_count=90).select(
+        "item_a", "item_b", "n_a", "n_b", "n_ab",
+        "support_9", "conf_a_to_b_9", "conf_b_to_a_9", "lift_9"
+    )
+
+
+@pending(
+    "o19_pareto",
+    # the threshold test is cross-multiplied integers (5*cum >= 4*total),
+    # top1 share one positive integer division — no percentage doubles
+    oracle="""
+    WITH contrib AS (
+      SELECT s.s_nationkey AS grp, l.l_suppkey AS member,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT grp, member, cents,
+             SUM(cents) OVER (PARTITION BY grp ORDER BY cents DESC, member
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cents DESC, member) AS rk,
+             SUM(cents) OVER (PARTITION BY grp) AS total
+      FROM contrib)
+    SELECT grp, COUNT(*) AS n_members, CAST(MAX(total) AS BIGINT) AS total,
+           MIN(CASE WHEN total > 0 AND 5 * cum >= 4 * total THEN rk END)
+             AS n_cover,
+           CAST(CASE WHEN MAX(total) > 0 THEN
+             (CAST(1000000000 AS HUGEINT)
+              * MAX(CASE WHEN rk = 1 THEN cents END)) // MAX(total)
+           END AS BIGINT) AS top1_share_9
+    FROM r GROUP BY 1
+    """,
+    survey_ref="Pareto concentration (operators/pareto.py) — 'how many "
+    "suppliers cover 80% of a nation's revenue' (the corpus twin: 'how "
+    "many domains supply 80% of tokens'); ONE key exchange end to end "
+    "(rank + running sum + group total share the sort, the twap "
+    "discipline), cross-multiplied integer threshold, exact cents; "
+    "staged for the r10 promotion tier",
+)
+def o19_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pareto import pareto_cover
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    contrib = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("grp"),
+                 F.col("l_suppkey").alias("member"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return pareto_cover(contrib, "grp", "member", "cents", num=4, den=5)

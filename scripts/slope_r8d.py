@@ -25,6 +25,8 @@ QUERIES = [
     "x24_rfm_segments",
     "x25_autocorr",
     "o17_compaction_plan",
+    "o18_assoc_rules",
+    "o19_pareto",
 ]
 
 
