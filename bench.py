@@ -134,6 +134,7 @@ HEADLINE = [
     "o17_compaction_plan",
     "o18_assoc_rules",
     "o19_pareto",
+    "g13_sssp_weighted",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -296,6 +297,7 @@ EXTRA = {
     "o17_compaction_plan": _staged("o17_compaction_plan"),
     "o18_assoc_rules": _staged("o18_assoc_rules"),
     "o19_pareto": _staged("o19_pareto"),
+    "g13_sssp_weighted": _staged("g13_sssp_weighted"),
 }
 
 

@@ -75,3 +75,58 @@ def bfs_nearest_seed(
         settled = settled.unionAll(new).localCheckpoint(eager=False)
         frontier = new
     return settled
+
+
+def sssp_bellman_ford(
+    edges: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """Weighted multi-source shortest paths, fixed-round Bellman-Ford:
+    (node, dist, root) for every node reachable within `rounds` hops.
+
+    ``edges``: (s, t, w) DIRECTED with NON-NEGATIVE integer weights
+    (negative weights need the full |V|-1 rounds plus a cycle check —
+    out of scope for the distance-to-hub queries this serves).
+    Unlike bfs_nearest_seed, a later round may IMPROVE an already-known
+    distance (a 2-hop path can be shorter than a 1-hop edge), so every
+    round re-minimizes over settled ∪ relaxed:
+
+        cand_r = dist_{r-1} ⋈ edges  -> (t, dist + w, root)
+        dist_r = min over (dist_{r-1} ∪ cand_r) per node
+                 (argmin on the (dist, root) struct — smallest root
+                  breaks distance ties, keeping the output a pure
+                  function of the inputs)
+
+    Two hash operations per round on the node key, lineage cut per round
+    (the relation feeds both the next join and the next union). After
+    `rounds` rounds the distances are exact for all shortest paths of
+    <= `rounds` edges — the production stop rule is "no row improved this
+    round" (compare counts of changed rows, one scalar action), and
+    low-diameter graphs converge in a handful of rounds.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).alias("dist"), F.col("node").alias("root"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        cand = edges.join(
+            dist.select(F.col("node").alias("s"), "dist", "root"), "s"
+        ).select(
+            F.col("t").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            "root",
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(
+                F.expr("min_by(struct(dist, root), struct(dist, root))").alias("_m")
+            )
+            .select("node", F.col("_m.dist").alias("dist"),
+                    F.col("_m.root").alias("root"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

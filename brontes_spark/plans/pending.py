@@ -15,19 +15,19 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 48 gates below were built DURING
+cover; COVERAGE.md names them). The 49 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the nineteen marked "r10 tier" in their survey_refs
+promote at r9; the twenty marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
 `txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
-`o18_assoc_rules`, `o19_pareto`) stay staged
+`o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (19 candidates + the changed-lg cohort compete
+window's headroom allows (20 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -2759,3 +2759,85 @@ def o19_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("cents"))
     )
     return pareto_cover(contrib, "grp", "member", "cents", num=4, den=5)
+
+
+def _sssp_oracle(rounds: int) -> str:
+    ctes = [
+        """eraw AS (
+      SELECT 'c' || o_custkey AS s, 's' || l_suppkey AS t,
+             CAST(MIN(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2)""",
+        "edges AS (SELECT s, t, w FROM eraw"
+        " UNION ALL SELECT t AS s, s AS t, w FROM eraw)",
+        """d0 AS (
+      SELECT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS dist,
+             's' || s_suppkey AS root
+      FROM supplier WHERE s_suppkey % 10 = 0)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+      SELECT e.t AS node, d.dist + e.w AS dist, d.root
+      FROM edges e JOIN d{r - 1} d ON d.node = e.s)"""
+        )
+        ctes.append(
+            f"""d{r} AS (
+      SELECT node, dist, root FROM (
+        SELECT node, dist, root,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY dist, root) AS rn
+        FROM (SELECT * FROM d{r - 1} UNION ALL SELECT * FROM c{r})) x
+      WHERE rn = 1)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist, root FROM d{rounds}"
+
+
+@pending(
+    "g13_sssp_weighted",
+    oracle=None,  # set below: generated unrolled-round twin
+    survey_ref="weighted multi-source shortest paths "
+    "(operators/bfs.sssp_bellman_ford) — fixed-round Bellman-Ford "
+    "completing the graph family's weighted dimension: per round one "
+    "edge hash join + one (dist, root)-struct argmin over settled ∪ "
+    "relaxed (later rounds IMPROVE distances, unlike hop-BFS), "
+    "non-negative integer min-quantity weights on the deduped bidirected "
+    "trade graph, smallest-root distance-tie-break; DuckDB twin replays "
+    "the SAME 3 rounds as generated rank-1 CTEs; staged for the r10 "
+    "promotion tier",
+)
+def g13_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bfs import sssp_bellman_ford
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("t"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("t").alias("s"), F.col("s").alias("t"), "w")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return sssp_bellman_ford(edges, seeds, rounds=3).select(
+        "node", F.col("dist").cast("long").alias("dist"), "root"
+    )
+
+
+PENDING["g13_sssp_weighted"] = QuerySpec(
+    name="g13_sssp_weighted",
+    build=PENDING["g13_sssp_weighted"].build,
+    oracle=_sssp_oracle(rounds=3),
+    survey_ref=PENDING["g13_sssp_weighted"].survey_ref,
+)

@@ -27,6 +27,7 @@ QUERIES = [
     "o17_compaction_plan",
     "o18_assoc_rules",
     "o19_pareto",
+    "g13_sssp_weighted",
 ]
 
 

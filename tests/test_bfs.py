@@ -45,3 +45,35 @@ def test_seed_never_reassigned(spark):
     # b is itself a seed and also a's neighbor: stays (0, b)
     got = _run(spark, [("a", "b")], ["a", "b"], 2)
     assert got["b"] == (0, "b")
+
+
+def _sssp(spark, edges, seeds, rounds):
+    from brontes_spark.operators.bfs import sssp_bellman_ford
+
+    e = spark.createDataFrame(edges, "s string, t string, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {
+        r["node"]: (r["dist"], r["root"])
+        for r in sssp_bellman_ford(e, s, rounds).collect()
+    }
+
+
+def test_sssp_two_hop_beats_direct_edge(spark):
+    # direct a->x costs 10; a->m->x costs 2+3=5: round 2 must IMPROVE x
+    edges = [("a", "x", 10), ("a", "m", 2), ("m", "x", 3)]
+    assert _sssp(spark, edges, ["a"], 1)["x"] == (10, "a")
+    assert _sssp(spark, edges, ["a"], 2)["x"] == (5, "a")
+
+
+def test_sssp_multi_source_and_root_tie(spark):
+    # x is cost 4 from both seeds: smallest root wins the tie
+    edges = [("a", "x", 4), ("b", "x", 4), ("b", "y", 1)]
+    got = _sssp(spark, edges, ["b", "a"], 2)
+    assert got["x"] == (4, "a")
+    assert got["y"] == (1, "b")
+
+
+def test_sssp_zero_weight_edges(spark):
+    edges = [("a", "x", 0), ("x", "y", 0)]
+    got = _sssp(spark, edges, ["a"], 2)
+    assert got["x"] == (0, "a") and got["y"] == (0, "a")
