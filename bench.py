@@ -135,6 +135,7 @@ HEADLINE = [
     "o18_assoc_rules",
     "o19_pareto",
     "g13_sssp_weighted",
+    "o20_skew_profile",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -298,6 +299,7 @@ EXTRA = {
     "o18_assoc_rules": _staged("o18_assoc_rules"),
     "o19_pareto": _staged("o19_pareto"),
     "g13_sssp_weighted": _staged("g13_sssp_weighted"),
+    "o20_skew_profile": _staged("o20_skew_profile"),
 }
 
 

@@ -15,19 +15,20 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 49 gates below were built DURING
+cover; COVERAGE.md names them). The 50 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty marked "r10 tier" in their survey_refs
+promote at r9; the twenty-one marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
 `txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
-`o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`) stay staged
+`o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
+`o20_skew_profile`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (20 candidates + the changed-lg cohort compete
+window's headroom allows (21 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -2841,3 +2842,41 @@ PENDING["g13_sssp_weighted"] = QuerySpec(
     oracle=_sssp_oracle(rounds=3),
     survey_ref=PENDING["g13_sssp_weighted"].survey_ref,
 )
+
+
+@pending(
+    "o20_skew_profile",
+    # counts, ranks, and two exact scaled-integer ratios; the 1-row
+    # summary broadcasts onto the hot-key list so one gate pins both faces
+    oracle=f"""
+    WITH {EV_CTE},
+    c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM ev GROUP BY 1),
+    r AS (SELECT key, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+          FROM c),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
+          FROM c)
+    SELECT r.key, r.cnt, r.rank, s.n_rows, s.n_keys, s.max_cnt,
+           CAST((CAST(1000000000 AS HUGEINT) * s.max_cnt * s.n_keys)
+                // s.n_rows AS BIGINT) AS skew_ratio_9,
+           CAST((CAST(1000000000 AS HUGEINT) * s.max_cnt)
+                // s.n_rows AS BIGINT) AS p_hot_9
+    FROM r CROSS JOIN s WHERE r.rank <= 5
+    """,
+    survey_ref="join-key skew profiling (operators/skew.py) — the "
+    "pre-flight check that picks plain-shuffle vs AQE skew-split vs "
+    "salted join (the top-k hot list feeds salted_join's hot-key set "
+    "directly, and KMV join_size_estimate answers the companion "
+    "output-size question): one map-side-combined count aggregate, "
+    "rank<=k hot list, exact scaled-integer skew_ratio/p_hot; staged "
+    "for the r10 promotion tier",
+)
+def o20_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile, key_skew_summary
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    prof = key_skew_profile(ev, "user_id", top_k=5)
+    summ = key_skew_summary(ev, "user_id")
+    return prof.join(F.broadcast(summ))

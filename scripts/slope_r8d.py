@@ -28,6 +28,7 @@ QUERIES = [
     "o18_assoc_rules",
     "o19_pareto",
     "g13_sssp_weighted",
+    "o20_skew_profile",
 ]
 
 
