@@ -18,6 +18,11 @@ SCALAR_DIM_GATES = {
     "txt_bm25_topk": 2,  # (N) x (L) corpus dims
     "txt_pmi_cooccur": 1,  # corpus pair total T
     "corpus_temperature_mix": 1,  # sqrt-weight total
+    "o16_benford": 1,  # total-count dim N
+    "txt_chi2_features": 1,  # corpus doc total N
+    "txt_nb_train": 2,  # vocab V and doc-total N dims
+    "o20_skew_profile": 1,  # 1-row summary broadcast onto the hot list
+    "o18_assoc_rules": 1,  # basket total N
 }
 
 
