@@ -136,6 +136,7 @@ HEADLINE = [
     "o19_pareto",
     "g13_sssp_weighted",
     "o20_skew_profile",
+    "txt_readability",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -300,6 +301,7 @@ EXTRA = {
     "o19_pareto": _staged("o19_pareto"),
     "g13_sssp_weighted": _staged("g13_sssp_weighted"),
     "o20_skew_profile": _staged("o20_skew_profile"),
+    "txt_readability": _staged("txt_readability"),
 }
 
 

@@ -158,3 +158,72 @@ def script_profile(text: Column) -> dict[str, Column]:
         other = other - c
     return {"n_chars_total": total, **{f"n_{k}": v for k, v in counts.items()},
             "n_other": other}
+
+
+def readability_counts(text: Column) -> dict[str, Column]:
+    """Flesch-style readability inputs, zero-shuffle codegen: words,
+    sentence groups, and vowel-group syllable proxies — each an exact
+    integer from one regexp pass over the row.
+
+    * words: whitespace tokens (the ws_tokens convention).
+    * sentences: maximal [.!?]+ runs ("..." is ONE boundary), floored at
+      1 so fragment docs don't divide by zero.
+    * syllables: maximal [aeiouy]+ runs over the lowercased text — the
+      classic dictionary-free proxy (whitespace breaks runs at word
+      boundaries on its own, so no explode is needed). Counted as
+      len(replace(runs -> 1 char)) - len(replace(runs -> '')), a pair of
+      codegen regexp_replace calls with byte-identical semantics in
+      DuckDB (verified: 'beautiful' -> 'bVtVfVl' in both engines).
+
+    DuckDB twins mirror each expression 1:1; see txt_readability's oracle.
+    """
+    lowered = F.lower(text)
+    def _groups(col: Column, pat: str) -> Column:
+        return (
+            F.length(F.regexp_replace(col, pat, "V"))
+            - F.length(F.regexp_replace(col, pat, ""))
+        ).cast("long")
+
+    return {
+        "words": F.size(ws_tokens(text)).cast("long"),
+        "sentences": F.greatest(F.lit(1).cast("long"), _groups(text, "[.!?]+")),
+        "syllables": _groups(lowered, "[aeiouy]+"),
+    }
+
+
+def with_flesch_9(
+    df, words_col: str, sentences_col: str, syllables_col: str,
+    out_col: str = "flesch_9",
+):
+    """Append Flesch reading ease scaled 1e9, exact integer arithmetic:
+
+        F = 206.835 - 1.015*(W/S) - 84.6*(syl/W)
+          = (206835*S*W - 1015*W^2 - 84600*syl*S) / (1000*S*W)
+
+    as ONE integer division over decimal(38,0) columns. The numerator
+    goes NEGATIVE for dense jargon, and integer division truncates
+    TOWARD ZERO identically in Spark (`div`) and DuckDB (`//`, measured
+    -7 // 2 = -3), so the twin agrees without a floor adjustment —
+    truncation, not floor, is this function's documented rounding.
+    NULL when words == 0 (empty doc: no prose to score). Envelope:
+    1015e9 * W^2 needs W < ~6e12 words per document — any document.
+    """
+    d = "decimal(38,0)"
+    w = F.col(words_col).cast(d)
+    s = F.col(sentences_col).cast(d)
+    y = F.col(syllables_col).cast(d)
+    num = (
+        F.lit(206_835_000_000).cast(d) * s * w
+        - F.lit(1_015_000_000).cast(d) * w * w
+        - F.lit(84_600_000_000).cast(d) * y * s
+    )
+    den = F.lit(1000).cast(d) * s * w
+    return (
+        df.withColumn("_fnum", num)
+        .withColumn("_fden", den)
+        .withColumn(
+            out_col,
+            F.when(F.col(words_col) > 0, F.expr("_fnum div _fden")),
+        )
+        .drop("_fnum", "_fden")
+    )

@@ -15,20 +15,20 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 50 gates below were built DURING
+cover; COVERAGE.md names them). The 51 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-one marked "r10 tier" in their survey_refs
+promote at r9; the twenty-two marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
 `txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
-`o20_skew_profile`) stay staged
+`o20_skew_profile`, `txt_readability`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (21 candidates + the changed-lg cohort compete
+window's headroom allows (22 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -2880,3 +2880,54 @@ def o20_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = key_skew_profile(ev, "user_id", top_k=5)
     summ = key_skew_summary(ev, "user_id")
     return prof.join(F.broadcast(summ))
+
+
+@pending(
+    "txt_readability",
+    # each count is one codegen regexp pass (engine-verified identical
+    # semantics); flesch_9 is one truncating integer division — the
+    # truncation (not floor) convention is the documented rounding and
+    # both engines truncate toward zero identically
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x != '')) AS BIGINT) AS words,
+             GREATEST(CAST(1 AS BIGINT),
+               CAST(length(regexp_replace(text, '[.!?]+', 'V', 'g'))
+                    - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                    AS BIGINT)) AS sentences,
+             CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+                  - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                  AS BIGINT) AS syllables
+      FROM documents)
+    SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words > 0 THEN CAST(
+             (CAST(206835000000 AS HUGEINT) * sentences * words
+              - CAST(1015000000 AS HUGEINT) * words * words
+              - CAST(84600000000 AS HUGEINT) * syllables * sentences)
+             // (CAST(1000 AS HUGEINT) * sentences * words) AS BIGINT)
+           END AS flesch_9
+    FROM c
+    """,
+    survey_ref="readability scoring (functions/text.readability_counts + "
+    "with_flesch_9) — the dictionary-free Flesch reading-ease quality "
+    "signal beside the Gopher rules: words / sentence-boundary groups / "
+    "vowel-group syllable proxies, each ONE zero-shuffle codegen regexp "
+    "pass (no explode — whitespace breaks vowel runs at word boundaries "
+    "on its own), flesch_9 as one truncating integer division over "
+    "decimal(38)/HUGEINT; staged for the r10 promotion tier",
+)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import readability_counts, with_flesch_9
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = readability_counts(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        counts["words"].alias("words"),
+        counts["sentences"].alias("sentences"),
+        counts["syllables"].alias("syllables"),
+    )
+    return with_flesch_9(base, "words", "sentences", "syllables")

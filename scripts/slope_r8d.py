@@ -29,6 +29,7 @@ QUERIES = [
     "o19_pareto",
     "g13_sssp_weighted",
     "o20_skew_profile",
+    "txt_readability",
 ]
 
 
