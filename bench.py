@@ -137,6 +137,7 @@ HEADLINE = [
     "g13_sssp_weighted",
     "o20_skew_profile",
     "txt_readability",
+    "g14_ppr",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -302,6 +303,7 @@ EXTRA = {
     "g13_sssp_weighted": _staged("g13_sssp_weighted"),
     "o20_skew_profile": _staged("o20_skew_profile"),
     "txt_readability": _staged("txt_readability"),
+    "g14_ppr": _staged("g14_ppr"),
 }
 
 

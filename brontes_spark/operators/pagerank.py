@@ -126,3 +126,127 @@ def pagerank_oracle_sql(
         )
     parts.append(f"SELECT node, rank FROM r{iters}")
     return "\n".join(parts)
+
+
+def ppr_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 10**9,
+    d_num: int = 85,
+    d_den: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to `seeds` —
+    the "importance relative to THESE nodes" ranking behind
+    related-entity discovery and topic-conditioned influence (the
+    seeded sibling of pagerank_integer; same exact-integer discipline,
+    same unrolled-CTE twin via ppr_oracle_sql).
+
+    Mass starts entirely at the seeds (rank0 = scale * N / |S| on seeds,
+    0 elsewhere) and every iteration returns (1-d) of the total to the
+    seeds, so unreached nodes hold rank 0 — the signature PPR locality
+    property that makes it USEFUL at 100 TB: rank support grows only as
+    far as `iters` hops from the seed set.
+
+    |S| and N enter as two bounded .count() scalar actions (the
+    documented summary-action class — seed sets and node counts are
+    metadata, never data-sized streams).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < d_num <= d_den:
+        raise ValueError(f"damping must be in (0, 1], got {d_num}/{d_den}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
+    s = seeds.select("node").distinct().localCheckpoint(eager=False)
+    n_nodes, n_seeds = nodes.count(), s.count()
+    if n_seeds == 0:
+        raise ValueError("seed set is empty")
+    start = (scale * n_nodes) // n_seeds
+    seed_teleport = ((d_den - d_num) * scale * n_nodes) // (d_den * n_seeds)
+    flagged = nodes.join(
+        s.withColumn("_is_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("is_seed"))
+    flagged = flagged.localCheckpoint(eager=False)
+
+    ranks = flagged.select(
+        "node", (F.col("is_seed") * F.lit(start)).cast("long").alias("rank")
+    )
+    for t in range(1, iters + 1):
+        contrib = (
+            ranks.join(e_deg, ranks["node"] == e_deg["src"], "inner")
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = flagged.join(
+            contrib, flagged["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.col("is_seed") * F.lit(seed_teleport)
+                + F.expr(f"({d_num} * coalesce(s, 0)) div {d_den}")
+            ).cast("long").alias("rank"),
+        )
+        if t % checkpoint_every == 0 and t < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def ppr_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 3,
+    scale: int = 10**9,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    """DuckDB twin of ppr_integer: identical iterations unrolled.
+    `seeds_cte` must be a CTE body named `seeds(node)`. The start /
+    seed-teleport constants are computed IN SQL from the same counts the
+    operator takes as scalar actions (HUGEINT floor division == Python
+    int division on positive operands), so one oracle string is correct
+    at every scale factor."""
+    parts = [
+        f"WITH {edges_cte},",
+        f"{seeds_cte},",
+        "e AS (SELECT DISTINCT src, dst FROM edges),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),",
+        "sd AS (SELECT DISTINCT node FROM seeds),",
+        "flg AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END"
+        " AS is_seed FROM nodes n LEFT JOIN sd s ON s.node = n.node),",
+        "kn AS (SELECT (SELECT COUNT(*) FROM nodes) AS n,"
+        " (SELECT COUNT(*) FROM sd) AS s),",
+        f"kc AS (SELECT CAST((CAST({scale} AS HUGEINT) * n) // s AS BIGINT)"
+        f" AS start, CAST((CAST({d_den - d_num} AS HUGEINT) * {scale} * n)"
+        f" // ({d_den} * s) AS BIGINT) AS tp FROM kn),",
+        "r0 AS (SELECT f.node, CAST(f.is_seed * kc.start AS BIGINT) AS rank"
+        " FROM flg f CROSS JOIN kc),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst, SUM(r.rank // o.outdeg) AS s "
+            f"FROM r{t-1} r JOIN outdeg o ON r.node = o.src "
+            f"JOIN e ON e.src = r.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{t} AS (SELECT f.node, CAST(f.is_seed * kc.tp + "
+            f"({d_num} * COALESCE(c.s, 0)) // {d_den} AS BIGINT) AS rank "
+            f"FROM flg f CROSS JOIN kc LEFT JOIN c{t} c ON f.node = c.dst)"
+            + ("," if t < iters else "")
+        )
+    parts.append(f"SELECT node, rank FROM r{iters}")
+    return "\n".join(parts)

@@ -15,20 +15,20 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 51 gates below were built DURING
+cover; COVERAGE.md names them). The 52 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-two marked "r10 tier" in their survey_refs
+promote at r9; the twenty-three marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
 `txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
-`o20_skew_profile`, `txt_readability`) stay staged
+`o20_skew_profile`, `txt_readability`, `g14_ppr`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (22 candidates + the changed-lg cohort compete
+window's headroom allows (23 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -2931,3 +2931,57 @@ def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["syllables"].alias("syllables"),
     )
     return with_flesch_9(base, "words", "sentences", "syllables")
+
+
+_PPR_SEEDS_SQL = (
+    "seeds(node) AS (SELECT 's' || s_suppkey FROM supplier "
+    "WHERE s_suppkey % 10 = 0)"
+)
+
+
+def _ppr_oracle() -> str:
+    from ..operators.pagerank import ppr_oracle_sql
+
+    return ppr_oracle_sql(_PR_EDGES_SQL, _PPR_SEEDS_SQL, iters=3)
+
+
+@pending(
+    "g14_ppr",
+    oracle=None,  # set below: generated unrolled-iteration twin
+    survey_ref="personalized PageRank (operators/pagerank.ppr_integer) — "
+    "teleport mass restricted to the 10 seed suppliers over the "
+    "bidirectional trade graph: importance RELATIVE to a seed set, the "
+    "related-entity/topic-conditioned ranking whose locality (rank "
+    "support grows only iters hops from the seeds) is what makes it a "
+    "100 TB citizen; same exact-integer per-iteration arithmetic and "
+    "unrolled-CTE twin as g7, with the start/teleport constants computed "
+    "from counts on BOTH engines so one oracle serves every sf; staged "
+    "for the r10 promotion tier",
+)
+def g14_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import ppr_integer
+    from ..sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return ppr_integer(edges, seeds, iters=3)
+
+
+PENDING["g14_ppr"] = QuerySpec(
+    name="g14_ppr",
+    build=PENDING["g14_ppr"].build,
+    oracle=_ppr_oracle(),
+    survey_ref=PENDING["g14_ppr"].survey_ref,
+)

@@ -30,6 +30,7 @@ QUERIES = [
     "g13_sssp_weighted",
     "o20_skew_profile",
     "txt_readability",
+    "g14_ppr",
 ]
 
 
