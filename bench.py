@@ -138,6 +138,8 @@ HEADLINE = [
     "o20_skew_profile",
     "txt_readability",
     "g14_ppr",
+    "o21_corr_matrix",
+    "o22_mann_whitney",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -304,6 +306,8 @@ EXTRA = {
     "o20_skew_profile": _staged("o20_skew_profile"),
     "txt_readability": _staged("txt_readability"),
     "g14_ppr": _staged("g14_ppr"),
+    "o21_corr_matrix": _staged("o21_corr_matrix"),
+    "o22_mann_whitney": _staged("o22_mann_whitney"),
 }
 
 

@@ -1,0 +1,95 @@
+"""Mann-Whitney U test statistic — exact-integer nonparametric A/B.
+
+The engine's first hypothesis-test surface: does group A's value
+distribution stochastically dominate group B's? The U statistic is the
+canonical nonparametric answer (no normality assumption — right for the
+heavy-tailed value columns this engine handles), and it is EXACTLY
+computable in integers: with midranks doubled to clear the .5 tie
+halves,
+
+    mr2(v) = 2 * (1 + #values_below) + ties_at(v) - 1
+    R2_A   = sum over values of cnt_A(v) * mr2(v)
+    U2_A   = R2_A - n_A * (n_A + 1)        (U doubled; U_A = U2_A / 2)
+    U2_B   = 2 * n_A * n_B - U2_A          (the identity U_A+U_B = nAnB)
+
+plus the rank-biserial effect size rb = (U_A - U_B)/(n_A*n_B), emitted
+as rb_9 with one truncating integer division (truncation toward zero,
+identical in both engines — the flesch_9 convention; rb is symmetric so
+truncation loses no sign information).
+
+Scale shape: one hash aggregate collapses the data to the DISTINCT-VALUE
+histogram (cnt_A, cnt_B per value) — the only data-sized pass — then one
+ordered window over that histogram computes the cumulative ranks. The
+window is deliberately partition-less: its input is the value DOMAIN,
+not the data (cents domains are ~1e6 rows; for continuous doubles,
+quantize upstream — the repo-wide integerization policy doubles as the
+test's tie policy). Significance: U's normal approximation needs only
+(n_a, n_b, U) — emitted here; the z/p computation is a driver-side
+formula over one row, not a data operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DEC38 = "decimal(38,0)"
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """One row: (n_a, n_b, u2_a, u2_b, rb_9). Rows outside the two groups
+    or with NULL values are excluded. Empty groups yield NULL rb_9."""
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(val_col).isNotNull()
+    ).select(
+        (F.col(group_col) == group_a).alias("_is_a"),
+        F.col(val_col).alias("v"),
+    )
+    hist = base.groupBy("v").agg(
+        F.sum(F.col("_is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("_is_a")).cast("long")).alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = hist.withColumn(
+        "_below", F.sum(F.col("ca") + F.col("cb")).over(w) - F.col("ca") - F.col("cb")
+    ).withColumn(
+        "_mr2", 2 * (1 + F.col("_below")) + F.col("ca") + F.col("cb") - 1
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * F.col("_mr2")).alias("_r2a"),
+    )
+    out = agg.select(
+        "n_a",
+        "n_b",
+        (F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+    ).select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        (2 * F.col("n_a") * F.col("n_b") - F.col("u2_a")).alias("u2_b"),
+    )
+    return (
+        out.withColumn(
+            "_num",
+            (F.col("u2_a") - F.col("u2_b")).cast(DEC38)
+            * F.lit(1_000_000_000).cast(DEC38),
+        )
+        .withColumn("_den", (2 * F.col("n_a") * F.col("n_b")).cast(DEC38))
+        .withColumn(
+            "rb_9",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr("_num div _den"),
+            ),
+        )
+        .select("n_a", "n_b", "u2_a", "u2_b", "rb_9")
+    )

@@ -241,3 +241,68 @@ def autocorr(
         pearson_corr_xy(paired, key_col, "_prev", y_col)
         .select(key_col, F.lit(lag).cast("long").alias("lag"), "n", "corr9")
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of k integer columns in ONE pass:
+    (col_a, col_b, n, corr9) for every a < b pair.
+
+    The 100 TB story is the aggregate shape: all k sums, k squares, and
+    k(k-1)/2 cross-products compute in a SINGLE map-side-combined hash
+    aggregate over one scan — the cost of a corr matrix is the cost of
+    one count(*), independent of k's quadratic pair count (which only
+    widens the 1-row aggregate). The pair rows then unpivot from that
+    single row with a literal stack — no second scan, no join.
+
+    Rows with a NULL in ANY of `cols` are excluded (listwise-complete —
+    the matrix is over a single common sample, unlike pearson_corr_xy's
+    pairwise-complete two-column face). Exactness contract as ever:
+    integer sums, decimal(38) cross-terms, one correctly-rounded double
+    chain per pair. Envelope: sum(x*x) per column must fit bigint."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.select([F.col(c).cast("long").alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a)).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"q_{i}"))
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(a) * F.col(cols[j])).alias(f"p_{i}_{j}")
+            )
+    row = base.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            pairs.append((i, j, a, cols[j]))
+    stack = ", ".join(
+        f"'{a}', '{b}', p_{i}_{j}, s_{i}, s_{j}, q_{i}, q_{j}"
+        for i, j, a, b in pairs
+    )
+    long_rows = row.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS "
+            "(col_a, col_b, sxy, sx, sy, sxx, syy)"
+        ),
+    )
+    num = F.expr(f"CAST(n AS {DEC38}) * CAST(sxy AS {DEC38})"
+                 f" - CAST(sx AS {DEC38}) * CAST(sy AS {DEC38})")
+    d1 = F.expr(f"CAST(n AS {DEC38}) * CAST(sxx AS {DEC38})"
+                f" - CAST(sx AS {DEC38}) * CAST(sx AS {DEC38})")
+    d2 = F.expr(f"CAST(n AS {DEC38}) * CAST(syy AS {DEC38})"
+                f" - CAST(sy AS {DEC38}) * CAST(sy AS {DEC38})")
+    out = (
+        long_rows.withColumn("_num", num.cast("long"))
+        .withColumn("_d1", d1.cast("long"))
+        .withColumn("_d2", d2.cast("long"))
+    )
+    corr9 = F.expr(
+        "CAST(CASE WHEN _d1 > 0 AND _d2 > 0 THEN "
+        "FLOOR(1000000000.0 * CAST(_num AS DOUBLE) / "
+        "SQRT(CAST(_d1 AS DOUBLE) * CAST(_d2 AS DOUBLE))) END AS BIGINT)"
+    )
+    return out.select("col_a", "col_b", "n", corr9.alias("corr9"))

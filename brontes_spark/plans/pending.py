@@ -15,20 +15,21 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 52 gates below were built DURING
+cover; COVERAGE.md names them). The 54 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-three marked "r10 tier" in their survey_refs
+promote at r9; the twenty-five marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
 `txt_chi2_features`, `o15_k_anonymity`, `o16_benford`, `txt_nb_train`,
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
-`o20_skew_profile`, `txt_readability`, `g14_ppr`) stay staged
+`o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
+`o22_mann_whitney`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (23 candidates + the changed-lg cohort compete
+window's headroom allows (25 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -2985,3 +2986,132 @@ PENDING["g14_ppr"] = QuerySpec(
     oracle=_ppr_oracle(),
     survey_ref=PENDING["g14_ppr"].survey_ref,
 )
+
+
+@pending(
+    "o21_corr_matrix",
+    # one aggregate computes every sum/square/cross-product; the oracle
+    # unpivots the same single row via UNION ALL branches over a shared CTE
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100000 AS price_k,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+               AS disc_c,
+             CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+    a AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(qty) AS HUGEINT) AS s0, CAST(SUM(qty*qty) AS HUGEINT) AS q0,
+             CAST(SUM(price_k) AS HUGEINT) AS s1, CAST(SUM(price_k*price_k) AS HUGEINT) AS q1,
+             CAST(SUM(disc_c) AS HUGEINT) AS s2, CAST(SUM(disc_c*disc_c) AS HUGEINT) AS q2,
+             CAST(SUM(tax_c) AS HUGEINT) AS s3, CAST(SUM(tax_c*tax_c) AS HUGEINT) AS q3,
+             CAST(SUM(qty*price_k) AS HUGEINT) AS p01,
+             CAST(SUM(qty*disc_c) AS HUGEINT) AS p02,
+             CAST(SUM(qty*tax_c) AS HUGEINT) AS p03,
+             CAST(SUM(price_k*disc_c) AS HUGEINT) AS p12,
+             CAST(SUM(price_k*tax_c) AS HUGEINT) AS p13,
+             CAST(SUM(disc_c*tax_c) AS HUGEINT) AS p23
+      FROM b),
+    l AS (
+      SELECT 'qty' AS col_a, 'price_k' AS col_b, n, p01 AS sxy, s0 AS sx, s1 AS sy, q0 AS sxx, q1 AS syy FROM a
+      UNION ALL SELECT 'qty', 'disc_c', n, p02, s0, s2, q0, q2 FROM a
+      UNION ALL SELECT 'qty', 'tax_c', n, p03, s0, s3, q0, q3 FROM a
+      UNION ALL SELECT 'price_k', 'disc_c', n, p12, s1, s2, q1, q2 FROM a
+      UNION ALL SELECT 'price_k', 'tax_c', n, p13, s1, s3, q1, q3 FROM a
+      UNION ALL SELECT 'disc_c', 'tax_c', n, p23, s2, s3, q2, q3 FROM a),
+    f AS (
+      SELECT col_a, col_b, n,
+             CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+             CAST(n * syy - sy * sy AS BIGINT) AS d2
+      FROM l)
+    SELECT col_a, col_b, n,
+           CASE WHEN d1 > 0 AND d2 > 0 THEN
+             CAST(FLOOR(1000000000.0 * CAST(num AS DOUBLE)
+                  / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                  AS BIGINT)
+           END AS corr9
+    FROM f
+    """,
+    survey_ref="one-pass correlation matrix (operators/ols.corr_matrix) "
+    "— all k sums, squares, and k(k-1)/2 cross-products in a SINGLE "
+    "map-side-combined aggregate over one scan (cost of a count(*), "
+    "independent of the pair count), pair rows unpivoted from the 1-row "
+    "aggregate with a literal stack; listwise-complete sample, x20's "
+    "correctly-rounded final double chain per pair; lineitem "
+    "qty/price/discount/tax cents; staged for the r10 promotion tier",
+)
+def o21_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ols import corr_matrix
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+               " div 100000").alias("price_k"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("long").alias("disc_c"),
+        (F.col("l_tax").cast("decimal(4,2)") * 100).cast("long").alias("tax_c"),
+    )
+    return corr_matrix(li, ["qty", "price_k", "disc_c", "tax_c"])
+
+
+@pending(
+    "o22_mann_whitney",
+    # doubled midranks clear the .5 tie halves, so U and the identity
+    # U_A + U_B = n_A*n_B are exact integers; rb_9 is one truncating
+    # integer division (the flesch_9 convention, identical both engines)
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_type = 'purchase' AS is_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+    h AS (
+      SELECT v, CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM b GROUP BY 1),
+    r AS (
+      SELECT ca, cb,
+             CAST(SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) - ca - cb AS below
+      FROM h),
+    a AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * (1 + below) + ca + cb - 1)) AS BIGINT) AS r2a
+      FROM r),
+    f AS (
+      SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a FROM a),
+    g AS (
+      SELECT n_a, n_b, u2_a, 2 * n_a * n_b - u2_a AS u2_b FROM f)
+    SELECT n_a, n_b, u2_a, u2_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST((CAST(u2_a - u2_b AS HUGEINT) * 1000000000)
+                  // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+           END AS rb_9
+    FROM g
+    """,
+    survey_ref="Mann-Whitney U (operators/mannwhitney.py) — the engine's "
+    "first hypothesis-test surface: exact-integer nonparametric A/B via "
+    "doubled midranks (U, the U_A+U_B=nAnB identity, and rank-biserial "
+    "effect size all exact); ONE data-sized hash aggregate to the "
+    "distinct-value histogram, then one ordered window over the value "
+    "DOMAIN (partition-less deliberately — domain-sized, with upstream "
+    "quantization as the tie/size policy); purchase-vs-error cents at "
+    "the gate; staged for the r10 promotion tier",
+)
+def o22_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mannwhitney import mann_whitney_u
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return mann_whitney_u(rows, "event_type", "cents", "purchase", "error")

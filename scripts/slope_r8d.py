@@ -31,6 +31,8 @@ QUERIES = [
     "o20_skew_profile",
     "txt_readability",
     "g14_ppr",
+    "o21_corr_matrix",
+    "o22_mann_whitney",
 ]
 
 

@@ -1,0 +1,56 @@
+"""Mann-Whitney U: hand golds with ties, scipy-free reference parity,
+U_A + U_B identity, separation endpoints."""
+
+from __future__ import annotations
+
+import random
+
+from brontes_spark.operators.mannwhitney import mann_whitney_u
+
+
+def _run(spark, a_vals, b_vals):
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = mann_whitney_u(df, "g", "v", "A", "B").collect()
+    return r
+
+
+def _u2_ref(a_vals, b_vals):
+    # direct pairwise definition: U_A = #(a>b) + 0.5*#(a==b), doubled
+    u2 = 0
+    for a in a_vals:
+        for b in b_vals:
+            u2 += 2 if a > b else (1 if a == b else 0)
+    return u2
+
+
+def test_hand_gold_with_ties(spark):
+    a, b = [3, 5, 5, 9], [1, 5, 7]
+    r = _run(spark, a, b)
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["u2_a"] == _u2_ref(a, b)
+    assert r["u2_a"] + r["u2_b"] == 2 * 4 * 3
+
+
+def test_random_matches_pairwise_reference(spark):
+    rng = random.Random(21)
+    for trial in range(3):
+        a = [rng.randrange(0, 20) for _ in range(40)]
+        b = [rng.randrange(5, 25) for _ in range(30)]
+        r = _run(spark, a, b)
+        assert r["u2_a"] == _u2_ref(a, b), trial
+        assert r["u2_b"] == _u2_ref(b, a), trial
+
+
+def test_complete_separation_endpoints(spark):
+    r = _run(spark, [10, 11, 12], [1, 2])
+    # A dominates completely: U_A = n_a*n_b, rb = +1
+    assert r["u2_a"] == 2 * 3 * 2
+    assert r["rb_9"] == 1_000_000_000
+    r = _run(spark, [1, 2], [10, 11, 12])
+    assert r["u2_a"] == 0 and r["rb_9"] == -1_000_000_000
+
+
+def test_identical_distributions_zero_effect(spark):
+    r = _run(spark, [1, 2, 3], [1, 2, 3])
+    assert r["u2_a"] == r["u2_b"] and r["rb_9"] == 0
