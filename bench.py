@@ -140,6 +140,7 @@ HEADLINE = [
     "g14_ppr",
     "o21_corr_matrix",
     "o22_mann_whitney",
+    "o23_ks_test",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -308,6 +309,7 @@ EXTRA = {
     "g14_ppr": _staged("g14_ppr"),
     "o21_corr_matrix": _staged("o21_corr_matrix"),
     "o22_mann_whitney": _staged("o22_mann_whitney"),
+    "o23_ks_test": _staged("o23_ks_test"),
 }
 
 

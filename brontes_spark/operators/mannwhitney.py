@@ -93,3 +93,68 @@ def mann_whitney_u(
         )
         .select("n_a", "n_b", "u2_a", "u2_b", "rb_9")
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample statistic, exact:
+    (n_a, n_b, d_num, d_9) where
+
+        D = max over values of |ECDF_A(v) - ECDF_B(v)|
+          = max |cumA(v) * n_b - cumB(v) * n_a| / (n_a * n_b)
+
+    The numerator is an exact integer maximum (cross-multiplied ECDFs —
+    no division inside the max), so D is an exact rational; d_9 =
+    floor(1e9 * d_num / (n_a * n_b)) with positive operands. Same scale
+    shape as mann_whitney_u: one hash aggregate to the distinct-value
+    histogram, one ordered window over the value domain. The KS D and
+    the MW U disagree on purpose — U sees stochastic dominance, D sees
+    the largest pointwise gap — which is why both ship."""
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(val_col).isNotNull()
+    ).select(
+        (F.col(group_col) == group_a).alias("_is_a"),
+        F.col(val_col).alias("v"),
+    )
+    hist = base.groupBy("v").agg(
+        F.sum(F.col("_is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("_is_a")).cast("long")).alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cuma", F.sum("ca").over(w)).withColumn(
+        "cumb", F.sum("cb").over(w)
+    )
+    # the gap needs the FINAL n_a/n_b inside the per-value expression:
+    # take them from unbounded windows over the same (tiny) histogram
+    wa = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    gaps = cum.withColumn("na", F.sum("ca").over(wa)).withColumn(
+        "nb", F.sum("cb").over(wa)
+    ).withColumn(
+        "_gap",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")),
+    )
+    out = gaps.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max("_gap").alias("d_num"),
+    )
+    return (
+        out.withColumn(
+            "_num", F.col("d_num").cast(DEC38) * F.lit(1_000_000_000).cast(DEC38)
+        )
+        .withColumn("_den", (F.col("n_a") * F.col("n_b")).cast(DEC38))
+        .withColumn(
+            "d_9",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr("_num div _den"),
+            ),
+        )
+        .select("n_a", "n_b", "d_num", "d_9")
+    )

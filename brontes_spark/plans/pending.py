@@ -15,11 +15,11 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 54 gates below were built DURING
+cover; COVERAGE.md names them). The 55 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-five marked "r10 tier" in their survey_refs
+promote at r9; the twenty-six marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
@@ -27,9 +27,9 @@ promote at r9; the twenty-five marked "r10 tier" in their survey_refs
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
 `o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
-`o22_mann_whitney`) stay staged
+`o22_mann_whitney`, `o23_ks_test`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (25 candidates + the changed-lg cohort compete
+window's headroom allows (26 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -3115,3 +3115,57 @@ def o22_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     return mann_whitney_u(rows, "event_type", "cents", "purchase", "error")
+
+
+@pending(
+    "o23_ks_test",
+    # cross-multiplied ECDFs keep the max an exact integer; one positive
+    # integer division scales it
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_type = 'purchase' AS is_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+    h AS (
+      SELECT v, CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM b GROUP BY 1),
+    c AS (
+      SELECT ca, cb,
+             CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumb,
+             CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM h),
+    g AS (
+      SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+             MAX(ABS(cuma * nb - cumb * na)) AS d_num
+      FROM c)
+    SELECT n_a, n_b, d_num,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST((CAST(d_num AS HUGEINT) * 1000000000)
+                  // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+           END AS d_9
+    FROM g
+    """,
+    survey_ref="Kolmogorov-Smirnov two-sample statistic "
+    "(operators/mannwhitney.ks_two_sample) — the pointwise-gap "
+    "complement to MW's dominance view: D as an exact rational via "
+    "cross-multiplied integer ECDFs (no division inside the max), same "
+    "histogram->ordered-window shape, purchase-vs-error cents; staged "
+    "for the r10 promotion tier",
+)
+def o23_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mannwhitney import ks_two_sample
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return ks_two_sample(rows, "event_type", "cents", "purchase", "error")

@@ -33,6 +33,7 @@ QUERIES = [
     "g14_ppr",
     "o21_corr_matrix",
     "o22_mann_whitney",
+    "o23_ks_test",
 ]
 
 

@@ -54,3 +54,43 @@ def test_complete_separation_endpoints(spark):
 def test_identical_distributions_zero_effect(spark):
     r = _run(spark, [1, 2, 3], [1, 2, 3])
     assert r["u2_a"] == r["u2_b"] and r["rb_9"] == 0
+
+
+def _ks(spark, a_vals, b_vals):
+    from brontes_spark.operators.mannwhitney import ks_two_sample
+
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = ks_two_sample(df, "g", "v", "A", "B").collect()
+    return r
+
+
+def _ks_ref(a_vals, b_vals):
+    # direct ECDF-gap definition over the union of values
+    na, nb = len(a_vals), len(b_vals)
+    best = 0
+    for v in sorted(set(a_vals) | set(b_vals)):
+        ca = sum(1 for x in a_vals if x <= v)
+        cb = sum(1 for x in b_vals if x <= v)
+        best = max(best, abs(ca * nb - cb * na))
+    return best
+
+
+def test_ks_hand_and_reference(spark):
+    a, b = [1, 2, 3, 9], [2, 5, 6]
+    r = _ks(spark, a, b)
+    assert r["d_num"] == _ks_ref(a, b)
+    assert r["d_9"] == r["d_num"] * 10**9 // (4 * 3)
+    rng = random.Random(33)
+    a = [rng.randrange(0, 15) for _ in range(25)]
+    b = [rng.randrange(3, 18) for _ in range(35)]
+    assert _ks(spark, a, b)["d_num"] == _ks_ref(a, b)
+
+
+def test_ks_endpoints(spark):
+    # disjoint supports: D = 1
+    r = _ks(spark, [1, 2], [10, 11])
+    assert r["d_9"] == 1_000_000_000
+    # identical samples: D = 0
+    r = _ks(spark, [1, 2, 3], [1, 2, 3])
+    assert r["d_num"] == 0 and r["d_9"] == 0
