@@ -141,6 +141,7 @@ HEADLINE = [
     "o21_corr_matrix",
     "o22_mann_whitney",
     "o23_ks_test",
+    "o24_spearman",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -310,6 +311,7 @@ EXTRA = {
     "o21_corr_matrix": _staged("o21_corr_matrix"),
     "o22_mann_whitney": _staged("o22_mann_whitney"),
     "o23_ks_test": _staged("o23_ks_test"),
+    "o24_spearman": _staged("o24_spearman"),
 }
 
 

@@ -158,3 +158,39 @@ def ks_two_sample(
         )
         .select("n_a", "n_b", "d_num", "d_9")
     )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation, exact: one row (n, rho9).
+
+    Spearman is Pearson on ranks; with midranks DOUBLED (the MW trick)
+    the tie-adjusted ranks are exact integers, so the whole statistic
+    rides the pearson exact-sum chain unchanged — rho9 is the identical
+    correctly-rounded double-chain floor. Pairwise-complete on the two
+    columns (NULL rows drop before ranking).
+
+    Shape: two distinct-value histograms (hash aggs) -> two rank maps
+    (ordered windows over the value DOMAINS, partition-less by the
+    mannwhitney size policy) -> two joins back to the rows -> one
+    pearson aggregate. Envelope: doubled midranks reach 2n, so the
+    pearson discipline (n * sum(mr2^2) ~ 4n^4/3 < 2^63) holds to
+    n ~ 1.2M pairs per statistic — group or sample above that (rank
+    correlation converges long before 1e6 points)."""
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def rank_map(col: str):
+        hist = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return hist.withColumn(
+            "_below", F.sum("c").over(w) - F.col("c")
+        ).select(col, (2 * F.col("_below") + F.col("c") + 1).alias(f"mr2_{col}"))
+
+    ranked = base.join(rank_map("x"), "x").join(rank_map("y"), "y")
+    from .ols import pearson_corr_xy
+
+    out = pearson_corr_xy(
+        ranked.withColumn("_k", F.lit(1)), "_k", "mr2_x", "mr2_y"
+    )
+    return out.select("n", F.col("corr9").alias("rho9"))

@@ -15,11 +15,11 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 55 gates below were built DURING
+cover; COVERAGE.md names them). The 56 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-six marked "r10 tier" in their survey_refs
+promote at r9; the twenty-seven marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
@@ -27,9 +27,9 @@ promote at r9; the twenty-six marked "r10 tier" in their survey_refs
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
 `o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
-`o22_mann_whitney`, `o23_ks_test`) stay staged
+`o22_mann_whitney`, `o23_ks_test`, `o24_spearman`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (26 candidates + the changed-lg cohort compete
+window's headroom allows (27 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -3169,3 +3169,62 @@ def o23_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     return ks_two_sample(rows, "event_type", "cents", "purchase", "error")
+
+
+@pending(
+    "o24_spearman",
+    # doubled midranks are exact integers, so Spearman IS the pearson
+    # exact-sum chain on ranks; one correctly-rounded double floor
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT (ts_ns - (ts_ns % 1000000000 + 1000000000) % 1000000000)
+               // 1000000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL),
+    hx AS (SELECT x, COUNT(*) AS c FROM b GROUP BY 1),
+    rx AS (SELECT x, 2 * (CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED
+                  PRECEDING) AS BIGINT) - c) + c + 1 AS mr2x FROM hx),
+    hy AS (SELECT y, COUNT(*) AS c FROM b GROUP BY 1),
+    ry AS (SELECT y, 2 * (CAST(SUM(c) OVER (ORDER BY y ROWS UNBOUNDED
+                  PRECEDING) AS BIGINT) - c) + c + 1 AS mr2y FROM hy),
+    j AS (SELECT rx.mr2x AS mx, ry.mr2y AS my
+          FROM b JOIN rx ON rx.x = b.x JOIN ry ON ry.y = b.y),
+    a AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(mx) AS HUGEINT) AS sx, CAST(SUM(my) AS HUGEINT) AS sy,
+             CAST(SUM(mx * my) AS HUGEINT) AS sxy,
+             CAST(SUM(mx * mx) AS HUGEINT) AS sxx,
+             CAST(SUM(my * my) AS HUGEINT) AS syy
+      FROM j),
+    f AS (
+      SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+             CAST(n * syy - sy * sy AS BIGINT) AS d2
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN d1 > 0 AND d2 > 0 THEN
+             CAST(FLOOR(1000000000.0 * CAST(num AS DOUBLE)
+                  / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                  AS BIGINT)
+           END AS rho9
+    FROM f
+    """,
+    survey_ref="Spearman rank correlation "
+    "(operators/mannwhitney.spearman_corr) — the monotonic-association "
+    "complement to Pearson's linear view: exact doubled midranks (MW "
+    "trick) feed the pearson exact-sum chain unchanged; purchase-event "
+    "time-vs-spend at the gate; envelope documented (4n^4/3 < 2^63 -> "
+    "n ~ 1.2M per statistic, sample above); staged for the r10 "
+    "promotion tier",
+)
+def o24_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mannwhitney import spearman_corr
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("(ts_ns - pmod(ts_ns, 1000000000)) div 1000000000").alias("t_s"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return spearman_corr(rows, "t_s", "cents")

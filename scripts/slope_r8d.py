@@ -34,6 +34,7 @@ QUERIES = [
     "o21_corr_matrix",
     "o22_mann_whitney",
     "o23_ks_test",
+    "o24_spearman",
 ]
 
 

@@ -94,3 +94,52 @@ def test_ks_endpoints(spark):
     # identical samples: D = 0
     r = _ks(spark, [1, 2, 3], [1, 2, 3])
     assert r["d_num"] == 0 and r["d_9"] == 0
+
+
+def _spearman(spark, pairs):
+    from brontes_spark.operators.mannwhitney import spearman_corr
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    [r] = spearman_corr(df, "x", "y").collect()
+    return r
+
+
+def test_spearman_monotonic_nonlinear_is_one(spark):
+    # y = x^3 is nonlinear but perfectly monotonic: rho == 1, while
+    # Pearson would be < 1 — the reason Spearman exists
+    pairs = [(x, x**3) for x in range(1, 20)]
+    r = _spearman(spark, pairs)
+    assert r["rho9"] == 1_000_000_000
+    r = _spearman(spark, [(x, -(x**3)) for x in range(1, 20)])
+    assert r["rho9"] == -1_000_000_000
+
+
+def test_spearman_ties_match_scipy_formula(spark):
+    # hand case with ties in both columns; reference via plain Pearson
+    # on fractional midranks computed independently
+    import math
+
+    pairs = [(1, 5), (2, 5), (2, 7), (3, 7), (3, 7), (4, 1)]
+
+    def midranks(vals):
+        out = {}
+        s = 1
+        for v in sorted(set(vals)):
+            c = vals.count(v)
+            out[v] = s + (c - 1) / 2
+            s += c
+        return [out[v] for v in vals]
+
+    xs = midranks([p[0] for p in pairs])
+    ys = midranks([p[1] for p in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    r = _spearman(spark, pairs)
+    assert r["n"] == n
+    assert abs(r["rho9"] / 1e9 - rho) < 2e-9
