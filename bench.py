@@ -142,6 +142,7 @@ HEADLINE = [
     "o22_mann_whitney",
     "o23_ks_test",
     "o24_spearman",
+    "ev_json_extract",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -312,6 +313,7 @@ EXTRA = {
     "o22_mann_whitney": _staged("o22_mann_whitney"),
     "o23_ks_test": _staged("o23_ks_test"),
     "o24_spearman": _staged("o24_spearman"),
+    "ev_json_extract": _staged("ev_json_extract"),
 }
 
 

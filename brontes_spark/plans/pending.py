@@ -15,11 +15,11 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 56 gates below were built DURING
+cover; COVERAGE.md names them). The 57 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-seven marked "r10 tier" in their survey_refs
+promote at r9; the twenty-eight marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
@@ -27,9 +27,10 @@ promote at r9; the twenty-seven marked "r10 tier" in their survey_refs
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
 `o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
-`o22_mann_whitney`, `o23_ks_test`, `o24_spearman`) stay staged
+`o22_mann_whitney`, `o23_ks_test`, `o24_spearman`, `ev_json_extract`)
+stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (27 candidates + the changed-lg cohort compete
+window's headroom allows (28 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -3228,3 +3229,63 @@ def o24_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     return spearman_corr(rows, "t_s", "cents")
+
+
+@pending(
+    "ev_json_extract",
+    # both engines build the IDENTICAL nested document by concatenation,
+    # then extract scalars inside the probed parity envelope (leaf paths,
+    # array index, missing/null -> NULL); k doubles through an arithmetic
+    # round-trip to prove the typed getter, not just text passthrough
+    oracle=f"""
+    WITH {EV_CTE},
+    j AS (
+      SELECT event_id,
+             '{{"m": ' || props || ', "t": "' || event_type
+               || '", "a": [' || CAST(user_id AS VARCHAR) || ', '
+               || CAST(event_id AS VARCHAR) || ']}}' AS doc
+      FROM ev),
+    x AS (
+      SELECT event_id,
+             TRY_CAST(json_extract_string(doc, '$.m.k') AS BIGINT) AS k,
+             json_extract_string(doc, '$.t') AS t,
+             TRY_CAST(json_extract_string(doc, '$.a[0]') AS BIGINT) AS uid,
+             TRY_CAST(json_extract_string(doc, '$.a[1]') AS BIGINT) AS eid,
+             json_extract_string(doc, '$.missing') AS miss
+      FROM j)
+    SELECT event_id, k * 2 AS k2, t, uid, eid,
+           CASE WHEN miss IS NULL THEN CAST(1 AS BIGINT) ELSE 0 END
+             AS miss_is_null
+    FROM x
+    """,
+    survey_ref="JSON path extraction (functions/json.py) — the "
+    "semi-structured column surface replacing regexp mining of the "
+    "events props JSON: get_json_object / json_extract_string inside "
+    "the PROBED parity envelope (scalar leaves, zero-based array index, "
+    "missing/JSON-null -> SQL NULL on both engines; object-subtree "
+    "re-serialization documented OUT of the envelope), typed getters "
+    "with try-cast malformed-row tolerance; pure codegen, zero shuffle, "
+    "column-pruning friendly; staged for the r10 promotion tier",
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.json import json_get, json_get_long
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    doc = F.concat(
+        F.lit('{"m": '), F.col("props"), F.lit(', "t": "'),
+        F.col("event_type"), F.lit('", "a": ['),
+        F.col("user_id").cast("string"), F.lit(", "),
+        F.col("event_id").cast("string"), F.lit("]}"),
+    )
+    j = ev.select("event_id", doc.alias("doc"))
+    return j.select(
+        "event_id",
+        (json_get_long(F.col("doc"), "$.m.k") * 2).alias("k2"),
+        json_get(F.col("doc"), "$.t").alias("t"),
+        json_get_long(F.col("doc"), "$.a[0]").alias("uid"),
+        json_get_long(F.col("doc"), "$.a[1]").alias("eid"),
+        json_get(F.col("doc"), "$.missing").isNull().cast("long").alias(
+            "miss_is_null"
+        ),
+    )

@@ -35,6 +35,7 @@ QUERIES = [
     "o22_mann_whitney",
     "o23_ks_test",
     "o24_spearman",
+    "ev_json_extract",
 ]
 
 
