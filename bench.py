@@ -143,6 +143,7 @@ HEADLINE = [
     "o23_ks_test",
     "o24_spearman",
     "ev_json_extract",
+    "x26_seasonality",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -314,6 +315,7 @@ EXTRA = {
     "o23_ks_test": _staged("o23_ks_test"),
     "o24_spearman": _staged("o24_spearman"),
     "ev_json_extract": _staged("ev_json_extract"),
+    "x26_seasonality": _staged("x26_seasonality"),
 }
 
 

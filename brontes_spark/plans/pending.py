@@ -15,11 +15,11 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 57 gates below were built DURING
+cover; COVERAGE.md names them). The 58 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-eight marked "r10 tier" in their survey_refs
+promote at r9; the twenty-nine marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
@@ -27,10 +27,10 @@ promote at r9; the twenty-eight marked "r10 tier" in their survey_refs
 `x24_rfm_segments`, `x25_autocorr`, `o17_compaction_plan`,
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
 `o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
-`o22_mann_whitney`, `o23_ks_test`, `o24_spearman`, `ev_json_extract`)
-stay staged
+`o22_mann_whitney`, `o23_ks_test`, `o24_spearman`, `ev_json_extract`,
+`x26_seasonality`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (28 candidates + the changed-lg cohort compete
+window's headroom allows (29 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -3288,4 +3288,51 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_get(F.col("doc"), "$.missing").isNull().cast("long").alias(
             "miss_is_null"
         ),
+    )
+
+
+@pending(
+    "x26_seasonality",
+    # the calendar grid derives from epoch INTEGERS (1970-01-01 was a
+    # Thursday: dow = (days + 4) % 7, 0 = Sunday) — Spark's dayofweek()
+    # is 1-based-Sunday while DuckDB's is 0-based-Sunday, so portable
+    # pipelines never touch either engine's calendar function for grids
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT (ts_ns - (ts_ns % 1000000000 + 1000000000) % 1000000000)
+               // 1000000000 AS ts_s,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM ev),
+    g AS (
+      SELECT ((ts_s // 86400) + 4) % 7 AS dow,
+             (ts_s % 86400) // 3600 AS hour, cents
+      FROM b)
+    SELECT dow, hour, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM g GROUP BY 1, 2
+    """,
+    survey_ref="seasonality profile (day-of-week x hour-of-day activity "
+    "grid) — the time-profile rollup behind load shaping and anomaly "
+    "baselines, with the engine-parity lesson as the point: the grid "
+    "derives from epoch-second INTEGER arithmetic ((days+4)%7, UTC) "
+    "because Spark and DuckDB disagree on dayofweek() numbering; one "
+    "hash aggregate, exact cents; staged for the r10 promotion tier",
+)
+def x26_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    # integer division end to end (the `div` discipline — no double hop)
+    g = ev.select(
+        F.expr("(ts_ns - pmod(ts_ns, 1000000000)) div 1000000000").alias("ts_s"),
+        cents.alias("cents"),
+    ).select(
+        F.expr("((ts_s div 86400) + 4) % 7").alias("dow"),
+        F.expr("(ts_s % 86400) div 3600").alias("hour"),
+        "cents",
+    )
+    return g.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents_sum")
     )

@@ -36,6 +36,7 @@ QUERIES = [
     "o23_ks_test",
     "o24_spearman",
     "ev_json_extract",
+    "x26_seasonality",
 ]
 
 
