@@ -144,6 +144,7 @@ HEADLINE = [
     "o24_spearman",
     "ev_json_extract",
     "x26_seasonality",
+    "x27_quantile_normalize",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -316,6 +317,7 @@ EXTRA = {
     "o24_spearman": _staged("o24_spearman"),
     "ev_json_extract": _staged("ev_json_extract"),
     "x26_seasonality": _staged("x26_seasonality"),
+    "x27_quantile_normalize": _staged("x27_quantile_normalize"),
 }
 
 

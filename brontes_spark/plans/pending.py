@@ -15,11 +15,11 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 58 gates below were built DURING
+cover; COVERAGE.md names them). The 59 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the twenty-nine marked "r10 tier" in their survey_refs
+promote at r9; the thirty marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
@@ -28,9 +28,9 @@ promote at r9; the twenty-nine marked "r10 tier" in their survey_refs
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
 `o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
 `o22_mann_whitney`, `o23_ks_test`, `o24_spearman`, `ev_json_extract`,
-`x26_seasonality`) stay staged
+`x26_seasonality`, `x27_quantile_normalize`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (29 candidates + the changed-lg cohort compete
+window's headroom allows (30 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -3335,4 +3335,60 @@ def x26_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.groupBy("dow", "hour").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents_sum")
+    )
+
+
+@pending(
+    "x27_quantile_normalize",
+    # the twin uses the lazy one-node global row_number; the operator
+    # uses the histogram/sequence rank map — the VALUE at a pooled rank
+    # is tie-order independent, so both produce identical rows
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_id, event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM ev WHERE value IS NOT NULL),
+    rn AS (
+      SELECT event_id, grp, cents,
+             CAST(row_number() OVER (PARTITION BY grp
+                                     ORDER BY cents, event_id) AS BIGINT)
+               AS rank_in_group
+      FROM b),
+    ng AS (SELECT grp, COUNT(*) AS n_g FROM b GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM b),
+    rs AS (
+      SELECT rn.event_id, rn.grp, rn.cents, rn.rank_in_group,
+             CAST((rn.rank_in_group * nt.n + ng.n_g - 1) // ng.n_g
+                  AS BIGINT) AS pooled_rank
+      FROM rn JOIN ng ON ng.grp = rn.grp CROSS JOIN nt),
+    pool AS (
+      SELECT cents AS normalized,
+             CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS r
+      FROM b)
+    SELECT rs.event_id, rs.grp, rs.cents, rs.rank_in_group,
+           rs.pooled_rank, pool.normalized
+    FROM rs JOIN pool ON pool.r = rs.pooled_rank
+    """,
+    survey_ref="quantile normalization (operators/qnorm.py — Bolstad et "
+    "al. 2003's batch-effect corrector; here: make per-source quality "
+    "scores comparable): percentile_disc-lower pooled mapping with "
+    "r* = ceil(rn*N/n_g) in exact integers; the scale path replaces the "
+    "global-row_number anti-pattern with a domain histogram whose rank "
+    "intervals explode into an N-row equi-join map (shuffled by rank, "
+    "never one-task-sorted); event_type groups over cents; staged for "
+    "the r10 promotion tier",
+)
+def x27_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.qnorm import quantile_normalize
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = ev.select(
+        "event_id",
+        F.col("event_type").alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return quantile_normalize(rows, "grp", "cents", ["event_id"]).select(
+        "event_id", "grp", "cents", "rank_in_group", "pooled_rank", "normalized"
     )

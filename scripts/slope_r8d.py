@@ -37,6 +37,7 @@ QUERIES = [
     "o24_spearman",
     "ev_json_extract",
     "x26_seasonality",
+    "x27_quantile_normalize",
 ]
 
 
