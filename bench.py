@@ -145,6 +145,7 @@ HEADLINE = [
     "ev_json_extract",
     "x26_seasonality",
     "x27_quantile_normalize",
+    "ml_fold_assign",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -318,6 +319,7 @@ EXTRA = {
     "ev_json_extract": _staged("ev_json_extract"),
     "x26_seasonality": _staged("x26_seasonality"),
     "x27_quantile_normalize": _staged("x27_quantile_normalize"),
+    "ml_fold_assign": _staged("ml_fold_assign"),
 }
 
 

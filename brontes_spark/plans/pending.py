@@ -15,11 +15,11 @@ the r7 playbook — corpus/sketch/text gates to plans/corpus.py,
 x11/x12/x15/s11 to plans/timeseries.py, o7 to plans/relational.py — and
 seat in the r8 driver window together with the 29 stalest r6
 re-attestations (the 21 remaining r6 gates ride to r9 under local parity
-cover; COVERAGE.md names them). The 59 gates below were built DURING
+cover; COVERAGE.md names them). The 60 gates below were built DURING
 round 8 and stage here, all sf0.01-parity green AND sf0.1
 hash-match-swept, all benched — in TWO promotion tiers, because the r9
 window has exactly 29 seats to give (see the math below): the first 29
-promote at r9; the thirty marked "r10 tier" in their survey_refs
+promote at r9; the thirty-one marked "r10 tier" in their survey_refs
 (`g10_label_prop`, `o12_rrf_fusion`, `x20_pearson_corr`,
 `x21_rolling_distinct`, `g11_hits`, `o13_table_diff`, `x22_winsorize`,
 `o14_dq_checks`, and the fifth wave `x23_cusum`, `g12_bfs_hops`,
@@ -28,9 +28,9 @@ promote at r9; the thirty marked "r10 tier" in their survey_refs
 `o18_assoc_rules`, `o19_pareto`, `g13_sssp_weighted`,
 `o20_skew_profile`, `txt_readability`, `g14_ppr`, `o21_corr_matrix`,
 `o22_mann_whitney`, `o23_ks_test`, `o24_spearman`, `ev_json_extract`,
-`x26_seasonality`, `x27_quantile_normalize`) stay staged
+`x26_seasonality`, `x27_quantile_normalize`, `ml_fold_assign`) stay staged
 through r9 under parity cover and promote across r10/r11 as that
-window's headroom allows (30 candidates + the changed-lg cohort compete
+window's headroom allows (31 candidates + the changed-lg cohort compete
 for r10's post-promotion seats; the r9 builder re-simulates the exact
 seating the way this header's math was produced).
 
@@ -3392,3 +3392,35 @@ def x27_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(rows, "grp", "cents", ["event_id"]).select(
         "event_id", "grp", "cents", "rank_in_group", "pooled_rank", "normalized"
     )
+
+
+@pending(
+    "ml_fold_assign",
+    # fold = md5('0|' || user) % 5 — the functions/hashing.md5_long twin;
+    # counts are exact and the group-atomicity invariant is structural
+    oracle=f"""
+    WITH {EV_CTE},
+    f AS (
+      SELECT ('0x' || substr(md5('0|' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 5 AS fold,
+             event_type, user_id
+      FROM ev WHERE user_id IS NOT NULL)
+    SELECT fold, event_type AS class, COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_groups
+    FROM f GROUP BY 1, 2
+    """,
+    survey_ref="group-aware CV fold assignment (operators/folds.py) — "
+    "leakage-safe deterministic splits: fold = md5(seed|group) % k, so "
+    "same group -> same fold by construction and any engine reproduces "
+    "the split bit-for-bit; zero-shuffle codegen assignment + one "
+    "hash-agg balance report (rows/groups per fold x class), with "
+    "exact-n stratified sampling as the documented alternative when "
+    "exact sizes beat group atomicity; staged for the r10 promotion "
+    "tier",
+)
+def ml_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.folds import fold_report
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return fold_report(ev, "user_id", "event_type", k=5)

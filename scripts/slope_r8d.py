@@ -38,6 +38,7 @@ QUERIES = [
     "ev_json_extract",
     "x26_seasonality",
     "x27_quantile_normalize",
+    "ml_fold_assign",
 ]
 
 
