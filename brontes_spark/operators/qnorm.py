@@ -25,6 +25,14 @@ The rank->value map is DETERMINISTIC even under ties (the VALUE at a
 pooled rank does not depend on tie order), which is what makes the
 DuckDB twin — free to use the lazy global row_number on one node —
 hash-match exactly.
+
+Known dial: sequence(lo, hi) MATERIALIZES each value's rank interval as
+an in-memory array before the explode, so a single value duplicated
+>~1e7 times concentrates that array in one task. For such degenerate tie
+mass, swap the explode for the banded interval join
+(operators/range_join.py) on pooled_rank BETWEEN lo AND hi — same
+semantics, bounded per-task memory; the explode form is the cheaper plan
+everywhere else.
 """
 
 from __future__ import annotations
