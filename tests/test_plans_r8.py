@@ -23,6 +23,7 @@ SCALAR_DIM_GATES = {
     "txt_nb_train": 2,  # vocab V and doc-total N dims
     "o20_skew_profile": 1,  # 1-row summary broadcast onto the hot list
     "o18_assoc_rules": 1,  # basket total N
+    "x27_quantile_normalize": 1,  # pooled row total N
 }
 
 
