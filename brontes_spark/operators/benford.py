@@ -53,25 +53,28 @@ def first_digit(cents: Column) -> Column:
     return F.substring(cents.cast("string"), 1, 1).cast("long")
 
 
-def benford_screen(df: DataFrame, cents_col: str) -> DataFrame:
-    """(digit, n_obs, p9, chi2_9) over positive values of ``cents_col``.
-
-    Zero/negative/NULL values are excluded (Benford applies to positive
-    magnitudes; audit those separately with a dq check). Digits absent
-    from the data still appear with n_obs = 0 — a missing digit is the
-    loudest possible Benford violation and must not vanish from the
-    report.
-    """
-    p9_dim = F.broadcast(
-        df.sparkSession.createDataFrame(
-            sorted(BENFORD_P9.items()), "digit long, p9 long"
-        )
-    )
-    obs = (
+def digit_counts(df: DataFrame, cents_col: str) -> DataFrame:
+    """(digit, n_obs) over positive values — the data-sized half of the
+    screen, and a NATIVE streaming aggregate (counting is commutative/
+    associative: apply to a readStream frame in update mode and the
+    latest emission per digit is the batch count of the stream's prefix —
+    the streaming/drift.py posture; streaming/benford.py wraps this)."""
+    return (
         df.filter(F.col(cents_col) > 0)
         .select(first_digit(F.col(cents_col)).alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+
+
+def benford_report(obs: DataFrame) -> DataFrame:
+    """(digit, n_obs, p9, chi2_9) from a (digit, n_obs) counts relation —
+    the bounded 9-row tail of the screen, shared by the batch operator
+    and the streaming foreachBatch scorer."""
+    p9_dim = F.broadcast(
+        obs.sparkSession.createDataFrame(
+            sorted(BENFORD_P9.items()), "digit long, p9 long"
+        )
     )
     n_total = obs.agg(F.sum("n_obs").alias("n"))
     j = (
@@ -88,3 +91,15 @@ def benford_screen(df: DataFrame, cents_col: str) -> DataFrame:
         .withColumn("chi2_9", F.expr("(_dev * _dev) div (n * p9)"))
         .select("digit", "n_obs", "p9", "chi2_9")
     )
+
+
+def benford_screen(df: DataFrame, cents_col: str) -> DataFrame:
+    """(digit, n_obs, p9, chi2_9) over positive values of ``cents_col``.
+
+    Zero/negative/NULL values are excluded (Benford applies to positive
+    magnitudes; audit those separately with a dq check). Digits absent
+    from the data still appear with n_obs = 0 — a missing digit is the
+    loudest possible Benford violation and must not vanish from the
+    report.
+    """
+    return benford_report(digit_counts(df, cents_col))
