@@ -85,7 +85,7 @@ HEADLINE = [
     "x12_mad_outliers",
     "sketch_countmin",
     "sample_weighted",
-    # round-8 staged gates (plans/pending.py; r9 promotes to the registry)
+    # round-8 staged gates, registered at r9 start (plans/wave9.py)
     "dedup_fuzzy_lsh_verified",
     "txt_url_psl_domain",
     "txt_bm25_topk",
@@ -104,7 +104,7 @@ HEADLINE = [
     "g8_triangle_count",
     "txt_pmi_cooccur",
     "dedup_snm_pairs",
-    # round-8 fourth wave (staged; r9 promotes)
+    # round-8 fourth wave, registered at r9 start (plans/wave9.py)
     "ev_markov_transitions",
     "x18_twap",
     "sample_stratified_n",
@@ -114,6 +114,7 @@ HEADLINE = [
     "txt_bpe_pair_stats",
     "x19_ols_trend",
     "ev_attribution_linear",
+    # round-8 staged gates still pending (r10 tier; plans/pending.py)
     "g10_label_prop",
     "o12_rrf_fusion",
     "x20_pearson_corr",
@@ -262,33 +263,6 @@ EXTRA = {
     "frequent_items": _frequent_items,
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,
-    "dedup_fuzzy_lsh_verified": _staged("dedup_fuzzy_lsh_verified"),
-    "txt_url_psl_domain": _staged("txt_url_psl_domain"),
-    "txt_bm25_topk": _staged("txt_bm25_topk"),
-    "sketch_hll_distinct": _staged("sketch_hll_distinct"),
-    "x16_interval_join": _staged("x16_interval_join"),
-    "dedup_jaccard_join_exact": _staged("dedup_jaccard_join_exact"),
-    "sketch_kmv_containment": _staged("sketch_kmv_containment"),
-    "g7_pagerank": _staged("g7_pagerank"),
-    "o8_zorder_index": _staged("o8_zorder_index"),
-    "o9_table_profile": _staged("o9_table_profile"),
-    "txt_gopher_rules": _staged("txt_gopher_rules"),
-    "x17_salted_join": _staged("x17_salted_join"),
-    "sketch_percentiles_cont": _staged("sketch_percentiles_cont"),
-    "o10_scd2_history": _staged("o10_scd2_history"),
-    "corpus_tv_drift": _staged("corpus_tv_drift"),
-    "g8_triangle_count": _staged("g8_triangle_count"),
-    "txt_pmi_cooccur": _staged("txt_pmi_cooccur"),
-    "dedup_snm_pairs": _staged("dedup_snm_pairs"),
-    "ev_markov_transitions": _staged("ev_markov_transitions"),
-    "x18_twap": _staged("x18_twap"),
-    "sample_stratified_n": _staged("sample_stratified_n"),
-    "o11_skyline": _staged("o11_skyline"),
-    "corpus_temperature_mix": _staged("corpus_temperature_mix"),
-    "g9_kcore": _staged("g9_kcore"),
-    "txt_bpe_pair_stats": _staged("txt_bpe_pair_stats"),
-    "x19_ols_trend": _staged("x19_ols_trend"),
-    "ev_attribution_linear": _staged("ev_attribution_linear"),
     "g10_label_prop": _staged("g10_label_prop"),
     "o12_rrf_fusion": _staged("o12_rrf_fusion"),
     "x20_pearson_corr": _staged("x20_pearson_corr"),
@@ -363,10 +337,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST ~2000 chars of bench stdout; r6's
     # primary line (3 maps x 37 queries) outgrew that and the official perf
-    # record truncated mid-object (VERDICT r6 "what's wrong" #1). So: the
-    # medians/noise detail goes to BENCH_DETAIL_r{N}.json on disk, and the
-    # primary line — total + per-query min only, ~1.2 KB at 40 queries — is
-    # printed LAST so the tail capture always contains it whole.
+    # record truncated mid-object (VERDICT r6 "what's wrong" #1), and the r8
+    # retry — one map only — STILL clipped once the registry hit 110 headline
+    # rows (~4 KB; BENCH_r08 parsed:null, VERDICT r8 "what's wrong" #1). So
+    # the primary line is now bounded INDEPENDENT of registry size: total +
+    # runs + sf + n_queries + the 10 slowest per-query mins (~0.6 KB at any
+    # row count), printed LAST so the tail capture always contains it whole;
+    # the full min/median/noise maps live in BENCH_DETAIL_r{N}.json.
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -396,19 +373,24 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # detail file is best-effort; the primary line below is the record
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,  # 10 slowest mins; full map in the detail file
+            "n_queries": len(timings),
+            "runs": runs,
+            "sf": sf,
+            "detail": f"BENCH_DETAIL_r{rnd:02d}.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1800, f"primary bench line must fit the driver tail capture ({len(line)})"
+    print(line)
     spark.stop()
 
 

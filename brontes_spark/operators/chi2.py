@@ -16,7 +16,10 @@ operator keeps it that way: chi2_9 = floor(1e9 * chi2) computed with
 integer `div` on decimal(38,0) numerators — both engines agree
 digit-for-digit (DuckDB runs the identical arithmetic in HUGEINT).
 Overflow envelope: num = 1e9 * N * det^2 with |det| <= N^2 needs
-N <= ~2e6 docs per strata for decimal(38); above that, chi2-screen a
+N <= ~2e6 docs per strata for decimal(38), and den = df*(N-df)*
+n_class*(N-n_class) <= N^4/16 (~25 digits at N=2e6) is built in
+decimal(38,0) too — as a bigint it would wrap silently around N ~ 110k,
+far below the numerator's bound. Above ~2e6, chi2-screen a
 deterministic per-class SAMPLE (the statistic converges long before
 2e6 docs — selection, not estimation).
 
@@ -63,12 +66,15 @@ def chi2_topk_terms(
         F.col("a") * (F.col("n") - F.col("df") - F.col("n_class") + F.col("a"))
         - (F.col("df") - F.col("a")) * (F.col("n_class") - F.col("a"))
     ).cast("long")
+    # den peaks at ~N^4/16 — build it in decimal(38,0) like the numerator:
+    # a bigint product wraps silently (non-ANSI) around N ~ 110k docs, far
+    # below the numerator's ~2e6 envelope (ADVICE r8 item 2)
     den = (
-        F.col("df")
-        * (F.col("n") - F.col("df"))
-        * F.col("n_class")
-        * (F.col("n") - F.col("n_class"))
-    ).cast("long")
+        F.col("df").cast(DEC38)
+        * (F.col("n") - F.col("df")).cast(DEC38)
+        * F.col("n_class").cast(DEC38)
+        * (F.col("n") - F.col("n_class")).cast(DEC38)
+    )
     scored = (
         j.withColumn("_det", det)
         .withColumn("_den", den)

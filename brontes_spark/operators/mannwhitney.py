@@ -172,10 +172,15 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     Shape: two distinct-value histograms (hash aggs) -> two rank maps
     (ordered windows over the value DOMAINS, partition-less by the
     mannwhitney size policy) -> two joins back to the rows -> one
-    pearson aggregate. Envelope: doubled midranks reach 2n, so the
-    pearson discipline (n * sum(mr2^2) ~ 4n^4/3 < 2^63) holds to
-    n ~ 1.2M pairs per statistic — group or sample above that (rank
-    correlation converges long before 1e6 points)."""
+    pearson aggregate. Envelope: doubled midranks reach 2n and the
+    binding bound is pearson_corr_xy's int64 d-terms — d1 ~ n^4/3 with
+    doubled midranks crosses 2^63 around n ~ 7.2e4 pairs, at which point
+    the decimal->long cast nulls and rho9 degrades to NULL (never
+    garbage; the int64 cast is the cross-engine bit-parity contract, see
+    pearson_corr_xy). Group or sample above ~7e4 pairs — rank
+    correlation converges long before that (ADVICE r8 item 3: the
+    earlier ~1.2M claim only accounted for sum(mr2^2) fitting bigint,
+    not the d-terms)."""
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))

@@ -179,8 +179,16 @@ def pearson_corr_xy(
     cross-products in decimal(38,0), ONE final correctly-rounded double
     chain; NULL when either variance is zero or n < 2. Rows where either
     column is NULL are excluded (pairwise-complete semantics). Envelope:
-    caller keeps |x|,|y| small enough that sum(x*x) fits bigint — the
-    ols_trend discipline (re-base/rescale upstream)."""
+    caller keeps |x|,|y| small enough that (a) sum(x*x) fits bigint and
+    (b) the d-terms n*sxx - sx^2 / n*syy - sy^2 fit bigint TOO — the
+    decimal cross-products are deliberately cast back to int64 before the
+    double chain because int64->double is correctly rounded on BOTH
+    engines, while DuckDB's HUGEINT->DOUBLE is a two-step upper/lower
+    conversion that can be 1 ulp off past 2^53 (the cross-engine
+    bit-parity contract, see x20's oracle note). A d-term past 2^63
+    nulls on the decimal->long cast (non-ANSI), so corr9 degrades to
+    NULL — never garbage. The ols_trend discipline (re-base/rescale
+    upstream) keeps real inputs far inside both bounds."""
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(

@@ -9,6 +9,7 @@ from . import (  # noqa: F401  (registration side effects)
     relational,
     timeseries,
     univ3_fixture,
+    wave9,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -39,6 +39,40 @@ def register(name: str, oracle: str | None, survey_ref: str):
 #: round row and an unchanged implementation rotate to the tail (they stay
 #: covered by the local sf0.01 oracle-parity suite, tests/test_oracle_parity.py).
 DRIVER_ORDER: list[str] = [
+    # r9 promotion (the 29 r9-tier gates staged in r8's plans/pending.py,
+    # registered at r9 start via plans/wave9.py): no driver history ->
+    # staleness -1 -> they lead the r9 window; the remaining 21 slots seat
+    # exactly the 21 r6-deferred re-attestations (the window is exactly
+    # full — simulated in tests/test_plans.py's seating check).
+    "dedup_fuzzy_lsh_verified",
+    "txt_url_psl_domain",
+    "txt_bm25_topk",
+    "sketch_hll_distinct",
+    "x16_interval_join",
+    "emb_gram_matrix",
+    "txt_script_profile",
+    "dedup_jaccard_join_exact",
+    "sketch_kmv_containment",
+    "g7_pagerank",
+    "o8_zorder_index",
+    "o9_table_profile",
+    "txt_gopher_rules",
+    "x17_salted_join",
+    "sketch_percentiles_cont",
+    "o10_scd2_history",
+    "corpus_tv_drift",
+    "g8_triangle_count",
+    "txt_pmi_cooccur",
+    "dedup_snm_pairs",
+    "ev_markov_transitions",
+    "x18_twap",
+    "sample_stratified_n",
+    "o11_skyline",
+    "corpus_temperature_mix",
+    "g9_kcore",
+    "txt_bpe_pair_stats",
+    "x19_ols_trend",
+    "ev_attribution_linear",
     # r8 promotion (the 21 gates staged in r7's plans/pending.py, registered
     # at r8 start): no driver history -> staleness -1 -> they lead the r8
     # window; the remaining 29 slots seat the stalest r6 re-attestations by

@@ -163,3 +163,43 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     plan = _plan(spark, "dedup_semantic")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r9_window_seating():
+    """The r9 promotion playbook's window math, pinned against the REAL
+    driver history (CORRECTNESS_r01..r08): the 50-slot driver window must
+    seat exactly the 29 wave9-promoted gates (no driver history ->
+    staleness -1) plus the 21 r6-deferred re-attestations the r8 plan
+    promised would return. Fails if a later registration or fingerprint
+    flip silently ejects a promised seat."""
+    from brontes_spark.plans.registry import _ordered
+    from brontes_spark.plans import wave9  # noqa: F401 (registration)
+
+    promoted = {
+        "dedup_fuzzy_lsh_verified", "txt_url_psl_domain", "txt_bm25_topk",
+        "sketch_hll_distinct", "x16_interval_join", "emb_gram_matrix",
+        "txt_script_profile", "dedup_jaccard_join_exact",
+        "sketch_kmv_containment", "g7_pagerank", "o8_zorder_index",
+        "o9_table_profile", "txt_gopher_rules", "x17_salted_join",
+        "sketch_percentiles_cont", "o10_scd2_history", "corpus_tv_drift",
+        "g8_triangle_count", "txt_pmi_cooccur", "dedup_snm_pairs",
+        "ev_markov_transitions", "x18_twap", "sample_stratified_n",
+        "o11_skyline", "corpus_temperature_mix", "g9_kcore",
+        "txt_bpe_pair_stats", "x19_ols_trend", "ev_attribution_linear",
+    }
+    r6_deferred = {
+        "x6_optimistic_vwap", "x1_asof_join", "x4_expanding_vwap",
+        "s3_grid_downsample", "s4_volume_rank", "c9_window_dedup",
+        "c11_group_stats", "i14_outlier_discovery", "i15_rolling_window",
+        "txt_boilerplate_score", "q6_forecast_revenue", "q8_market_share",
+        "q11_important_stock", "q13_order_count_distribution",
+        "q15_top_supplier", "q19_disjunctive_revenue",
+        "q20_majority_supplier", "t1_filter_project", "t6_anti_join",
+        "t8_exists_semijoin", "c2_classified_actions",
+    }
+    assert len(promoted) == 29 and len(r6_deferred) == 21
+    window = set(_ordered()[:50])
+    assert window == promoted | r6_deferred, (
+        f"ejected: {sorted((promoted | r6_deferred) - window)}; "
+        f"intruders: {sorted(window - (promoted | r6_deferred))}"
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from brontes_spark.plans.pending import PENDING
+from brontes_spark.plans.registry import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
@@ -28,7 +29,10 @@ SCALAR_DIM_GATES = {
 
 
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = PENDING[name].build(spark, SF)
+    # r8-staged gates promote to the registry round by round (wave9 at r9);
+    # their plan pins stay here, so resolve from either table
+    spec = PENDING.get(name) or REGISTRY[name]
+    df = spec.build(spark, SF)
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode
     )
