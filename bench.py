@@ -147,6 +147,15 @@ HEADLINE = [
     "x26_seasonality",
     "x27_quantile_normalize",
     "ml_fold_assign",
+    # round-9 staged gates (plans/pending.py; per-inspector golden words —
+    # fixture-sized, timed for plan/overhead drift like mev_composer_bundles)
+    "i5_sandwich_pnl",
+    "i10_jit_bundles",
+    "i12_liquidation_bundles",
+    "i8_cex_dex_markout",
+    "i9_cex_dex_quotes",
+    "i13_searcher_activity",
+    "o2_jit_sandwich_compose",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -294,6 +303,13 @@ EXTRA = {
     "x26_seasonality": _staged("x26_seasonality"),
     "x27_quantile_normalize": _staged("x27_quantile_normalize"),
     "ml_fold_assign": _staged("ml_fold_assign"),
+    "i5_sandwich_pnl": _staged("i5_sandwich_pnl"),
+    "i10_jit_bundles": _staged("i10_jit_bundles"),
+    "i12_liquidation_bundles": _staged("i12_liquidation_bundles"),
+    "i8_cex_dex_markout": _staged("i8_cex_dex_markout"),
+    "i9_cex_dex_quotes": _staged("i9_cex_dex_quotes"),
+    "i13_searcher_activity": _staged("i13_searcher_activity"),
+    "o2_jit_sandwich_compose": _staged("o2_jit_sandwich_compose"),
 }
 
 

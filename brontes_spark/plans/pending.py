@@ -22,18 +22,21 @@ pins it). The 31 specs below are the r10 tier (built and parity-greened
 in round 8) plus any gates staged DURING round 9; all ride under local
 sf0.01 parity cover (tests/test_pending_parity.py).
 
-R10 SEATING OUTLOOK (simulated this round against a synthesized
-all-green CORRECTNESS_r09 — scripts/simulate_r10.py reproduces it): after
-the r9 wave lands green, the r10 window has 50 seats for: the 31 r10-tier
-promotions (staleness -1) + the 19 stalest r7-attested gates; the
-changed-in-r8 lg=7 cohort (mm_mp2_features, mm_audio_*, sketch
-NULL-boundary fixes, gapfill, txt_url_normalize at staleness 6.25) leads
-that r7 block. Promoting all 31 seats them plus exactly 19
-re-attestations; no gate staged in r8 rides past r10 — satisfying the
-"no plan rides more than two rounds without a driver word" bound. Any
-gate staged fresh in r9 (the inspector-internal goldens i5/i10/i12 and
-streaming-twin restart gates) queues behind the 31 for r11 unless r10
-headroom appears.
+R10 SEATING OUTLOOK (simulated against a synthesized all-green
+CORRECTNESS_r09 with the REAL ordering policy + live fingerprints —
+scripts/simulate_r10.py reproduces it): after the r9 wave lands green,
+promoting ALL 38 staged gates (the 31 r10-tier + the seven r9-staged
+inspector-internal goldens i5_sandwich_pnl / i10_jit_bundles /
+i12_liquidation_bundles / i8_cex_dex_markout / i9_cex_dex_quotes /
+i13_searcher_activity / o2_jit_sandwich_compose) seats every one at
+staleness -1, and the remaining 12 seats take the stalest r7-attested
+gates
+(mm_mp2_features at 6.25 leads; then the 6.50 block: the five mev_*
+composer gates, x2/x3, and the r7-re-attested dedup/ANN cohort). No
+r8- or r9-staged gate rides past r10 — satisfying the "no plan rides
+more than two rounds without a driver word" bound — and the ride-to-r11
+re-attestation queue starts at a1_delta_accounting/a7/i1/i6 (lg=7,
+unchanged).
 """
 
 from __future__ import annotations
@@ -1835,3 +1838,415 @@ def ml_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return fold_report(ev, "user_id", "event_type", k=5)
+
+
+# --- round-9 staged gates: per-inspector golden-PnL driver words ---------
+#
+# VERDICT r8 directive 5: I5 sandwich PnL, I12 liquidation, and I10 JIT
+# were pytest-golden-only — a composite failure in mev_composer_bundles
+# would not localize. These three gates run EACH inspector standalone on
+# the planted fixture tables, and unlike the composer gate's literal
+# golden VALUES, the oracles RECOMPUTE the PnL from the planted inputs:
+# per-bundle searcher action legs (post coverage-dedup — the T6 rule that
+# in-swap transfers drop is pinned separately by the accounting golden
+# tests), the per-block planted token prices, and the planted gas
+# arithmetic gas_used*effective_gas_price/1e18*eth_price — so a wrong
+# delta sign, a missed leg, a price-join bug, or broken gas accounting
+# all diverge from the oracle even if the final literal happened to
+# coincide. The standalone outputs deliberately INCLUDE the block-109
+# rows the composer later absorbs into jit_sandwich (O2/O3 precedence) —
+# that difference from the composer gate is the localization value.
+# Reference goldens: sandwich/mod.rs:1149+ ($88 / $97 / 2x$3 and the
+# pre-composition $17), liquidations.rs:170-208 ($19), jit tests ($4).
+
+
+def _fixture_inspector(spark: SparkSession, fn) -> DataFrame:
+    """Run one inspector over the planted tables at composer parallelism
+    (fixture data is KB-sized; 32-task stages would be pure scheduler
+    overhead — the mev_fixture._composed posture)."""
+    from ..sources.fixtures import load_fixtures
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t = load_fixtures(spark)
+        out = fn(t["actions"], t["tx_info"], t["dex_prices"], t["block_info"])
+        out = out.cache()
+        out.count()  # materialize under the low-parallelism conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def _bundle_shape(df: DataFrame) -> DataFrame:
+    from ..functions.decimals import to_dbl
+
+    return df.select(
+        "block_number",
+        F.concat_ws(",", "tx_hashes").alias("tx_hashes"),
+        "eoa", "mev_contract", "mev_type",
+        to_dbl("profit_usd").alias("profit_usd"),
+        to_dbl("revenue_usd").alias("revenue_usd"),
+        to_dbl("gas_usd").alias("gas_usd"),
+    )
+
+
+#: planted gas arithmetic, shared by the three oracles: every fixture tx
+#: is 100000 gas at 1e13 wei -> exactly 1 ETH at eth_price $1
+_GAS_USD_SQL = (
+    "CAST(CAST(100000 AS HUGEINT) * 10000000000000 AS DECIMAL(38,18)) "
+    "/ CAST(1000000000000000000 AS DECIMAL(38,0)) * 1"
+)
+
+
+@pending(
+    "i5_sandwich_pnl",
+    oracle=f"""
+    WITH legs(bundle, block_number, tx_hashes, eoa, mev_contract, mev_type,
+              token, amount) AS (VALUES
+      -- block 100: front 0xf0 swaps 1000 A -> 10 B, back 0xb0 10 B -> 1090 A
+      (1, 100, '0xf0,0xv1,0xv2,0xb0', '0xsearcher1', '0xmev1', 'sandwich', 'A', -1000),
+      (1, 100, '0xf0,0xv1,0xv2,0xb0', '0xsearcher1', '0xmev1', 'sandwich', 'B', 10),
+      (1, 100, '0xf0,0xv1,0xv2,0xb0', '0xsearcher1', '0xmev1', 'sandwich', 'B', -10),
+      (1, 100, '0xf0,0xv1,0xv2,0xb0', '0xsearcher1', '0xmev1', 'sandwich', 'A', 1090),
+      -- block 107 Big Mac: two frontruns + one backrun
+      (2, 107, '0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b', '0xsearcher3', NULL, 'sandwich:big_mac', 'A', -500),
+      (2, 107, '0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b', '0xsearcher3', NULL, 'sandwich:big_mac', 'B', 5),
+      (2, 107, '0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b', '0xsearcher3', NULL, 'sandwich:big_mac', 'A', -500),
+      (2, 107, '0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b', '0xsearcher3', NULL, 'sandwich:big_mac', 'B', 5),
+      (2, 107, '0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b', '0xsearcher3', NULL, 'sandwich:big_mac', 'B', -10),
+      (2, 107, '0xbm_f1,0xbm_v1,0xbm_f2,0xbm_v2,0xbm_b', '0xsearcher3', NULL, 'sandwich:big_mac', 'A', 1100),
+      -- block 108: two gap-partitioned sandwiches, same searcher
+      (3, 108, '0xg_f1,0xg_v1,0xg_b1', '0xsearcher4', NULL, 'sandwich', 'A', -100),
+      (3, 108, '0xg_f1,0xg_v1,0xg_b1', '0xsearcher4', NULL, 'sandwich', 'B', 1),
+      (3, 108, '0xg_f1,0xg_v1,0xg_b1', '0xsearcher4', NULL, 'sandwich', 'B', -1),
+      (3, 108, '0xg_f1,0xg_v1,0xg_b1', '0xsearcher4', NULL, 'sandwich', 'A', 105),
+      (4, 108, '0xg_f2,0xg_v2,0xg_b2', '0xsearcher4', NULL, 'sandwich', 'A', -100),
+      (4, 108, '0xg_f2,0xg_v2,0xg_b2', '0xsearcher4', NULL, 'sandwich', 'B', 1),
+      (4, 108, '0xg_f2,0xg_v2,0xg_b2', '0xsearcher4', NULL, 'sandwich', 'B', -1),
+      (4, 108, '0xg_f2,0xg_v2,0xg_b2', '0xsearcher4', NULL, 'sandwich', 'A', 105),
+      -- block 109 pre-composition sandwich: swap legs PLUS the same-tx
+      -- mint/burn legs (searcher deltas sum over ALL the tx's actions)
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'A', -1000),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'B', -10),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'A', -100),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'B', 1),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'A', 1030),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'B', 9.8),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'B', -1),
+      (5, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'sandwich', 'A', 110)),
+    px(token, price) AS (VALUES ('A', 1), ('B', 105)),
+    ntx(bundle, n_searcher_txs) AS (VALUES (1, 2), (2, 3), (3, 2), (4, 2), (5, 2)),
+    rev AS (
+      SELECT bundle, block_number, tx_hashes, eoa, mev_contract, mev_type,
+             SUM(CAST(amount AS DECIMAL(38,18)) * price) AS revenue
+      FROM legs JOIN px USING (token)
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    g AS (SELECT bundle, n_searcher_txs * ({_GAS_USD_SQL}) AS gas FROM ntx)
+    SELECT CAST(block_number AS BIGINT) AS block_number, tx_hashes, eoa,
+           mev_contract, mev_type,
+           CAST(revenue - gas AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(gas AS DOUBLE) AS gas_usd
+    FROM rev JOIN g USING (bundle)
+    WHERE revenue - gas > 0
+    """,
+    survey_ref="I5 sandwich PnL standalone (inspectors/sandwich.py; "
+    "reference goldens sandwich/mod.rs:1149+): candidate scan (I1) + gap "
+    "partition (I2) + pool-overlap >=50% (I3) + <=6 shrink trims (I4) + "
+    "delta accounting x planted prices - gas; oracle RECOMPUTES "
+    "$88/$97/$3/$3/$17 from the planted swap+mint+burn legs, never the "
+    "literal outputs; includes the pre-composition block-109 row the "
+    "composer gate absorbs into jit_sandwich (that delta is the "
+    "localization value of the standalone word)",
+)
+def i5_sandwich_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..inspectors.sandwich import sandwich_bundles
+
+    return _bundle_shape(_fixture_inspector(spark, sandwich_bundles))
+
+
+@pending(
+    "i12_liquidation_bundles",
+    oracle=f"""
+    WITH liq(block_number, tx_hash, liquidator, col_token, seized,
+             debt_token, covered) AS (VALUES
+      (103, '0xliq', '0xliquidator', 'A', 60, 'DAI', 100)),
+    px(block_number, token, price) AS (VALUES
+      -- A is planted at $2 ONLY in block 103 (dex_prices_rows)
+      (103, 'A', 2), (103, 'DAI', 1)),
+    rev AS (
+      SELECT l.block_number, l.tx_hash, l.liquidator,
+             CAST(l.seized AS DECIMAL(38,18)) * pc.price
+               - CAST(l.covered AS DECIMAL(38,18)) * pd.price AS revenue
+      FROM liq l
+      JOIN px pc ON pc.block_number = l.block_number AND pc.token = l.col_token
+      JOIN px pd ON pd.block_number = l.block_number AND pd.token = l.debt_token)
+    SELECT CAST(block_number AS BIGINT) AS block_number, tx_hash AS tx_hashes,
+           liquidator AS eoa, CAST(NULL AS VARCHAR) AS mev_contract,
+           'liquidation' AS mev_type,
+           CAST(revenue - ({_GAS_USD_SQL}) AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(({_GAS_USD_SQL}) AS DOUBLE) AS gas_usd
+    FROM rev
+    """,
+    survey_ref="I12 liquidation standalone (inspectors/liquidations.py; "
+    "reference golden liquidations.rs:170-208): revenue = USD(seized "
+    "collateral) - USD(covered debt), one bundle per tx; oracle "
+    "RECOMPUTES $19 = 60*$2 - 100*$1 - $1 gas from the planted "
+    "liquidation action, block-103 prices, and gas arithmetic",
+)
+def i12_liquidation_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..inspectors.liquidations import liquidation_bundles
+
+    return _bundle_shape(_fixture_inspector(spark, liquidation_bundles))
+
+
+@pending(
+    "i10_jit_bundles",
+    oracle=f"""
+    WITH legs(bundle, block_number, tx_hashes, eoa, mev_contract,
+              token, amount) AS (VALUES
+      -- block 102: mint 1000 A + 10 B (searcher pays), burn returns
+      -- 1300 A + 7.2 B
+      (1, 102, '0xjf,0xjv,0xjb', '0xsearcher2', '0xmev2', 'A', -1000),
+      (1, 102, '0xjf,0xjv,0xjb', '0xsearcher2', '0xmev2', 'B', -10),
+      (1, 102, '0xjf,0xjv,0xjb', '0xsearcher2', '0xmev2', 'A', 1300),
+      (1, 102, '0xjf,0xjv,0xjb', '0xsearcher2', '0xmev2', 'B', 7.2),
+      -- block 109 pre-composition JIT: mint/burn legs plus the same-tx
+      -- swap legs (the pair txs carry swaps too)
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'A', -1000),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'B', -10),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'A', -100),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'B', 1),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'A', 1030),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'B', 9.8),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'B', -1),
+      (2, 109, '0xjs_f,0xjs_v,0xjs_b', '0xsearcher2', NULL, 'A', 110)),
+    px(token, price) AS (VALUES ('A', 1), ('B', 105)),
+    rev AS (
+      SELECT bundle, block_number, tx_hashes, eoa, mev_contract,
+             SUM(CAST(amount AS DECIMAL(38,18)) * price) AS revenue
+      FROM legs JOIN px USING (token)
+      GROUP BY 1, 2, 3, 4, 5),
+    g AS (SELECT 2 * ({_GAS_USD_SQL}) AS gas)
+    SELECT CAST(block_number AS BIGINT) AS block_number, tx_hashes, eoa,
+           mev_contract, 'jit' AS mev_type,
+           CAST(revenue - gas AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(gas AS DOUBLE) AS gas_usd
+    FROM rev CROSS JOIN g
+    """,
+    survey_ref="I10 JIT standalone (inspectors/jit.py; reference golden "
+    "jit/jit_liquidity.rs tests): same-actor mint->burn pair on one pool "
+    "with strictly-between victims; oracle RECOMPUTES $4 = (1300-1000)*$1 "
+    "+ (7.2-10)*$105 - 2x$1 gas from the planted mint/burn legs (and the "
+    "block-109 pre-composition $17 row from mint/burn+swap legs)",
+)
+def i10_jit_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..inspectors.jit import jit_bundles
+
+    return _bundle_shape(_fixture_inspector(spark, jit_bundles))
+
+
+@pending(
+    "i8_cex_dex_markout",
+    # the oracle RECOMPUTES the expanding-window VWAP from the planted
+    # trades with the operator's own widen-until-volume rule (the x4
+    # oracle's cutoff CTE specialized to the +-1s steps), then the
+    # markout: revenue = (amount_out - amount_in * vwap) * quote_price.
+    # vwap = 106/100 lands on a decimal-exact 1.06, so the Spark side's
+    # double->decimal(38,18) re-cast (Double.toString shortest repr) and
+    # the oracle's exact-decimal arithmetic coincide bit-for-bit — the
+    # planted geometry is chosen to keep that hop lossless.
+    oracle="""
+    WITH tr(ts_off_us, price, vol) AS (VALUES
+      (-500000,  CAST('1.05' AS DECIMAL(18,6)), CAST(40 AS DECIMAL(18,6))),
+      (1500000,  CAST('1.06' AS DECIMAL(18,6)), CAST(40 AS DECIMAL(18,6))),
+      (2500000,  CAST('1.08' AS DECIMAL(18,6)), CAST(20 AS DECIMAL(18,6))),
+      (9000000,  CAST('5.00' AS DECIMAL(18,6)), CAST(1000 AS DECIMAL(18,6)))),
+    stepped AS (
+      SELECT GREATEST(1, CAST(CEIL(CASE WHEN ts_off_us <= 0
+                 THEN -ts_off_us / 1000000.0
+                 ELSE ts_off_us / 1000000.0 END) AS INT)) AS step,
+             price, vol
+      FROM tr),
+    per_step AS (
+      SELECT step, SUM(vol) AS svol, SUM(price * vol) AS spv
+      FROM stepped WHERE step <= 5 GROUP BY 1),
+    cum AS (
+      SELECT *, SUM(svol) OVER (ORDER BY step) AS cum_vol FROM per_step),
+    cutoff AS (
+      SELECT MIN(CASE WHEN cum_vol >= 100 THEN step END) AS cutoff_step
+      FROM cum),
+    vw AS (
+      SELECT CAST(SUM(spv) AS DECIMAL(38,18)) / CAST(SUM(svol) AS DECIMAL(38,18))
+               AS vwap
+      FROM cum, cutoff WHERE step <= cutoff_step),
+    pnl AS (
+      SELECT CAST(111 AS DECIMAL(38,18)) - CAST(100 AS DECIMAL(38,18)) * vwap
+               AS revenue
+      FROM vw)
+    SELECT CAST(104 AS BIGINT) AS block_number, '0xcd' AS tx_hashes,
+           '0xsearcher1' AS eoa, CAST(NULL AS VARCHAR) AS mev_contract,
+           'cex_dex' AS mev_type,
+           CAST(revenue - 1 AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(1 AS DOUBLE) AS gas_usd
+    FROM pnl
+    """,
+    survey_ref="I8 CEX-DEX markout standalone (inspectors/cex_dex.py; "
+    "reference cex_dex_markout.rs:105-745): expanding-window VWAP over "
+    "the planted trades (widens past the +-1s step because only 40 of "
+    "the required 100 volume arrives there), best-of global/per-exchange "
+    "legs, 3x max_arb_delta guard; oracle RECOMPUTES vwap = 106/100 and "
+    "$4 = (111 - 100*1.06)*$1 - $1 gas from the planted trade VALUES",
+)
+def i8_cex_dex_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..inspectors.cex_dex import cex_dex_bundles
+    from ..sources.fixtures import load_fixtures
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t = load_fixtures(spark)
+        out = cex_dex_bundles(
+            t["actions"], t["tx_info"], t["dex_prices"], t["block_info"],
+            t["cex_trades"],
+        ).cache()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _bundle_shape(out)
+
+
+@pending(
+    "i9_cex_dex_quotes",
+    # as-of mid-quote variant: nearest planted quote within the 2s
+    # tolerance is the ts0-0.5s row (the ts0-3.5s row is outside), so
+    # mid = (1.08+1.06)/2 = 1.07 exactly in decimal on both engines
+    oracle="""
+    WITH q(ts_off_us, ask, bid) AS (VALUES
+      (-500000,  CAST('1.08' AS DECIMAL(18,6)), CAST('1.06' AS DECIMAL(18,6))),
+      (-3500000, CAST('2.00' AS DECIMAL(18,6)), CAST('1.90' AS DECIMAL(18,6)))),
+    nearest AS (
+      SELECT (ask + bid) / 2 AS mid
+      FROM q WHERE ABS(ts_off_us) <= 2000000
+      ORDER BY ABS(ts_off_us) LIMIT 1),
+    pnl AS (
+      -- widths chosen so DuckDB's width-summing product rule stays inside
+      -- DECIMAL(38): (18,2)x(18,12) -> (36,14)
+      SELECT CAST(111 AS DECIMAL(30,14))
+               - CAST(100 AS DECIMAL(18,2)) * CAST(mid AS DECIMAL(18,12))
+               AS revenue
+      FROM nearest)
+    SELECT CAST(104 AS BIGINT) AS block_number, '0xcd' AS tx_hashes,
+           '0xsearcher1' AS eoa, CAST(NULL AS VARCHAR) AS mev_contract,
+           'cex_dex_quotes' AS mev_type,
+           CAST(revenue - 1 AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(1 AS DOUBLE) AS gas_usd
+    FROM pnl
+    """,
+    survey_ref="I9 CEX-DEX quotes variant standalone (inspectors/"
+    "cex_dex.py:32, reference cex_dex/quotes mode): X1 as-of mid-quote "
+    "lookup with 2s tolerance prices the same swap the markout variant "
+    "prices with trades — oracle RECOMPUTES $3 = (111 - 100*1.07) - $1 "
+    "from the planted quote VALUES; the composer's precedence keeps the "
+    "markout bundle and drops this one (pinned by o2/o3 + composer gate)",
+)
+def i9_cex_dex_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..inspectors.cex_dex import cex_dex_quotes_bundles
+    from ..sources.fixtures import load_fixtures
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t = load_fixtures(spark)
+        out = cex_dex_quotes_bundles(
+            t["actions"], t["tx_info"], t["dex_prices"], t["block_info"],
+            t["cex_quotes"],
+        ).cache()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _bundle_shape(out)
+
+
+@pending(
+    "i13_searcher_activity",
+    # unclaimed profitable transfer: 30 A at the planted $1 minus $1 gas
+    oracle=f"""
+    WITH xfer(block_number, tx_hash, eoa, token, amount) AS (VALUES
+      (110, '0xsa', '0xsearcher1', 'A', 30)),
+    px(token, price) AS (VALUES ('A', 1)),
+    rev AS (
+      SELECT block_number, tx_hash, eoa,
+             SUM(CAST(amount AS DECIMAL(38,18)) * price) AS revenue
+      FROM xfer JOIN px USING (token) GROUP BY 1, 2, 3)
+    SELECT CAST(block_number AS BIGINT) AS block_number, tx_hash AS tx_hashes,
+           eoa, CAST(NULL AS VARCHAR) AS mev_contract,
+           'searcher_tx' AS mev_type,
+           CAST(revenue - ({_GAS_USD_SQL}) AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(({_GAS_USD_SQL}) AS DOUBLE) AS gas_usd
+    FROM rev
+    """,
+    survey_ref="I13 searcher-activity standalone word (composer.py:118 "
+    "builds the searcher_tx family; reference searcher_activity.rs): the "
+    "composer output filtered to mev_type='searcher_tx' must be exactly "
+    "the planted unclaimed-transfer bundle — oracle RECOMPUTES $29 = "
+    "30*$1 - $1 gas from the planted transfer; localizes searcher_tx "
+    "family breakage that the composite mev_composer_bundles gate would "
+    "only report as a whole-gate failure",
+)
+def i13_searcher_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mev_fixture import _composed
+
+    _, out = _composed(spark)
+    return _bundle_shape(out["bundles"].filter(F.col("mev_type") == "searcher_tx"))
+
+
+@pending(
+    "o2_jit_sandwich_compose",
+    # block 109's composer output must be EXACTLY ONE composed
+    # jit_sandwich row: O2 (compose) built it from the overlapping
+    # standalone sandwich ($17) and jit ($17) rows, and O3 (precedence
+    # dedup) absorbed both parents — a broken compose or dedup yields
+    # extra/missing rows and fails rows_match before values even hash.
+    # Revenue recomputed from the planted mint/burn+swap legs (the same
+    # leg table the standalone i5/i10 oracles derive their block-109
+    # rows from).
+    oracle=f"""
+    WITH legs(token, amount) AS (VALUES
+      ('A', -1000), ('B', -10), ('A', -100), ('B', 1),
+      ('A', 1030), ('B', CAST('9.8' AS DECIMAL(18,6))), ('B', -1), ('A', 110)),
+    px(token, price) AS (VALUES ('A', 1), ('B', 105)),
+    rev AS (
+      SELECT SUM(CAST(amount AS DECIMAL(38,18)) * price) AS revenue
+      FROM legs JOIN px USING (token)),
+    g AS (SELECT 2 * ({_GAS_USD_SQL}) AS gas)
+    SELECT CAST(109 AS BIGINT) AS block_number,
+           -- the composed row's hash list is the parents' sorted union
+           -- (composer.py compose step), not block order
+           '0xjs_b,0xjs_f,0xjs_v' AS tx_hashes,
+           '0xsearcher2' AS eoa, CAST(NULL AS VARCHAR) AS mev_contract,
+           'jit_sandwich' AS mev_type,
+           CAST(revenue - gas AS DOUBLE) AS profit_usd,
+           CAST(revenue AS DOUBLE) AS revenue_usd,
+           CAST(gas AS DOUBLE) AS gas_usd
+    FROM rev CROSS JOIN g
+    """,
+    survey_ref="O2 compose + O3 precedence dedup standalone word "
+    "(inspectors/composer.py:63/173; reference composer/mod.rs:71-343, "
+    "mev_filters.rs:32-110): composer output restricted to block 109 — "
+    "exactly one jit_sandwich bundle whose $17 = (40A - 0.2B valued at "
+    "$1/$105) - 2x$1 gas the oracle RECOMPUTES from the planted legs; "
+    "the standalone sandwich (i5) and jit (i10) gates pin the two "
+    "parents this row absorbed",
+)
+def o2_jit_sandwich_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mev_fixture import _composed
+
+    _, out = _composed(spark)
+    return _bundle_shape(out["bundles"].filter(F.col("block_number") == 109))

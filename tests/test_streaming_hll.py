@@ -73,3 +73,21 @@ def test_order_invariance(spark, tmp_path):
         _drain(spark, src, ckpt, out)
         outs.append(_latest(spark, out))
     assert outs[0] == outs[1]
+
+
+def test_duplication_tolerance(spark, tmp_path):
+    """Replaying every row a second time yields bit-identical registers —
+    max is idempotent, so HLL stays correct even past the checkpoint's
+    exactly-once guarantee (at-least-once re-delivery, source replays).
+    VERDICT r8 directive 9's replay leg; Benford's counts deliberately do
+    NOT have this property (see test_streaming_benford.py) and rely on
+    the checkpoint alone."""
+    rng = random.Random(11)
+    rows = [("k", f"x{rng.randrange(800)}") for _ in range(1200)]
+    outs = []
+    for tag, data in (("once", rows), ("twice", rows + rows)):
+        src, ckpt, out = (str(tmp_path / f"{tag}_{d}") for d in ("src", "ckpt", "out"))
+        spark.createDataFrame(data, DDL).coalesce(1).write.parquet(src)
+        _drain(spark, src, ckpt, out)
+        outs.append(_latest(spark, out))
+    assert outs[0] == outs[1]
