@@ -156,6 +156,11 @@ HEADLINE = [
     "i9_cex_dex_quotes",
     "i13_searcher_activity",
     "o2_jit_sandwich_compose",
+    # round-9 second wave (stats + temporal joins; events-sized)
+    "o25_welch_ttest",
+    "o26_anova_oneway",
+    "x28_pit_join",
+    "x29_theil_sen",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -310,6 +315,10 @@ EXTRA = {
     "i9_cex_dex_quotes": _staged("i9_cex_dex_quotes"),
     "i13_searcher_activity": _staged("i13_searcher_activity"),
     "o2_jit_sandwich_compose": _staged("o2_jit_sandwich_compose"),
+    "o25_welch_ttest": _staged("o25_welch_ttest"),
+    "o26_anova_oneway": _staged("o26_anova_oneway"),
+    "x28_pit_join": _staged("x28_pit_join"),
+    "x29_theil_sen": _staged("x29_theil_sen"),
 }
 
 

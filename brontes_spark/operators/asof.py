@@ -173,3 +173,51 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in r_payload],
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    on: Sequence[str],
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+    payload_prefix: str = "dim_",
+) -> DataFrame:
+    """PIT-correct dimension lookup: each fact row gets the SCD2 version
+    whose [valid_from, valid_to) interval covers fact_time — the feature-
+    store primitive that keeps training data leakage-free (a fact must
+    never see a dimension version created after it).
+
+    Implementation is the backward as-of join on valid_from (one shuffle
+    on the keys, no interval explosion) plus the validity guard
+    fact_time < valid_to: for a CONTIGUOUS SCD2 history (o10-style,
+    lead()-chained intervals) the guard is provably redundant — the
+    latest version at-or-before the fact IS the covering one — but
+    histories with coverage gaps (purged versions, late onboarding) must
+    not silently match a stale version, so the guard stays. 'inner'
+    drops facts outside coverage; 'left' keeps them with NULL payload
+    (the guard nulls every payload column, not just valid_to).
+    """
+    out = asof_join(
+        facts,
+        versions,
+        on,
+        fact_time,
+        valid_from,
+        payload_prefix=payload_prefix,
+        how=how,
+        direction="backward",
+    )
+    vt = F.col(f"{payload_prefix}{valid_to}")
+    covered = vt.isNull() | (F.col(fact_time) < vt)
+    if how == "inner":
+        return out.filter(covered)
+    # materialize the guard BEFORE masking: masking valid_to first would
+    # null the very column later masks test against
+    payload_cols = [c for c in out.columns if c.startswith(payload_prefix)]
+    masked = out.withColumn("__covered", covered)
+    for c in payload_cols:
+        masked = masked.withColumn(c, F.when(F.col("__covered"), F.col(c)))
+    return masked.drop("__covered")

@@ -25,12 +25,11 @@ sf0.01 parity cover (tests/test_pending_parity.py).
 R10 SEATING OUTLOOK (simulated against a synthesized all-green
 CORRECTNESS_r09 with the REAL ordering policy + live fingerprints —
 scripts/simulate_r10.py reproduces it): after the r9 wave lands green,
-promoting ALL 38 staged gates (the 31 r10-tier + the seven r9-staged
-inspector-internal goldens i5_sandwich_pnl / i10_jit_bundles /
-i12_liquidation_bundles / i8_cex_dex_markout / i9_cex_dex_quotes /
-i13_searcher_activity / o2_jit_sandwich_compose) seats every one at
-staleness -1, and the remaining 12 seats take the stalest r7-attested
-gates
+promoting ALL 42 staged gates (the 31 r10-tier + the seven r9-staged
+inspector-internal goldens i5/i10/i12/i8/i9/i13/o2 + the r9 second wave
+o25_welch_ttest / o26_anova_oneway / x28_pit_join / x29_theil_sen)
+seats every one at staleness -1, and the remaining 8 seats take the
+stalest r7-attested gates
 (mm_mp2_features at 6.25 leads; then the 6.50 block: the five mev_*
 composer gates, x2/x3, and the r7-re-attested dedup/ANN cohort). No
 r8- or r9-staged gate rides past r10 — satisfying the "no plan rides
@@ -2250,3 +2249,248 @@ def o2_jit_sandwich_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, out = _composed(spark)
     return _bundle_shape(out["bundles"].filter(F.col("block_number") == 109))
+
+
+# --- round-9 second wave: robust/parametric statistics + PIT lookup ------
+
+def _welch_oracle() -> str:
+    # the oracle interpolates the OPERATOR'S OWN double-chain SQL
+    # (operators/ttest.WELCH_*_SQL) so both engines run the verbatim-
+    # identical IEEE expression over identical int64 sums — the
+    # fixed-evaluation-shape policy with the shape shared by construction
+    from ..operators.ttest import WELCH_DF9_SQL, WELCH_T9_SQL
+
+    ok = (
+        "na > 1 AND nb > 1 AND "
+        "(na * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa) "
+        "+ (nb * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb) > 0"
+    )
+    return f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_type = 'purchase' AS is_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN is_a THEN v ELSE 0 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE v END) AS BIGINT) AS sb,
+             CAST(SUM(CASE WHEN is_a THEN v * v ELSE 0 END) AS BIGINT) AS qa,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE v * v END) AS BIGINT) AS qb
+      FROM b)
+    SELECT na AS n_a, nb AS n_b, sa AS sum_a, sb AS sum_b,
+           qa AS sumsq_a, qb AS sumsq_b,
+           CASE WHEN {ok} THEN {WELCH_T9_SQL} END AS t_9,
+           CASE WHEN {ok} THEN {WELCH_DF9_SQL} END AS df_9
+    FROM s
+    """
+
+
+@pending(
+    "o25_welch_ttest",
+    oracle=None,  # interpolated below: shares the operator's double chain
+    survey_ref="Welch two-sample t + Welch-Satterthwaite df "
+    "(operators/ttest.py) — the parametric A/B sibling of the "
+    "Mann-Whitney/KS/Spearman family: exact int64 (n, sum, sumsq) per "
+    "group (one hash aggregate, the only data-sized pass), then ONE "
+    "fixed-shape IEEE double chain shared VERBATIM with the oracle "
+    "(int64->double is the conversion both engines round identically; "
+    "squares as self-products, never libm POW); n*q < 2^63 envelope "
+    "documented with NULL-on-degenerate semantics",
+)
+def o25_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ttest import welch_ttest
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "cents", F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    )
+    return welch_ttest(ev, "event_type", "cents", "purchase", "view")
+
+
+PENDING["o25_welch_ttest"] = QuerySpec(
+    name="o25_welch_ttest",
+    build=o25_welch_ttest,
+    oracle=_welch_oracle(),
+    survey_ref=PENDING["o25_welch_ttest"].survey_ref,
+)
+
+
+@pending(
+    "o26_anova_oneway",
+    # per-group term quantized to an exact 1e9-scaled integer BEFORE the
+    # cross-group sum: a double sum over groups would be order-dependent
+    # and engine-divergent; integer sums are not. HUGEINT `//` truncates
+    # like Spark's `div` (measured; both operands non-negative here
+    # anyway). The quantization is part of the statistic's definition.
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev WHERE value IS NOT NULL),
+    per_g AS (
+      SELECT g, COUNT(*) AS ng, SUM(v) AS sg, SUM(v * v) AS qg,
+             (CAST(sg AS HUGEINT) * sg * 1000) // ng AS tg
+      FROM b GROUP BY g),
+    agg AS (
+      SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q,
+             SUM(tg) AS sum_tg
+      FROM per_g),
+    sc AS (
+      SELECT k, n,
+             sum_tg - ((CAST(s AS HUGEINT) * s * 1000) // n) AS ssb_3,
+             CAST(q AS HUGEINT) * 1000 - sum_tg AS ssw_3
+      FROM agg)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(ssb_3 AS BIGINT) AS ssb_3, CAST(ssw_3 AS BIGINT) AS ssw_3,
+           CASE WHEN k > 1 AND n > k AND ssw_3 > 0 THEN
+             CAST((ssb_3 * CAST(n - k AS HUGEINT) * 1000000000)
+                  // (ssw_3 * CAST(k - 1 AS HUGEINT)) AS BIGINT)
+           END AS f_9
+    FROM sc
+    """,
+    survey_ref="one-way ANOVA F across ALL event types "
+    "(operators/ttest.anova_oneway): per-group sum-of-squares terms "
+    "floored to 1e3-scaled exact int64s so the cross-group reduction "
+    "is an order-independent INTEGER sum (a double sum across groups "
+    "would diverge between engines), F_9 as one truncating integer "
+    "division; |s_g| <= ~3e13 envelope documented",
+)
+def o26_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ttest import anova_oneway
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "cents", F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    )
+    return anova_oneway(ev, "event_type", "cents")
+
+
+@pending(
+    "x28_pit_join",
+    # facts = purchases; dim = the o10-style SCD2 event_type history of
+    # the same user. The oracle states the DECLARATIVE interval
+    # semantics (valid_from <= ts < valid_to) as a plain join — the gate
+    # therefore pins that the one-shuffle as-of + guard implementation
+    # IS the interval join, including the equal-valid_from edge where
+    # the empty [ts, ts) version must lose to its same-timestamp
+    # successor (tiebreak='version').
+    oracle="""
+    WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type FROM events),
+    ch AS (
+      SELECT user_id, ts_ns, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    v AS (SELECT * FROM ch WHERE prev_type IS NULL OR prev_type != event_type),
+    iv AS (
+      SELECT user_id, event_type, ts_ns AS valid_from,
+             lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS INT) AS version
+      FROM v),
+    facts AS (
+      SELECT event_id, user_id, ts_ns FROM ev WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts_ns,
+           i.event_type AS dim_event_type, i.version AS dim_version
+    FROM facts f JOIN iv i
+      ON i.user_id = f.user_id
+     AND i.valid_from <= f.ts_ns
+     AND (i.valid_to IS NULL OR f.ts_ns < i.valid_to)
+    """,
+    survey_ref="point-in-time (PIT) dimension lookup "
+    "(operators/asof.point_in_time_join) — the feature-store primitive "
+    "that keeps training data leakage-free: backward as-of on "
+    "valid_from (ONE key shuffle, no interval explosion) + the "
+    "fact_ts < valid_to coverage guard (provably redundant for "
+    "contiguous SCD2 histories, load-bearing for gapped ones); composes "
+    "the o10 SCD2 build with the X1 as-of kernel",
+)
+def x28_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.asof import asof_join
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    versions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_ns").alias("valid_from"),
+            F.lead("ts_ns").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("int").alias("version"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_ns")
+    )
+    out = asof_join(
+        facts, versions, ["user_id"], "ts_ns", "valid_from",
+        tiebreak="version", payload_prefix="dim_", direction="backward",
+    )
+    return out.filter(
+        F.col("dim_valid_to").isNull() | (F.col("ts_ns") < F.col("dim_valid_to"))
+    ).select("event_id", "user_id", "ts_ns", "dim_event_type", "dim_version")
+
+
+@pending(
+    "x29_theil_sen",
+    # median element selected under the (IEEE double num/den, num, den)
+    # total order — identical on both engines; the even-count average of
+    # the two middle RATIONALS is exact integer arithmetic with ONE
+    # truncating division (HUGEINT `//` truncates toward zero like
+    # Spark's `div`: measured -5//3 = -1 — signed slopes need that)
+    oracle=f"""
+    WITH {EV_CTE},
+    p AS (
+      SELECT user_id, ts_ns,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL),
+    pairs AS (
+      SELECT a.user_id AS k, b.c - a.c AS num, b.ts_ns - a.ts_ns AS den
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id AND b.ts_ns > a.ts_ns),
+    ranked AS (
+      SELECT k, num, den,
+             row_number() OVER (PARTITION BY k
+               ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS m
+      FROM pairs),
+    picked AS (
+      SELECT k, m,
+             MAX(CASE WHEN rn = (m + 1) // 2 THEN num END) AS num_lo,
+             MAX(CASE WHEN rn = (m + 1) // 2 THEN den END) AS den_lo,
+             MAX(CASE WHEN rn = m // 2 + 1 THEN num END) AS num_hi,
+             MAX(CASE WHEN rn = m // 2 + 1 THEN den END) AS den_hi
+      FROM ranked
+      WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+      GROUP BY k, m)
+    SELECT k AS key, CAST(m AS BIGINT) AS n_pairs,
+           num_lo, den_lo, num_hi, den_hi,
+           CAST((CAST(1000000000 AS HUGEINT)
+                 * (CAST(num_lo AS HUGEINT) * den_hi
+                    + CAST(num_hi AS HUGEINT) * den_lo))
+                // (CAST(2 AS HUGEINT) * den_lo * den_hi) AS BIGINT) AS slope_9
+    FROM picked
+    """,
+    survey_ref="Theil-Sen robust slope (operators/theilsen.py, Sen 1968) "
+    "— 29%-breakdown median-of-pairwise-slopes trend per user over "
+    "purchase cents vs time: pair explode is O(n_k^2) PER KEY riding the "
+    "key equi-join (never corpus x corpus), median element via one "
+    "row_number window on the same partitioning, even-count middle pair "
+    "averaged in exact rationals; robust complement of x19_ols_trend",
+)
+def x29_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.theilsen import theil_sen_slope
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ev = ev.withColumn(
+        "cents", F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    )
+    return theil_sen_slope(ev, "user_id", "ts_ns", "cents")

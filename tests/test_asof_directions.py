@@ -112,3 +112,40 @@ def test_bad_params(spark):
         asof_join(left, right, ["k"], "t", "rt", direction="sideways")
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "t", "rt", tolerance=-1)
+
+
+def test_point_in_time_join_covers_and_guards(spark):
+    """PIT lookup (operators/asof.point_in_time_join): facts take the
+    version covering their timestamp under [valid_from, valid_to);
+    coverage gaps must NOT match a stale version (inner drops, left
+    nulls every payload column)."""
+    from brontes_spark.operators.asof import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [
+            ("u", 0, 10, "v1"),
+            ("u", 10, 20, "v2"),
+            # gap [20, 30)
+            ("u", 30, None, "v3"),
+        ],
+        "key string, valid_from long, valid_to long, attr string",
+    )
+    facts = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 9, "b"), ("u", 10, "c"), ("u", 25, "gap"),
+         ("u", 30, "d"), ("u", 99, "e"), ("w", 5, "nokey")],
+        "key string, ts long, fact string",
+    )
+    inner = {
+        r["fact"]: r["dim_attr"]
+        for r in point_in_time_join(facts, versions, ["key"], "ts").collect()
+    }
+    assert inner == {"a": "v1", "b": "v1", "c": "v2", "d": "v3", "e": "v3"}
+    left = {
+        r["fact"]: (r["dim_attr"], r["dim_valid_from"])
+        for r in point_in_time_join(
+            facts, versions, ["key"], "ts", how="left"
+        ).collect()
+    }
+    assert left["gap"] == (None, None)  # stale v2 must NOT leak through
+    assert left["nokey"] == (None, None)
+    assert left["a"] == ("v1", 0)
