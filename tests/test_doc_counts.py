@@ -43,3 +43,20 @@ def test_coverage_staged_list_matches_pending():
     # every staged gate is named in the doc
     for name in PENDING:
         assert name in md, f"staged gate {name} missing from COVERAGE.md"
+
+
+def test_coverage_staged_labels_are_live():
+    """Every `staged \`gate\`` evidence cell in COVERAGE.md must name a gate
+    that is STILL in plans/pending.py — promotions must relabel their rows
+    to 'registered (promoted rN)' (the doc-drift class the r8 verdict
+    flagged twice, made structurally impossible)."""
+    md = _read("COVERAGE.md")
+    staged_mentions = set(re.findall(r"staged `([a-z0-9_]+)`", md))
+    stale = staged_mentions - set(PENDING)
+    assert not stale, f"COVERAGE says 'staged' for registered gates: {sorted(stale)}"
+
+
+def test_readme_registry_count():
+    md = _read("README.md")
+    m = re.search(r"\*\*(\d+) driver-checked queries\*\*", md)
+    assert m and int(m.group(1)) == len(REGISTRY)
