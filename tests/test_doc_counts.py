@@ -46,7 +46,7 @@ def test_coverage_staged_list_matches_pending():
 
 
 def test_coverage_staged_labels_are_live():
-    """Every `staged \`gate\`` evidence cell in COVERAGE.md must name a gate
+    """Every "staged `gate`" evidence cell in COVERAGE.md must name a gate
     that is STILL in plans/pending.py — promotions must relabel their rows
     to 'registered (promoted rN)' (the doc-drift class the r8 verdict
     flagged twice, made structurally impossible)."""
