@@ -25,6 +25,10 @@ SCALAR_DIM_GATES = {
     "o20_skew_profile": 1,  # 1-row summary broadcast onto the hot list
     "o18_assoc_rules": 1,  # basket total N
     "x27_quantile_normalize": 1,  # pooled row total N
+    # cex_dex's per-exchange legs fan anchors out against the exchange
+    # LIST — a <=15-row broadcast dim (db/cex/exchanges.rs has 15
+    # variants), exactly the bounded-dim class this allowance exists for
+    "i8_cex_dex_markout": 1,
 }
 
 
