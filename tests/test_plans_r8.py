@@ -27,8 +27,11 @@ SCALAR_DIM_GATES = {
     "x27_quantile_normalize": 1,  # pooled row total N
     # cex_dex's per-exchange legs fan anchors out against the exchange
     # LIST — a <=15-row broadcast dim (db/cex/exchanges.rs has 15
-    # variants), exactly the bounded-dim class this allowance exists for
-    "i8_cex_dex_markout": 1,
+    # variants), exactly the bounded-dim class this allowance exists
+    # for; the ONE logical dim join prints 4x because the legs sub-DAG
+    # is consumed by both the revenue and the gas aggregate and the
+    # simple-mode tree repeats shared subtrees
+    "i8_cex_dex_markout": 4,
 }
 
 
