@@ -161,6 +161,7 @@ HEADLINE = [
     "o26_anova_oneway",
     "x28_pit_join",
     "x29_theil_sen",
+    "o27_two_proportion_z",
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -319,6 +320,7 @@ EXTRA = {
     "o26_anova_oneway": _staged("o26_anova_oneway"),
     "x28_pit_join": _staged("x28_pit_join"),
     "x29_theil_sen": _staged("x29_theil_sen"),
+    "o27_two_proportion_z": _staged("o27_two_proportion_z"),
 }
 
 

@@ -161,3 +161,59 @@ def anova_oneway(
         f"CAST((CAST(ssb_3 AS {DEC38}) * CAST(n - k AS {DEC38}) * 1000000000) "
         f"div (CAST(ssw_3 AS {DEC38}) * CAST(k - 1 AS {DEC38})) AS BIGINT) END AS f_9",
     )
+
+
+#: the two-proportion pooled z chain, verbatim-shared with the oracle
+#: (same discipline as WELCH_T9_SQL: int64 inputs, one fixed IEEE shape)
+TWO_PROP_Z9_SQL = (
+    "CAST(FLOOR(1000000000.0 * "
+    "((CAST(xa AS DOUBLE) / na) - (CAST(xb AS DOUBLE) / nb)) / "
+    "SQRT("
+    "(CAST(xa + xb AS DOUBLE) / (na + nb)) "
+    "* (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb)) "
+    "* (1.0 / na + 1.0 / nb)"
+    ")) AS BIGINT)"
+)
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    converted_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """One row: (n_a, x_a, n_b, x_b, z_9) — the pooled two-proportion
+    z statistic for A/B conversion comparison (the significance layer
+    over x9_funnel_stages' counts).
+
+    A UNIT (user) converts if ANY of its rows has ``converted_col``
+    true — computed with one distinct-unit aggregate (max over the
+    boolean), so duplicate events cannot inflate either count. Exact
+    int64 counts, then the one fixed-shape double chain
+    (TWO_PROP_Z9_SQL, shared verbatim with the oracle). NULL z_9 when
+    either arm is empty or the pooled rate is degenerate (0 or 1 —
+    zero variance). Units seen under BOTH arms count in each arm they
+    appear under (cross-arm contamination is an upstream assignment
+    bug this statistic cannot repair — use ml_fold_assign).
+    """
+    per_unit = (
+        df.filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .groupBy(arm_col, unit_col)
+        .agg(F.max(F.col(converted_col).cast("int")).alias("conv"))
+    )
+    agg = per_unit.agg(
+        F.sum(F.when(F.col(arm_col) == arm_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col(arm_col) == arm_b, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col(arm_col) == arm_a, F.col("conv")).otherwise(0)).alias("xa"),
+        F.sum(F.when(F.col(arm_col) == arm_b, F.col("conv")).otherwise(0)).alias("xb"),
+    )
+    ok = "na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb"
+    return agg.selectExpr(
+        "na AS n_a",
+        "xa AS x_a",
+        "nb AS n_b",
+        "xb AS x_b",
+        f"CASE WHEN {ok} THEN {TWO_PROP_Z9_SQL} END AS z_9",
+    )

@@ -74,3 +74,43 @@ def test_anova_degenerate(spark):
         spark.createDataFrame([("a", 5), ("b", 5)], DDL), "g", "v"
     ).collect()[0]
     assert out["f_9"] is None  # n == k
+
+
+def _z_py(na, xa, nb, xb):
+    import math
+
+    p = float(xa + xb) / (na + nb)
+    return math.floor(
+        1e9 * (float(xa) / na - float(xb) / nb)
+        / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    )
+
+
+def test_two_proportion_z_matches_python_mirror(spark):
+    from brontes_spark.operators.ttest import two_proportion_ztest
+
+    rows = []
+    # arm a: 6 units, 4 convert (one unit has DUPLICATE converting rows —
+    # must not double count); arm b: 5 units, 1 converts
+    for u in range(6):
+        rows.append((f"a{u}", "a", u < 4))
+    rows.append(("a0", "a", True))  # duplicate event for a converting unit
+    rows.append(("a5", "a", False))
+    for u in range(5):
+        rows.append((f"b{u}", "b", u < 1))
+    df = spark.createDataFrame(rows, "unit string, arm string, conv boolean")
+    out = two_proportion_ztest(df, "unit", "arm", "conv", "a", "b").collect()[0]
+    assert (out["n_a"], out["x_a"], out["n_b"], out["x_b"]) == (6, 4, 5, 1)
+    assert out["z_9"] == _z_py(6, 4, 5, 1)
+    assert out["z_9"] > 0
+
+
+def test_two_proportion_z_degenerate(spark):
+    from brontes_spark.operators.ttest import two_proportion_ztest
+
+    # all convert -> pooled rate 1 -> zero variance -> NULL
+    df = spark.createDataFrame(
+        [("u1", "a", True), ("u2", "b", True)], "unit string, arm string, conv boolean"
+    )
+    out = two_proportion_ztest(df, "unit", "arm", "conv", "a", "b").collect()[0]
+    assert out["z_9"] is None
