@@ -49,15 +49,21 @@ def build(spark):
 def main() -> None:
     spark = get_spark("runtime-filter-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    # at sf0.1 Catalyst broadcasts the filtered orders side — broadcast
+    # IS the stronger runtime filter, so nothing to inject; the bloom
+    # path is the CLUSTER-scale regime where both sides shuffle. Force
+    # that regime (no broadcast) to demonstrate the injection, and relax
+    # the creation-side thresholds to match the test-scale input.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
     for enabled in ("true", "false"):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled)
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
-        )
-        spark.conf.set(
-            "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
-            "false",  # isolate the bloom path
-        )
         df = build(spark)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
