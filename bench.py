@@ -162,6 +162,12 @@ HEADLINE = [
     "x28_pit_join",
     "x29_theil_sen",
     "o27_two_proportion_z",
+    # (g15_mst — Boruvka spanning forest, tests/test_mst.py — is NOT
+    # timed, the c2 rule: ~rounds x inner-CC-rounds of sub-second stages
+    # make it a scheduler benchmark at test scale, ~29 s of pure fixed
+    # cost at sf0.01; per-round work is one edge join + one min_by agg +
+    # a geometrically-shrinking CC, all distributed — see the COVERAGE
+    # row for the scale rationale. EXTRA keeps it runnable by name.)
     # bench-only hierarchical-vs-flat pairs at the operator's win geometry
     # (see EXTRA below). LAST deliberately: the 20k-vector tiled rows are
     # the heaviest heap/GC load in the headline, so tail placement keeps
@@ -262,6 +268,29 @@ def _quantiles_exact(spark, sf_dir):
     return quantiles_exact(li, "cents", [0.5, 0.95, 0.99])
 
 
+def _g15_mst(spark, sf_dir):
+    # customer-supplier trade graph (the g7/g12 edge base) with exact
+    # integer weights = trade relationship count inverted (heavier =
+    # rarer pair), so the forest is the max-co-trade backbone
+    from pyspark.sql import functions as F
+    from brontes_spark.operators.mst import minimum_spanning_forest
+    from brontes_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+            (F.lit(1_000_000) - F.col("n")).alias("weight"),
+        )
+    )
+    return minimum_spanning_forest(pairs, rounds=8)
+
+
 def _tfidf_topk(spark, sf_dir):
     from brontes_spark.operators.tfidf import tfidf_topk_terms
     from brontes_spark.plans.llm_data import load_table
@@ -278,6 +307,7 @@ EXTRA = {
     "frequent_items": _frequent_items,
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,
+    "g15_mst": _g15_mst,
     "g10_label_prop": _staged("g10_label_prop"),
     "o12_rrf_fusion": _staged("o12_rrf_fusion"),
     "x20_pearson_corr": _staged("x20_pearson_corr"),
