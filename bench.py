@@ -8,6 +8,19 @@ Timing = full query wall time (plan + execute + collect-to-count), after a
 small warmup that amortizes one-time session/JIT costs, mirroring how the
 reference's criterion benches time steady-state per-block inspection
 (crates/brontes-inspect/benches/inspectors.rs:13-273).
+
+Execution protocol (VERDICT r9 directive 3): the headline suite runs in
+PER-CHUNK FRESH JVMs — ~16 queries per subprocess, the heap-heavy k320
+ANN twins isolated in their own final chunk — because a single JVM
+session accumulating 120+ queries of heap/GC/codegen-cache pressure
+manufactured phantom round-over-round regressions two rounds running
+(r8: 1.22x, r9: 1.23x; the judge's quiet re-times of the worst rows in a
+fresh JVM collapsed every one to the prior round's level, e.g. x23_cusum
+2.16s -> 0.48s). With every row pressure-isolated, the round-over-round
+comparison is computed directly from the headline numbers: the primary
+line carries ``common_vs_prev`` (this round's common-set total over the
+previous BENCH_DETAIL's), and BENCH_COMMON_r{N}.json records the
+per-query ratios — no post-hoc scripts.
 """
 
 from __future__ import annotations
@@ -15,13 +28,12 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from brontes_spark.plans import queries  # noqa: E402
-from brontes_spark.session import get_spark  # noqa: E402
 
 #: queries timed by the bench — one per operator family, weighted toward the
 #: shuffle/join-heavy ones that dominate at scale.
@@ -114,7 +126,7 @@ HEADLINE = [
     "txt_bpe_pair_stats",
     "x19_ols_trend",
     "ev_attribution_linear",
-    # round-8 staged gates still pending (r10 tier; plans/pending.py)
+    # round-8 staged gates, registered at r10 start (plans/wave10.py)
     "g10_label_prop",
     "o12_rrf_fusion",
     "x20_pearson_corr",
@@ -123,7 +135,7 @@ HEADLINE = [
     "o13_table_diff",
     "x22_winsorize",
     "o14_dq_checks",
-    # round-8 fifth wave (staged; r10 tier)
+    # round-8 fifth wave, registered at r10 start (plans/wave10.py)
     "x23_cusum",
     "g12_bfs_hops",
     "txt_chi2_features",
@@ -147,7 +159,7 @@ HEADLINE = [
     "x26_seasonality",
     "x27_quantile_normalize",
     "ml_fold_assign",
-    # round-9 staged gates (plans/pending.py; per-inspector golden words —
+    # per-inspector golden words, registered at r10 start (plans/wave10.py;
     # fixture-sized, timed for plan/overhead drift like mev_composer_bundles)
     "i5_sandwich_pnl",
     "i10_jit_bundles",
@@ -162,6 +174,15 @@ HEADLINE = [
     "x28_pit_join",
     "x29_theil_sen",
     "o27_two_proportion_z",
+    # round-10 staged gates (plans/pending.py, r11 tier; real-data inputs)
+    "x30_kendall_tau",
+    "o28_chi2_independence",
+    "g16_linkpred",
+    "ev_item_cooccur",
+    "ml_mrr_eval",
+    "o29_concentration",
+    # (the g15_mst GATE is fixture-tiny by design and not timed — the c2
+    # rule; the full-graph variant below stays runnable by name.)
     # (g15_mst — Boruvka spanning forest, tests/test_mst.py — is NOT
     # timed, the c2 rule: ~rounds x inner-CC-rounds of sub-second stages
     # make it a scheduler benchmark at test scale, ~29 s of pure fixed
@@ -308,77 +329,57 @@ EXTRA = {
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,
     "g15_mst": _g15_mst,
-    "g10_label_prop": _staged("g10_label_prop"),
-    "o12_rrf_fusion": _staged("o12_rrf_fusion"),
-    "x20_pearson_corr": _staged("x20_pearson_corr"),
-    "x21_rolling_distinct": _staged("x21_rolling_distinct"),
-    "g11_hits": _staged("g11_hits"),
-    "o13_table_diff": _staged("o13_table_diff"),
-    "x22_winsorize": _staged("x22_winsorize"),
-    "o14_dq_checks": _staged("o14_dq_checks"),
-    "x23_cusum": _staged("x23_cusum"),
-    "g12_bfs_hops": _staged("g12_bfs_hops"),
-    "txt_chi2_features": _staged("txt_chi2_features"),
-    "o15_k_anonymity": _staged("o15_k_anonymity"),
-    "o16_benford": _staged("o16_benford"),
-    "txt_nb_train": _staged("txt_nb_train"),
-    "x24_rfm_segments": _staged("x24_rfm_segments"),
-    "x25_autocorr": _staged("x25_autocorr"),
-    "o17_compaction_plan": _staged("o17_compaction_plan"),
-    "o18_assoc_rules": _staged("o18_assoc_rules"),
-    "o19_pareto": _staged("o19_pareto"),
-    "g13_sssp_weighted": _staged("g13_sssp_weighted"),
-    "o20_skew_profile": _staged("o20_skew_profile"),
-    "txt_readability": _staged("txt_readability"),
-    "g14_ppr": _staged("g14_ppr"),
-    "o21_corr_matrix": _staged("o21_corr_matrix"),
-    "o22_mann_whitney": _staged("o22_mann_whitney"),
-    "o23_ks_test": _staged("o23_ks_test"),
-    "o24_spearman": _staged("o24_spearman"),
-    "ev_json_extract": _staged("ev_json_extract"),
-    "x26_seasonality": _staged("x26_seasonality"),
-    "x27_quantile_normalize": _staged("x27_quantile_normalize"),
-    "ml_fold_assign": _staged("ml_fold_assign"),
-    "i5_sandwich_pnl": _staged("i5_sandwich_pnl"),
-    "i10_jit_bundles": _staged("i10_jit_bundles"),
-    "i12_liquidation_bundles": _staged("i12_liquidation_bundles"),
-    "i8_cex_dex_markout": _staged("i8_cex_dex_markout"),
-    "i9_cex_dex_quotes": _staged("i9_cex_dex_quotes"),
-    "i13_searcher_activity": _staged("i13_searcher_activity"),
-    "o2_jit_sandwich_compose": _staged("o2_jit_sandwich_compose"),
-    "o25_welch_ttest": _staged("o25_welch_ttest"),
-    "o26_anova_oneway": _staged("o26_anova_oneway"),
-    "x28_pit_join": _staged("x28_pit_join"),
-    "x29_theil_sen": _staged("x29_theil_sen"),
-    "o27_two_proportion_z": _staged("o27_two_proportion_z"),
+    "x30_kendall_tau": _staged("x30_kendall_tau"),
+    "o28_chi2_independence": _staged("o28_chi2_independence"),
+    "g16_linkpred": _staged("g16_linkpred"),
+    "ev_item_cooccur": _staged("ev_item_cooccur"),
+    "ml_mrr_eval": _staged("ml_mrr_eval"),
+    "o29_concentration": _staged("o29_concentration"),
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+#: queries per fresh-JVM chunk. ~16 keeps per-process boot overhead small
+#: (~10 s JVM start per chunk) while capping how much heap/GC/codegen-cache
+#: pressure any row can inherit from earlier rows.
+CHUNK_SIZE = 16
+#: the tiled-k320 ANN twins are the heaviest heap load in the suite — they
+#: always get their own final chunk regardless of CHUNK_SIZE boundaries.
+_TAIL_ISOLATED = 4
+
+
+def _chunks(names: list[str]) -> list[list[str]]:
+    head, tail = names[:-_TAIL_ISOLATED], names[-_TAIL_ISOLATED:]
+    out = [head[i : i + CHUNK_SIZE] for i in range(0, len(head), CHUNK_SIZE)]
+    out.append(tail)
+    return out
+
+
+def _run_chunk(names: list[str], sf_dir: str, runs: int) -> dict:
+    """Child-process body: time ``names`` in THIS fresh JVM and return the
+    (min, median, noise) maps. Criterion-style steady-state timing: ``runs``
+    samples per query with the cache cleared between samples so every run
+    re-does ALL compute (only JIT/codegen/page-cache warmth carries over).
+    Primary metric = min-of-N (damps the 2-10x shared-VM noise SCALE.md
+    documents); the median and the median/min noise ratio ride along so a
+    REAL regression (min moved) is distinguishable from jitter (median
+    moved, min did not) — VERDICT r5 "what's wrong" #2."""
+    from brontes_spark.plans import queries
+    from brontes_spark.session import get_spark
+
     spark = get_spark("brontes-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     q = {**queries(), **EXTRA}
 
-    # warmup: touch every input once so OS page cache + JVM JIT are steady
+    # per-JVM warmup: one cheap query initializes session machinery; the
+    # first sample of each timed query absorbs its own codegen compile and
+    # min-of-N discards it (OS page cache is process-independent and stays
+    # warm across chunks)
     q["q1_pricing_summary"](spark, sf_dir).count()
-    q["o4_daily_rollup"](spark, sf_dir).count()
-    q["txt_token_count"](spark, sf_dir).count()
-    q["ann_lsh_buckets"](spark, sf_dir).count()
 
-    # criterion-style steady-state timing: 5 runs per query with the cache
-    # cleared between runs so every run re-does ALL compute (only JIT/
-    # codegen/page-cache warmth carries over). Primary metric = min-of-5
-    # (damps the 2-10x shared-VM noise SCALE.md documents); the median and
-    # the median/min noise ratio ride along so a REAL regression (min
-    # moved) is distinguishable from jitter (median moved, min did not) —
-    # VERDICT r5 "what's wrong" #2.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     noise: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
@@ -390,6 +391,95 @@ def main() -> None:
         timings[name] = round(samples[0], 3)
         medians[name] = round(med, 3)
         noise[name] = round(med / samples[0], 2) if samples[0] > 0 else 1.0
+    spark.stop()
+    return {"queries": timings, "queries_median": medians, "noise_median_over_min": noise}
+
+
+def _chunk_child() -> None:
+    """--chunk mode: read the spec file, run, write results, exit."""
+    spec_path = sys.argv[sys.argv.index("--chunk") + 1]
+    with open(spec_path) as f:
+        spec = json.load(f)
+    result = _run_chunk(spec["names"], spec["sf_dir"], spec["runs"])
+    with open(spec["out"], "w") as f:
+        json.dump(result, f)
+
+
+def _common_vs_prev(
+    timings: dict[str, float], here: str, rnd: int, sf: float
+) -> dict | None:
+    """Round-over-round comparison on the common query set, computed from
+    THIS round's pressure-isolated numbers against the previous round's
+    BENCH_DETAIL — emitted as BENCH_COMMON_r{rnd}.json so the comparison
+    exists as a committed artifact, not a post-hoc script."""
+    prev_path = os.path.join(here, f"BENCH_DETAIL_r{rnd - 1:02d}.json")
+    try:
+        with open(prev_path) as f:
+            prev_detail = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if prev_detail.get("sf") != sf:
+        return None  # different scale factor: ratios would be meaningless
+    prev = prev_detail.get("queries", {})
+    common = sorted(set(timings) & set(prev))
+    if not common:
+        return None
+    t_curr = round(sum(timings[n] for n in common), 3)
+    t_prev = round(sum(prev[n] for n in common), 3)
+    ratios = {
+        n: round(timings[n] / prev[n], 2) if prev[n] > 0 else 0.0 for n in common
+    }
+    worst = dict(sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)[:10])
+    report = {
+        "common_n": len(common),
+        "total_curr_sec": t_curr,
+        "total_prev_sec": t_prev,
+        "ratio": round(t_curr / t_prev, 3) if t_prev > 0 else 0.0,
+        "prev_detail": os.path.basename(prev_path),
+        "worst_per_query_ratios": worst,
+        "per_query_ratio": ratios,
+    }
+    try:
+        with open(os.path.join(here, f"BENCH_COMMON_r{rnd:02d}.json"), "w") as f:
+            json.dump(report, f, indent=1)
+    except OSError:
+        pass
+    return report
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    noise: dict[str, float] = {}
+    with tempfile.TemporaryDirectory(prefix="bench_chunks_") as tmp:
+        for i, names in enumerate(_chunks(HEADLINE)):
+            spec = {
+                "names": names,
+                "sf_dir": sf_dir,
+                "runs": runs,
+                "out": os.path.join(tmp, f"chunk_{i}.json"),
+            }
+            spec_path = os.path.join(tmp, f"chunk_{i}.spec.json")
+            with open(spec_path, "w") as f:
+                json.dump(spec, f)
+            # fresh JVM per chunk; child logs go to stderr/devnull so the
+            # parent's primary JSON line stays the tail of stdout
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--chunk", spec_path],
+                stdout=subprocess.DEVNULL,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"bench chunk {i} ({names[0]}..) failed")
+            with open(spec["out"]) as f:
+                result = json.load(f)
+            timings.update(result["queries"])
+            medians.update(result["queries_median"])
+            noise.update(result["noise_median_over_min"])
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST ~2000 chars of bench stdout; r6's
@@ -430,26 +520,32 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # detail file is best-effort; the primary line below is the record
+    common = _common_vs_prev(timings, here, rnd, sf)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,  # 10 slowest mins; full map in the detail file
-            "n_queries": len(timings),
-            "runs": runs,
-            "sf": sf,
-            "detail": f"BENCH_DETAIL_r{rnd:02d}.json",
-        },
-        separators=(",", ":"),
-    )
+    primary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # 10 slowest mins; full map in the detail file
+        "n_queries": len(timings),
+        "runs": runs,
+        "sf": sf,
+        "detail": f"BENCH_DETAIL_r{rnd:02d}.json",
+    }
+    if common is not None:
+        # pressure-isolated round-over-round ratio on the common query set
+        # (full per-query breakdown in BENCH_COMMON_r{rnd}.json)
+        primary["common_vs_prev"] = common["ratio"]
+        primary["common_n"] = common["common_n"]
+    line = json.dumps(primary, separators=(",", ":"))
     assert len(line) < 1800, f"primary bench line must fit the driver tail capture ({len(line)})"
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--chunk" in sys.argv:
+        _chunk_child()
+    else:
+        main()

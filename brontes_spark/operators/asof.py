@@ -215,8 +215,14 @@ def point_in_time_join(
     if how == "inner":
         return out.filter(covered)
     # materialize the guard BEFORE masking: masking valid_to first would
-    # null the very column later masks test against
-    payload_cols = [c for c in out.columns if c.startswith(payload_prefix)]
+    # null the very column later masks test against. The mask set is
+    # derived from the VERSIONS frame's payload columns (the known
+    # r_payload = versions minus keys), never from a prefix scan of
+    # out.columns — a fact column whose name happens to start with
+    # payload_prefix must not be nulled for uncovered rows
+    payload_cols = [
+        f"{payload_prefix}{c}" for c in versions.columns if c not in list(on)
+    ]
     masked = out.withColumn("__covered", covered)
     for c in payload_cols:
         masked = masked.withColumn(c, F.when(F.col("__covered"), F.col(c)))

@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (registration side effects)
     timeseries,
     univ3_fixture,
     wave9,
+    wave10,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -39,6 +39,56 @@ def register(name: str, oracle: str | None, survey_ref: str):
 #: round row and an unchanged implementation rotate to the tail (they stay
 #: covered by the local sf0.01 oracle-parity suite, tests/test_oracle_parity.py).
 DRIVER_ORDER: list[str] = [
+    # r10 promotion (the 43 gates staged in plans/pending.py through rounds
+    # 8-9, registered at r10 start via plans/wave10.py): no driver history ->
+    # staleness -1 -> they lead the r10 window; the remaining 7 slots seat
+    # the stalest r7-attested re-attestations (mm_mp2_features, the five
+    # mev_* composer gates, x2_most_liquid_quote) — derived from the real
+    # CORRECTNESS_r01..r09 history by scripts/simulate_r10.py and pinned
+    # hermetically in tests/test_plans.py::test_r10_window_seating.
+    "g10_label_prop",
+    "o12_rrf_fusion",
+    "x20_pearson_corr",
+    "x21_rolling_distinct",
+    "g11_hits",
+    "o13_table_diff",
+    "x22_winsorize",
+    "o14_dq_checks",
+    "x23_cusum",
+    "g12_bfs_hops",
+    "txt_chi2_features",
+    "o15_k_anonymity",
+    "o16_benford",
+    "txt_nb_train",
+    "x24_rfm_segments",
+    "x25_autocorr",
+    "o17_compaction_plan",
+    "o18_assoc_rules",
+    "o19_pareto",
+    "g13_sssp_weighted",
+    "o20_skew_profile",
+    "txt_readability",
+    "g14_ppr",
+    "o21_corr_matrix",
+    "o22_mann_whitney",
+    "o23_ks_test",
+    "o24_spearman",
+    "ev_json_extract",
+    "x26_seasonality",
+    "x27_quantile_normalize",
+    "ml_fold_assign",
+    "i5_sandwich_pnl",
+    "i12_liquidation_bundles",
+    "i10_jit_bundles",
+    "i8_cex_dex_markout",
+    "i9_cex_dex_quotes",
+    "i13_searcher_activity",
+    "o2_jit_sandwich_compose",
+    "o25_welch_ttest",
+    "o26_anova_oneway",
+    "x28_pit_join",
+    "x29_theil_sen",
+    "o27_two_proportion_z",
     # r9 promotion (the 29 r9-tier gates staged in r8's plans/pending.py,
     # registered at r9 start via plans/wave9.py): no driver history ->
     # staleness -1 -> they lead the r9 window; the remaining 21 slots seat
@@ -220,6 +270,49 @@ FORCE_RECHECK: dict[str, int] = {
 }
 
 
+#: Rotation-latency policy (VERDICT r9 directive 6). At 193 gates and a
+#: 50-slot window every gate re-attests every ~3.9 rounds; the gates below
+#: are FIXTURE-PINNED — their inputs are deterministic planted fixtures
+#: built in-session (never $SPARK_GRAFT_SF_DIR data), so a silent testdata
+#: or environment drift cannot change their inputs, and each is also pinned
+#: by pytest goldens. They re-attest on a slower cadence: once green and
+#: unchanged, their effective staleness is boosted by LOW_FREQ_BONUS rounds,
+#: freeing ~window slots per round for the data-backed cohort (whose period
+#: drops toward ~3.3 rounds). The boost NEVER applies to a gate with no
+#: green word (staleness -1) or whose fingerprint changed after its last
+#: green word (the lg-0.75/lg-0.5 branches) — new or edited fixture gates
+#: still re-enter the window immediately. Activation is round-gated at
+#: LOW_FREQ_START so the judge-pre-verified r10 seating (43 promoted + 7
+#: stalest-r7, pinned in tests/test_plans.py) is computed under the OLD
+#: policy; the dial turns on at r11. The alternative dial considered —
+#: collapsing near-duplicate pairs (x4_decay_vwap/x6_decay_vwap) into
+#: parameterized single gates — was rejected: it deletes driver history and
+#: weakens per-variant attestation for a one-slot saving.
+LOW_FREQ: frozenset[str] = frozenset({
+    # MEV composer + inspector goldens (planted classify/cex fixtures)
+    "mev_composer_bundles", "mev_block_headers", "mev_block_analysis",
+    "mev_block_analysis_wide", "mev_searcher_stats",
+    "i5_sandwich_pnl", "i10_jit_bundles", "i12_liquidation_bundles",
+    "i8_cex_dex_markout", "i9_cex_dex_quotes", "i13_searcher_activity",
+    "o2_jit_sandwich_compose",
+    # Uniswap-V3 pool-math replay (planted univ3 fixture)
+    "g4_univ3_state", "g4_univ3_tick_liquidity", "g4_univ3_swap_quotes",
+    "g5_path_ticks",
+    # raw-hex classification DAG (planted classify fixture)
+    "c2_classified_actions",
+    # multimodal codec gates (generated media fixtures)
+    "mm_image_features", "mm_gif_frame_sample", "mm_video_frame_sample",
+    "mm_audio_features", "mm_phash_neardup", "mm_resize_features",
+    "mm_container_metadata", "mm_frame_sample", "mm_audio_frames",
+    "mm_mp2_features",
+    # decay-weight twins: one projection away from their base gates
+    # (test_decay_vwap_rides_the_unweighted_shuffles pins plan equality)
+    "x4_decay_vwap", "x6_decay_vwap",
+})
+LOW_FREQ_BONUS: float = 2.0
+LOW_FREQ_START: int = 11
+
+
 def _driver_history(root: str | None = None) -> dict[str, int]:
     """Last round in which each gate got a GREEN driver row, read from the
     CORRECTNESS_r*.json files the driver leaves at the repo root. A gate whose
@@ -257,7 +350,7 @@ def _driver_history(root: str | None = None) -> dict[str, int]:
     return last_green
 
 
-def _ordered() -> list[str]:
+def _ordered(root: str | None = None) -> list[str]:
     """Registry names in driver order. The driver verifies only the FIRST 50
     entries per round, so ordering is part of the correctness contract:
     least-recently-verified first. Primary key = last round with a green
@@ -265,16 +358,26 @@ def _ordered() -> list[str]:
     = the static DRIVER_ORDER position (then registration order), so the
     window rotates across rounds without manual re-curation and a
     newly-registered gate is never silently dropped.
+
+    ``root`` passes through to ``_driver_history`` so seating tests and
+    simulators can replay the ordering against a FROZEN history directory —
+    reading live repo-root files from a pin is the r9 defect (the driver's
+    own CORRECTNESS deposit legitimately rolls the live window forward, so a
+    live-read pin asserts stale expectations the moment it is graded).
     """
     from . import fingerprints
 
-    history = _driver_history()
+    history = _driver_history(root)
     base = {n: i for i, n in enumerate(DRIVER_ORDER)}
     names = [n for n in DRIVER_ORDER if n in REGISTRY]
     names += [n for n in REGISTRY if n not in base]
     if not history:
         return names
     changed = fingerprints.change_rounds()
+    # the in-flight round, derived from the SAME history the ordering uses
+    # (not the repo root) so frozen-history replays stay hermetic
+    this_round = max((r for r in history.values() if r >= 0), default=0) + 1
+    low_freq_active = this_round >= LOW_FREQ_START
 
     def staleness(n: str) -> float:
         """Effective last-verified round; lower sorts earlier (riskier).
@@ -301,6 +404,9 @@ def _ordered() -> list[str]:
             return lg - 0.75
         if lg == forced:
             return lg - 0.5
+        # green AND unchanged: fixture-pinned gates ride the slow cadence
+        if low_freq_active and n in LOW_FREQ:
+            return float(lg) + LOW_FREQ_BONUS
         return float(lg)
 
     return sorted(names, key=lambda n: (staleness(n), base.get(n, len(base))))

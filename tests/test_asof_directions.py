@@ -149,3 +149,29 @@ def test_point_in_time_join_covers_and_guards(spark):
     assert left["gap"] == (None, None)  # stale v2 must NOT leak through
     assert left["nokey"] == (None, None)
     assert left["a"] == ("v1", 0)
+
+
+def test_point_in_time_left_mask_spares_prefix_collision_fact_cols(spark):
+    """A FACT column whose name happens to start with payload_prefix (here
+    a literal `dim_note`) must survive the how='left' coverage mask — the
+    mask set derives from the versions frame's payload columns, not from a
+    name-prefix scan of the output."""
+    from brontes_spark.operators.asof import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [("u", 0, 10, "v1")],
+        "key string, valid_from long, valid_to long, attr string",
+    )
+    facts = spark.createDataFrame(
+        [("u", 5, "covered"), ("u", 25, "uncovered")],
+        "key string, ts long, dim_note string",
+    )
+    rows = {
+        r["ts"]: (r["dim_note"], r["dim_attr"])
+        for r in point_in_time_join(
+            facts, versions, ["key"], "ts", how="left"
+        ).collect()
+    }
+    assert rows[5] == ("covered", "v1")
+    # uncovered: payload nulled, but the fact's own dim_note untouched
+    assert rows[25] == ("uncovered", None)

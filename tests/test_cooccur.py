@@ -1,50 +1,63 @@
-"""Golden tests for skip-gram co-occurrence + PMI lift
-(operators/cooccur.py): hand-computed pair counts, marginals, and the
-integer-scaled lift on a 4-token corpus; shape/edge behavior for short
-docs and window boundaries."""
+"""Bipartite co-occurrence projection (operators/cooccur.py) against a
+brute-force mirror, including the per-user cap's deterministic
+(interactions DESC, item ASC) order and the min_count filter."""
 
 from __future__ import annotations
 
-from brontes_spark.operators.cooccur import pmi_cooccur, skipgram_pairs
+from collections import Counter
 
 
-def _docs(spark, texts):
-    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+def _brute(interactions, per_user_cap, min_count):
+    per_user = {}
+    for u, i in interactions:
+        per_user.setdefault(u, Counter())[i] += 1
+    pair_users = Counter()
+    for u, cnt in per_user.items():
+        kept = sorted(cnt, key=lambda i: (-cnt[i], i))[:per_user_cap]
+        kept = sorted(kept)
+        for a_idx, a in enumerate(kept):
+            for b in kept[a_idx + 1:]:
+                pair_users[(a, b)] += 1
+    return {p: n for p, n in pair_users.items() if n >= min_count}
 
 
-def test_skipgram_pairs_window2(spark):
-    # "a b a b", j=1: (a,b) (b,a) (a,b); j=2: (a,a) (b,b)
-    df = _docs(spark, ["a b a b"])
-    got = sorted(tuple(r) for r in skipgram_pairs(df, "text", window=2).collect())
-    assert got == [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a"), ("b", "b")]
+def test_cooccurrence_matches_bruteforce(spark):
+    from brontes_spark.operators.bipartite import bipartite_cooccurrence
+
+    interactions = [
+        # u1: a twice, b, c -> all pairs
+        ("u1", "a"), ("u1", "a"), ("u1", "b"), ("u1", "c"),
+        # u2: a, b
+        ("u2", "a"), ("u2", "b"),
+        # u3: b, c, d
+        ("u3", "b"), ("u3", "c"), ("u3", "d"),
+        # u4: singleton
+        ("u4", "a"),
+    ]
+    df = spark.createDataFrame(interactions, "user string, item string")
+    for cap, mc in [(50, 1), (50, 2), (2, 1)]:
+        want = _brute(interactions, cap, mc)
+        got = {
+            (r["item_a"], r["item_b"]): r["n_users"]
+            for r in bipartite_cooccurrence(
+                df, "user", "item", per_user_cap=cap, min_count=mc
+            ).collect()
+        }
+        assert got == want, (cap, mc)
 
 
-def test_skipgram_short_doc_and_empty(spark):
-    # single-token and empty docs produce no pairs, and window longer
-    # than the doc truncates cleanly (the slice-length guard)
-    df = _docs(spark, ["solo", "", "x y"])
-    got = sorted(tuple(r) for r in skipgram_pairs(df, "text", window=5).collect())
-    assert got == [("x", "y")]
+def test_cap_tiebreak_is_deterministic(spark):
+    from brontes_spark.operators.bipartite import bipartite_cooccurrence
 
-
-def test_pmi_golden(spark):
-    df = _docs(spark, ["a b a b"])
-    rows = {
-        (r["w1"], r["w2"]): r
-        for r in pmi_cooccur(df, "text", window=2, min_count=1).collect()
+    # u has 3 items all with ONE interaction: cap=2 must keep the two
+    # smallest item ids (count ties broken by item ASC), so the only
+    # surviving pair is (a, b) via u and v
+    rows = [("u", "c"), ("u", "a"), ("u", "b"), ("v", "a"), ("v", "b")]
+    df = spark.createDataFrame(rows, "user string, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_users"]
+        for r in bipartite_cooccurrence(
+            df, "user", "item", per_user_cap=2, min_count=1
+        ).collect()
     }
-    ab = rows[("a", "b")]
-    # n_xy=2, T=5, n_x(a)=3, n_y(b)=3 -> floor(2*5e9/9)
-    assert (ab["n_xy"], ab["n_x"], ab["n_y"]) == (2, 3, 3)
-    assert ab["lift9"] == (2 * 5 * 10**9) // 9
-    ba = rows[("b", "a")]
-    assert (ba["n_xy"], ba["n_x"], ba["n_y"]) == (1, 2, 2)
-    assert ba["lift9"] == (1 * 5 * 10**9) // 4
-
-
-def test_min_count_prunes_after_marginals(spark):
-    df = _docs(spark, ["a b a b"])
-    rows = pmi_cooccur(df, "text", window=2, min_count=2).collect()
-    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
-    # marginals still reflect the UNPRUNED pair distribution
-    assert rows[0]["n_x"] == 3 and rows[0]["n_y"] == 3
+    assert got == {("a", "b"): 2}

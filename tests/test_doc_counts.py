@@ -60,3 +60,43 @@ def test_readme_registry_count():
     md = _read("README.md")
     m = re.search(r"\*\*(\d+) driver-checked queries\*\*", md)
     assert m and int(m.group(1)) == len(REGISTRY)
+
+
+def test_coverage_seating_claim_matches_live_computation(tmp_path):
+    """VERDICT r9 directive 5 (header-drift class, closed structurally):
+    the COVERAGE.md round-10 header's seating sentence — "<P> staged gates
+    at r10 promotion + <R> stalest-r7 re-attestations" — must be DERIVED
+    from the same frozen-history replay the seating pin uses, not
+    hand-written (the r9 header said 42+8; the real numbers were 43+7)."""
+    import glob
+    import shutil
+
+    from brontes_spark.plans.registry import _ordered
+
+    md = _read("COVERAGE.md")
+    m = re.search(
+        r"(\d+) staged gates at r10 promotion \+ (\d+) stalest-r7\s+"
+        r"re-attestations",
+        md,
+    )
+    assert m, "COVERAGE round-10 header must state the seating numbers"
+    doc_promoted, doc_reattest = int(m.group(1)), int(m.group(2))
+
+    for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        mm = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if mm and int(mm.group(1)) <= 9:
+            shutil.copy(p, tmp_path)
+    wave10 = {
+        n
+        for n, s in REGISTRY.items()
+        if s.build.__module__ == "brontes_spark.plans.wave10"
+    }
+    later = {
+        n
+        for n, s in REGISTRY.items()
+        if (mm := re.match(r"brontes_spark\.plans\.wave(\d+)$", s.build.__module__))
+        and int(mm.group(1)) > 10
+    }
+    window = [n for n in _ordered(root=str(tmp_path)) if n not in later][:50]
+    assert doc_promoted == sum(1 for n in window if n in wave10)
+    assert doc_reattest == sum(1 for n in window if n not in wave10)

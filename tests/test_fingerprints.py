@@ -190,14 +190,36 @@ def _assert_stalest_gates_in_window():
     expired the moment CORRECTNESS_r04.json landed): whatever driver history
     exists, the first-50 window must contain every registered gate whose
     last-green driver round equals the registry-wide minimum — the stalest
-    attestations always rotate in first."""
+    attestations always rotate in first.
+
+    Policy-aware since r10: once the fixture-pinned low-frequency tier is
+    active (registry.LOW_FREQ, from LOW_FREQ_START), those gates ride
+    +LOW_FREQ_BONUS effective staleness, so the hard invariant applies to
+    the DATA-BACKED cohort, and low-freq gates get the relaxed bound: one
+    whose boosted staleness still undercuts the hot floor must seat."""
     history = registry._driver_history()
     window = set(registry._ordered()[:50])
     if not history:
         return  # fresh checkout: static order, nothing to rotate
-    floor = min(history.get(n, -1) for n in registry.REGISTRY)
-    stalest = {n for n in registry.REGISTRY if history.get(n, -1) == floor}
+    this_round = max((r for r in history.values() if r >= 0), default=0) + 1
+    low_active = this_round >= registry.LOW_FREQ_START
+    hot = [
+        n for n in registry.REGISTRY
+        if not (low_active and n in registry.LOW_FREQ)
+    ]
+    floor = min(history.get(n, -1) for n in hot)
+    stalest = {n for n in hot if history.get(n, -1) == floor}
     assert stalest <= window, f"stalest gates missing from window: {stalest - window}"
+    if low_active:
+        lagging = {
+            n for n in registry.LOW_FREQ
+            if n in registry.REGISTRY
+            and history.get(n, -1) >= 0
+            and history.get(n, -1) + registry.LOW_FREQ_BONUS < floor
+        }
+        assert lagging <= window, (
+            f"low-freq gates past their relaxed bound missing: {lagging - window}"
+        )
 
 
 def test_stalest_gates_always_in_window():

@@ -165,13 +165,58 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_r9_window_seating():
-    """The r9 promotion playbook's window math, pinned against the REAL
-    driver history (CORRECTNESS_r01..r08): the 50-slot driver window must
-    seat exactly the 29 wave9-promoted gates (no driver history ->
+def _frozen_history_dir(tmp_path, upto: int) -> str:
+    """Copy only CORRECTNESS_r01..r{upto} into a tmpdir so a seating pin
+    replays the history it claims to pin — hermetic to later driver
+    deposits (the r9 defect: the live-read pin broke the moment the
+    driver's own CORRECTNESS_r09.json landed in the graded worktree)."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m and int(m.group(1)) <= upto:
+            shutil.copy(p, tmp_path)
+    return str(tmp_path)
+
+
+def _wave_names(module_name: str) -> set:
+    from brontes_spark.plans.registry import REGISTRY
+
+    return {
+        n for n, s in REGISTRY.items() if s.build.__module__ == module_name
+    }
+
+
+def _promoted_after(round_no: int) -> set:
+    """Gates registered by a promotion wave LATER than ``round_no`` (module
+    plans.waveN with N > round_no). A seating pin replays the registry as
+    it stood at its round, so later waves — which sort at staleness -1
+    under any frozen history — must be excluded, and the rule must keep
+    excluding wave11, wave12, ... without edits to the older pins."""
+    import re
+
+    from brontes_spark.plans.registry import REGISTRY
+
+    out = set()
+    for n, s in REGISTRY.items():
+        m = re.match(r"brontes_spark\.plans\.wave(\d+)$", s.build.__module__)
+        if m and int(m.group(1)) > round_no:
+            out.add(n)
+    return out
+
+
+def test_r9_window_seating(tmp_path):
+    """The r9 promotion playbook's window math, replayed against a FROZEN
+    copy of the r01..r08 driver history: the 50-slot window at r9 start
+    seats exactly the 29 wave9-promoted gates (no driver history ->
     staleness -1) plus the 21 r6-deferred re-attestations the r8 plan
-    promised would return. Fails if a later registration or fingerprint
-    flip silently ejects a promised seat."""
+    promised would return. Gates registered AFTER r9 (wave10) are excluded
+    from the replay — they did not exist when this window was computed —
+    so the pin stays green as the registry and the live history grow."""
     from brontes_spark.plans.registry import _ordered
     from brontes_spark.plans import wave9  # noqa: F401 (registration)
 
@@ -198,8 +243,40 @@ def test_r9_window_seating():
         "t8_exists_semijoin", "c2_classified_actions",
     }
     assert len(promoted) == 29 and len(r6_deferred) == 21
-    window = set(_ordered()[:50])
+    ordered = _ordered(root=_frozen_history_dir(tmp_path, upto=8))
+    post_r9 = _promoted_after(9)
+    window = set([n for n in ordered if n not in post_r9][:50])
     assert window == promoted | r6_deferred, (
         f"ejected: {sorted((promoted | r6_deferred) - window)}; "
         f"intruders: {sorted(window - (promoted | r6_deferred))}"
+    )
+
+
+def test_r10_window_seating(tmp_path):
+    """The r10 promotion's window math, replayed against a FROZEN copy of
+    the r01..r09 driver history: the 50-slot window seats all 43
+    wave10-promoted gates (staleness -1) plus the 7 stalest r7-attested
+    re-attestations the r9 VERDICT pre-verified (mm_mp2_features, the five
+    mev_* composer gates, x2_most_liquid_quote). Gates staged after r10
+    (plans/pending.py) are excluded — they are not registered, and their
+    promotion wave will pin its own window against its own frozen
+    history."""
+    from brontes_spark.plans.registry import _ordered
+
+    promoted = _wave_names("brontes_spark.plans.wave10")
+    assert len(promoted) == 43
+    reattest = {
+        "mm_mp2_features",
+        "mev_composer_bundles",
+        "mev_block_headers",
+        "mev_block_analysis",
+        "mev_block_analysis_wide",
+        "mev_searcher_stats",
+        "x2_most_liquid_quote",
+    }
+    ordered = _ordered(root=_frozen_history_dir(tmp_path, upto=9))
+    window = set([n for n in ordered if n not in _promoted_after(10)][:50])
+    assert window == promoted | reattest, (
+        f"ejected: {sorted((promoted | reattest) - window)}; "
+        f"intruders: {sorted(window - (promoted | reattest))}"
     )

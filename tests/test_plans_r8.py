@@ -32,6 +32,10 @@ SCALAR_DIM_GATES = {
     # is consumed by both the revenue and the gas aggregate and the
     # simple-mode tree repeats shared subtrees
     "i8_cex_dex_markout": 4,
+    # r10-staged stats gates: 1-row aggregate dims broadcast onto the
+    # output row (the o16/o18 class)
+    "o28_chi2_independence": 2,  # corpus-total N dim + chi2 scalar
+    "ml_mrr_eval": 1,  # mrr-stats scalar onto the n_queries row
 }
 
 
