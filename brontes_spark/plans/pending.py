@@ -19,7 +19,19 @@ scripts/simulate_r10.py derives the seating from the real on-disk
 CORRECTNESS history and tests/test_plans.py::test_r10_window_seating
 pins it hermetically. The specs below are the r11 tier: gates for
 operators shipped without a driver word (VERDICT r9 missing #2 named
-minimum_spanning_forest as the only one) plus the round-10 operator additions (Kendall tau-b, chi-square independence, link prediction, bipartite co-occurrence, ranking eval, Gini+HHI concentration).
+minimum_spanning_forest as the only one) plus the round-10 operator
+additions (Kendall tau-b, chi-square independence, link prediction,
+bipartite co-occurrence, ranking eval, Gini+HHI concentration).
+
+R11 SEATING OUTLOOK (simulated in-session against the real r01..r09
+history + a synthesized all-green r10 over the pinned r10 window, with
+the REAL ordering policy including the now-active low-frequency tier):
+promoting all 7 staged gates seats every one at staleness -1, and the
+remaining 43 seats take the stalest data-backed cohort (the lg=7 block
+led by x3_fee_adjusted_quote and the dedup/ANN r7 re-attestations — 39
+seats at staleness 6.5, 4 at 7.5 up to sketch_quantiles); the 29
+fixture-pinned LOW_FREQ gates ride their +2 cadence and none is past
+its relaxed bound (tests/test_fingerprints.py asserts that invariant).
 """
 
 from __future__ import annotations
