@@ -181,6 +181,10 @@ HEADLINE = [
     "ev_item_cooccur",
     "ml_mrr_eval",
     "o29_concentration",
+    # g17's planted clique grows as (docs/50)^2 edges — meaningful at
+    # sf0.1 (K100), deliberately NOT run on the 100x tiled docs where
+    # the K1000 wedge volume would measure the fixture, not the operator
+    "g17_ktruss",
     # (the g15_mst GATE is fixture-tiny by design and not timed — the c2
     # rule; the full-graph variant below stays runnable by name.)
     # (g15_mst — Boruvka spanning forest, tests/test_mst.py — is NOT
@@ -335,6 +339,7 @@ EXTRA = {
     "ev_item_cooccur": _staged("ev_item_cooccur"),
     "ml_mrr_eval": _staged("ml_mrr_eval"),
     "o29_concentration": _staged("o29_concentration"),
+    "g17_ktruss": _staged("g17_ktruss"),
 }
 
 

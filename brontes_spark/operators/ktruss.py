@@ -1,0 +1,73 @@
+"""Distributed k-truss decomposition — iterative triangle-support edge
+peeling (Cohen 2008), the edge-level cohesion filter completing the
+graph family (k-core peels nodes by degree; k-truss peels edges by
+triangle support, a strictly stronger community signal). Training-data
+uses mirror k-core's: keep only near-dup / co-occurrence edges embedded
+in dense mutual-confirmation neighborhoods, killing the chains of
+coincidental pairwise matches that survive a plain threshold.
+
+Algorithm: rounds of (support <- common-neighbor count per edge; drop
+edges with support < k-2) until no edge drops or ``rounds`` is spent.
+Monotone (edges only leave), so the fixpoint is unique — no tie-break
+is ever needed and the result is a pure function of the edge set.
+
+Scale shape per round: ONE wedge equi-join of the undirected adjacency
+against itself on the shared endpoint (the g8/g16 shape: support(u,v) =
+|N(u) ∩ N(v)| comes from joining und(u, w) x und(v, w) on w — shuffle
+on w, never corpus x corpus), one (u, v) count aggregate (map-side
+combinable), one anti-filterless inner join back to the edge list, and
+a localCheckpoint lineage cut. Per-round cost shrinks with the edge
+set; hub suppression belongs upstream (cap degrees before calling, as
+g16 documents) since a true k-truss must count every wedge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+) -> DataFrame:
+    """Edges (u, v) with u < v that survive k-truss peeling: every kept
+    edge closes >= k-2 triangles with other kept edges. Self-loops
+    dropped, parallel/bidirectional duplicates collapsed. ``rounds``
+    bounds the peel iterations; converged inputs stop early."""
+    if k < 3:
+        raise ValueError(f"k_truss: k must be >= 3, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        # support(u, v) = |N(u) ∩ N(v)|: wedge join on the shared endpoint
+        lu = und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        lv = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        sup = (
+            e.join(lu, "u").join(lv, ["v", "w"])
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        kept = (
+            e.join(sup, ["u", "v"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        if kept.count() == e.count():
+            return kept
+        e = kept
+    return e

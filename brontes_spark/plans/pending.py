@@ -505,3 +505,80 @@ def o29_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
     )
     return group_concentration(ev, "event_type", "cents")
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel rounds (the g10 labelprop pattern): each round
+    recomputes per-edge common-neighbor support with a wedge join and
+    keeps support >= k-2; filters are idempotent past the fixpoint, so
+    the bounded unroll equals the operator's early-stopped result."""
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v FROM (
+        SELECT doc_id AS s, doc_id + 1 AS t FROM documents
+        UNION ALL
+        SELECT doc_id AS s, (doc_id // 50) * 50 AS t FROM documents
+        UNION ALL
+        SELECT a.doc_id AS s, b.doc_id AS t
+        FROM documents a JOIN documents b
+          ON a.doc_id % 50 = 0 AND b.doc_id % 50 = 0
+         AND a.doc_id < b.doc_id
+      ) raw WHERE s != t)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""und{r} AS (
+      SELECT u AS a, v AS b FROM e{r}
+      UNION ALL SELECT v AS a, u AS b FROM e{r})"""
+        )
+        ctes.append(
+            f"""sup{r} AS (
+      SELECT e.u, e.v, COUNT(*) AS s
+      FROM e{r} e
+      JOIN und{r} x ON x.a = e.u
+      JOIN und{r} y ON y.a = e.v AND y.b = x.b
+      GROUP BY e.u, e.v)"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS (
+      SELECT e.u, e.v FROM e{r} e
+      LEFT JOIN sup{r} s ON s.u = e.u AND s.v = e.v
+      WHERE COALESCE(s.s, 0) >= {k - 2})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT u, v FROM e{rounds}"
+
+
+@pending(
+    "g17_ktruss",
+    oracle=_ktruss_oracle(k=4, rounds=3),
+    survey_ref="k-truss decomposition (operators/ktruss.py, Cohen 2008) "
+    "— edge-level cohesion peeling completing the graph family (g9 "
+    "k-core peels nodes, this peels edges by triangle support; the "
+    "filter that kills chains of coincidental pairwise near-dup matches "
+    "while keeping mutually-confirmed clusters). Fixture: the g10 "
+    "chain+hub document graph plus a K10 clique among the block centers "
+    "— at k=4 the chain/star mass peels away over two cascading rounds "
+    "and exactly the 45 clique edges survive (verified by brute-force "
+    "fixpoint in tests/test_ktruss.py's mirror). Oracle replays the "
+    "SAME bounded rounds as unrolled CTEs (idempotent past fixpoint). "
+    "Scale shape per round: ONE wedge equi-join on the shared endpoint "
+    "(the g8/g16 shape) + one map-side-combinable count + lineage cut; "
+    "monotone peeling, unique fixpoint, no tie-breaks; staged for the "
+    "r11 tier",
+)
+def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ktruss import k_truss
+    from ..sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    chain_hub = docs.select(d.alias("src"), (d + 1).alias("dst")).unionAll(
+        docs.select(d.alias("src"), ((d / 50).cast("long") * 50).alias("dst"))
+    )
+    centers = docs.filter(d % 50 == 0).select(d.alias("c"))
+    clique = (
+        centers.select(F.col("c").alias("src"))
+        .join(centers.select(F.col("c").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    return k_truss(chain_hub.unionAll(clique), k=4, rounds=3)
