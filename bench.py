@@ -181,6 +181,8 @@ HEADLINE = [
     "ev_item_cooccur",
     "ml_mrr_eval",
     "o29_concentration",
+    "ml_auc",
+    "ml_confusion",
     # g17's planted clique grows as (docs/50)^2 edges — meaningful at
     # sf0.1 (K100), deliberately NOT run on the 100x tiled docs where
     # the K1000 wedge volume would measure the fixture, not the operator
@@ -340,6 +342,8 @@ EXTRA = {
     "ml_mrr_eval": _staged("ml_mrr_eval"),
     "o29_concentration": _staged("o29_concentration"),
     "g17_ktruss": _staged("g17_ktruss"),
+    "ml_auc": _staged("ml_auc"),
+    "ml_confusion": _staged("ml_confusion"),
 }
 
 

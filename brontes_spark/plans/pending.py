@@ -582,3 +582,127 @@ def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
     )
     return k_truss(chain_hub.unionAll(clique), k=4, rounds=3)
+
+
+@pending(
+    "ml_auc",
+    # the Mann-Whitney identity in SQL (Hanley & McNeil 1982): doubled
+    # midranks over the distinct-score histogram keep tie halves exact
+    # integers; auc closes with one correctly-rounded double division
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT (event_type = 'purchase') AS pos,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+      FROM ev WHERE value IS NOT NULL),
+    hist AS (
+      SELECT s,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cb
+      FROM b GROUP BY s),
+    ranked AS (
+      SELECT ca, cb,
+             SUM(ca + cb) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ca - cb AS below
+      FROM hist),
+    agg AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb,
+             SUM(ca * (2 * (1 + below) + ca + cb - 1)) AS r2a
+      FROM ranked),
+    u AS (SELECT na, nb, r2a - na * (na + 1) AS u2a FROM agg)
+    SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+           CAST(u2a AS BIGINT) AS auc_num2,
+           CAST(2 * na * nb AS BIGINT) AS auc_den2,
+           CASE WHEN na > 0 AND nb > 0 THEN CAST(
+             CAST(u2a AS HUGEINT) * 1000000000
+             // (CAST(2 AS HUGEINT) * na * nb) AS BIGINT) END AS auc_9,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(u2a AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)
+           END AS auc
+    FROM u
+    """,
+    survey_ref="exact ROC-AUC (operators/ml_eval.roc_auc, Hanley & "
+    "McNeil 1982 Mann-Whitney identity) — does cents score separate "
+    "purchases from the rest; no threshold sweep, no data sort: one "
+    "hash aggregate to the distinct-score histogram + one ordered "
+    "window over the score DOMAIN (the o22 mannwhitney posture), "
+    "doubled-midrank integers make ties exact, auc_9 quantized + one "
+    "IEEE division; completes the ML-eval family with ml_mrr_eval and "
+    "ml_fold_assign; staged for the r11 tier",
+)
+def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml_eval import roc_auc
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        (F.col("event_type") == "purchase").alias("pos"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    return roc_auc(ev, "pos", "cents")
+
+
+@pending(
+    "ml_confusion",
+    # prediction = a deterministic hash "classifier" over props.k so the
+    # confusion matrix has real off-diagonal mass; classes seen only in
+    # labels or only in predictions both keep rows (full outer of the
+    # marginals); ratios are 1e9-quantized exact rationals, NULL on
+    # zero denominators
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_type AS y,
+             CASE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+               WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+               WHEN 2 THEN 'purchase' ELSE 'signup' END AS p
+      FROM ev),
+    cells AS (SELECT y, p, COUNT(*) AS n FROM b GROUP BY y, p),
+    sup AS (SELECT y AS cls, SUM(n) AS support FROM cells GROUP BY y),
+    prd AS (SELECT p AS cls, SUM(n) AS predicted FROM cells GROUP BY p),
+    tp AS (SELECT y AS cls, n AS tp FROM cells WHERE y = p),
+    o AS (
+      SELECT COALESCE(sup.cls, prd.cls) AS cls,
+             COALESCE(support, 0) AS support,
+             COALESCE(predicted, 0) AS predicted,
+             COALESCE(tp, 0) AS tp
+      FROM sup FULL OUTER JOIN prd ON prd.cls = sup.cls
+      LEFT JOIN tp ON tp.cls = COALESCE(sup.cls, prd.cls))
+    SELECT cls, CAST(support AS BIGINT) AS support,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(predicted - tp AS BIGINT) AS fp,
+           CAST(support - tp AS BIGINT) AS fn,
+           CASE WHEN predicted > 0 THEN CAST(CAST(tp AS HUGEINT) * 1000000000
+             // predicted AS BIGINT) END AS precision_9,
+           CASE WHEN support > 0 THEN CAST(CAST(tp AS HUGEINT) * 1000000000
+             // support AS BIGINT) END AS recall_9,
+           CASE WHEN 2 * tp + (predicted - tp) + (support - tp) > 0 THEN
+             CAST(CAST(2 * tp AS HUGEINT) * 1000000000
+               // (2 * tp + (predicted - tp) + (support - tp)) AS BIGINT)
+           END AS f1_9
+    FROM o
+    """,
+    survey_ref="per-class confusion / precision / recall / F1 "
+    "(operators/ml_eval.classification_report) — pure integer counting "
+    "over ONE (label, pred) cell aggregate + marginals over the "
+    "|classes^2| cell relation; classes present only in labels or only "
+    "in predictions keep rows (a never-predicted class must not hide); "
+    "ratios as 1e9-quantized exact rationals, NULL zero-division; the "
+    "gate's 'classifier' is a deterministic props-hash so off-diagonal "
+    "mass is real ('error' is never predicted -> precision NULL row); "
+    "staged for the r11 tier",
+)
+def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml_eval import classification_report
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("y"),
+        F.expr(
+            "CASE TRY_CAST(get_json_object(props, '$.k') AS BIGINT) % 4"
+            " WHEN 0 THEN 'click' WHEN 1 THEN 'view'"
+            " WHEN 2 THEN 'purchase' ELSE 'signup' END"
+        ).alias("p"),
+    )
+    return classification_report(ev, "y", "p")

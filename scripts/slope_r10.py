@@ -29,6 +29,8 @@ QUERIES = [
     "ml_mrr_eval",
     "ev_item_cooccur",
     "g16_linkpred",
+    "ml_auc",
+    "ml_confusion",
 ]
 
 
