@@ -183,6 +183,8 @@ HEADLINE = [
     "o29_concentration",
     "ml_auc",
     "ml_confusion",
+    "ml_kappa",
+    "ml_calibration",
     # g17's planted clique grows as (docs/50)^2 edges — meaningful at
     # sf0.1 (K100), deliberately NOT run on the 100x tiled docs where
     # the K1000 wedge volume would measure the fixture, not the operator
@@ -344,6 +346,8 @@ EXTRA = {
     "g17_ktruss": _staged("g17_ktruss"),
     "ml_auc": _staged("ml_auc"),
     "ml_confusion": _staged("ml_confusion"),
+    "ml_kappa": _staged("ml_kappa"),
+    "ml_calibration": _staged("ml_calibration"),
 }
 
 

@@ -124,3 +124,110 @@ def classification_report(
         ratio9("tp", "support").alias("recall_9"),
         ratio9("2 * tp", "2 * tp + fp + fn").alias("f1_9"),
     )
+
+
+def cohens_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """One row: (n, agree, pe_num, kappa_9, kappa) — inter-rater /
+    classifier-vs-truth agreement corrected for chance (Cohen 1960):
+
+        kappa = (N * agree - pe_num) / (N^2 - pe_num),
+        pe_num = sum over classes of support_c * predicted_c
+
+    an exact rational of integer marginals (the confusion-cell shape);
+    kappa_9 quantizes with one truncating division in decimal(38) —
+    signed: decimal div truncates toward zero on both engines, the
+    theilsen convention — and kappa closes with ONE IEEE double
+    division. NULL when pe_num == N^2 (a constant table has no
+    chance-corrected agreement)."""
+    cells = (
+        df.select(F.col(label_col).alias("y"), F.col(pred_col).alias("p"))
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    support = cells.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("n").alias("s")
+    )
+    predicted = cells.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").alias("pr")
+    )
+    pe = (
+        support.join(predicted, "cls", "full_outer")
+        .select(
+            (F.coalesce("s", F.lit(0)) * F.coalesce("pr", F.lit(0))).alias("sp")
+        )
+        .agg(F.sum("sp").alias("pe_num"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("y") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    out = tot.crossJoin(F.broadcast(pe))
+    num = F.expr(f"CAST(n AS {DEC38}) * agree - pe_num")
+    den = F.expr(f"CAST(n AS {DEC38}) * n - pe_num")
+    ok = F.expr(f"CAST(n AS {DEC38}) * n") != F.col("pe_num")
+    return out.select(
+        "n",
+        "agree",
+        "pe_num",
+        F.when(
+            ok,
+            F.expr(
+                f"CAST((CAST(n AS {DEC38}) * agree - pe_num) * 1000000000"
+                f" div (CAST(n AS {DEC38}) * n - pe_num) AS BIGINT)"
+            ),
+        ).alias("kappa_9"),
+        F.when(ok, num.cast("double") / den.cast("double")).alias("kappa"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_bp_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins over an integer basis-point probability
+    column (0..10000 — the repo-wide integerization policy doubles as
+    the bin policy): per bin, (bin, n, sum_p_bp, n_pos, mean_p_9,
+    frac_pos_9, brier2_sum) where brier2_sum = sum((p_bp - y*10000)^2)
+    — the exact per-bin Brier component in bp^2 units; the global Brier
+    is sum(brier2_sum) / (n_total * 1e8), derivable downstream without
+    another pass. One map-side bin aggregate; the ratio math is a
+    projection over n_bins rows."""
+    if n_bins < 1 or 10000 % n_bins != 0:
+        raise ValueError(f"calibration_report: n_bins must divide 10000, got {n_bins}")
+    width = 10000 // n_bins
+    base = df.select(
+        F.col(prob_bp_col).alias("p"),
+        F.col(label_col).cast("boolean").cast("long").alias("y"),
+    )
+    binned = base.select(
+        F.least(F.expr(f"p div {width}"), F.lit(n_bins - 1)).alias("bin"),
+        "p",
+        "y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sum_p_bp"),
+        F.sum("y").alias("n_pos"),
+        F.sum(
+            F.expr(f"CAST(p - y * 10000 AS {DEC38}) * (p - y * 10000)")
+        ).cast("long").alias("brier2_sum"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "sum_p_bp",
+        "n_pos",
+        F.expr(
+            f"CAST(CAST(sum_p_bp AS {DEC38}) * 1000000000"
+            f" div (CAST(n AS {DEC38}) * 10000) AS BIGINT)"
+        ).alias("mean_p_9"),
+        F.expr(
+            f"CAST(CAST(n_pos AS {DEC38}) * 1000000000"
+            f" div CAST(n AS {DEC38}) AS BIGINT)"
+        ).alias("frac_pos_9"),
+        "brier2_sum",
+    )

@@ -21,17 +21,20 @@ pins it hermetically. The specs below are the r11 tier: gates for
 operators shipped without a driver word (VERDICT r9 missing #2 named
 minimum_spanning_forest as the only one) plus the round-10 operator
 additions (Kendall tau-b, chi-square independence, link prediction,
-bipartite co-occurrence, ranking eval, Gini+HHI concentration).
+bipartite co-occurrence, MRR ranking eval, Gini+HHI concentration,
+k-truss, exact ROC-AUC, confusion/F1, Cohen's kappa, calibration/Brier).
 
 R11 SEATING OUTLOOK (simulated in-session against the real r01..r09
 history + a synthesized all-green r10 over the pinned r10 window, with
 the REAL ordering policy including the now-active low-frequency tier):
-promoting all 7 staged gates seats every one at staleness -1, and the
-remaining 43 seats take the stalest data-backed cohort (the lg=7 block
-led by x3_fee_adjusted_quote and the dedup/ANN r7 re-attestations — 39
-seats at staleness 6.5, 4 at 7.5 up to sketch_quantiles); the 29
-fixture-pinned LOW_FREQ gates ride their +2 cadence and none is past
-its relaxed bound (tests/test_fingerprints.py asserts that invariant).
+promoting all 12 staged gates seats every one at staleness -1, and the
+remaining 38 seats take the stalest data-backed cohort — all at
+staleness 6.5, the lg=7 block led by x3_fee_adjusted_quote and the
+dedup/ANN r7 re-attestations (plus x4_decay_vwap, whose ambiguous
+change-round-==-lg word keeps it OFF the low-freq cadence by design);
+the fixture-pinned LOW_FREQ gates ride their +2 cadence and none is
+past its relaxed bound (tests/test_fingerprints.py asserts that
+invariant).
 """
 
 from __future__ import annotations
@@ -706,3 +709,110 @@ def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     return classification_report(ev, "y", "p")
+
+
+@pending(
+    "ml_kappa",
+    # chance-corrected agreement as an exact rational of integer
+    # marginals; HUGEINT // truncates toward zero like Spark's decimal
+    # div (measured, the theilsen convention) so the signed kappa_9
+    # quantization matches
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT event_type AS y,
+             CASE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+               WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+               WHEN 2 THEN 'purchase' ELSE 'signup' END AS p
+      FROM ev),
+    cells AS (SELECT y, p, COUNT(*) AS n FROM b GROUP BY y, p),
+    sup AS (SELECT y AS cls, SUM(n) AS s FROM cells GROUP BY y),
+    prd AS (SELECT p AS cls, SUM(n) AS pr FROM cells GROUP BY p),
+    pe AS (
+      SELECT SUM(COALESCE(s, 0) * COALESCE(pr, 0)) AS pe_num
+      FROM sup FULL OUTER JOIN prd ON prd.cls = sup.cls),
+    tot AS (
+      SELECT SUM(n) AS n,
+             SUM(CASE WHEN y = p THEN n ELSE 0 END) AS agree
+      FROM cells)
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CASE WHEN CAST(n AS HUGEINT) * n != pe_num THEN CAST(
+             (CAST(n AS HUGEINT) * agree - pe_num) * 1000000000
+             // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) END AS kappa_9,
+           CASE WHEN CAST(n AS HUGEINT) * n != pe_num THEN
+             CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+           END AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+    survey_ref="Cohen's kappa (operators/ml_eval.cohens_kappa, Cohen "
+    "1960) — chance-corrected agreement between the props-hash "
+    "classifier and event_type: exact rational of the confusion-cell "
+    "integer marginals, signed kappa_9 via truncate-toward-zero "
+    "division on both engines, one IEEE double division, NULL on "
+    "constant tables; same one-cell-aggregate scale shape as "
+    "ml_confusion; staged for the r11 tier",
+)
+def ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml_eval import cohens_kappa
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("y"),
+        F.expr(
+            "CASE TRY_CAST(get_json_object(props, '$.k') AS BIGINT) % 4"
+            " WHEN 0 THEN 'click' WHEN 1 THEN 'view'"
+            " WHEN 2 THEN 'purchase' ELSE 'signup' END"
+        ).alias("p"),
+    )
+    return cohens_kappa(ev, "y", "p")
+
+
+@pending(
+    "ml_calibration",
+    # reliability bins over an exact basis-point score (cents % 10001
+    # spans the full 0..10000 range deterministically); per-bin Brier
+    # components in exact bp^2 integers — the global Brier derives as
+    # sum(brier2_sum)/(n*1e8) downstream without another pass
+    oracle=f"""
+    WITH {EV_CTE},
+    b AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 10001 AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM ev WHERE value IS NOT NULL),
+    binned AS (
+      SELECT LEAST(p // 1000, 9) AS bin, p, y FROM b),
+    agg AS (
+      SELECT bin, COUNT(*) AS n, SUM(p) AS sum_p_bp, SUM(y) AS n_pos,
+             SUM(CAST(p - y * 10000 AS HUGEINT) * (p - y * 10000)) AS b2
+      FROM binned GROUP BY bin)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(sum_p_bp AS BIGINT) AS sum_p_bp,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(CAST(sum_p_bp AS HUGEINT) * 1000000000
+                // (CAST(n AS HUGEINT) * 10000) AS BIGINT) AS mean_p_9,
+           CAST(CAST(n_pos AS HUGEINT) * 1000000000
+                // CAST(n AS HUGEINT) AS BIGINT) AS frac_pos_9,
+           CAST(b2 AS BIGINT) AS brier2_sum
+    FROM agg
+    """,
+    survey_ref="calibration / reliability report "
+    "(operators/ml_eval.calibration_report) — per-bin mean predicted "
+    "probability vs observed positive rate plus exact per-bin Brier "
+    "components (basis-point integers; global Brier derives from the "
+    "bin sums), the is-my-classifier-honest diagnostic completing the "
+    "ML-eval family; ONE map-side bin aggregate, ratio math over "
+    "n_bins rows; staged for the r11 tier",
+)
+def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml_eval import calibration_report
+    from ..sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        (
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)") % 10001
+        ).alias("p_bp"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return calibration_report(ev, "p_bp", "y", n_bins=10)

@@ -31,6 +31,8 @@ QUERIES = [
     "g16_linkpred",
     "ml_auc",
     "ml_confusion",
+    "ml_kappa",
+    "ml_calibration",
 ]
 
 

@@ -78,3 +78,82 @@ def test_classification_report_counts_and_ratios(spark):
         assert r["f1_9"] == ((10**9 * 2 * tp) // den if den else None), cls
     # 'c' was predicted (by nobody correctly) AND labeled: both marginals
     assert got["c"]["tp"] == 0 and got["c"]["recall_9"] == 0
+
+
+def test_cohens_kappa_exact(spark):
+    from brontes_spark.operators.ml_eval import cohens_kappa
+
+    # hand case: 2x2 with known kappa
+    pairs = [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    df = spark.createDataFrame(pairs, "y string, p string")
+    r = cohens_kappa(df, "y", "p").collect()[0]
+    n = 50
+    agree = 35
+    pe_num = 25 * 30 + 25 * 20  # sup_a*pred_a + sup_b*pred_b
+    assert (r["n"], r["agree"], r["pe_num"]) == (n, agree, pe_num)
+    num, den = n * agree - pe_num, n * n - pe_num
+    assert r["kappa_9"] == (10**9 * num) // den
+    assert abs(r["kappa"] - num / den) < 1e-15
+    # perfect agreement -> kappa 1; constant table -> NULL
+    perf = cohens_kappa(
+        spark.createDataFrame([("x", "x"), ("y", "y")], "y string, p string"),
+        "y", "p",
+    ).collect()[0]
+    assert perf["kappa"] == 1.0
+    const = cohens_kappa(
+        spark.createDataFrame([("x", "x"), ("x", "x")], "y string, p string"),
+        "y", "p",
+    ).collect()[0]
+    assert const["kappa"] is None and const["kappa_9"] is None
+
+
+def test_negative_kappa_truncates_toward_zero(spark):
+    from brontes_spark.operators.ml_eval import cohens_kappa
+
+    # systematic disagreement: kappa < 0; quantization must truncate
+    # toward zero (match python's int(num/den) for negative rationals)
+    pairs = [("a", "b")] * 10 + [("b", "a")] * 10 + [("a", "a")] * 1
+    df = spark.createDataFrame(pairs, "y string, p string")
+    r = cohens_kappa(df, "y", "p").collect()[0]
+    n, agree = 21, 1
+    pe_num = 11 * 11 + 10 * 10
+    num, den = n * agree - pe_num, n * n - pe_num
+    assert num < 0
+    want = int(10**9 * num / den) if num * den > 0 else -((10**9 * -num) // den)
+    assert r["kappa_9"] == want
+    assert abs(r["kappa"] - num / den) < 1e-15
+
+
+def test_calibration_bins_and_brier(spark):
+    from brontes_spark.operators.ml_eval import calibration_report
+
+    rows = [
+        (500, False), (900, False), (1500, True),     # bins 0, 0, 1
+        (9500, True), (9900, True), (10000, False),   # bins 9, 9, 9 (clamp)
+        (5000, True), (5000, False),                  # bin 5
+    ]
+    df = spark.createDataFrame(rows, "p long, y boolean")
+    got = {r["bin"]: r for r in calibration_report(df, "p", "y").collect()}
+    assert set(got) == {0, 1, 5, 9}
+    b0 = got[0]
+    assert (b0["n"], b0["sum_p_bp"], b0["n_pos"]) == (2, 1400, 0)
+    assert b0["brier2_sum"] == 500**2 + 900**2
+    assert b0["mean_p_9"] == (10**9 * 1400) // (2 * 10000)
+    assert b0["frac_pos_9"] == 0
+    b9 = got[9]
+    assert (b9["n"], b9["n_pos"]) == (3, 2)
+    assert b9["brier2_sum"] == 500**2 + 100**2 + 10000**2
+    # global Brier derives: sum(brier2_sum) / (n * 1e8)
+    total = sum(r["brier2_sum"] for r in got.values())
+    want = sum((p - (10000 if y else 0)) ** 2 for p, y in rows)
+    assert total == want
+
+
+def test_calibration_rejects_bad_bins(spark):
+    import pytest
+
+    from brontes_spark.operators.ml_eval import calibration_report
+
+    df = spark.createDataFrame([(1, True)], "p long, y boolean")
+    with pytest.raises(ValueError):
+        calibration_report(df, "p", "y", n_bins=7)

@@ -36,6 +36,7 @@ SCALAR_DIM_GATES = {
     # output row (the o16/o18 class)
     "o28_chi2_independence": 2,  # corpus-total N dim + chi2 scalar
     "ml_mrr_eval": 1,  # mrr-stats scalar onto the n_queries row
+    "ml_kappa": 1,  # 1-row pe_num dim onto the 1-row totals
 }
 
 
