@@ -174,7 +174,7 @@ HEADLINE = [
     "x28_pit_join",
     "x29_theil_sen",
     "o27_two_proportion_z",
-    # round-10 staged gates (plans/pending.py, r11 tier; real-data inputs)
+    # round-10 wave, registered at r11 start (plans/wave11.py; real-data inputs)
     "x30_kendall_tau",
     "o28_chi2_independence",
     "g16_linkpred",
@@ -337,17 +337,8 @@ EXTRA = {
     "quantiles_exact": _quantiles_exact,
     "tfidf_topk": _tfidf_topk,
     "g15_mst": _g15_mst,
-    "x30_kendall_tau": _staged("x30_kendall_tau"),
-    "o28_chi2_independence": _staged("o28_chi2_independence"),
-    "g16_linkpred": _staged("g16_linkpred"),
-    "ev_item_cooccur": _staged("ev_item_cooccur"),
-    "ml_mrr_eval": _staged("ml_mrr_eval"),
-    "o29_concentration": _staged("o29_concentration"),
-    "g17_ktruss": _staged("g17_ktruss"),
-    "ml_auc": _staged("ml_auc"),
-    "ml_confusion": _staged("ml_confusion"),
-    "ml_kappa": _staged("ml_kappa"),
-    "ml_calibration": _staged("ml_calibration"),
+    # (the r11-tier gates promoted to plans/wave11.py come through the
+    # registry like every other gate; _staged() remains for future tiers)
 }
 
 
@@ -383,11 +374,18 @@ def _run_chunk(names: list[str], sf_dir: str, runs: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     q = {**queries(), **EXTRA}
 
-    # per-JVM warmup: one cheap query initializes session machinery; the
-    # first sample of each timed query absorbs its own codegen compile and
-    # min-of-N discards it (OS page cache is process-independent and stays
-    # warm across chunks)
+    # per-JVM warmup: one cheap query initializes session machinery, then
+    # ONE UNTIMED pass over the chunk's full query list (VERDICT r10
+    # directive 3: chunk-leading rows were paying 3-9x cold-JIT inside
+    # their min-of-5 — ev_attribution_linear 5.09 s bench vs 1.50 s
+    # steady-state — because a single q1 warmup compiles q1's codegen, not
+    # theirs; the untimed pass pre-compiles every query's codegen AND
+    # carries the JVM past its C2-compilation cliff before any sample is
+    # taken, so min-of-N measures steady state for chunk-leading rows too)
     q["q1_pricing_summary"](spark, sf_dir).count()
+    for name in names:
+        spark.catalog.clearCache()
+        q[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

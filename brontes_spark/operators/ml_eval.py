@@ -126,6 +126,156 @@ def classification_report(
     )
 
 
+def pr_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """One row: (n_pos, n_neg, n_scores, ap_12_sum, ap_9,
+    average_precision) — the step-wise precision-recall AUC (average
+    precision, the non-interpolated definition):
+
+        AP = sum_k (R_k - R_{k-1}) * P_k     over thresholds descending
+           = (1/P) * sum_k dtp_k * tp_k / n_k
+
+    where, walking the DISTINCT-SCORE histogram in descending score
+    order, tp_k / n_k are the cumulative positive / total counts at or
+    above score k and dtp_k the positives exactly at k. Each term
+    quantizes to floor(1e12 * dtp_k * tp_k / n_k) — an exact truncating
+    integer division in decimal(38) (== DuckDB HUGEINT //, operands
+    non-negative) — so ap_12_sum is an order-independent integer sum
+    (per-term bias < 1e-12, bounded by 1e-12 * n_scores total); ap_9 =
+    floor(ap_12_sum / (1000 * P)) re-quantizes exactly, and
+    average_precision closes with ONE fixed-shape IEEE chain
+    (ap_12_sum / P / 1e12 — two correctly-rounded divisions, identical
+    on both engines).
+
+    Scale shape — the roc_auc posture verbatim: one hash aggregate to
+    the distinct-score histogram (the only data-sized pass), one
+    ordered window over the score DOMAIN (quantize continuous scores
+    upstream; the repo integerization policy doubles as the tie
+    policy), one 1-row reduction. NULL scores drop; ap is NULL when
+    there are no positives (recall undefined). Complements roc_auc:
+    AUC-ROC is prevalence-invariant, AP weights the head of the
+    ranking — the metric that moves when a rare-positive retrieval
+    stack (BM25 / ANN / RRF) actually improves."""
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(label_col).cast("boolean").alias("_pos"),
+        F.col(score_col).alias("_s"),
+    )
+    hist = base.groupBy("_s").agg(
+        F.sum(F.col("_pos").cast("long")).alias("cp"),
+        F.sum((~F.col("_pos")).cast("long")).alias("cn"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("_s").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("tp", F.sum("cp").over(w)).withColumn(
+        "nk", F.sum(F.col("cp") + F.col("cn")).over(w)
+    )
+    term12 = F.expr(
+        f"CAST(CAST(cp AS {DEC38}) * tp * 1000000000000"
+        f" div CAST(nk AS {DEC38}) AS BIGINT)"
+    )
+    agg = cum.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum(term12.cast(DEC38)).alias("_ap12"),
+    )
+    ok = F.col("n_pos") > 0
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.col("_ap12").cast("long").alias("ap_12_sum"),
+        F.when(
+            ok,
+            F.expr(
+                f"CAST(_ap12 div (CAST(1000 AS {DEC38}) * n_pos) AS BIGINT)"
+            ),
+        ).alias("ap_9"),
+        F.when(
+            ok,
+            F.col("_ap12").cast("double")
+            / F.col("n_pos").cast("double")
+            / F.lit(1e12),
+        ).alias("average_precision"),
+    )
+
+
+def classification_report_averages(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """One row of corpus-level averages over the per-class report —
+    micro / macro / weighted, the three standard multi-class rollups:
+
+    * micro: pooled counts — precision = sum(tp)/sum(predicted), recall
+      = sum(tp)/sum(support), f1 their harmonic mean; in single-label
+      classification all three equal accuracy (sum(predicted) ==
+      sum(support) == n), emitted separately anyway so the relation
+      stays correct for cell tables from other sources.
+    * macro: the unweighted mean over classes of the per-class
+      1e9-quantized ratios; zero-division classes contribute 0 AND
+      count in the denominator (the standard zero_division=0
+      convention — a never-predicted class must DRAG the macro down,
+      not vanish). The mean is over the quantized values, so it is an
+      exact integer computation with bias < 1e-9 per class.
+    * weighted: support-weighted mean of the same quantized ratios —
+      prediction-only classes carry weight 0 by construction.
+
+    Pure column math over the |classes|^2 cell relation
+    (classification_report's scale shape; nothing here is data-sized):
+    one extra 1-row aggregate. Output: (n, n_classes, micro_*_9,
+    macro_*_9, weighted_*_9 for precision/recall/f1)."""
+    rep = classification_report(df, label_col, pred_col)
+    agg = rep.agg(
+        F.sum("support").alias("n"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("tp").alias("_tp"),
+        F.sum("predicted").alias("_pred"),
+        F.sum("fp").alias("_fp"),
+        F.sum("fn").alias("_fn"),
+        F.sum(F.coalesce("precision_9", F.lit(0))).alias("_sp9"),
+        F.sum(F.coalesce("recall_9", F.lit(0))).alias("_sr9"),
+        F.sum(F.coalesce("f1_9", F.lit(0))).alias("_sf9"),
+        F.sum(
+            (F.col("support") * F.coalesce("precision_9", F.lit(0))).cast(DEC38)
+        ).alias("_wp9"),
+        F.sum(
+            (F.col("support") * F.coalesce("recall_9", F.lit(0))).cast(DEC38)
+        ).alias("_wr9"),
+        F.sum(
+            (F.col("support") * F.coalesce("f1_9", F.lit(0))).cast(DEC38)
+        ).alias("_wf9"),
+    )
+
+    def ratio9(num_sql: str, den_sql: str):
+        return F.when(
+            F.expr(den_sql) > 0,
+            F.expr(
+                f"CAST(CAST({num_sql} AS {DEC38}) * 1000000000"
+                f" div CAST({den_sql} AS {DEC38}) AS BIGINT)"
+            ),
+        )
+
+    return agg.select(
+        "n",
+        "n_classes",
+        ratio9("_tp", "_pred").alias("micro_precision_9"),
+        ratio9("_tp", "n").alias("micro_recall_9"),
+        ratio9("2 * _tp", "2 * _tp + _fp + _fn").alias("micro_f1_9"),
+        F.expr("CAST(_sp9 div n_classes AS BIGINT)").alias("macro_precision_9"),
+        F.expr("CAST(_sr9 div n_classes AS BIGINT)").alias("macro_recall_9"),
+        F.expr("CAST(_sf9 div n_classes AS BIGINT)").alias("macro_f1_9"),
+        F.when(
+            F.col("n") > 0, F.expr(f"CAST(_wp9 div CAST(n AS {DEC38}) AS BIGINT)")
+        ).alias("weighted_precision_9"),
+        F.when(
+            F.col("n") > 0, F.expr(f"CAST(_wr9 div CAST(n AS {DEC38}) AS BIGINT)")
+        ).alias("weighted_recall_9"),
+        F.when(
+            F.col("n") > 0, F.expr(f"CAST(_wf9 div CAST(n AS {DEC38}) AS BIGINT)")
+        ).alias("weighted_f1_9"),
+    )
+
+
 def cohens_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     """One row: (n, agree, pe_num, kappa_9, kappa) — inter-rater /
     classifier-vs-truth agreement corrected for chance (Cohen 1960):

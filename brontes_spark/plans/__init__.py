@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (registration side effects)
     univ3_fixture,
     wave9,
     wave10,
+    wave11,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

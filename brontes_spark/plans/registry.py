@@ -39,6 +39,25 @@ def register(name: str, oracle: str | None, survey_ref: str):
 #: round row and an unchanged implementation rotate to the tail (they stay
 #: covered by the local sf0.01 oracle-parity suite, tests/test_oracle_parity.py).
 DRIVER_ORDER: list[str] = [
+    # r11 promotion (the 12 gates staged in plans/pending.py during round
+    # 10, registered at r11 start via plans/wave11.py): no driver history ->
+    # staleness -1 -> they lead the r11 window; the remaining 38 slots seat
+    # the stalest data-backed re-attestations under the now-active LOW_FREQ
+    # policy — derived from the real CORRECTNESS_r01..r10 history by
+    # scripts/simulate_r11.py and pinned hermetically in
+    # tests/test_plans.py::test_r11_window_seating.
+    "g15_mst",
+    "x30_kendall_tau",
+    "o28_chi2_independence",
+    "g16_linkpred",
+    "ev_item_cooccur",
+    "ml_mrr_eval",
+    "o29_concentration",
+    "g17_ktruss",
+    "ml_auc",
+    "ml_confusion",
+    "ml_kappa",
+    "ml_calibration",
     # r10 promotion (the 43 gates staged in plans/pending.py through rounds
     # 8-9, registered at r10 start via plans/wave10.py): no driver history ->
     # staleness -1 -> they lead the r10 window; the remaining 7 slots seat
@@ -350,14 +369,63 @@ def _driver_history(root: str | None = None) -> dict[str, int]:
     return last_green
 
 
+def effective_staleness(
+    n: str,
+    history: dict[str, int],
+    changed: dict[str, int],
+    this_round: int,
+) -> float:
+    """Effective last-verified round; lower sorts earlier (riskier). THE
+    single authoritative policy function — ordering, seating simulators, and
+    every ordering-dependent test must call this instead of hand-modelling
+    staleness (the r8/r9/r10 defect class: three consecutive rounds a test
+    replicated this policy by hand, drifted from it, and broke the moment
+    the driver deposited a new CORRECTNESS file).
+
+    * no green driver row at all (brand-new or failed gate): -1 — must
+      be in this round's window.
+    * change round AFTER the last green row: unverified code, but the
+      attestation gap is only as old as the green row — re-enter at
+      lg - 0.75, ahead of everything attested at round lg but behind
+      unchanged gates a full round staler. The window pressure then
+      ejects recently-green re-checks (still covered by the local
+      oracle-parity suite) rather than the stalest attestations, whose
+      age is the bound the judge enforces.
+    * change round EQUAL to the last green row: ambiguous — the green
+      row was produced by the end-of-round driver and so very likely
+      postdates the change, but only a later round proves it: lg - 0.5.
+    * otherwise the green row postdates every known change: verified —
+      and, once the low-frequency tier is active (this_round >=
+      LOW_FREQ_START), fixture-pinned gates ride the slow cadence
+      (+LOW_FREQ_BONUS).
+    """
+    lg = history.get(n, -1)
+    forced = max(FORCE_RECHECK.get(n, -1), changed.get(n, -1))
+    if lg == -1:
+        return -1.0
+    if lg < forced:
+        return lg - 0.75
+    if lg == forced:
+        return lg - 0.5
+    if this_round >= LOW_FREQ_START and n in LOW_FREQ:
+        return float(lg) + LOW_FREQ_BONUS
+    return float(lg)
+
+
+def _this_round(history: dict[str, int]) -> int:
+    """The in-flight round, derived from the GIVEN history (never the repo
+    root directly) so frozen-history replays stay hermetic."""
+    return max((r for r in history.values() if r >= 0), default=0) + 1
+
+
 def _ordered(root: str | None = None) -> list[str]:
     """Registry names in driver order. The driver verifies only the FIRST 50
     entries per round, so ordering is part of the correctness contract:
-    least-recently-verified first. Primary key = last round with a green
-    driver row (never-green / failed / brand-new gates sort first), tie-break
-    = the static DRIVER_ORDER position (then registration order), so the
-    window rotates across rounds without manual re-curation and a
-    newly-registered gate is never silently dropped.
+    least-recently-verified first. Primary key = effective_staleness (last
+    round with a green driver row; never-green / failed / brand-new gates
+    sort first), tie-break = the static DRIVER_ORDER position (then
+    registration order), so the window rotates across rounds without manual
+    re-curation and a newly-registered gate is never silently dropped.
 
     ``root`` passes through to ``_driver_history`` so seating tests and
     simulators can replay the ordering against a FROZEN history directory —
@@ -374,42 +442,14 @@ def _ordered(root: str | None = None) -> list[str]:
     if not history:
         return names
     changed = fingerprints.change_rounds()
-    # the in-flight round, derived from the SAME history the ordering uses
-    # (not the repo root) so frozen-history replays stay hermetic
-    this_round = max((r for r in history.values() if r >= 0), default=0) + 1
-    low_freq_active = this_round >= LOW_FREQ_START
-
-    def staleness(n: str) -> float:
-        """Effective last-verified round; lower sorts earlier (riskier).
-
-        * no green driver row at all (brand-new or failed gate): -1 — must
-          be in this round's window.
-        * change round AFTER the last green row: unverified code, but the
-          attestation gap is only as old as the green row — re-enter at
-          lg - 0.75, ahead of everything attested at round lg but behind
-          unchanged gates a full round staler. The window pressure then
-          ejects recently-green re-checks (still covered by the local
-          oracle-parity suite) rather than the stalest attestations, whose
-          age is the bound the judge enforces.
-        * change round EQUAL to the last green row: ambiguous — the green
-          row was produced by the end-of-round driver and so very likely
-          postdates the change, but only a later round proves it: lg - 0.5.
-        * otherwise the green row postdates every known change: verified.
-        """
-        lg = history.get(n, -1)
-        forced = max(FORCE_RECHECK.get(n, -1), changed.get(n, -1))
-        if lg == -1:
-            return -1.0
-        if lg < forced:
-            return lg - 0.75
-        if lg == forced:
-            return lg - 0.5
-        # green AND unchanged: fixture-pinned gates ride the slow cadence
-        if low_freq_active and n in LOW_FREQ:
-            return float(lg) + LOW_FREQ_BONUS
-        return float(lg)
-
-    return sorted(names, key=lambda n: (staleness(n), base.get(n, len(base))))
+    this_round = _this_round(history)
+    return sorted(
+        names,
+        key=lambda n: (
+            effective_staleness(n, history, changed, this_round),
+            base.get(n, len(base)),
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

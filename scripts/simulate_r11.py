@@ -1,22 +1,19 @@
-"""Derive the r10 driver-window seating from the REAL on-disk driver
-history (VERDICT r9 directive 1b: the previous version recomputed "the r9
-window" from live _ordered() — which, once the driver's real
-CORRECTNESS_r09.json landed, was already the r10 window — and then
-synthesized an all-green r09 over that wrong set, scrambling staleness
-for every gate and firing its own invariant assert).
+"""Derive the r11 driver-window seating from the REAL on-disk driver
+history (the simulate_r10.py policy, carried forward: real
+CORRECTNESS_r*.json files are authoritative wherever they exist; a round
+is synthesized all-green ONLY when no file for it is on disk — forward
+simulation of a round the driver has not run yet — over the window the
+real ordering policy picks at that point. With r01..r10 real on disk,
+no synthesis happens and the script prints the live r11 seating).
 
-Policy now: real CORRECTNESS_r*.json files are authoritative wherever
-they exist; a round is synthesized all-green ONLY when no file for it is
-on disk (forward simulation of a round the driver has not run yet), over
-the window the real ordering policy picks at that point. With r01..r09
-real on disk, no synthesis happens at all and the script simply prints
-the live r10 seating: the 43 wave10-promoted gates (staleness -1) plus
-the 7 stalest r7 re-attestations (mm_mp2_features, the five mev_*
-composer gates, x2_most_liquid_quote).
+R11 is the LOW_FREQ activation round (registry.LOW_FREQ_START == 11):
+fixture-pinned gates that are green and unchanged ride +LOW_FREQ_BONUS
+effective staleness for the first time, so the 38 re-attestation seats
+behind the 12 wave11 promotions go to the stalest DATA-BACKED cohort.
 
-tests/test_plans.py::test_r10_window_seating pins the same math
+tests/test_plans.py::test_r11_window_seating pins the same math
 hermetically (frozen history replay); this script is the runnable
-inspection tool, printing staleness per seat and the ride-to-r11 queue.
+inspection tool, printing staleness per seat and the ride-to-r12 queue.
 """
 
 from __future__ import annotations
@@ -36,11 +33,9 @@ from brontes_spark.plans import fingerprints
 from brontes_spark.plans import registry as R
 
 #: the round whose seating is being derived: one past the newest round the
-#: driver has actually attested (so with r09 real on disk this is 10, and
-#: nothing is synthesized; if the script runs mid-round BEFORE the r09 file
-#: lands, r09 is the one synthesized round and the derivation still targets
-#: the same r10 window).
-TARGET_ROUND = 10
+#: driver has actually attested (with r10 real on disk this is 11 and
+#: nothing is synthesized).
+TARGET_ROUND = 11
 
 
 def main() -> None:
@@ -51,7 +46,7 @@ def main() -> None:
         if m:
             on_disk[int(m.group(1))] = p
 
-    tmp = tempfile.mkdtemp(prefix="sim_r10_")
+    tmp = tempfile.mkdtemp(prefix="sim_r11_")
     try:
         for rnd, p in on_disk.items():
             if rnd < TARGET_ROUND:
@@ -78,29 +73,29 @@ def main() -> None:
 
     def staleness(n: str) -> float:
         # the registry's OWN policy function (VERDICT r10 directive 1:
-        # never hand-model staleness in tooling or tests); at
-        # TARGET_ROUND=10 the low-freq tier is not yet active, matching
-        # the pre-r11 policy this script's seating was derived under
+        # never hand-model staleness in tooling or tests)
         return R.effective_staleness(n, history, changed, TARGET_ROUND)
 
     promoted = {
         n for n, s in R.REGISTRY.items()
-        if s.build.__module__ == "brontes_spark.plans.wave10"
+        if s.build.__module__ == "brontes_spark.plans.wave11"
     }
     window, queue = ordered[:50], ordered[50:]
     seated_promos = [n for n in window if n in promoted]
     reattest = [n for n in window if n not in promoted]
-    print(f"wave10 promoted: {len(promoted)}; seated: {len(seated_promos)}")
+    print(f"wave11 promoted: {len(promoted)}; seated: {len(seated_promos)}")
     missing = sorted(promoted - set(seated_promos))
-    print(f"promoted-but-ejected (MUST be empty for the r10 plan): {missing}")
+    print(f"promoted-but-ejected (MUST be empty for the r11 plan): {missing}")
     print(f"re-attestation seats: {len(reattest)}")
     for n in reattest:
-        print(f"  {staleness(n):6.2f}  {n}")
-    print("first 10 of the ride-to-r11 queue:")
+        tag = " [low-freq]" if n in R.LOW_FREQ else ""
+        print(f"  {staleness(n):6.2f}  {n}{tag}")
+    print("first 10 of the ride-to-r12 queue:")
     for n in queue[:10]:
-        print(f"  {staleness(n):6.2f}  {n}")
-    assert not missing, "r10 cannot seat every promoted gate — re-tier!"
-    assert len(reattest) == 7, f"expected 7 re-attestation seats, got {len(reattest)}"
+        tag = " [low-freq]" if n in R.LOW_FREQ else ""
+        print(f"  {staleness(n):6.2f}  {n}{tag}")
+    assert not missing, "r11 cannot seat every promoted gate — re-tier!"
+    assert len(reattest) == 38, f"expected 38 re-attestation seats, got {len(reattest)}"
 
 
 if __name__ == "__main__":

@@ -8,6 +8,8 @@ imports (the exact round-3 `norm_text` -> `txt_fingerprint` miss), and
 
 import json
 
+import pytest
+
 import brontes_spark.plans  # noqa: F401  (populate REGISTRY)
 from brontes_spark.plans import fingerprints, registry
 
@@ -148,41 +150,61 @@ def test_refresh_stamps_changed_gate_with_current_round(tmp_path):
     assert out["q1_pricing_summary"]["round"] == -1  # untouched carries over
 
 
-def test_doctored_gate_jumps_the_driver_window(monkeypatch):
+@pytest.mark.parametrize("upto", [9, 10])
+def test_doctored_gate_jumps_the_driver_window(tmp_path, monkeypatch, upto):
     """A green-history gate whose fingerprint then changes must move
     ahead of every UNCHANGED gate with the same (or later) attestation
     round. Measured against a pristine no-changes baseline, because in a
     round where shared-module edits fingerprint-touch everything the real
-    store gives no unchanged victims; and window MEMBERSHIP is asserted
-    only relative to how many genuinely-staler gates exist — when >= 50
-    older attestations saturate the window, the doctored gate correctly
-    queues BEHIND them (risk-first means stalest-first, not
-    changed-first)."""
+    store gives no unchanged victims.
+
+    VERDICT r10 what's-wrong #1 (third consecutive live-history test
+    break): the previous version read LIVE driver history AND modelled
+    "staler" by raw last-green round — so the moment the driver deposited
+    CORRECTNESS_r10.json, current_round() hit LOW_FREQ_START and ten
+    low-freq gates with raw lg < lg(victim) but boosted effective
+    staleness > lg(victim) legitimately sorted BEHIND the victim,
+    breaking the hand-rolled position pin. Now: FROZEN history replay
+    (hermetic against any future driver deposit) parameterized over BOTH
+    policy regimes — upto=9 replays this_round=10 (low-freq tier off)
+    and upto=10 replays this_round=11 (activation round, tier on) — and
+    the expected position comes from the registry's OWN
+    effective_staleness function, never a policy model in the test."""
+    from .test_plans import _frozen_history_dir
+
+    root = _frozen_history_dir(tmp_path, upto=upto)
+    history = registry._driver_history(root)
+    this_round = registry._this_round(history)
+    assert this_round == upto + 1
+    assert (this_round >= registry.LOW_FREQ_START) == (upto >= 10)
+
     monkeypatch.setattr(
         fingerprints, "change_rounds", lambda path=fingerprints.STORE_PATH: {}
     )
-    ordered_before = registry._ordered()
-    victim = ordered_before[-1]  # deepest green-history, unchanged
-    history = registry._driver_history()
+    ordered_before = registry._ordered(root=root)
+    # deepest green-history gate, unchanged under the doctored empty store
+    victim = ordered_before[-1]
     lg = history.get(victim)
 
     monkeypatch.setattr(
         fingerprints, "change_rounds", lambda path=fingerprints.STORE_PATH: {victim: 99}
     )
-    ordered_after = registry._ordered()
+    ordered_after = registry._ordered(root=root)
     # moved up, and ahead of every unchanged same-round peer
     assert ordered_after.index(victim) < ordered_before.index(victim)
     peers = [n for n in ordered_after if n != victim and history.get(n) == lg]
     assert all(ordered_after.index(victim) < ordered_after.index(p) for p in peers)
-    # window membership: exactly when fewer than 50 staler gates exist
-    staler = [
-        n for n in ordered_after
-        if n != victim and (history.get(n, -1) == -1 or history.get(n) < lg)
-    ]
+    # exact position: everything with strictly lower EFFECTIVE staleness
+    # (per the live policy function, with the victim's doctored change
+    # round applied) sorts ahead; the victim's lg-0.75 key is fractional
+    # and unique here (no other gate is change-stamped), so no ties
+    eff = lambda n: registry.effective_staleness(  # noqa: E731
+        n, history, {victim: 99}, this_round
+    )
+    staler = [n for n in ordered_after if n != victim and eff(n) < eff(victim)]
+    assert ordered_after.index(victim) == len(staler)
     if len(staler) < 50:
         assert victim in ordered_after[:50]
-    else:
-        assert ordered_after.index(victim) == len(staler)
 
 
 def _assert_stalest_gates_in_window():

@@ -157,3 +157,114 @@ def test_calibration_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1, True)], "p long, y boolean")
     with pytest.raises(ValueError):
         calibration_report(df, "p", "y", n_bins=7)
+
+
+def _brute_ap(pairs):
+    """Step-wise average precision over the distinct-score histogram,
+    mirroring the operator's term quantization exactly."""
+    from collections import defaultdict
+
+    hist = defaultdict(lambda: [0, 0])
+    for y, s in pairs:
+        hist[s][0 if y else 1] += 1
+    tp = n = 0
+    ap12 = 0
+    n_scores = 0
+    for s in sorted(hist, reverse=True):
+        cp, cn = hist[s]
+        tp += cp
+        n += cp + cn
+        ap12 += (10**12 * cp * tp) // n
+        n_scores += 1
+    p = sum(1 for y, _ in pairs if y)
+    return p, len(pairs) - p, n_scores, ap12
+
+
+def test_pr_auc_matches_histogram_walk(spark):
+    from brontes_spark.operators.ml_eval import pr_auc
+
+    cases = {
+        "perfect": [(True, 10), (True, 9), (False, 2), (False, 1)],
+        "inverted": [(True, 1), (False, 10), (False, 9)],
+        "ties": [(True, 5), (True, 5), (False, 5), (False, 3), (True, 2)],
+        "noisy": [(True, 7), (False, 6), (True, 5), (False, 8), (True, 9),
+                  (False, 2), (True, 3), (False, 3)],
+        "single_pos": [(True, 4), (False, 9), (False, 1)],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(pairs, "y boolean, s long")
+        r = pr_auc(df, "y", "s").collect()[0]
+        p, nn, n_scores, ap12 = _brute_ap(pairs)
+        assert (r["n_pos"], r["n_neg"], r["n_scores"]) == (p, nn, n_scores), name
+        assert r["ap_12_sum"] == ap12, name
+        assert r["ap_9"] == ap12 // (1000 * p), name
+        assert abs(r["average_precision"] - ap12 / p / 1e12) < 1e-15, name
+    # perfect ranking: every term has precision 1 -> AP exactly 1
+    r = pr_auc(
+        spark.createDataFrame(cases["perfect"], "y boolean, s long"), "y", "s"
+    ).collect()[0]
+    assert r["average_precision"] == 1.0
+
+
+def test_pr_auc_no_positives_is_null(spark):
+    from brontes_spark.operators.ml_eval import pr_auc
+
+    df = spark.createDataFrame([(False, 3), (False, 1)], "y boolean, s long")
+    r = pr_auc(df, "y", "s").collect()[0]
+    assert r["n_pos"] == 0
+    assert r["ap_9"] is None and r["average_precision"] is None
+
+
+def test_report_averages_match_counter_mirror(spark):
+    from brontes_spark.operators.ml_eval import classification_report_averages
+
+    pairs = (
+        [("a", "a")] * 8 + [("a", "b")] * 2
+        + [("b", "b")] * 5 + [("b", "a")] * 3 + [("b", "c")] * 2
+        + [("c", "a")] * 1          # c: labeled, never predicted right
+        + [("a", "d")] * 1          # d: predicted only (support 0)
+    )
+    df = spark.createDataFrame(pairs, "y string, p string")
+    r = classification_report_averages(df, "y", "p").collect()[0]
+
+    labels = Counter(y for y, _ in pairs)
+    preds = Counter(p for _, p in pairs)
+    tps = Counter(y for y, p in pairs if y == p)
+    classes = sorted(set(labels) | set(preds))
+    n = len(pairs)
+
+    def p9(c):
+        return (10**9 * tps[c]) // preds[c] if preds[c] else 0
+
+    def r9(c):
+        return (10**9 * tps[c]) // labels[c] if labels[c] else 0
+
+    def f9(c):
+        den = 2 * tps[c] + (preds[c] - tps[c]) + (labels[c] - tps[c])
+        return (10**9 * 2 * tps[c]) // den if den else 0
+
+    tp_tot = sum(tps.values())
+    assert (r["n"], r["n_classes"]) == (n, len(classes))
+    # micro == accuracy for single-label input, all three ways
+    assert r["micro_precision_9"] == (10**9 * tp_tot) // n
+    assert r["micro_recall_9"] == (10**9 * tp_tot) // n
+    assert r["micro_f1_9"] == (10**9 * 2 * tp_tot) // (2 * n)
+    assert r["macro_precision_9"] == sum(p9(c) for c in classes) // len(classes)
+    assert r["macro_recall_9"] == sum(r9(c) for c in classes) // len(classes)
+    assert r["macro_f1_9"] == sum(f9(c) for c in classes) // len(classes)
+    assert r["weighted_precision_9"] == sum(labels[c] * p9(c) for c in classes) // n
+    assert r["weighted_recall_9"] == sum(labels[c] * r9(c) for c in classes) // n
+    assert r["weighted_f1_9"] == sum(labels[c] * f9(c) for c in classes) // n
+    # the dead classes drag macro strictly below micro here
+    assert r["macro_f1_9"] < r["micro_f1_9"]
+
+
+def test_report_averages_perfect_prediction(spark):
+    from brontes_spark.operators.ml_eval import classification_report_averages
+
+    pairs = [("a", "a")] * 3 + [("b", "b")] * 7
+    df = spark.createDataFrame(pairs, "y string, p string")
+    r = classification_report_averages(df, "y", "p").collect()[0]
+    for c in ("micro", "macro", "weighted"):
+        for m in ("precision", "recall", "f1"):
+            assert r[f"{c}_{m}_9"] == 10**9, (c, m)

@@ -280,3 +280,62 @@ def test_r10_window_seating(tmp_path):
         f"ejected: {sorted((promoted | reattest) - window)}; "
         f"intruders: {sorted(window - (promoted | reattest))}"
     )
+
+
+def test_r11_window_seating(tmp_path):
+    """The r11 promotion's window math, replayed against a FROZEN copy of
+    the r01..r10 driver history. R11 is the LOW_FREQ activation round
+    (this_round = 11 == LOW_FREQ_START), so this pin exercises the policy
+    the r10 grade-time break proved untested: the 50-slot window seats all
+    12 wave11-promoted gates (staleness -1) plus the 38 stalest
+    DATA-BACKED re-attestations — the lg=7, change-round-7 block at
+    effective staleness 6.5 (x3_fee_adjusted_quote, the dedup/ANN r7
+    cohort, the 22 r7-reattested relational/accounting gates, and
+    x4_decay_vwap, whose ambiguous change-round word keeps it OFF the
+    low-freq cadence by design). The fixture-pinned LOW_FREQ gates ride
+    their +2 boost and correctly queue behind (x6_decay_vwap leads the
+    ride-to-r12 queue). The membership set is asserted exactly;
+    scripts/simulate_r11.py prints the same derivation with per-seat
+    staleness."""
+    from brontes_spark.plans.registry import (
+        LOW_FREQ,
+        LOW_FREQ_START,
+        _driver_history,
+        _ordered,
+        _this_round,
+    )
+
+    promoted = _wave_names("brontes_spark.plans.wave11")
+    assert len(promoted) == 12
+    root = _frozen_history_dir(tmp_path, upto=10)
+    assert _this_round(_driver_history(root)) == LOW_FREQ_START  # activation
+    ordered = [n for n in _ordered(root=root) if n not in _promoted_after(11)]
+    window, queue = ordered[:50], ordered[50:]
+    reattest = {
+        "x3_fee_adjusted_quote", "dedup_incremental_lsh",
+        "dedup_keep_canonical", "ann_lsh_buckets", "ann_ivf_topk",
+        "ann_cosine_topk", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "a1_delta_accounting", "a7_overlap_dedup",
+        "i1_sandwich_pairs", "i6_sequence_classify", "o4_daily_rollup",
+        "o5_wide_rollup", "x8_sessionize", "q1_pricing_summary",
+        "q2_min_cost_supplier", "q3_top_urgent", "q4_priority_ontime",
+        "q5_region_revenue", "q7_nation_volume", "q9_product_profit",
+        "q10_returned_items", "q12_priority_pivot", "q14_promo_share",
+        "q16_supplier_variety", "q17_small_quantity_revenue",
+        "q18_big_orders", "q21_waiting_supplier",
+        "q22_global_sales_opportunity", "txt_pack_sequences",
+        "corpus_mixture_sample", "txt_repetition_score", "txt_pii_scrub",
+        "txt_decontaminate", "dedup_simhash_pairs_wide", "x4_decay_vwap",
+    }
+    assert len(reattest) == 38
+    assert set(window) == promoted | reattest, (
+        f"ejected: {sorted((promoted | reattest) - set(window))}; "
+        f"intruders: {sorted(set(window) - (promoted | reattest))}"
+    )
+    # the decay twins are both LOW_FREQ but both carry the ambiguous
+    # lg == change-round word, which blocks the boost by design (an edited
+    # fixture gate must still re-enter the window); they straddle the
+    # 50-slot boundary on the registration-order tie-break, so x6 leads
+    # the ride-to-r12 queue at the same 6.5 staleness
+    assert "x4_decay_vwap" in LOW_FREQ and "x6_decay_vwap" in LOW_FREQ
+    assert queue[0] == "x6_decay_vwap"

@@ -67,3 +67,92 @@ def test_bad_params(spark):
         sample_weighted(df, "id", "w", 0)
     with pytest.raises(ValueError):
         weighted_sample_keys(df, "id", "w", weight_scale=0)
+
+
+def test_balanced_sample_exact_n_per_class(spark):
+    from brontes_spark.operators.sampling import balanced_weighted_sample
+
+    rows = [("a", i, 1 + i % 3) for i in range(20)] + [
+        ("b", 100 + i, 5) for i in range(3)
+    ] + [("c", 200, 0)]  # class c: only a zero-weight member
+    df = spark.createDataFrame(rows, "cls string, id long, w long")
+    got = balanced_weighted_sample(df, "cls", "id", "w", n_per_class=5).collect()
+    by_cls = {}
+    for r in got:
+        by_cls.setdefault(r.cls, []).append(r)
+    assert sorted(by_cls) == ["a", "b"]          # c has no sampleable mass
+    assert len(by_cls["a"]) == 5                  # capped
+    assert len(by_cls["b"]) == 3                  # whole class (< n)
+    for rs in by_cls.values():                    # rk is 1..m in key order
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        keys = [r.key for r in rs]
+        assert keys == sorted(keys, reverse=True)
+
+
+def test_balanced_sample_is_per_class_independent(spark):
+    """Growing class b must not change class a's draw (the key is a pure
+    function of (salt, class, id, rep))."""
+    from brontes_spark.operators.sampling import balanced_weighted_sample
+
+    base = [("a", i, 2) for i in range(30)]
+    small = spark.createDataFrame(base + [("b", 100, 1)], "cls string, id long, w long")
+    big = spark.createDataFrame(
+        base + [("b", 100 + i, 1) for i in range(50)], "cls string, id long, w long"
+    )
+    pick = lambda df: sorted(  # noqa: E731
+        (r.id, r.rk)
+        for r in balanced_weighted_sample(df, "cls", "id", "w", 7).collect()
+        if r.cls == "a"
+    )
+    assert pick(small) == pick(big)
+
+
+def test_balanced_sample_prefix_nesting(spark):
+    """The A-ES nesting property: the n=3 sample is exactly the rk<=3
+    prefix of the n=10 sample."""
+    from brontes_spark.operators.sampling import balanced_weighted_sample
+
+    df = spark.createDataFrame(
+        [("g", i, 1 + i % 7) for i in range(40)], "cls string, id long, w long"
+    )
+    ten = {
+        (r.id, r.rk)
+        for r in balanced_weighted_sample(df, "cls", "id", "w", 10).collect()
+    }
+    three = {
+        (r.id, r.rk)
+        for r in balanced_weighted_sample(df, "cls", "id", "w", 3).collect()
+    }
+    assert three == {(i, rk) for i, rk in ten if rk <= 3}
+
+
+def test_balanced_sample_heavy_weight_dominates(spark):
+    """One member with 1000x weight wins rank 1 in >= 4 of 5 fixed salts
+    (deterministic pin of the construction, not a statistical test)."""
+    from brontes_spark.operators.sampling import balanced_weighted_sample
+
+    df = spark.createDataFrame(
+        [("g", 0, 1000)] + [("g", i, 1) for i in range(1, 51)],
+        "cls string, id long, w long",
+    )
+    wins = 0
+    for i in range(5):
+        top = [
+            r.id
+            for r in balanced_weighted_sample(
+                df, "cls", "id", "w", 1, salt=f"s{i}"
+            ).collect()
+        ]
+        wins += top == [0]
+    assert wins >= 4
+
+
+def test_balanced_sample_rejects_bad_params(spark):
+    from brontes_spark.operators.sampling import balanced_weighted_sample
+
+    df = spark.createDataFrame([("g", 1, 1)], "cls string, id long, w long")
+    with pytest.raises(ValueError):
+        balanced_weighted_sample(df, "cls", "id", "w", 0)
+    with pytest.raises(ValueError):
+        balanced_weighted_sample(df, "cls", "id", "w", 1, weight_scale=0)
