@@ -188,7 +188,16 @@ HEADLINE = [
     # g17's planted clique grows as (docs/50)^2 edges — meaningful at
     # sf0.1 (K100), deliberately NOT run on the 100x tiled docs where
     # the K1000 wedge volume would measure the fixture, not the operator
+    # (scripts/slope_r11.py measures the OPERATOR on a degree-bounded
+    # community graph instead: 4.6x wall at 100x edges)
     "g17_ktruss",
+    # round-11 staged gates (plans/pending.py, r12 tier; events-backed)
+    "ml_pr_auc",
+    "ml_report_avg",
+    "ml_ndcg",
+    "sample_class_balanced",
+    "ml_mcnemar",
+    "o30_weighted_percentiles",
     # (the g15_mst GATE is fixture-tiny by design and not timed — the c2
     # rule; the full-graph variant below stays runnable by name.)
     # (g15_mst — Boruvka spanning forest, tests/test_mst.py — is NOT
@@ -338,7 +347,13 @@ EXTRA = {
     "tfidf_topk": _tfidf_topk,
     "g15_mst": _g15_mst,
     # (the r11-tier gates promoted to plans/wave11.py come through the
-    # registry like every other gate; _staged() remains for future tiers)
+    # registry like every other gate)
+    "ml_pr_auc": _staged("ml_pr_auc"),
+    "ml_report_avg": _staged("ml_report_avg"),
+    "ml_ndcg": _staged("ml_ndcg"),
+    "sample_class_balanced": _staged("sample_class_balanced"),
+    "ml_mcnemar": _staged("ml_mcnemar"),
+    "o30_weighted_percentiles": _staged("o30_weighted_percentiles"),
 }
 
 

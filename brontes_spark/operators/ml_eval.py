@@ -65,43 +65,68 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     )
 
 
+def _per_class_counts(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """(cls, support, predicted, tp) in ONE pass: the (label, pred) cell
+    aggregate explodes each cell into its two marginal contributions —
+    (cls=y: support n, tp if y==p) and (cls=p: predicted n) — and a
+    second tiny aggregate over 2·|cells| rows folds them per class.
+
+    This replaces the original three-branch formulation (support /
+    predicted / tp as separate aggregates full-outer-joined back
+    together), which Spark planned as THREE scans of the base relation
+    — measured 13.3x wall at 100x rows on the r11 slope sweep purely
+    from re-running the input parse per branch; single-pass is one scan
+    + two |classes|-sized exchanges. A class appearing only in labels
+    or only in predictions still gets its row (its contribution rows
+    simply carry zeros on the other side). NULL classes group as one
+    row (groupBy NULL semantics — the old full-outer kept label-NULL
+    and pred-NULL apart, a distinction no caller relied on)."""
+    cells = (
+        df.select(F.col(label_col).alias("y"), F.col(pred_col).alias("p"))
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    zero = F.lit(0).cast("long")
+    contrib = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("y").alias("cls"),
+                    F.col("n").alias("sup"),
+                    zero.alias("prd"),
+                    F.when(F.col("y") == F.col("p"), F.col("n"))
+                    .otherwise(zero)
+                    .alias("tp"),
+                ),
+                F.struct(
+                    F.col("p").alias("cls"),
+                    zero.alias("sup"),
+                    F.col("n").alias("prd"),
+                    zero.alias("tp"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return contrib.groupBy("cls").agg(
+        F.sum("sup").alias("support"),
+        F.sum("prd").alias("predicted"),
+        F.sum("tp").alias("tp"),
+    )
+
+
 def classification_report(
     df: DataFrame, label_col: str, pred_col: str
 ) -> DataFrame:
     """Per class: (class, support, predicted, tp, fp, fn, precision_9,
     recall_9, f1_9) — one row for every class seen in labels OR
     predictions; zero-division cells are NULL (undefined, not 0)."""
-    cells = (
-        df.select(F.col(label_col).alias("y"), F.col(pred_col).alias("p"))
-        .groupBy("y", "p")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    support = cells.groupBy(F.col("y").alias("cls")).agg(
-        F.sum("n").alias("support")
-    )
-    predicted = cells.groupBy(F.col("p").alias("cls")).agg(
-        F.sum("n").alias("predicted")
-    )
-    tp = cells.filter(F.col("y") == F.col("p")).select(
-        F.col("y").alias("cls"), F.col("n").alias("tp")
-    )
-    out = (
-        support.join(predicted, "cls", "full_outer")
-        .join(tp, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("support", F.lit(0)).alias("support"),
-            F.coalesce("predicted", F.lit(0)).alias("predicted"),
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-        )
-        .select(
-            "cls",
-            "support",
-            "predicted",
-            "tp",
-            (F.col("predicted") - F.col("tp")).alias("fp"),
-            (F.col("support") - F.col("tp")).alias("fn"),
-        )
+    out = _per_class_counts(df, label_col, pred_col).select(
+        "cls",
+        "support",
+        "predicted",
+        "tp",
+        (F.col("predicted") - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
     )
 
     def ratio9(num_sql: str, den_sql: str):
@@ -288,39 +313,23 @@ def cohens_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     signed: decimal div truncates toward zero on both engines, the
     theilsen convention — and kappa closes with ONE IEEE double
     division. NULL when pe_num == N^2 (a constant table has no
-    chance-corrected agreement)."""
-    cells = (
-        df.select(F.col(label_col).alias("y"), F.col(pred_col).alias("p"))
-        .groupBy("y", "p")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    support = cells.groupBy(F.col("y").alias("cls")).agg(
-        F.sum("n").alias("s")
-    )
-    predicted = cells.groupBy(F.col("p").alias("cls")).agg(
-        F.sum("n").alias("pr")
-    )
-    pe = (
-        support.join(predicted, "cls", "full_outer")
-        .select(
-            (F.coalesce("s", F.lit(0)) * F.coalesce("pr", F.lit(0))).alias("sp")
-        )
-        .agg(F.sum("sp").alias("pe_num"))
-    )
-    tot = cells.agg(
-        F.sum("n").alias("n"),
-        F.sum(F.when(F.col("y") == F.col("p"), F.col("n")).otherwise(0)).alias(
-            "agree"
+    chance-corrected agreement). Everything (n, agree, pe_num) derives
+    from the single-pass per-class relation, so the base is scanned
+    once (the _per_class_counts rationale)."""
+    out = _per_class_counts(df, label_col, pred_col).agg(
+        F.sum("support").alias("n"),
+        F.sum("tp").alias("agree"),
+        F.sum((F.col("support") * F.col("predicted")).cast(DEC38)).alias(
+            "pe_num"
         ),
     )
-    out = tot.crossJoin(F.broadcast(pe))
     num = F.expr(f"CAST(n AS {DEC38}) * agree - pe_num")
     den = F.expr(f"CAST(n AS {DEC38}) * n - pe_num")
     ok = F.expr(f"CAST(n AS {DEC38}) * n") != F.col("pe_num")
     return out.select(
         "n",
         "agree",
-        "pe_num",
+        F.col("pe_num").cast("long").alias("pe_num"),
         F.when(
             ok,
             F.expr(
@@ -329,6 +338,66 @@ def cohens_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
             ),
         ).alias("kappa_9"),
         F.when(ok, num.cast("double") / den.cast("double")).alias("kappa"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, label_col: str, pred_a_col: str, pred_b_col: str
+) -> DataFrame:
+    """One row: (n, both_correct, only_a, only_b, neither, chi2_9, chi2)
+    — McNemar's test for comparing TWO classifiers on the SAME examples
+    (the paired design the offline-eval family needs when an A/B model
+    swap shares its eval set; an unpaired two-proportion z over the two
+    accuracy rates — o27 — throws away the pairing and underpowers).
+
+    Only the discordant cells carry signal: b = only_a = #(A correct,
+    B wrong), c = only_b = #(A wrong, B correct); the statistic is the
+    exact rational (b - c)^2 / (b + c) — the classical chi-square form
+    WITHOUT continuity correction (stated; the corrected variant
+    derives downstream from the same integers, which is why the four
+    cell counts ship). chi2_9 = floor(1e9 * (b-c)^2 / (b+c)) via one
+    truncating decimal(38) division (non-negative operands); chi2
+    closes with one fixed-shape IEEE chain; NULL when b + c == 0 (the
+    classifiers never disagree — no paired evidence either way).
+
+    Scale shape: ONE map-side-combinable aggregate over the data; the
+    statistic is a projection over the single result row."""
+    # NULL-robust: a NULL prediction (or label) counts as incorrect for
+    # that classifier, so the four cells always partition n exactly
+    a_ok = F.coalesce(
+        (F.col(pred_a_col) == F.col(label_col)).cast("long"), F.lit(0)
+    )
+    b_ok = F.coalesce(
+        (F.col(pred_b_col) == F.col(label_col)).cast("long"), F.lit(0)
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok * b_ok).alias("both_correct"),
+        F.sum(a_ok * (1 - b_ok)).alias("only_a"),
+        F.sum((1 - a_ok) * b_ok).alias("only_b"),
+        F.sum((1 - a_ok) * (1 - b_ok)).alias("neither"),
+    )
+    diff = F.col("only_a") - F.col("only_b")
+    disc = F.col("only_a") + F.col("only_b")
+    ok = disc > 0
+    return agg.select(
+        "n",
+        "both_correct",
+        "only_a",
+        "only_b",
+        "neither",
+        F.when(
+            ok,
+            F.expr(
+                f"CAST(CAST(only_a - only_b AS {DEC38})"
+                f" * (only_a - only_b) * 1000000000"
+                f" div CAST(only_a + only_b AS {DEC38}) AS BIGINT)"
+            ),
+        ).alias("chi2_9"),
+        F.when(
+            ok,
+            (diff * diff).cast("double") / disc.cast("double"),
+        ).alias("chi2"),
     )
 
 

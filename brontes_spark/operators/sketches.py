@@ -705,3 +705,88 @@ def join_size_estimate(
             "est_key_overlap", "est_join_rows",
         )
     )
+
+
+def weighted_percentiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    qs: list[tuple[int, int]],
+) -> DataFrame:
+    """Exact per-group WEIGHTED percentiles, fully distributed (no
+    driver-side histogram — unlike quantiles_exact, whose collected
+    summary is global): for each group and each target fraction
+    q = q_num/q_den (an exact rational, never a float), the smallest
+    value whose cumulative weight reaches q of the group's total — the
+    weighted percentile_disc 'lower' convention, so every returned
+    value is an actual data value.
+
+    The weighted generalization answers "the token-count p95 weighted
+    by document quality mass" / "the latency p99 weighted by request
+    volume" without expanding weights into repeated rows. Rows with
+    NULL or non-positive weight drop (a zero-weight row cannot carry
+    percentile mass); groups with no surviving rows vanish.
+
+    Exactness: the defining inequality is evaluated in integers —
+    cumw * q_den >= total_w * q_num — with both products in
+    decimal(38,0) so full-range bigint weights cannot overflow; no
+    division anywhere.
+
+    Scale shape: ONE hash aggregate to the per-(group, value) weight
+    histogram (the only data-sized pass, map-side combinable), one
+    per-group ordered window over the VALUE DOMAIN (bounded by distinct
+    values per group — quantize continuous values upstream, the
+    repo-wide policy), then a |qs|-way conditional min aggregate on the
+    same grouping, which rides the window's exchange. Output: (group,
+    q_num, q_den, value, total_w), one row per group x q.
+    """
+    if not qs:
+        raise ValueError("weighted_percentiles_by_group: qs must be non-empty")
+    for qn, qd in qs:
+        if qd < 1 or qn < 0 or qn > qd:
+            raise ValueError(f"bad percentile rational {qn}/{qd}")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(val_col).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("v").isNotNull() & (F.col("w") > 0))
+    hist = base.groupBy("g", "v").agg(F.sum("w").alias("wv"))
+    wcum = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("g").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "g",
+        "v",
+        F.sum("wv").over(wcum).cast("decimal(38,0)").alias("cumw"),
+        F.sum("wv").over(wall).cast("decimal(38,0)").alias("totw"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cumw") * F.lit(qd) >= F.col("totw") * F.lit(qn),
+                F.col("v"),
+            )
+        ).alias(f"_p_{qn}_{qd}")
+        for qn, qd in qs
+    ]
+    wide = cum.groupBy("g").agg(
+        F.max(F.col("totw").cast("long")).alias("total_w"), *aggs
+    )
+    parts = [
+        wide.select(
+            "g",
+            F.lit(qn).cast("long").alias("q_num"),
+            F.lit(qd).cast("long").alias("q_den"),
+            F.col(f"_p_{qn}_{qd}").alias("value"),
+            "total_w",
+        )
+        for qn, qd in qs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

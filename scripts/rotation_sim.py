@@ -1,16 +1,22 @@
-"""Forward-simulate the driver-window rotation r10..r{END} to measure
-re-attestation latency under the r10 rotation policy (VERDICT r9
-directive 6): fixture-pinned gates (registry.LOW_FREQ) ride a slower
-cadence (+LOW_FREQ_BONUS effective staleness once green and unchanged,
-active from LOW_FREQ_START), freeing window slots for the data-backed
-cohort. Run with --baseline to measure the no-policy rotation for
-comparison.
+"""Forward-simulate the driver-window rotation to measure re-attestation
+latency under the rotation policy (VERDICT r9 directive 6): fixture-pinned
+gates (registry.LOW_FREQ) ride a slower cadence (+LOW_FREQ_BONUS effective
+staleness once green and unchanged, active from LOW_FREQ_START), freeing
+window slots for the data-backed cohort. Run with --baseline to measure
+the no-policy rotation for comparison.
 
 Each simulated round: compute the 50-slot window with the REAL ordering
 policy over the accumulated (real + synthesized) history, record an
 all-green CORRECTNESS file for it, advance. Reports, per tier, the
 distribution of gaps between consecutive attestations across the
 simulated span (the steady-state re-attestation period).
+
+The core is ``simulate_periods`` so tests can pin the numbers the docs
+quote against a FROZEN history directory (VERDICT r10 directive 5: the
+r10 COVERAGE quoted a 5.67 fixture-tier mean that had silently drifted
+to 5.76 by judge time — doc numbers must be test-derived, and the test
+must replay a frozen history so the driver's own deposits cannot move
+them; tests/test_doc_counts.py::test_coverage_rotation_numbers_derived).
 """
 
 from __future__ import annotations
@@ -32,27 +38,29 @@ from brontes_spark.plans import registry as R
 END = 22  # simulate through r{END}
 
 
-def main() -> None:
-    if "--baseline" in sys.argv:
-        R.LOW_FREQ_START = 10**9  # policy never activates
-        label = "BASELINE (no low-freq tier)"
-    else:
-        label = (
-            f"POLICY (|LOW_FREQ|={len(R.LOW_FREQ)}, bonus=+{R.LOW_FREQ_BONUS:g},"
-            f" from r{R.LOW_FREQ_START})"
-        )
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def simulate_periods(hist_dir: str, end: int = END) -> dict:
+    """Run the forward rotation over a COPY of ``hist_dir``'s
+    CORRECTNESS_r*.json files through round ``end`` and return per-tier
+    re-attestation period stats:
 
+        {"hot": {"n_gates", "mean", "median", "max"},
+         "low_freq": {...}, "never": <count>, "first_round": <int>}
+
+    Policy state comes from the registry as imported (monkeypatch
+    LOW_FREQ_START for a baseline run). The simulation itself is pure
+    ordering math — no Spark.
+    """
     attested: dict[str, list[int]] = {n: [] for n in R.REGISTRY}
     tmp = tempfile.mkdtemp(prefix="rotation_sim_")
     try:
         last_real = 0
-        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for p in glob.glob(os.path.join(hist_dir, "CORRECTNESS_r*.json")):
             m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
             if m:
                 shutil.copy(p, tmp)
                 last_real = max(last_real, int(m.group(1)))
-        for rnd in range(last_real + 1, END + 1):
+        first = last_real + 1
+        for rnd in range(first, end + 1):
             window = R._ordered(root=tmp)[:50]
             for n in window:
                 attested[n].append(rnd)
@@ -73,18 +81,47 @@ def main() -> None:
         return out
 
     hot = set(R.REGISTRY) - set(R.LOW_FREQ)
-    print(label)
-    for name, tier in (("data-backed (hot)", hot), ("fixture-pinned (low-freq)", set(R.LOW_FREQ) & set(R.REGISTRY))):
+    low = set(R.LOW_FREQ) & set(R.REGISTRY)
+    result: dict = {"first_round": first}
+    for key, tier in (("hot", hot), ("low_freq", low)):
         g = gaps(tier)
-        if not g:
+        result[key] = (
+            {
+                "n_gates": len(tier),
+                "mean": round(statistics.mean(g), 2),
+                "median": statistics.median(g),
+                "max": max(g),
+            }
+            if g
+            else {"n_gates": len(tier), "mean": None, "median": None, "max": None}
+        )
+    result["never"] = sum(1 for rs in attested.values() if not rs)
+    return result
+
+
+def main() -> None:
+    if "--baseline" in sys.argv:
+        R.LOW_FREQ_START = 10**9  # policy never activates
+        label = "BASELINE (no low-freq tier)"
+    else:
+        label = (
+            f"POLICY (|LOW_FREQ|={len(R.LOW_FREQ)}, bonus=+{R.LOW_FREQ_BONUS:g},"
+            f" from r{R.LOW_FREQ_START})"
+        )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = simulate_periods(root, END)
+    print(label)
+    print(f"  simulated rounds: r{result['first_round']:02d}..r{END}")
+    for key, name in (("hot", "data-backed (hot)"), ("low_freq", "fixture-pinned (low-freq)")):
+        t = result[key]
+        if t["mean"] is None:
             print(f"  {name}: no re-attestations in span")
             continue
         print(
-            f"  {name}: n_gates={len(tier)} period mean={statistics.mean(g):.2f}"
-            f" median={statistics.median(g):.0f} max={max(g)}"
+            f"  {name}: n_gates={t['n_gates']} period mean={t['mean']:.2f}"
+            f" median={t['median']:.0f} max={t['max']}"
         )
-    never = sorted(n for n, rs in attested.items() if not rs)
-    print(f"  gates never attested in simulated span: {len(never)}")
+    print(f"  gates never attested in simulated span: {result['never']}")
 
 
 if __name__ == "__main__":

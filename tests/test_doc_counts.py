@@ -100,3 +100,50 @@ def test_coverage_seating_claim_matches_live_computation(tmp_path):
     window = [n for n in _ordered(root=str(tmp_path)) if n not in later][:50]
     assert doc_promoted == sum(1 for n in window if n in wave10)
     assert doc_reattest == sum(1 for n in window if n not in wave10)
+
+
+def test_coverage_rotation_numbers_derived(tmp_path):
+    """VERDICT r10 directive 5 (doc-drift class, closed structurally):
+    the rotation-policy period means COVERAGE.md quotes for the current
+    registry must be DERIVED from scripts/rotation_sim.py's own
+    simulation over a FROZEN r01..r10 history — the r10 doc hand-quoted
+    a fixture-tier mean (5.67) that had drifted to 5.76 by judge time.
+    Frozen replay means the driver's r11+ deposits cannot move the
+    numbers this test pins."""
+    import glob
+    import importlib.util
+    import shutil
+    import sys
+
+    md = _read("COVERAGE.md")
+    m = re.search(
+        r"data-backed period mean \*\*(\d+\.\d+)\*\* rounds \(max (\d+)\),\s+"
+        r"fixture-pinned mean \*\*(\d+\.\d+)\*\* \(max (\d+)",
+        md,
+    )
+    assert m, "COVERAGE must quote the derived rotation period numbers"
+    doc_hot_mean, doc_hot_max = float(m.group(1)), int(m.group(2))
+    doc_low_mean, doc_low_max = float(m.group(3)), int(m.group(4))
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_sim", os.path.join(ROOT, "scripts", "rotation_sim.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["rotation_sim"] = mod
+    spec.loader.exec_module(mod)
+
+    for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        mm = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if mm and int(mm.group(1)) <= 10:
+            shutil.copy(p, tmp_path)
+    got = mod.simulate_periods(str(tmp_path), end=22)
+    assert got["first_round"] == 11
+    assert got["never"] == 0
+    assert (round(got["hot"]["mean"], 2), got["hot"]["max"]) == (
+        doc_hot_mean,
+        doc_hot_max,
+    )
+    assert (round(got["low_freq"]["mean"], 2), got["low_freq"]["max"]) == (
+        doc_low_mean,
+        doc_low_max,
+    )

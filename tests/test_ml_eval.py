@@ -268,3 +268,33 @@ def test_report_averages_perfect_prediction(spark):
     for c in ("micro", "macro", "weighted"):
         for m in ("precision", "recall", "f1"):
             assert r[f"{c}_{m}_9"] == 10**9, (c, m)
+
+
+def test_mcnemar_matches_hand_counts(spark):
+    from brontes_spark.operators.ml_eval import mcnemar_test
+
+    rows = (
+        [("x", "x", "x")] * 10     # both correct
+        + [("x", "x", "y")] * 6    # only A
+        + [("x", "y", "x")] * 2    # only B
+        + [("x", "y", "z")] * 3    # neither
+        + [("x", None, "x")] * 1   # NULL pred A -> only B
+    )
+    df = spark.createDataFrame(rows, "y string, pa string, pb string")
+    r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+    assert (r["n"], r["both_correct"]) == (22, 10)
+    assert (r["only_a"], r["only_b"], r["neither"]) == (6, 3, 3)
+    assert r["both_correct"] + r["only_a"] + r["only_b"] + r["neither"] == r["n"]
+    assert r["chi2_9"] == (10**9 * (6 - 3) ** 2) // (6 + 3)
+    assert abs(r["chi2"] - 9 / 9) < 1e-15
+
+
+def test_mcnemar_no_disagreement_is_null(spark):
+    from brontes_spark.operators.ml_eval import mcnemar_test
+
+    df = spark.createDataFrame(
+        [("a", "a", "a"), ("b", "c", "c")], "y string, pa string, pb string"
+    )
+    r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+    assert r["only_a"] == 0 and r["only_b"] == 0
+    assert r["chi2_9"] is None and r["chi2"] is None

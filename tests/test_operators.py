@@ -186,3 +186,64 @@ def test_ohlc_duplicate_ts_tiebreak_and_zero_qty(spark):
     import pytest
     with pytest.raises(ValueError):
         ohlc_downsample(df, "g", "ts", "p", 0)
+
+
+def _brute_weighted_pct(rows, qs):
+    """Hand mirror: per group, smallest v with cumw*qd >= totw*qn."""
+    from collections import defaultdict
+
+    hist = defaultdict(lambda: defaultdict(int))
+    for g, v, w in rows:
+        if v is not None and w is not None and w > 0:
+            hist[g][v] += w
+    out = {}
+    for g, vw in hist.items():
+        tot = sum(vw.values())
+        for qn, qd in qs:
+            cum = 0
+            pick = None
+            for v in sorted(vw):
+                cum += vw[v]
+                if cum * qd >= tot * qn:
+                    pick = v
+                    break
+            out[(g, qn, qd)] = (pick, tot)
+    return out
+
+
+def test_weighted_percentiles_by_group_exact(spark):
+    from brontes_spark.operators.sketches import weighted_percentiles_by_group
+
+    rows = (
+        [("a", v, v) for v in range(1, 101)]          # weight = value
+        + [("b", 10, 97), ("b", 20, 2), ("b", 30, 1)]  # dominant low value
+        + [("c", 5, 0), ("c", 7, -3), ("c", None, 9)]  # all mass dropped
+        + [("d", 42, 1)]                               # singleton
+    )
+    qs = [(0, 1), (1, 2), (9, 10), (1, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        (r["g"], r["q_num"], r["q_den"]): (r["value"], r["total_w"])
+        for r in weighted_percentiles_by_group(df, "g", "v", "w", qs).collect()
+    }
+    want = _brute_weighted_pct(rows, qs)
+    assert got == want
+    # group c vanished (no positive-weight rows); d returns 42 at every q
+    assert not any(k[0] == "c" for k in got)
+    assert all(got[("d", qn, qd)][0] == 42 for qn, qd in qs)
+    # the dominant-mass group pins p50 AND p90 to the heavy value
+    assert got[("b", 1, 2)][0] == 10 and got[("b", 9, 10)][0] == 10
+    assert got[("b", 1, 1)][0] == 30  # q=1 is the max
+    assert got[("a", 0, 1)][0] == 1   # q=0 is the min
+
+
+def test_weighted_percentiles_rejects_bad_q(spark):
+    import pytest
+
+    from brontes_spark.operators.sketches import weighted_percentiles_by_group
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, v long, w long")
+    with pytest.raises(ValueError):
+        weighted_percentiles_by_group(df, "g", "v", "w", [])
+    with pytest.raises(ValueError):
+        weighted_percentiles_by_group(df, "g", "v", "w", [(3, 2)])

@@ -11,12 +11,16 @@ from __future__ import annotations
 import re
 
 from brontes_spark.plans.pending import PENDING
+from brontes_spark.plans.registry import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = PENDING[name].build(spark, SF)
+    # the r10 gates these pins cover were staged when the module was
+    # written and promoted to the registry at r11 — resolve from either
+    spec = REGISTRY.get(name) or PENDING[name]
+    df = spec.build(spark, SF)
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode
     )

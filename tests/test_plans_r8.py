@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 #: dims (value = the max number of such folds in the SIMPLE-mode plan;
 #: formatted mode prints every node twice — tree + details)
 SCALAR_DIM_GATES = {
+    "ml_ndcg": 1,  # 1-row (n_scored, ndcg_sum) stats dim onto n_queries
     "txt_bm25_topk": 2,  # (N) x (L) corpus dims
     "txt_pmi_cooccur": 1,  # corpus pair total T
     "corpus_temperature_mix": 1,  # sqrt-weight total
