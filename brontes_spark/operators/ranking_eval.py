@@ -1,7 +1,9 @@
-"""Ranking-quality evaluation metrics — MRR and hit@k over a (query,
-ranked candidate, relevance) table: the offline eval loop for the
-suite's retrieval stack (BM25 txt_bm25_topk, ANN top-k, RRF fusion
+"""Ranking-quality evaluation metrics — MRR, hit@k, and NDCG@k over a
+(query, ranked candidate, relevance) table: the offline eval loop for
+the suite's retrieval stack (BM25 txt_bm25_topk, ANN top-k, RRF fusion
 o12), scoring a ranking against ground-truth labels at corpus scale.
+MRR rewards the FIRST relevant hit; NDCG@k rewards packing ALL hits
+high — both ship because they move independently.
 
 Determinism discipline: reciprocal ranks are quantized — each query
 contributes floor(1e9 / first_relevant_rank) as an exact int64 (the

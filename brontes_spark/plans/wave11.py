@@ -79,7 +79,7 @@ WHERE NOT EXISTS (
     survey_ref="Boruvka minimum spanning forest (operators/mst.py:43, "
     "Boruvka 1926) — the single-linkage/HAC backbone over a similarity "
     "graph and the O(V) connectivity-evidence set for near-dup clusters; "
-    "VERDICT r9 directive 4 (the one r9 operator shipped pytest-only). "
+    "VERDICT r9 directive 4 (the one r9 operator shipped pytest-only; staged r10, promoted r11). "
     "Fixture: a 64-node star-of-blocks + center ring planted on documents "
     "doc_id<64 with deterministic hash weights, strictly-heavier parallel "
     "copies (groupBy-min collapse) and center self-loops (dropped) — small "
@@ -169,7 +169,7 @@ def g15_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corrections are load-bearing, not vacuously zero); exact int64 pair "
     "counts + one fixed-shape IEEE double chain; scale shape = x29's "
     "per-key pair explode riding ONE key equi-join, linear in keys at "
-    "constant series length; staged for the r11 tier",
+    "constant series length; staged r10, promoted r11",
 )
 def x30_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kendall import kendall_tau_b
@@ -233,8 +233,8 @@ def x30_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family for categorical pairs; per-cell terms quantized to exact "
     "1e9-scaled integers before the order-independent cross-cell sum "
     "(the o26 ANOVA discipline), V as one IEEE double chain; every "
-    "data-sized stage a map-side-combinable hash aggregate; staged for "
-    "the r11 tier",
+    "data-sized stage a map-side-combinable hash aggregate; staged r10, "
+    "promoted r11",
 )
 def o28_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.contingency import chi2_independence
@@ -296,7 +296,7 @@ def o28_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact floor(1e12/deg) int64 terms), Jaccard ships as exact "
     "rational + one IEEE division; wedge enumeration is ONE center-keyed "
     "self-join (the g8 triangle shape) with a documented hub cap; "
-    "staged for the r11 tier",
+    "staged r10, promoted r11",
 )
 def g16_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linkpred import link_prediction_scores
@@ -344,7 +344,7 @@ def g16_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounds the quadratic explode BEFORE the pair join "
     "(WindowGroupLimit map-side — the SNM/LSH hub-suppression "
     "discipline), then one user-keyed self-join + one pair count; "
-    "staged for the r11 tier",
+    "staged r10, promoted r11",
 )
 def ev_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.json import json_get_long
@@ -405,8 +405,8 @@ def ev_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reciprocal ranks quantized to exact floor(1e9/rank) int64 terms "
     "(order-independent corpus sum, one closing IEEE division), "
     "no-relevant queries contribute 0 by stated convention; one "
-    "rank-filtered min aggregate + one 1-row reduction; staged for the "
-    "r11 tier",
+    "rank-filtered min aggregate + one 1-row reduction; staged r10, "
+    "promoted r11",
 )
 def ml_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -471,8 +471,8 @@ def ml_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gate's measurement companion); exact decimal(38) integer sums "
     "(rank-weighted SI is tie-rank invariant), 1e9-quantized with one "
     "truncating division, NULL on zero-mass groups; ONE per-group window "
-    "sharing its exchange with the group aggregate; staged for the r11 "
-    "tier",
+    "sharing its exchange with the group aggregate; staged r10, promoted "
+    "r11",
 )
 def o29_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.concentration import group_concentration
@@ -541,8 +541,8 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     "SAME bounded rounds as unrolled CTEs (idempotent past fixpoint). "
     "Scale shape per round: ONE wedge equi-join on the shared endpoint "
     "(the g8/g16 shape) + one map-side-combinable count + lineage cut; "
-    "monotone peeling, unique fixpoint, no tie-breaks; staged for the "
-    "r11 tier",
+    "monotone peeling, unique fixpoint, no tie-breaks; staged r10, "
+    "promoted r11",
 )
 def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ktruss import k_truss
@@ -607,7 +607,7 @@ def g17_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window over the score DOMAIN (the o22 mannwhitney posture), "
     "doubled-midrank integers make ties exact, auc_9 quantized + one "
     "IEEE division; completes the ML-eval family with ml_mrr_eval and "
-    "ml_fold_assign; staged for the r11 tier",
+    "ml_fold_assign; staged r10, promoted r11",
 )
 def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ml_eval import roc_auc
@@ -669,7 +669,7 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratios as 1e9-quantized exact rationals, NULL zero-division; the "
     "gate's 'classifier' is a deterministic props-hash so off-diagonal "
     "mass is real ('error' is never predicted -> precision NULL row); "
-    "staged for the r11 tier",
+    "staged r10, promoted r11",
 )
 def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ml_eval import classification_report
@@ -727,7 +727,7 @@ def ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer marginals, signed kappa_9 via truncate-toward-zero "
     "division on both engines, one IEEE double division, NULL on "
     "constant tables; same one-cell-aggregate scale shape as "
-    "ml_confusion; staged for the r11 tier",
+    "ml_confusion; staged r10, promoted r11",
 )
 def ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ml_eval import cohens_kappa
@@ -778,7 +778,7 @@ def ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components (basis-point integers; global Brier derives from the "
     "bin sums), the is-my-classifier-honest diagnostic completing the "
     "ML-eval family; ONE map-side bin aggregate, ratio math over "
-    "n_bins rows; staged for the r11 tier",
+    "n_bins rows; staged r10, promoted r11",
 )
 def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ml_eval import calibration_report

@@ -147,3 +147,42 @@ def test_coverage_rotation_numbers_derived(tmp_path):
         doc_low_mean,
         doc_low_max,
     )
+
+
+def test_coverage_r11_seating_claim_matches_frozen_computation(tmp_path):
+    """The Round-11 header's seating sentence — "12 staged gates at r11
+    promotion + 38 stalest data-backed re-attestations" — derived from
+    the same frozen r01..r10 replay the seating pin uses (the r10
+    pattern, carried forward)."""
+    import glob
+    import shutil
+
+    from brontes_spark.plans.registry import _ordered
+
+    md = _read("COVERAGE.md")
+    m = re.search(
+        r"(\d+) staged gates at r11 promotion \+ (\d+) stalest data-backed\s+"
+        r"re-attestations",
+        md,
+    )
+    assert m, "COVERAGE round-11 header must state the seating numbers"
+    doc_promoted, doc_reattest = int(m.group(1)), int(m.group(2))
+
+    for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        mm = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if mm and int(mm.group(1)) <= 10:
+            shutil.copy(p, tmp_path)
+    wave11 = {
+        n
+        for n, s in REGISTRY.items()
+        if s.build.__module__ == "brontes_spark.plans.wave11"
+    }
+    later = {
+        n
+        for n, s in REGISTRY.items()
+        if (mm := re.match(r"brontes_spark\.plans\.wave(\d+)$", s.build.__module__))
+        and int(mm.group(1)) > 11
+    }
+    window = [n for n in _ordered(root=str(tmp_path)) if n not in later][:50]
+    assert doc_promoted == sum(1 for n in window if n in wave11)
+    assert doc_reattest == sum(1 for n in window if n not in wave11)

@@ -282,6 +282,29 @@ def test_r10_window_seating(tmp_path):
     )
 
 
+#: the 38 re-attestation seats of the r11 window (with the 12 wave11
+#: promotions at staleness -1) — derived by scripts/simulate_r11.py from
+#: the real r01..r10 history, pinned by test_r11_window_seating against a
+#: frozen copy, and checked against the driver's REALIZED r11 deposit by
+#: test_r11_realized_window_matches_prediction (VERDICT r10 directive 5).
+R11_REATTEST = {
+    "x3_fee_adjusted_quote", "dedup_incremental_lsh",
+    "dedup_keep_canonical", "ann_lsh_buckets", "ann_ivf_topk",
+    "ann_cosine_topk", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "a1_delta_accounting", "a7_overlap_dedup",
+    "i1_sandwich_pairs", "i6_sequence_classify", "o4_daily_rollup",
+    "o5_wide_rollup", "x8_sessionize", "q1_pricing_summary",
+    "q2_min_cost_supplier", "q3_top_urgent", "q4_priority_ontime",
+    "q5_region_revenue", "q7_nation_volume", "q9_product_profit",
+    "q10_returned_items", "q12_priority_pivot", "q14_promo_share",
+    "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q18_big_orders", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "txt_pack_sequences",
+    "corpus_mixture_sample", "txt_repetition_score", "txt_pii_scrub",
+    "txt_decontaminate", "dedup_simhash_pairs_wide", "x4_decay_vwap",
+}
+
+
 def test_r11_window_seating(tmp_path):
     """The r11 promotion's window math, replayed against a FROZEN copy of
     the r01..r10 driver history. R11 is the LOW_FREQ activation round
@@ -311,22 +334,7 @@ def test_r11_window_seating(tmp_path):
     assert _this_round(_driver_history(root)) == LOW_FREQ_START  # activation
     ordered = [n for n in _ordered(root=root) if n not in _promoted_after(11)]
     window, queue = ordered[:50], ordered[50:]
-    reattest = {
-        "x3_fee_adjusted_quote", "dedup_incremental_lsh",
-        "dedup_keep_canonical", "ann_lsh_buckets", "ann_ivf_topk",
-        "ann_cosine_topk", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "a1_delta_accounting", "a7_overlap_dedup",
-        "i1_sandwich_pairs", "i6_sequence_classify", "o4_daily_rollup",
-        "o5_wide_rollup", "x8_sessionize", "q1_pricing_summary",
-        "q2_min_cost_supplier", "q3_top_urgent", "q4_priority_ontime",
-        "q5_region_revenue", "q7_nation_volume", "q9_product_profit",
-        "q10_returned_items", "q12_priority_pivot", "q14_promo_share",
-        "q16_supplier_variety", "q17_small_quantity_revenue",
-        "q18_big_orders", "q21_waiting_supplier",
-        "q22_global_sales_opportunity", "txt_pack_sequences",
-        "corpus_mixture_sample", "txt_repetition_score", "txt_pii_scrub",
-        "txt_decontaminate", "dedup_simhash_pairs_wide", "x4_decay_vwap",
-    }
+    reattest = R11_REATTEST
     assert len(reattest) == 38
     assert set(window) == promoted | reattest, (
         f"ejected: {sorted((promoted | reattest) - set(window))}; "
@@ -339,3 +347,31 @@ def test_r11_window_seating(tmp_path):
     # the ride-to-r12 queue at the same 6.5 staleness
     assert "x4_decay_vwap" in LOW_FREQ and "x6_decay_vwap" in LOW_FREQ
     assert queue[0] == "x6_decay_vwap"
+
+
+def test_r11_realized_window_matches_prediction():
+    """VERDICT r10 directive 5: r11 is the LOW_FREQ activation round, so
+    its REALIZED driver window must equal the forward simulation's
+    prediction (the frozen-history seating pin's 50-gate set). Skips
+    while no CORRECTNESS_r11.json exists (mid-round, pre-deposit); at
+    grade time — and under scripts/grade_sim.py's synthesized deposit —
+    the file exists and the realized key set is checked against the
+    FROZEN expectation. Unlike the retired live-history test class, the
+    expectation here is a pinned constant, not a live recomputation, so
+    the deposit this test reads is exactly the artifact it validates."""
+    import json
+    import os
+
+    import pytest
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "CORRECTNESS_r11.json")
+    if not os.path.exists(path):
+        pytest.skip("driver has not deposited CORRECTNESS_r11.json yet")
+    with open(path) as f:
+        realized = set(json.load(f))
+    predicted = _wave_names("brontes_spark.plans.wave11") | R11_REATTEST
+    assert realized == predicted, (
+        f"unexpected: {sorted(realized - predicted)}; "
+        f"missing: {sorted(predicted - realized)}"
+    )
