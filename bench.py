@@ -254,9 +254,19 @@ def _tiled_embeddings(spark, sf_dir, copies=10):
             * (1 - 2 * F.pmod(F.xxhash64(d.cast("string"), F.col("copy")), F.lit(2))).cast("float")
         ).cast("float"),
     )
-    return emb.crossJoin(F.broadcast(cp)).select(
-        (F.col("vec_id") + F.col("copy").cast("long") * 10_000_000).alias("vec_id"),
-        sign.alias("embedding"),
+    # the local single-file scan leaves the tiled relation in ONE partition
+    # (broadcast-NLJ preserves the scan's partitioning), which serialized
+    # the downstream per-element quantization + assignment kernels on one
+    # core (r11 measure pass: 2.6 s of the 5.4 s uv-cache build was
+    # single-task decimal math). Spread the 10 copies round-robin before
+    # the heavy per-element work; at cluster scale scans are already wide.
+    return (
+        emb.crossJoin(F.broadcast(cp))
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .select(
+            (F.col("vec_id") + F.col("copy").cast("long") * 10_000_000).alias("vec_id"),
+            sign.alias("embedding"),
+        )
     )
 
 

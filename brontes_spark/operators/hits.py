@@ -33,24 +33,32 @@ def hits_integer(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 3,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, auth, hub) after `rounds` un-normalized updates from an
     all-ones start. Nodes = every distinct endpoint; a pure source has
     auth 0-accrual only through updates (its start value is still 1
     until the first auth update overwrites it with the in-sum, which is
-    0 for no in-edges)."""
+    0 for no in-edges).
+
+    `checkpoint_every`: lineage-cut cadence (pagerank.py discipline —
+    round-11 measurement: the former EVERY-half-round localCheckpoint
+    materialized each relation as an RDD with UnknownPartitioning, so
+    every consumer join re-planned as Exchange+Sort+SortMergeJoin and the
+    3-round g11 gate spent over half its wall re-shuffling/re-sorting the
+    unchanged edge relation; with no cuts ReuseExchange shares one edge
+    exchange across all rounds and the run halved, 7.8 s -> 3.3 s at the
+    sf0.1 geometry. The score recurrence is a linear chain, so cuts are
+    only a plan-depth cap for long runs, never a recompute guard)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # scores stay SPARSE inside the loop: a node missing from `auth`
     # means auth = 0, and zero scores contribute nothing through the
@@ -59,21 +67,22 @@ def hits_integer(
     # dense zero-filled relation is assembled ONCE at the end.
     hub = nodes.withColumn("hub", F.lit(1).cast("long"))
     auth = None
-    for _ in range(rounds):
+    for t in range(1, rounds + 1):
         auth = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .select(F.col("dst").alias("node"), "auth")
-            .localCheckpoint(eager=False)
         )
         hub = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
             .select(F.col("src").alias("node"), "hub")
-            .localCheckpoint(eager=False)
         )
+        if t % checkpoint_every == 0 and t < rounds:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
     return (
         nodes.join(auth, "node", "left")
         .join(hub, "node", "left")

@@ -59,19 +59,21 @@ def pagerank_integer(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    # bounded relations reused every iteration: checkpoint once
-    e = e.localCheckpoint(eager=False)
+    # bounded relations reused every iteration: NO eager materialization —
+    # round-11 measurement (hits.py note): localCheckpoint turns each into
+    # an UnknownPartitioning RDD scan, forcing every consumer join back
+    # through Exchange+Sort; leaving them as plans lets ReuseExchange share
+    # ONE exchange per relation across all iterations
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # out-degree rides ON the edge list (one join, outside the loop): each
     # iteration is then exactly ONE join + ONE aggregate — at 600k edges /
     # sf0.1 this cut the 3-iteration wall from 5.5 s to the join-agg floor
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
+    e_deg = e.join(outdeg, "src")
     teleport = (scale * (d_den - d_num)) // d_den
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
@@ -159,18 +161,22 @@ def ppr_integer(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0 < d_num <= d_den:
         raise ValueError(f"damping must be in (0, 1], got {d_num}/{d_den}")
+    # persist (not localCheckpoint) the relations the |N|/|S| scalar
+    # actions materialize anyway: the cache preserves partitioning and
+    # statistics for the per-round joins (an RDD checkpoint erases both —
+    # hits.py round-11 note) and the final action reuses the same bytes
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
-    s = seeds.select("node").distinct().localCheckpoint(eager=False)
+    e_deg = e.join(outdeg, "src")
+    s = seeds.select("node").distinct()
     n_nodes, n_seeds = nodes.count(), s.count()
     if n_seeds == 0:
         raise ValueError("seed set is empty")
@@ -179,7 +185,6 @@ def ppr_integer(
     flagged = nodes.join(
         s.withColumn("_is_seed", F.lit(1)), "node", "left"
     ).select("node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("is_seed"))
-    flagged = flagged.localCheckpoint(eager=False)
 
     ranks = flagged.select(
         "node", (F.col("is_seed") * F.lit(start)).cast("long").alias("rank")

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, LongType, StructField, StructType
 
 from ..functions.decimals import dec9
 from ..functions.hashing import md5_bit, md5_long
@@ -263,6 +264,375 @@ def _centroid_sims(side: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+#: geometry dispatch for the flat assignment paths: below this K the
+#: NumPy kernels' fixed costs (two bounded driver collects = two extra
+#: jobs, plus the Arrow pass) exceed the matmul win — measured at sf0.1:
+#: k=8 gates ran ~0.6-0.9 s FASTER on the relational NLJ+window plan,
+#: while k=320 runs ~2x faster on the kernels. Both paths are
+#: bit-identical (same sims, same tie-breaks; the pytest anchors and
+#: oracle gates pin it), so the dispatch is purely a cost choice.
+_NP_KERNEL_MIN_K = 64
+
+
+def _flat_top1_relational(side: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, cluster) via the broadcast-NLJ + row_number plan — the
+    small-K arm of the dispatch (kernel block below for the large-K arm).
+    The repartition spreads the CPU-bound in-row dot stage when the input
+    is a single local scan partition; at scale the scan is already wide."""
+    n_part = int(side.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        _centroid_sims(side.repartition(n_part, F.col("id")), cents)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(
+                    F.col("sim").desc(), F.col("cid_seed").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid_seed").alias("cluster"))
+    )
+
+
+def _refined_centroids(uv: DataFrame, asg: DataFrame) -> DataFrame:
+    """One Lloyd update in exact integer arithmetic: the new centroid of a
+    cluster is the element-wise TRUNCATED mean of its members' micro-unit
+    components (`div` — both engines truncate toward zero, so the
+    re-quantization is engine-identical). The mean lands back on the same
+    6dp micro-unit grid as the vectors themselves (|mean| <= max |comp|),
+    so the follow-up assignment reuses _centroid_sims with the same
+    overflow bounds as the seeded pass — the whole iteration stays a
+    closed-form relational plan with an exact SQL twin. Clusters that lose
+    all members (or whose mean truncates to the zero vector) simply emit
+    no centroid row, mirrored by the oracle's HAVING guard."""
+    members = asg.join(uv, "id").select(
+        "cluster", "id", F.posexplode("uvec").alias("pos", "comp")
+    )
+    sums = members.groupBy("cluster", "pos").agg(
+        F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_pos = sums.select(
+        "cluster", "pos", F.expr("CAST(s div n AS BIGINT)").alias("ccomp")
+    )
+    cents = (
+        per_pos.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ccomp"))),
+                lambda x: x["ccomp"],
+            ).alias("cuvec")
+        )
+        .withColumn(
+            "cn2",
+            F.aggregate("cuvec", F.lit(0).cast("long"), lambda a, x: a + x * x),
+        )
+        .filter(F.col("cn2") > 0)
+        .select(F.col("cluster").alias("cid_seed"), "cuvec", "cn2")
+    )
+    return F.broadcast(cents)
+
+
+# ---------------------------------------------------------------------------
+# NumPy/Arrow kernels (round-11 optimization pass, guide §4.2).
+#
+# The centroid-assignment passes used to run as a BroadcastNestedLoopJoin of
+# N vectors × K centroid rows, each output row evaluating the in-row
+# `_dot` fold (aggregate ∘ zip_with — higher-order expressions, which Spark
+# evaluates interpreted, outside whole-stage codegen), followed by a
+# row_number window over the N×K pair stream to keep the top-1. Measured at
+# the k=320 bench geometry (20k vectors × 320 centroids × 64 dims) the
+# interpreted fold + the 6.4M-row sort/window dominated the operator wall.
+# The kernels below compute the SAME quantities batch-at-a-time in NumPy
+# float64 BLAS matmuls behind mapInPandas/applyInPandas: the JVM↔Python boundary
+# crosses once per pass carrying only (id, uvec, n2), and the N×K pair
+# stream, its sort, and the window disappear from the plan entirely.
+#
+# Exactness contract (bit-identical to the expression path, which the
+# oracle-pinned gates verify):
+#   * dots and norms are exact integers (|comp| < 2^21, so every product
+#     is < 2^42 and every 64-dim partial sum < 2^53 — the module-head
+#     envelope). The matmuls run in float64 BLAS: every term and partial
+#     sum is an integer below 2^53, hence exactly representable, so dgemm
+#     returns the exact integer dot regardless of summation order (numpy
+#     int64 matmul has no BLAS kernel and runs ~50x slower interpreted —
+#     measured 12 s vs 0.3 s for the 20k x 320 x 64 assignment batch);
+#   * sim = float64(dot) / sqrt(float64(n2) * float64(cn2)) — the identical
+#     IEEE op sequence Spark's `_centroid_sims` emits, so both produce the
+#     same double bit-for-bit;
+#   * argmax ties resolve to the smallest centroid id: the centroid matrix
+#     is sorted by cid ascending and np.argmax returns the FIRST maximum —
+#     exactly row_number() over (sim desc, cid_seed asc) = 1.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_mats(cents: DataFrame):
+    """Collect the K-row centroid dim (cid_seed, cuvec, cn2) to the driver —
+    K rows, the same bounded scalar-dim class as the existing k-centroid
+    collects (never data-sized) — and return (cids, C, cn2) numpy arrays
+    sorted by cid ascending (the argmax tie-break order)."""
+    import numpy as np
+
+    rows = sorted(cents.collect(), key=lambda r: r["cid_seed"])
+    cids = np.array([r["cid_seed"] for r in rows], dtype=np.int64)
+    # float64 carriers: exact for the < 2^53 envelope, and they keep every
+    # downstream matmul on the BLAS dgemm path (kernel-block note above)
+    C = np.array([list(r["cuvec"]) for r in rows], dtype=np.float64)
+    cn2 = np.array([r["cn2"] for r in rows], dtype=np.float64)
+    return cids, C, cn2
+
+
+def _sims_f64(dots, n2, cn2):
+    """float64 cosine matrix from exact (float64-carried) dots/norms — the
+    identical IEEE sequence as `_centroid_sims` (the operands are exact
+    integers, so convert-then-divide and divide-the-float64-carrier are
+    the same bits)."""
+    import numpy as np
+
+    return dots / np.sqrt(n2[:, None] * cn2[None, :])
+
+
+def _np_top1_assign(side: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, cluster): flat max-cosine assignment as ONE Arrow pass over
+    `side` (id, uvec, n2) with the K×dim centroid matrix broadcast.
+    Replaces the NLJ + row_number formulation plan-for-plan: no pair
+    stream, no sort, no window, no shuffle — parallelism is the input
+    partitioning (the scan is wide at scale; a 20k-row local run is a
+    single fast matmul task)."""
+    spark = side.sparkSession
+    b = spark.sparkContext.broadcast(_centroid_mats(cents))
+    id_type = side.schema["id"].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster", id_type)]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids, C, cn2 = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.array(list(pdf["uvec"]), dtype=np.float64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            sims = _sims_f64(U @ C.T, n2, cn2)
+            j = np.argmax(sims, axis=1)  # first max = smallest cid
+            yield pd.DataFrame({"id": pdf["id"], "cluster": cids[j]})
+
+    return side.select("id", "uvec", "n2").mapInPandas(assign, schema)
+
+
+def _np_topn_rows(side: DataFrame, cents: DataFrame, n_keep: int) -> DataFrame:
+    """(id, cluster) rows for each of the `n_keep` nearest centroids per
+    side row — the probe counterpart of `_np_top1_assign` (row_number <=
+    n over (sim desc, cid asc), emitted as rows). Stable argsort over
+    (-sim) with the centroid matrix in cid-ascending order reproduces the
+    window's tie-break exactly."""
+    spark = side.sparkSession
+    b = spark.sparkContext.broadcast(_centroid_mats(cents))
+    id_type = side.schema["id"].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster", id_type)]
+    )
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids, C, cn2 = b.value
+        k = min(n_keep, len(cids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.array(list(pdf["uvec"]), dtype=np.float64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            sims = _sims_f64(U @ C.T, n2, cn2)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), k),
+                    "cluster": cids[order].ravel(),
+                }
+            )
+
+    return side.select("id", "uvec", "n2").mapInPandas(probe, schema)
+
+
+def _np_two_level_assign(
+    side: DataFrame,
+    cents: DataFrame,
+    nprobe_super: int,
+    branch: int,
+) -> DataFrame:
+    """Two-level probe (the `_two_level_top1` semantics) as ONE Arrow pass:
+    route each centroid to its top-1 super (md5-seeded FROM the centroid
+    set, exactly as the relational path), probe each vector's
+    `nprobe_super` nearest supers, and argmax only over the probed supers'
+    member centroids. Super routing and membership are computed ONCE on
+    the driver over the bounded K-row centroid dim; per batch the kernel
+    does an N×branch probe matmul plus an N×K masked matmul — the same
+    candidate set, sims, and (sim desc, cid asc) tie-break as the
+    relational plan, so nprobe_super >= branch stays bit-equal to flat
+    (the pytest anchor)."""
+    import hashlib
+
+    import numpy as np
+
+    spark = side.sparkSession
+    # ONE bounded collect: centroid matrices, super seeding AND routing all
+    # derive from the same K rows. (An earlier draft re-collected the
+    # super dim through _seeded_centroids, which re-executed the centroid
+    # plan — for kmeans_refine's REFINED centroids that meant running the
+    # whole assignment + Lloyd chain twice per round.) The super sample is
+    # the SAME md5-ordered pseudo-random pick _seeded_centroids takes:
+    # hashlib.md5(str(id)) equals Spark md5(cast(id as string)) for the
+    # long/string ids this operator sees, and the (md5, id) sort is the
+    # identical total order.
+    rows = sorted(cents.collect(), key=lambda r: r["cid_seed"])
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", side.schema["id"].dataType),
+                    StructField("cluster", side.schema["id"].dataType),
+                ]
+            ),
+        )
+    cids = np.array([r["cid_seed"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cuvec"]) for r in rows], dtype=np.float64)
+    cn2 = np.array([r["cn2"] for r in rows], dtype=np.float64)
+    seed_order = sorted(
+        range(len(rows)),
+        key=lambda i: (
+            hashlib.md5(str(rows[i]["cid_seed"]).encode()).hexdigest(),
+            rows[i]["cid_seed"],
+        ),
+    )
+    # supers sorted by super_id ascending — the argmax/argsort tie-break
+    sup_idx = sorted(seed_order[: min(branch, len(rows))])
+    S, sn2 = C[sup_idx], cn2[sup_idx]
+    sup_ids = cids[sup_idx]
+    # centroid -> super routing: top-1 by (ssim desc, super_id asc); S is
+    # sorted by super_id so argmax's first-max IS the tie-break
+    route = np.argmax(_sims_f64(C @ S.T, cn2, sn2), axis=1)
+    b = spark.sparkContext.broadcast((cids, C, cn2, S, sn2, route))
+    id_type = side.schema["id"].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster", id_type)]
+    )
+    p = min(nprobe_super, len(sup_ids))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids, C, cn2, S, sn2, route = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.array(list(pdf["uvec"]), dtype=np.float64)
+            n2 = pdf["n2"].to_numpy(np.float64)
+            ssims = _sims_f64(U @ S.T, n2, sn2)
+            # top-p supers by (ssim desc, super_id asc): stable sort keeps
+            # index order (= super_id asc, S sorted) on ties
+            probed = np.argsort(-ssims, axis=1, kind="stable")[:, :p]
+            cand = (route[None, None, :] == probed[:, :, None]).any(axis=1)
+            sims = _sims_f64(U @ C.T, n2, cn2)
+            sims[~cand] = -np.inf
+            j = np.argmax(sims, axis=1)
+            ok = cand.any(axis=1)  # defensive: relational inner join drops
+            yield pd.DataFrame(
+                {"id": pdf["id"][ok], "cluster": cids[j[ok]]}
+            )
+
+    return side.select("id", "uvec", "n2").mapInPandas(assign, schema)
+
+
+def _np_cluster_dedup(withvec: DataFrame, threshold: float) -> DataFrame:
+    """(id, cluster, kept) from per-cluster near-duplicate matrices: one
+    Arrow pass per cluster group (applyInPandas) computing the member×
+    member exact-integer Gram matrix blockwise (float64 BLAS carrier) and flagging every id with a
+    smaller-id mate at/above `threshold` — the same pairs, sims (identical
+    IEEE sequence) and min-id survivor rule as the self-join + distinct
+    formulation, with ONE shuffle of N compact rows instead of a shuffled
+    ~sum(|cluster|²)/2 pair stream. Row blocks of 1024 bound the per-group
+    working set to |cluster|×1024 doubles; |cluster| itself is bounded by
+    the SemDeDup dial (k_clusters ~ N / target size, module docstring)."""
+    id_type = withvec.schema["id"].dataType
+    cl_type = withvec.schema["cluster"].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("cluster", cl_type),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def dedup(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id", kind="mergesort")
+        m = len(pdf)
+        U = np.array(list(pdf["uvec"]), dtype=np.float64)
+        rn2 = pdf["n2"].to_numpy(np.float64)
+        dropped = np.zeros(m, dtype=bool)
+        cols = np.arange(m)
+        for i0 in range(0, m, 1024):
+            blk = U[i0 : i0 + 1024]
+            sims = (blk @ U.T) / np.sqrt(
+                rn2[i0 : i0 + 1024, None] * rn2[None, :]
+            )
+            ge = sims >= threshold
+            rows = np.arange(i0, i0 + len(blk))[:, None]
+            dropped |= (ge & (rows < cols[None, :])).any(axis=0)
+        return pd.DataFrame(
+            {"id": pdf["id"], "cluster": pdf["cluster"], "kept": ~dropped}
+        )
+
+    return (
+        withvec.select("id", "cluster", "uvec", "n2")
+        .groupBy("cluster")
+        .applyInPandas(lambda _, pdf: dedup(pdf), schema)
+    )
+
+
+def _np_refined_centroids(uv: DataFrame, asg: DataFrame) -> DataFrame:
+    """One Lloyd update (the `_refined_centroids` semantics) as a
+    per-cluster Arrow pass: exact int64 column sums, truncated-toward-zero
+    mean (sign·(|s| div n) — `div` semantics on negative sums too), exact
+    cn2, empty/zero-mean clusters emit no row. Replaces the N×dim
+    posexplode + groupBy(cluster, pos) + collect_list re-assembly with one
+    shuffle of N compact rows."""
+    schema = StructType(
+        [
+            StructField("cid_seed", asg.schema["cluster"].dataType),
+            StructField("cuvec", ArrayType(LongType())),
+            StructField("cn2", LongType()),
+        ]
+    )
+
+    def upd(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        U = np.array(list(pdf["uvec"]), dtype=np.int64)
+        s = U.sum(axis=0)
+        n = len(pdf)
+        cc = np.sign(s) * (np.abs(s) // n)
+        cn2 = int((cc * cc).sum())
+        if cn2 <= 0:
+            return pd.DataFrame({"cid_seed": [], "cuvec": [], "cn2": []})
+        return pd.DataFrame(
+            {"cid_seed": [key[0]], "cuvec": [cc.tolist()], "cn2": [cn2]}
+        )
+
+    members = asg.join(uv, "id").select("cluster", "uvec")
+    return F.broadcast(members.groupBy("cluster").applyInPandas(upd, schema))
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -301,34 +671,33 @@ def ivf_topk(
     # the oracle seeds from DISTINCT comp ids, and uv's filter is the
     # explode-free equivalent.
     cents = _seeded_centroids(uv, k_clusters)
-    sims_to_centroids = lambda side: _centroid_sims(side, cents)  # noqa: E731
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    asg = (
-        sims_to_centroids(uv.repartition(n_part, F.col("id")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("cid_seed").alias("cluster"))
-    )
+    # assignment + probes: geometry dispatch (_NP_KERNEL_MIN_K) between
+    # the relational NLJ+window plan and the NumPy kernels — bit-identical
+    # sims/tie-breaks either way
+    use_np = k_clusters >= _NP_KERNEL_MIN_K
+    asg = _np_top1_assign(uv, cents) if use_np else _flat_top1_relational(uv, cents)
 
     qids = df.filter(query_pred).select(F.col(id_col).alias("qid"))
     qv = uv.join(qids, uv["id"] == qids["qid"]).select("id", "uvec", "n2")
-    probes = (
-        sims_to_centroids(qv)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
-            ),
+    if use_np:
+        probes = _np_topn_rows(qv, cents, nprobe).select(
+            F.col("id").alias("qid"), "cluster"
         )
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("id").alias("qid"), F.col("cid_seed").alias("cluster"))
-    )
+    else:
+        probes = (
+            _centroid_sims(qv, cents)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("id").orderBy(
+                        F.col("sim").desc(), F.col("cid_seed").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= nprobe)
+            .select(F.col("id").alias("qid"), F.col("cid_seed").alias("cluster"))
+        )
 
     # candidate pairs from probed clusters only (the IVF pruning), then attach
     # both vectors: candidate side by equi-join on id, query side broadcast.
@@ -456,89 +825,17 @@ def semantic_dedup(
         asg = hierarchical_assign(
             df, id_col, vec_col, k_clusters, nprobe_super=nprobe_super, uv=uv
         )
+    elif k_clusters >= _NP_KERNEL_MIN_K:
+        asg = _np_top1_assign(uv, _seeded_centroids(uv, k_clusters))
     else:
-        cents = _seeded_centroids(uv, k_clusters)
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        asg = (
-            _centroid_sims(uv.repartition(n_part, F.col("id")), cents)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid_seed").asc())
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("cid_seed").alias("cluster"))
-        )
+        asg = _flat_top1_relational(uv, _seeded_centroids(uv, k_clusters))
+    # per-cluster pair pass: one Arrow group pass computing the member
+    # Gram matrix blockwise (see _np_cluster_dedup) — same pairs/sims/
+    # min-id survivor rule as the former per-cluster self-join + distinct
+    # + left-join assembly, with ONE member shuffle instead of a shuffled
+    # pair stream carrying both vectors per pair row.
     withvec = asg.join(uv, "id")
-    a = withvec.select(
-        "cluster", F.col("id").alias("id_a"),
-        F.col("uvec").alias("uv_a"), F.col("n2").alias("n2_a"),
-    )
-    b = withvec.select(
-        "cluster", F.col("id").alias("id_b"),
-        F.col("uvec").alias("uv_b"), F.col("n2").alias("n2_b"),
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim",
-            _dot("uv_a", "uv_b").cast("double")
-            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
-        )
-        .filter(F.col("sim") >= F.lit(threshold))
-        .select("id_b")
-        .distinct()
-    )
-    # NO broadcast hint on dropped: it holds one id per duplicate, which on
-    # a real dedup corpus is O(N) (SemDeDup drops 30-50%) — a forced
-    # broadcast would OOM at exactly the scale this operator targets. AQE
-    # broadcasts it at runtime when it IS small; otherwise the join
-    # shuffles on id like the other member joins.
-    return asg.join(
-        dropped, asg["id"] == dropped["id_b"], "left"
-    ).select(
-        "id", "cluster", F.col("id_b").isNull().alias("kept")
-    )
-
-
-def _refined_centroids(uv: DataFrame, asg: DataFrame) -> DataFrame:
-    """One Lloyd update in exact integer arithmetic: the new centroid of a
-    cluster is the element-wise TRUNCATED mean of its members' micro-unit
-    components (`div` — both engines truncate toward zero, so the
-    re-quantization is engine-identical). The mean lands back on the same
-    6dp micro-unit grid as the vectors themselves (|mean| <= max |comp|),
-    so the follow-up assignment reuses _centroid_sims with the same
-    overflow bounds as the seeded pass — the whole iteration stays a
-    closed-form relational plan with an exact SQL twin. Clusters that lose
-    all members (or whose mean truncates to the zero vector) simply emit
-    no centroid row, mirrored by the oracle's HAVING guard."""
-    members = asg.join(uv, "id").select(
-        "cluster", "id", F.posexplode("uvec").alias("pos", "comp")
-    )
-    sums = members.groupBy("cluster", "pos").agg(
-        F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    per_pos = sums.select(
-        "cluster", "pos", F.expr("CAST(s div n AS BIGINT)").alias("ccomp")
-    )
-    cents = (
-        per_pos.groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ccomp"))),
-                lambda x: x["ccomp"],
-            ).alias("cuvec")
-        )
-        .withColumn(
-            "cn2",
-            F.aggregate("cuvec", F.lit(0).cast("long"), lambda a, x: a + x * x),
-        )
-        .filter(F.col("cn2") > 0)
-        .select(F.col("cluster").alias("cid_seed"), "cuvec", "cn2")
-    )
-    return F.broadcast(cents)
+    return _np_cluster_dedup(withvec, threshold)
 
 
 def kmeans_refine_assign(
@@ -584,33 +881,35 @@ def kmeans_refine_assign(
     nprobe_super trades the usual IVF recall for speed.
     """
     uv = _uvectors(df, id_col, vec_col).cache()
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     br = branch or max(1, int(k_clusters ** 0.5 + 0.999999))
+    use_np = hierarchical or k_clusters >= _NP_KERNEL_MIN_K
 
     def top1(side: DataFrame, cents: DataFrame) -> DataFrame:
         if hierarchical:
-            return _two_level_top1(side, cents, nprobe_super, br)
-        return (
-            _centroid_sims(side, cents)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("id").orderBy(
-                        F.col("sim").desc(), F.col("cid_seed").asc()
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("cid_seed").alias("cluster"))
-        )
+            return _np_two_level_assign(side, cents, nprobe_super, br)
+        if use_np:
+            return _np_top1_assign(side, cents)
+        return _flat_top1_relational(side, cents)
 
-    base = uv.repartition(n_part, F.col("id"))
-    asg0 = top1(base, _seeded_centroids(uv, k_clusters))
+    asg0 = top1(uv, _seeded_centroids(uv, k_clusters))
+    if use_np and iters > 0:
+        # the kernel arm re-reads asg0 through a driver collect each round
+        # (the Lloyd centroids pass through the driver) AND in the final
+        # join — persist the tiny (id, cluster) relation so it computes once
+        asg0 = asg0.persist()
     asg = asg0
     for _ in range(iters):
-        # localCheckpoint cuts the growing lineage (same pattern as the
-        # connected-components rounds in operators/graph_cc.py)
-        asg = top1(base, _refined_centroids(uv, asg)).localCheckpoint(eager=False)
+        if use_np:
+            # no lineage cut needed: each round's centroids pass through
+            # the driver (bounded K-row collect in the kernel), so the next
+            # assignment's plan is always a flat one-pass over cached uv
+            asg = top1(uv, _np_refined_centroids(uv, asg))
+        else:
+            # relational arm: centroids stay a broadcast PLAN (no driver
+            # action at all); localCheckpoint cuts the growing lineage
+            asg = top1(uv, _refined_centroids(uv, asg)).localCheckpoint(
+                eager=False
+            )
     return (
         asg.join(asg0.withColumnRenamed("cluster", "cluster0"), "id")
         .select("id", "cluster", "cluster0")
@@ -695,86 +994,4 @@ def hierarchical_assign(
         uv = _uvectors(df, id_col, vec_col).cache()
     cents = _seeded_centroids(uv, k_clusters)
     branch = branch or max(1, int(k_clusters ** 0.5 + 0.999999))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return _two_level_top1(
-        uv.repartition(n_part, F.col("id")), cents, nprobe_super, branch
-    )
-
-
-def _two_level_top1(
-    side: DataFrame,
-    cents: DataFrame,
-    nprobe_super: int,
-    branch: int,
-) -> DataFrame:
-    """Two-level probe core, shared by hierarchical_assign (seeded
-    centroids) and kmeans_refine_assign (refined centroids): assign each
-    `side` row (id, uvec, n2) to its max-cosine centroid among `cents`
-    (cid_seed, cuvec, cn2), probing only the nprobe_super nearest of
-    `branch` super-centroids md5-seeded FROM the centroid set itself.
-    With nprobe_super >= branch every centroid is a candidate (each
-    appears exactly once, under its unique top-1 super) and the same
-    (sim desc, cid_seed asc) tie-break applies, so the result is
-    bit-equal to the flat argmax — the pytest anchor."""
-    # the centroid relation feeds FOUR plan branches (super seeding, the
-    # centroid->super routing probe, the cent_map join, and through it the
-    # candidate join); without materialization each branch recomputes it —
-    # for kmeans_refine_assign's REFINED centroids that is the full
-    # N x dim explode + agg, measured 4x the whole pass cost at k=320.
-    # localCheckpoint collapses them to one computation; K rows is tiny.
-    cents = F.broadcast(cents.localCheckpoint(eager=False))
-    # super-centroids: md5-seeded sample OF THE CENTROIDS, reusing the
-    # same machinery by presenting centroids as a (id, uvec, n2) relation
-    cent_rel = cents.select(
-        F.col("cid_seed").alias("id"), F.col("cuvec").alias("uvec"),
-        F.col("cn2").alias("n2"),
-    )
-    supers = _seeded_centroids(cent_rel, branch).select(
-        F.col("cid_seed").alias("super_id"), F.col("cuvec").alias("suvec"),
-        F.col("cn2").alias("sn2"),
-    )
-
-    def top_supers(s: DataFrame, n_keep: int) -> DataFrame:
-        sims = s.join(F.broadcast(supers)).withColumn(
-            "ssim",
-            _dot("uvec", "suvec").cast("double")
-            / F.sqrt(F.col("n2").cast("double") * F.col("sn2").cast("double")),
-        )
-        return (
-            sims.withColumn(
-                "srn",
-                F.row_number().over(
-                    W.partitionBy("id").orderBy(
-                        F.col("ssim").desc(), F.col("super_id").asc()
-                    )
-                ),
-            )
-            .filter(F.col("srn") <= n_keep)
-            .select("id", "super_id")
-        )
-
-    cent_map = F.broadcast(
-        top_supers(cent_rel, 1).select(
-            F.col("id").alias("cid_seed"), "super_id"
-        ).join(cents, "cid_seed")
-    )
-
-    probed = top_supers(side, nprobe_super)
-    cand = probed.join(cent_map, "super_id")
-    scored = cand.join(side, "id").withColumn(
-        "sim",
-        _dot("uvec", "cuvec").cast("double")
-        / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
-    )
-    return (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id").orderBy(
-                    F.col("sim").desc(), F.col("cid_seed").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("cid_seed").alias("cluster"))
-    )
+    return _np_two_level_assign(uv, cents, nprobe_super, branch)
