@@ -186,8 +186,14 @@ def test_doctored_gate_jumps_the_driver_window(tmp_path, monkeypatch, upto):
     victim = ordered_before[-1]
     lg = history.get(victim)
 
+    # stamp the change AT the replayed round: stamps later than this_round
+    # are future edits from the replay's point of view and _ordered ignores
+    # them by design (the r11 cap — an edit today must not retroactively
+    # reshuffle a pinned historical window)
     monkeypatch.setattr(
-        fingerprints, "change_rounds", lambda path=fingerprints.STORE_PATH: {victim: 99}
+        fingerprints,
+        "change_rounds",
+        lambda path=fingerprints.STORE_PATH: {victim: this_round},
     )
     ordered_after = registry._ordered(root=root)
     # moved up, and ahead of every unchanged same-round peer
@@ -199,7 +205,7 @@ def test_doctored_gate_jumps_the_driver_window(tmp_path, monkeypatch, upto):
     # round applied) sorts ahead; the victim's lg-0.75 key is fractional
     # and unique here (no other gate is change-stamped), so no ties
     eff = lambda n: registry.effective_staleness(  # noqa: E731
-        n, history, {victim: 99}, this_round
+        n, history, {victim: this_round}, this_round
     )
     staler = [n for n in ordered_after if n != victim and eff(n) < eff(victim)]
     assert ordered_after.index(victim) == len(staler)
