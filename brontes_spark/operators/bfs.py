@@ -54,6 +54,15 @@ def bfs_nearest_seed(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    # persist the edge relation ONCE: the per-round lineage cuts split the
+    # run into separate RDD DAGs, so an un-persisted `edges` re-runs its
+    # full build (scan + join + distinct for the trade-graph gates) in
+    # EVERY round's fragment — ReuseExchange cannot fire across checkpoint
+    # boundaries (round-11 measure pass: g12 solo 4.65 s -> 3.6 s at the
+    # 3-round sf0.1 geometry). persist, not localCheckpoint: the cache
+    # keeps partitioning/statistics where an RDD cut erases both
+    # (hits.py round-11 note).
+    edges = edges.persist()
     settled = (
         seeds.select("node")
         .distinct()
@@ -105,6 +114,11 @@ def sssp_bellman_ford(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    # NO persist here (tried in the round-11 measure pass: 3.6 s -> 4.9 s
+    # at the g13 geometry): the uncut rounds form ONE plan, so runtime
+    # exchange reuse already shares the POST-shuffle edge relation across
+    # rounds; a cache would serve pre-shuffle bytes and re-pay the
+    # exchange every round
     dist = (
         seeds.select("node")
         .distinct()

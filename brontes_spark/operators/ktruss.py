@@ -49,6 +49,11 @@ def k_truss(
         .distinct()
         .localCheckpoint()
     )
+    # carry the surviving-edge count across rounds: round t's |kept| IS
+    # round t+1's |e|, so the fixpoint test needs ONE count job per round,
+    # not two (round-11 measure pass — each extra job on the checkpointed
+    # RDD is pure scheduling at the gate geometry)
+    n_e = e.count()
     for _ in range(rounds):
         und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -67,7 +72,8 @@ def k_truss(
             .select("u", "v")
             .localCheckpoint()
         )
-        if kept.count() == e.count():
+        n_kept = kept.count()
+        if n_kept == n_e:
             return kept
-        e = kept
+        e, n_e = kept, n_kept
     return e

@@ -600,27 +600,69 @@ def _np_cluster_dedup(withvec: DataFrame, threshold: float) -> DataFrame:
 
 
 def _np_refined_centroids(uv: DataFrame, asg: DataFrame) -> DataFrame:
-    """One Lloyd update (the `_refined_centroids` semantics) as a
-    per-cluster Arrow pass: exact int64 column sums, truncated-toward-zero
-    mean (sign·(|s| div n) — `div` semantics on negative sums too), exact
-    cn2, empty/zero-mean clusters emit no row. Replaces the N×dim
-    posexplode + groupBy(cluster, pos) + collect_list re-assembly with one
-    shuffle of N compact rows."""
+    """One Lloyd update (the `_refined_centroids` semantics) in TWO Arrow
+    stages: a map-side partial-sum kernel over the (broadcast-joined)
+    membership, then a per-cluster reduce over the bounded partials.
+
+    Round-11 reshape (guide §2.3 / §5): the previous per-cluster
+    `groupBy(cluster).applyInPandas` shuffled every member's uvec payload
+    to its cluster's task and materialized the WHOLE cluster as one pandas
+    frame — unbounded task memory when a cluster owns a corpus-sized
+    member set. Now each input partition folds its members into exact
+    int64 partial sums per cluster (integer addition is order-free, so
+    partials recompose exactly), and the only shuffle carries
+    <= |partitions| x K compact (cluster, psum, n) rows; the reduce group
+    is bounded by the partition count, never by membership. Same outputs
+    bit-for-bit: truncated-toward-zero mean sign·(|s| div n) over the
+    TOTAL sums, exact cn2, empty/zero-mean clusters emit no row."""
+    cl_type = asg.schema["cluster"].dataType
+    pschema = StructType(
+        [
+            StructField("cluster", cl_type),
+            StructField("psum", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
     schema = StructType(
         [
-            StructField("cid_seed", asg.schema["cluster"].dataType),
+            StructField("cid_seed", cl_type),
             StructField("cuvec", ArrayType(LongType())),
             StructField("cn2", LongType()),
         ]
     )
 
-    def upd(key, pdf):
+    def partial(batches):
         import numpy as np
         import pandas as pd
 
-        U = np.array(list(pdf["uvec"]), dtype=np.int64)
-        s = U.sum(axis=0)
-        n = len(pdf)
+        sums: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.array(list(pdf["uvec"]), dtype=np.int64)
+            cl = pdf["cluster"].to_numpy()
+            for c in pd.unique(cl):
+                s = U[cl == c].sum(axis=0)
+                if c in sums:
+                    sums[c][0] += s
+                    sums[c][1] += int((cl == c).sum())
+                else:
+                    sums[c] = [s, int((cl == c).sum())]
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "cluster": list(sums),
+                    "psum": [v[0].tolist() for v in sums.values()],
+                    "n": [v[1] for v in sums.values()],
+                }
+            )
+
+    def reduce_(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        s = np.array(list(pdf["psum"]), dtype=np.int64).sum(axis=0)
+        n = int(pdf["n"].sum())
         cc = np.sign(s) * (np.abs(s) // n)
         cn2 = int((cc * cc).sum())
         if cn2 <= 0:
@@ -629,8 +671,16 @@ def _np_refined_centroids(uv: DataFrame, asg: DataFrame) -> DataFrame:
             {"cid_seed": [key[0]], "cuvec": [cc.tolist()], "cn2": [cn2]}
         )
 
-    members = asg.join(uv, "id").select("cluster", "uvec")
-    return F.broadcast(members.groupBy("cluster").applyInPandas(upd, schema))
+    # NO broadcast hint on asg: it is one row per VECTOR (corpus-sized at
+    # scale) — the planner broadcasts it at gate geometry on its own, and
+    # at scale both sides hash-partition on id (uv's cache layout), so the
+    # uvec payload crosses the network at most once, here, and never again
+    # (the cluster-keyed shuffle below carries only partials)
+    members = uv.join(asg.select("id", "cluster"), "id").select(
+        "cluster", "uvec"
+    )
+    partials = members.mapInPandas(partial, pschema)
+    return F.broadcast(partials.groupBy("cluster").applyInPandas(reduce_, schema))
 
 
 def ivf_topk(
