@@ -54,15 +54,18 @@ def bfs_nearest_seed(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    # persist the edge relation ONCE: the per-round lineage cuts split the
-    # run into separate RDD DAGs, so an un-persisted `edges` re-runs its
-    # full build (scan + join + distinct for the trade-graph gates) in
-    # EVERY round's fragment — ReuseExchange cannot fire across checkpoint
-    # boundaries (round-11 measure pass: g12 solo 4.65 s -> 3.6 s at the
-    # 3-round sf0.1 geometry). persist, not localCheckpoint: the cache
-    # keeps partitioning/statistics where an RDD cut erases both
-    # (hits.py round-11 note).
-    edges = edges.persist()
+    # materialize the edge relation ONCE: the per-round lineage cuts split
+    # the run into separate RDD DAGs, so an uncut `edges` re-runs its full
+    # build (scan + join + distinct for the trade-graph gates) in EVERY
+    # round's fragment — ReuseExchange cannot fire across checkpoint
+    # boundaries (round-11 measure pass: g12 solo 4.65 s -> 3.6 s with
+    # `edges.persist()`). A LAZY localCheckpoint beats the persist
+    # (interleaved A/B, same session: persist min 7.24/5.37 s vs cut
+    # 5.55/4.66 s across two pairs): the RDD cut stores raw rows where the
+    # CacheManager's InMemoryRelation pays columnar (de)serialization on
+    # every round's read, and the downstream joins re-exchange after either
+    # form, so the cache's preserved partitioning buys nothing here.
+    edges = edges.localCheckpoint(eager=False)
     settled = (
         seeds.select("node")
         .distinct()
@@ -114,11 +117,18 @@ def sssp_bellman_ford(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    # NO persist here (tried in the round-11 measure pass: 3.6 s -> 4.9 s
-    # at the g13 geometry): the uncut rounds form ONE plan, so runtime
-    # exchange reuse already shares the POST-shuffle edge relation across
-    # rounds; a cache would serve pre-shuffle bytes and re-pay the
-    # exchange every round
+    # LAZY lineage cut on the edge relation (round-11, second pass): the
+    # uncut recurrence duplicates the edge BUILD (scan + join + agg +
+    # union) ~2^rounds times in the static plan — runtime ReuseExchange
+    # dedups the exchanges, but Catalyst still analyzes/optimizes every
+    # copy, and that planning cost is real at the gate geometry
+    # (interleaved A/B, same session: base min 4.16/4.22 s vs cut
+    # 3.49/3.32 s across two pairs). localCheckpoint, NOT persist —
+    # `edges.persist()` measured WORSE than base (3.6 s -> 4.9 s, r11
+    # first pass): the InMemoryRelation pays columnar (de)serialization
+    # per read where the RDD cut serves raw rows, and neither form avoids
+    # the per-round exchange, so serialization cost is the whole diff.
+    edges = edges.localCheckpoint(eager=False)
     dist = (
         seeds.select("node")
         .distinct()

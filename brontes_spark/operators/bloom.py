@@ -179,6 +179,14 @@ def decontaminate_bloom(
     ev = _doc_shingles(eval_docs, id_col, text_col, n).select(
         "shingle_h", F.col("id").alias("eval_id")
     )
+    # the eval shingle relation feeds TWO actions — the bitmap build's
+    # collect (below, eager at construction time) and the verify join —
+    # and without a cut the second pass re-tokenizes and re-hashes the
+    # eval docs. A lazy lineage cut computes it once; the relation is
+    # eval-set-sized, never corpus-sized (r11 interleaved A/B at sf0.1:
+    # base 1.97 s, cut 1.81 s, persist 1.92 s — the RDD cut wins over the
+    # columnar cache, the bfs.py finding).
+    ev = ev.localCheckpoint(eager=False)
     words = bloom_words(bloom_build(ev, "shingle_h", m_bits, n_hashes), m_bits)
     cand = (
         with_bloom_member(cs, "shingle_h", words, n_hashes)
