@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 
 def bfs_nearest_seed(
-    edges: DataFrame, seeds: DataFrame, rounds: int
+    edges: DataFrame, seeds: DataFrame, rounds: int,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """(node, dist, root) for every node within `rounds` hops of a seed.
 
@@ -51,9 +52,30 @@ def bfs_nearest_seed(
     undirected semantics. ``seeds``: one column ``node``; each seed is
     its own root at dist 0. Ties (same-round multi-reach, and duplicate
     seed rows) resolve to the smallest root.
+
+    Frontier-adaptive join strategy (round-12, guide §3.1): each round
+    counts its frontier (the count doubles as the empty-frontier early
+    exit — the production stop rule this module's header documents, so
+    it is a bounded scalar action, not a data collect). When the
+    frontier is below ``broadcast_rows`` (default 2e6 rows ~ tens of MB;
+    env ``SPARK_GRAFT_BFS_BROADCAST_ROWS``) the round joins
+    edges ⋈ broadcast(frontier) — the corpus-sized edge relation is
+    STREAMED, never exchanged — and the settled set is likewise
+    broadcast into the anti-join while it fits. Saturated frontiers keep
+    the shuffled hash join: broadcasting a corpus-sized frontier would
+    OOM every executor, exactly the guide §3.1 caveat. BFS frontiers
+    shrink as the ball saturates, so at 100 TB late (small-frontier)
+    rounds drop their edge exchange; the threshold is row-count-based
+    and scale-independent.
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if broadcast_rows is None:
+        import os
+
+        broadcast_rows = int(
+            os.environ.get("SPARK_GRAFT_BFS_BROADCAST_ROWS", "2000000")
+        )
     # materialize the edge relation ONCE: the per-round lineage cuts split
     # the run into separate RDD DAGs, so an uncut `edges` re-runs its full
     # build (scan + join + distinct for the trade-graph gates) in EVERY
@@ -73,14 +95,27 @@ def bfs_nearest_seed(
         .localCheckpoint(eager=False)
     )
     frontier = settled
+    n_settled = 0
     for r in range(1, rounds + 1):
+        # materializes the lazy checkpoint the next join reads anyway;
+        # the scalar is the stop rule AND the join-strategy dispatch
+        n_front = frontier.count()
+        if n_front == 0:
+            break  # saturated: further rounds are provably empty
+        n_settled += n_front
+        f = frontier.select(F.col("node").alias("s"), "root")
+        if n_front <= broadcast_rows:
+            f = F.broadcast(f)
         cand = (
-            edges.join(frontier.select(F.col("node").alias("s"), "root"), "s")
+            edges.join(f, "s")
             .groupBy(F.col("t").alias("node"))
             .agg(F.min("root").alias("root"))
         )
+        seen = settled.select("node")
+        if n_settled <= broadcast_rows:
+            seen = F.broadcast(seen)
         new = (
-            cand.join(settled.select("node"), "node", "left_anti")
+            cand.join(seen, "node", "left_anti")
             .select("node", F.lit(r).alias("dist"), "root")
             .localCheckpoint(eager=False)
         )
@@ -90,7 +125,8 @@ def bfs_nearest_seed(
 
 
 def sssp_bellman_ford(
-    edges: DataFrame, seeds: DataFrame, rounds: int, checkpoint_every: int = 4
+    edges: DataFrame, seeds: DataFrame, rounds: int, checkpoint_every: int = 4,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Weighted multi-source shortest paths, fixed-round Bellman-Ford:
     (node, dist, root) for every node reachable within `rounds` hops.
@@ -114,9 +150,28 @@ def sssp_bellman_ford(
     <= `rounds` edges — the production stop rule is "no row improved this
     round" (compare counts of changed rows, one scalar action), and
     low-diameter graphs converge in a handful of rounds.
+
+    Size-adaptive join strategy (round-12, guide §3.1, same dispatch as
+    bfs_nearest_seed): while |dist| <= ``broadcast_rows`` (default 2e6,
+    env ``SPARK_GRAFT_SSSP_BROADCAST_ROWS``) each round counts the cut
+    dist relation (a scalar on already-materialized blocks) and joins
+    edges ⋈ broadcast(dist) — the corpus-sized edge relation is streamed,
+    never exchanged; only the min_by agg shuffles, and it shuffles
+    candidate rows, not edges. |dist| grows monotonically (rows are only
+    ever added), so once it exceeds the threshold the loop permanently
+    reverts to the r11 shuffled-join + cadence-cut form — broadcasting a
+    corpus-sized dist would OOM every executor (§3.1 caveat). Interleaved
+    same-session A/B at the g13 gate (scripts/ab_r12.py sssp): cadence
+    mins 4.32/4.11/4.14/4.46 s vs broadcast 3.18/3.21/3.17/3.40 s.
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if broadcast_rows is None:
+        import os
+
+        broadcast_rows = int(
+            os.environ.get("SPARK_GRAFT_SSSP_BROADCAST_ROWS", "2000000")
+        )
     # LAZY lineage cut on the edge relation (round-11, second pass): the
     # uncut recurrence duplicates the edge BUILD (scan + join + agg +
     # union) ~2^rounds times in the static plan — runtime ReuseExchange
@@ -133,6 +188,7 @@ def sssp_bellman_ford(
         seeds.select("node")
         .distinct()
         .select("node", F.lit(0).alias("dist"), F.col("node").alias("root"))
+        .localCheckpoint(eager=False)
     )
     # lineage cut on a CADENCE, not per round (hits.py round-11 note: the
     # per-round RDD cut erased the agg's hash partitioning and statistics,
@@ -141,10 +197,14 @@ def sssp_bellman_ford(
     # reads share the one agg exchange via ReuseExchange — so cuts are only
     # a plan-depth cap for long runs; measured 8.4 s -> 4.7 s at the
     # 3-round sf0.1 gate geometry)
+    small = True
     for t in range(1, rounds + 1):
-        cand = edges.join(
-            dist.select(F.col("node").alias("s"), "dist", "root"), "s"
-        ).select(
+        if small and dist.count() > broadcast_rows:
+            small = False  # monotone: dist never shrinks, never re-check
+        d = dist.select(F.col("node").alias("s"), "dist", "root")
+        if small:
+            d = F.broadcast(d)
+        cand = edges.join(d, "s").select(
             F.col("t").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
             "root",
@@ -158,6 +218,10 @@ def sssp_bellman_ford(
             .select("node", F.col("_m.dist").alias("dist"),
                     F.col("_m.root").alias("root"))
         )
-        if t % checkpoint_every == 0 and t < rounds:
+        if t < rounds and (small or t % checkpoint_every == 0):
+            # broadcast arm: per-round cut so next round's dispatch count
+            # reads materialized blocks instead of re-running the
+            # recurrence; shuffled arm: r11 cadence (per-round cuts erase
+            # the agg partitioning — see the cadence note above)
             dist = dist.localCheckpoint(eager=False)
     return dist
