@@ -52,9 +52,9 @@ def hits_integer(
     only a plan-depth cap for long runs, never a recompute guard)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    from .pagerank import _named
+
+    e = edges.select(_named(src_col, "src"), _named(dst_col, "dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

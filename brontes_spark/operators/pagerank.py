@@ -32,6 +32,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _named(col_name: str, as_name: str):
+    """col(...) with .alias(...) only when the name actually changes: a
+    self-alias (col("src").alias("src")) inserts an Alias node that blocks
+    Catalyst's redundant-distinct collapse on the nodes relation — the
+    union's inner distinct-Exchanges survive and the edge subtree is
+    planned (and executed) twice per consumer. Measured round-12: 3
+    Exchanges / 41 ops vs 1 Exchange / 19 ops for the identical relation,
+    and the live-vs-frozen ppr A/B gap (3.9 s vs 1.4 s) was entirely this."""
+    c = F.col(col_name)
+    return c if col_name == as_name else c.alias(as_name)
+
+
 def pagerank_integer(
     edges: DataFrame,
     src_col: str = "src",
@@ -56,9 +68,7 @@ def pagerank_integer(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0 < d_num <= d_den:
         raise ValueError(f"damping must be in (0, 1], got {d_num}/{d_den}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    e = edges.select(_named(src_col, "src"), _named(dst_col, "dst")).distinct()
     # bounded relations reused every iteration: NO eager materialization —
     # round-11 measurement (hits.py note): localCheckpoint turns each into
     # an UnknownPartitioning RDD scan, forcing every consumer join back
@@ -161,18 +171,20 @@ def ppr_integer(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0 < d_num <= d_den:
         raise ValueError(f"damping must be in (0, 1], got {d_num}/{d_den}")
-    # persist (not localCheckpoint) the relations the |N|/|S| scalar
-    # actions materialize anyway: the cache preserves partitioning and
-    # statistics for the per-round joins (an RDD checkpoint erases both —
-    # hits.py round-11 note) and the final action reuses the same bytes
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().persist()
+    # NO persist on the static relations (round-12 re-adjudication): the
+    # r11 persist()-both choice was the round's one driver-measured
+    # regression (0.85x) and the interleaved same-session A/B is decisive
+    # — persist mins 2.82/2.44/2.14/2.40 s vs plain 1.78/1.49/1.39/1.46 s
+    # (scripts/ab_r12.py ppr). At the 3-round gate geometry ReuseExchange
+    # dedups the recurrence's repeated subtrees at runtime, so the
+    # InMemoryRelation's columnar (de)serialization per read is pure
+    # overhead — the same mechanism that made edges.persist() lose in
+    # bfs.py/hits.py. This is g7 pagerank_integer's formulation.
+    e = edges.select(_named(src_col, "src"), _named(dst_col, "dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(outdeg, "src")

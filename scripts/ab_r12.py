@@ -223,6 +223,19 @@ def _case_ppr_live(spark):
     }
 
 
+def _case_ppr3(spark):
+    """Three arms in one session: live (ported no-persist), frozen
+    persist, frozen no-persist — separates code diff from arm order."""
+    from brontes_spark.operators.pagerank import ppr_integer
+
+    edges, seeds = _trade_graph(spark)
+    return {
+        "persist(r11)": lambda: _ppr_r11(edges, seeds, persist_static=True),
+        "live": lambda: ppr_integer(edges, seeds, iters=3),
+        "nopersist(frozen)": lambda: _ppr_r11(edges, seeds, persist_static=False),
+    }
+
+
 def _case_bfs(spark):
     from brontes_spark.operators.bfs import bfs_nearest_seed
 
@@ -325,9 +338,117 @@ def _case_sssp(spark):
     return {"cadence(r11)": _patched(_sssp_cadence_r11), "live-adaptive": live}
 
 
+def _hits_r11(edges, src_col="src", dst_col="dst", rounds=3, checkpoint_every=4):
+    """hits_integer as of r11: self-aliasing edge select."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for t in range(1, rounds + 1):
+        auth = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+        )
+        hub = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+        )
+        if t % checkpoint_every == 0 and t < rounds:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("auth"), F.lit(0)).alias("auth"),
+            F.coalesce(F.col("hub"), F.lit(0)).alias("hub"),
+        )
+    )
+
+
+def _pagerank_r11(edges, src_col="src", dst_col="dst", iters=3, scale=10**9,
+                  d_num=85, d_den=100, checkpoint_every=4):
+    """pagerank_integer as of r11: self-aliasing edge select."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "src")
+    teleport = (scale * (d_den - d_num)) // d_den
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for t in range(1, iters + 1):
+        contrib = (
+            ranks.join(e_deg, ranks["node"] == e_deg["src"], "inner")
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(teleport) + F.expr(f"({d_num} * coalesce(s, 0)) div {d_den}"))
+            .cast("long").alias("rank"),
+        )
+        if t % checkpoint_every == 0 and t < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _gate_patch_case(spark, gate, module_path, attr, frozen):
+    """base = gate with `attr` monkeypatched to the frozen r11 copy;
+    live = gate as-is."""
+    import importlib
+
+    from brontes_spark.plans import queries
+
+    q = queries()
+    mod = importlib.import_module(module_path)
+
+    def patched():
+        orig = getattr(mod, attr)
+        setattr(mod, attr, frozen)
+        try:
+            return q[gate](spark, SF)
+        finally:
+            setattr(mod, attr, orig)
+
+    return {f"r11({attr})": patched, "live": lambda: q[gate](spark, SF)}
+
+
+def _case_hits(spark):
+    return _gate_patch_case(
+        spark, "g11_hits", "brontes_spark.operators.hits", "hits_integer", _hits_r11
+    )
+
+
+def _case_g7(spark):
+    return _gate_patch_case(
+        spark, "g7_pagerank", "brontes_spark.operators.pagerank",
+        "pagerank_integer", _pagerank_r11,
+    )
+
+
 CASES = {
     "ppr": _case_ppr,
     "ppr_live": _case_ppr_live,
+    "ppr3": _case_ppr3,
+    "hits": _case_hits,
+    "g7": _case_g7,
     "bfs": _case_bfs,
     "fuzzy": _case_fuzzy,
     "fuzzy3": _case_fuzzy3,
