@@ -520,12 +520,18 @@ def refresh(path: str = STORE_PATH, write: bool = True, migrate: bool = False) -
     out: dict[str, dict] = {}
     for name, fp in sorted(compute_all().items()):
         prev = stored.get(name)
+        prev_rounds = _stored_rounds(prev) if prev else []
         if prev and (migrate or prev.get("fp") == fp):
-            out[name] = {"fp": fp, "round": prev.get("round", -1)}
+            rounds = prev_rounds
         elif prev:
-            out[name] = {"fp": fp, "round": rnd}
+            rounds = prev_rounds + ([rnd] if rnd not in prev_rounds else [])
         else:
-            out[name] = {"fp": fp, "round": -1}
+            rounds = []
+        out[name] = {
+            "fp": fp,
+            "round": rounds[-1] if rounds else -1,
+            "rounds": rounds,
+        }
     if write:
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
@@ -533,13 +539,29 @@ def refresh(path: str = STORE_PATH, write: bool = True, migrate: bool = False) -
     return out
 
 
-def change_rounds(path: str = STORE_PATH) -> dict[str, int]:
-    """Gate -> round its implementation last changed, per the persisted
-    store reconciled against LIVE fingerprints: if the code changed and the
-    store was not refreshed, the gate is treated as changed in the current
-    round (risk-first) rather than riding a stale entry. Returns {} on any
-    computation failure so ordering degrades to history + FORCE_RECHECK
-    instead of crashing the driver entrypoint.
+def _stored_rounds(entry: dict) -> list[int]:
+    """Full change-round history of one store entry; legacy entries that
+    predate the history list degrade to their single last-change round."""
+    rounds = entry.get("rounds")
+    if rounds is None:
+        last = int(entry.get("round", -1))
+        rounds = [] if last == -1 else [last]
+    return [int(r) for r in rounds]
+
+
+def change_history(path: str = STORE_PATH) -> dict[str, list[int]]:
+    """Gate -> every round its implementation changed in (ascending), per
+    the persisted store reconciled against LIVE fingerprints: if the code
+    changed and the store was not refreshed, the current round is appended
+    (risk-first) rather than riding a stale entry. The HISTORY (round 12,
+    replacing the single last-change round) exists because frozen-history
+    window replays must see the change round a PAST driver saw: with only
+    the last stamp, re-editing a gate in round N+1 erased its round-M
+    stamp and silently re-ranked the replayed round-N window
+    (tests/test_plans.py::test_r11_window_seating caught exactly this when
+    dedup_minhash_lsh was re-edited in r12 over its r7 stamp). Returns {}
+    on any computation failure so ordering degrades to history +
+    FORCE_RECHECK instead of crashing the driver entrypoint.
     """
     try:
         stored = load_stored(path)
@@ -547,16 +569,39 @@ def change_rounds(path: str = STORE_PATH) -> dict[str, int]:
             return {}
         live = compute_all()
         rnd = current_round()
-        out: dict[str, int] = {}
+        out: dict[str, list[int]] = {}
         for name, fp in live.items():
             prev = stored.get(name)
-            if prev is None or prev.get("fp") != fp:
-                out[name] = rnd
+            if prev is None:
+                out[name] = [rnd]
             else:
-                out[name] = int(prev.get("round", -1))
+                rounds = _stored_rounds(prev)
+                if prev.get("fp") != fp and rnd not in rounds:
+                    rounds = rounds + [rnd]
+                out[name] = rounds
         return out
     except Exception:
         return {}
+
+
+def change_rounds(path: str = STORE_PATH) -> dict[str, int]:
+    """Gate -> round its implementation LAST changed (-1 = no known
+    change); see change_history for the reconciliation rules."""
+    return {n: (rs[-1] if rs else -1) for n, rs in change_history(path).items()}
+
+
+def change_rounds_asof(this_round: int, path: str = STORE_PATH) -> dict[str, int]:
+    """Gate -> newest change round <= ``this_round``; gates with no change
+    that early are ABSENT (treated as never-changed by the caller). This is
+    the replay-safe view: a stamp from a later round cannot retroactively
+    alter round N's window, and the round-M stamp it superseded still
+    counts."""
+    out: dict[str, int] = {}
+    for n, rs in change_history(path).items():
+        eligible = [r for r in rs if r <= this_round]
+        if eligible:
+            out[n] = eligible[-1]
+    return out
 
 
 if __name__ == "__main__":

@@ -442,16 +442,17 @@ def _ordered(root: str | None = None) -> list[str]:
     if not history:
         return names
     this_round = _this_round(history)
-    # change rounds are capped at the replayed round: a fingerprint stamped
-    # AFTER round N cannot retroactively alter round N's window (a frozen
-    # r01..r{N-1} replay must reproduce the window the round-N driver
-    # actually saw, not re-rank it with this round's edits — the round-11
-    # recurrence of the live-state-leak class: frozen history, live
-    # fingerprints). Live ordering is unaffected: every live change round
-    # is <= the live this_round by construction.
-    changed = {
-        n: r for n, r in fingerprints.change_rounds().items() if r <= this_round
-    }
+    # change rounds are taken AS-OF the replayed round: a fingerprint
+    # stamped AFTER round N cannot retroactively alter round N's window (a
+    # frozen r01..r{N-1} replay must reproduce the window the round-N
+    # driver actually saw, not re-rank it with this round's edits — the
+    # round-11 recurrence of the live-state-leak class: frozen history,
+    # live fingerprints), and the superseded earlier stamp still counts
+    # (round 12: re-editing a gate must not erase the stamp a past window
+    # was seated on — hence the change-round HISTORY in the store). Live
+    # ordering is unaffected: every live change round is <= the live
+    # this_round by construction.
+    changed = fingerprints.change_rounds_asof(this_round)
     return sorted(
         names,
         key=lambda n: (

@@ -69,7 +69,7 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    changed = fingerprints.change_rounds()
+    changed = fingerprints.change_rounds_asof(TARGET_ROUND)
 
     def staleness(n: str) -> float:
         # the registry's OWN policy function (VERDICT r10 directive 1:

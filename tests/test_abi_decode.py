@@ -8,6 +8,7 @@ from __future__ import annotations
 from decimal import Decimal
 
 from brontes_spark.sources.abi_decode import decode_calldata, decode_traces
+import pytest
 
 E18 = 10**18
 U2 = "0x" + "02" * 20
@@ -66,6 +67,7 @@ def test_decode_unknown_selector_and_garbage():
     assert decode_calldata("0xa9059cbb" + _w_addr(U2)) is None  # short
 
 
+@pytest.mark.slow
 def test_landing_pass_feeds_classify(spark):
     """Raw traces with hex calldata only → decode_traces → classify_traces
     produces a correctly scaled transfer action (C2 + C3 end-to-end)."""
@@ -155,6 +157,7 @@ def _trace(bn, tx, idx, to, calldata, logs=None, sender="0xu1"):
     )
 
 
+@pytest.mark.slow
 def test_wide_protocols_end_to_end(spark):
     """Curve exchange, Aave liquidation, MakerPSM sellGem, Balancer V1 swap:
     raw hex → decode_traces → classify_traces with the pool_coins dim."""
@@ -227,6 +230,7 @@ def test_wide_protocols_end_to_end(spark):
     assert bal["amount_in"] == Decimal(3) and bal["amount_out"] == Decimal(6000)
 
 
+@pytest.mark.slow
 def test_factory_discovery_from_raw_hex(spark):
     """C6 end-to-end from calldata: createPair on a dim-mapped factory +
     CREATE child trace → new_pool action with the factory's protocol."""
@@ -258,6 +262,7 @@ def test_factory_discovery_from_raw_hex(spark):
     assert np["mint_burn_collect"]["tokens"] == [T0, T1]
 
 
+@pytest.mark.slow
 def test_oneinch_aggregator_swap_from_logs(spark):
     """OneInchV5 router swap: nested executor calldata decodes to an empty
     param set; the normalized swap comes from the Swapped log."""
@@ -290,6 +295,7 @@ def test_oneinch_aggregator_swap_from_logs(spark):
     assert s["amount_out"] == Decimal(9)
 
 
+@pytest.mark.slow
 def test_new_protocol_families_end_to_end(spark):
     """BalancerV2 vault, Dodo sellBase, Cowswap settle, Clipper swap,
     ZeroX transformERC20, and a SushiSwapV2 alias: raw hex →
@@ -391,6 +397,7 @@ def test_new_protocol_families_end_to_end(spark):
     assert zx["amount_out"] == Decimal("0.003")  # log-realized
 
 
+@pytest.mark.slow
 def test_uniswapx_fill_end_to_end(spark):
     from brontes_spark.classify import classify_traces
     from brontes_spark.functions.keccak import selector
@@ -485,6 +492,7 @@ def test_flash_loan_end_to_end(spark):
     assert fm["pool"] == MKR
 
 
+@pytest.mark.slow
 def test_selfdestruct_pool_update_unclassified(spark):
     """Action-enum completeness: selfdestruct frames, pool re-init as
     pool_config_update, and opt-in unclassified passthrough."""
@@ -621,6 +629,7 @@ def test_balancer_crp_routes_via_v1_decoder(spark):
     assert crp["amount_in"] == Decimal(3) and crp["amount_out"] == Decimal(6000)
 
 
+@pytest.mark.slow
 def test_uniswap_family_raw_swaps_end_to_end(spark):
     """UniswapV2/V3 pool swaps + V3 mint from RAW calldata/logs: the pool
     calldata names no tokens (V2: amountOut pair; V3: zero_for_one/

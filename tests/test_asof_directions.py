@@ -31,6 +31,7 @@ def _run(spark, **kw):
     return {r.lid: (r.r_rt, r.r_price) for r in out.collect()}
 
 
+@pytest.mark.slow
 def test_backward_default_unchanged(spark):
     got = _run(spark)
     assert got == {1: (90, 9.0), 2: (200, 20.0), 3: (300, 30.0), 4: (330, 33.0)}

@@ -5,12 +5,14 @@ from __future__ import annotations
 
 from brontes_spark.operators.assoc import association_rules
 from brontes_spark.operators.pareto import pareto_cover
+import pytest
 
 
 def _baskets(spark, rows):
     return spark.createDataFrame(rows, "b long, item string")
 
 
+@pytest.mark.slow
 def test_assoc_hand_counts(spark):
     rows = [
         (1, "x"), (1, "y"),

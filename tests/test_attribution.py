@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from brontes_spark.operators.attribution import linear_attribution
+import pytest
 
 DDL = "event_id long, ts_ns long, user_id long, event_type string"
 H = 1000  # small integer horizon: the math is unit-agnostic
@@ -21,6 +22,7 @@ def _run(spark, rows, horizon=H):
     return linear_attribution(df, horizon_ns=horizon, **ARGS)
 
 
+@pytest.mark.slow
 def test_equal_split_and_flags(spark):
     rows = [
         (1, 100, 7, "view"),

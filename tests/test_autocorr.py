@@ -7,6 +7,7 @@ import math
 import random
 
 from brontes_spark.operators.ols import autocorr
+import pytest
 
 
 def _run(spark, series, lag=1):
@@ -31,6 +32,7 @@ def _ref(xs, lag):
     return math.floor(1e9 * (n * sxy - sx * sy) / math.sqrt(d1 * d2))
 
 
+@pytest.mark.slow
 def test_exact_endpoints(spark):
     got = _run(spark, {
         "up": [1, 2, 3, 4, 5, 6],        # shifted copy: corr == 1

@@ -5,6 +5,8 @@ random corpora; plus merge-semantics edge cases (overlap, anchoring)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 from collections import Counter
 
@@ -66,6 +68,7 @@ def _py_train(texts: list[str], n_merges: int):
 # ----------------------------------------------------------------- tests
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_reference_sennrich_toy(spark):
     texts = ["low low low low low lower lower newest newest",
              "newest newest newest newest widest widest widest"]

@@ -163,6 +163,7 @@ def test_revert_masking(classified):
     assert len(rev) == 1 and rev[0]["action_type"] == "revert"
 
 
+@pytest.mark.slow
 def test_traces_to_inspector_end_to_end(spark, classified):
     """The classified frame feeds the inspector stack directly: the arb tx
     nets +60 A ⇒ revenue $60, profit $59 at $1 gas."""

@@ -7,12 +7,14 @@ from __future__ import annotations
 import os
 
 from brontes_spark import cli
+import pytest
 
 
 def _run(argv):
     return cli.main(argv)
 
 
+@pytest.mark.slow
 def test_cli_init_run_query_export(spark, tmp_path):
     tables = str(tmp_path / "tables")
     out = str(tmp_path / "out")
@@ -61,6 +63,7 @@ def test_cli_init_run_query_export(spark, tmp_path):
     assert _run(["db", "clear", "--tables-dir", tables, "--table", "../escape"]) == 2
 
 
+@pytest.mark.slow
 def test_cli_run_matches_library(spark, tmp_path):
     """CLI `run` output == run_composer called directly (no CLI-only logic)."""
     from brontes_spark.inspectors.composer import run_composer

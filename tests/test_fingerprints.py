@@ -179,7 +179,9 @@ def test_doctored_gate_jumps_the_driver_window(tmp_path, monkeypatch, upto):
     assert (this_round >= registry.LOW_FREQ_START) == (upto >= 10)
 
     monkeypatch.setattr(
-        fingerprints, "change_rounds", lambda path=fingerprints.STORE_PATH: {}
+        fingerprints,
+        "change_rounds_asof",
+        lambda tr, path=fingerprints.STORE_PATH: {},
     )
     ordered_before = registry._ordered(root=root)
     # deepest green-history gate, unchanged under the doctored empty store
@@ -187,13 +189,15 @@ def test_doctored_gate_jumps_the_driver_window(tmp_path, monkeypatch, upto):
     lg = history.get(victim)
 
     # stamp the change AT the replayed round: stamps later than this_round
-    # are future edits from the replay's point of view and _ordered ignores
-    # them by design (the r11 cap — an edit today must not retroactively
-    # reshuffle a pinned historical window)
+    # are future edits from the replay's point of view and the as-of view
+    # excludes them by design (the r11 cap, now history-aware — an edit
+    # today must not retroactively reshuffle a pinned historical window)
     monkeypatch.setattr(
         fingerprints,
-        "change_rounds",
-        lambda path=fingerprints.STORE_PATH: {victim: this_round},
+        "change_rounds_asof",
+        lambda tr, path=fingerprints.STORE_PATH: (
+            {victim: this_round} if this_round <= tr else {}
+        ),
     )
     ordered_after = registry._ordered(root=root)
     # moved up, and ahead of every unchanged same-round peer

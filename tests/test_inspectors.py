@@ -64,6 +64,7 @@ def test_atomic_arb(tables):
     assert all(r["tx_hashes"] != ["0xlt"] for r in rows)
 
 
+@pytest.mark.slow
 def test_jit(tables):
     b = jit_bundles(
         tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
@@ -85,6 +86,7 @@ def test_liquidation(tables):
     assert row["profit_usd"] == Decimal("19")
 
 
+@pytest.mark.slow
 def test_cex_dex_markout(tables):
     b = cex_dex_bundles(
         tables["actions"], tables["tx_info"], tables["dex_prices"],
@@ -99,6 +101,7 @@ def test_cex_dex_markout(tables):
     assert row["profit_usd"] == Decimal("4")
 
 
+@pytest.mark.slow
 def test_sandwich_big_mac(tables):
     b = sandwich_bundles(
         tables["actions"], tables["tx_info"], tables["dex_prices"], tables["block_info"]
@@ -140,6 +143,7 @@ def test_cex_dex_quotes_variant(tables):
     assert row["profit_usd"] == Decimal("3")
 
 
+@pytest.mark.slow
 def test_composer_end_to_end(tables):
     out = run_composer(tables)
     bundles = [r.asDict() for r in out["bundles"].collect()]
@@ -236,6 +240,7 @@ def test_atomic_arb_history_heuristics(spark):
     assert rows["0xh4"]["mev_type"] == "atomic_arb:stablecoin"
 
 
+@pytest.mark.slow
 def test_block_analysis_wide(tables):
     """O5 wide rollup: per-family column blocks with planted golden cells
     (bundle table in plans/mev_fixture.py _bundle_values)."""
@@ -707,6 +712,7 @@ def test_sandwich_dual_scan_catches_eoa_front_contract_back(spark):
     assert rows[0]["profit_usd"] == Decimal("3")
 
 
+@pytest.mark.slow
 def test_sandwich_multi_eoa_contract_chain_not_fragmented(spark):
     """A contract-keyed chain whose front and back come from DIFFERENT EOAs
     is ONE chain (the old grouping by (actor, eoa) fragmented it below the

@@ -8,6 +8,7 @@ from __future__ import annotations
 import random
 
 from brontes_spark.operators.mst import minimum_spanning_forest
+import pytest
 
 DDL = "src long, dst long, weight long"
 
@@ -69,6 +70,7 @@ def test_parallel_edges_self_loops_disconnected(spark):
     assert len(got) == 4  # V=7 nodes, 3 components -> 4 forest edges
 
 
+@pytest.mark.slow
 def test_random_graphs_match_kruskal(spark):
     rng = random.Random(17)
     for trial in range(3):

@@ -64,6 +64,7 @@ def test_self_always_rank_one(spark, emb):
         assert (top.id, top.rnk, top.sim) == (qr.vec_id, 1, 1.0)
 
 
+@pytest.mark.slow
 def test_recall_at_5_with_rerank(spark, emb):
     """This corpus is near-isotropic (max pairwise cosine ~0.51, top-5
     margins ~0.07), the WORST case for a 32x-lossy code — the contract is

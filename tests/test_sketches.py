@@ -25,6 +25,7 @@ def _plain(df, num, den):
     }
 
 
+@pytest.mark.slow
 def test_frequent_items_equals_groupby_any_partitioning(spark):
     rng = random.Random(41)
     # zipf-ish: token i appears ~N/(i+1) times

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from brontes_spark.operators.asof import asof_join
 from brontes_spark.streaming.asof import asof_enrich_stream
+import pytest
 
 DDL = "event_id long, ts_ns long, key long, is_ref boolean, value double"
 SEC = 1_000_000_000
@@ -63,6 +64,7 @@ def _mk_rows(seed: int):
     return rows
 
 
+@pytest.mark.slow
 def test_streaming_asof_matches_batch_across_restart(spark, tmp_path):
     rows = _mk_rows(31)
     half = len(rows) // 2

@@ -6,6 +6,8 @@ arrival."""
 
 from __future__ import annotations
 
+import pytest
+
 from brontes_spark.operators.dedup import (
     _lsh_band_signatures,
     minhash_lsh_pairs,
@@ -167,6 +169,7 @@ def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
             w["t1"], w["t2"], w["t3"], w["stage"]), uid
 
 
+@pytest.mark.slow
 def test_streaming_funnel_out_of_order_understates_never_overstates(
     spark, tmp_path
 ):

@@ -7,6 +7,7 @@ from __future__ import annotations
 import random
 
 from brontes_spark.streaming.sessionize import sessionize_stream
+import pytest
 
 DDL = "event_id long, ts_ns long, user_id long, event_type string"
 GAP_NS = 1_000_000_000  # 1s inactivity gap
@@ -48,6 +49,7 @@ def _drain(spark, src, ckpt, out):
     q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_matches_batch_with_timeout_close(
     spark, tmp_path
 ):

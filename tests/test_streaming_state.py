@@ -14,6 +14,7 @@ from brontes_spark.sources.fixtures import (
     univ3_initial_rows,
 )
 from brontes_spark.streaming.state import univ3_state_stream
+import pytest
 
 
 def _write_batch(spark, rows, path):
@@ -227,6 +228,7 @@ def test_univ3_tip_partial_snapshot_is_not_committed(spark, tmp_path):
         assert got[k]["liquidity_post"] == wrow["liquidity_post"], k
 
 
+@pytest.mark.slow
 def test_windowed_block_rollup_with_late_data(spark, tmp_path):
     """Watermarked windowed agg: in-order batches emit finalized windows;
     an event arriving later than the 120s watermark is DROPPED (late-data

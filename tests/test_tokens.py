@@ -43,6 +43,7 @@ def _classified(spark, token_decimals):
     return classify_traces(traces, a2p, token_decimals, binfo)
 
 
+@pytest.mark.slow
 def test_missing_token_quarantine_and_backfill(spark):
     dim = spark.createDataFrame([(DAI, 18)], "address string, decimals int")
     actions = _classified(spark, dim).cache()
