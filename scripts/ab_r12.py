@@ -409,6 +409,46 @@ def _pagerank_r11(edges, src_col="src", dst_col="dst", iters=3, scale=10**9,
     return ranks
 
 
+def _pmi_aggjoin(docs, text_col, window=3, min_count=2):
+    """pmi_cooccur VARIANT: marginals via two map-side-combinable aggs +
+    broadcast joins instead of two Exchange+Sort+Window passes."""
+    from brontes_spark.operators.cooccur import skipgram_pairs
+
+    pairs = skipgram_pairs(docs, text_col, window)
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy")).cache()
+    dim = c.agg(F.sum("n_xy").alias("t_pairs")).withColumn("j", F.lit(1))
+    mx = c.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    my = c.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    c = c.join(F.broadcast(mx), "w1").join(F.broadcast(my), "w2")
+    scored = (
+        c.withColumn("j", F.lit(1))
+        .join(F.broadcast(dim), "j")
+        .drop("j")
+        .withColumn(
+            "lift9",
+            F.expr(
+                "CAST(n_xy AS DECIMAL(38,0)) * t_pairs"
+                " * CAST(1000000000 AS DECIMAL(38,0))"
+                " div (CAST(n_x AS DECIMAL(38,0)) * n_y)"
+            ),
+        )
+    )
+    return scored.filter(F.col("n_xy") >= min_count).select(
+        "w1", "w2", "n_xy", "n_x", "n_y", F.col("lift9").cast("long").alias("lift9")
+    )
+
+
+def _case_pmi(spark):
+    from brontes_spark.operators.cooccur import pmi_cooccur
+    from brontes_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    return {
+        "window(live)": lambda: pmi_cooccur(docs, "text", window=3, min_count=2),
+        "agg-join": lambda: _pmi_aggjoin(docs, "text", window=3, min_count=2),
+    }
+
+
 def _gate_patch_case(spark, gate, module_path, attr, frozen):
     """base = gate with `attr` monkeypatched to the frozen r11 copy;
     live = gate as-is."""
@@ -449,6 +489,7 @@ CASES = {
     "ppr3": _case_ppr3,
     "hits": _case_hits,
     "g7": _case_g7,
+    "pmi": _case_pmi,
     "bfs": _case_bfs,
     "fuzzy": _case_fuzzy,
     "fuzzy3": _case_fuzzy3,

@@ -100,7 +100,12 @@ def test_table_profile_union_of_pruned_scans(spark):
 
 
 def test_zorder_is_pure_codegen_projection(spark):
-    plan = _plan(spark, "o8_zorder_index")
+    from .conftest import codegen_session
+
+    # the default test session runs interpreted (conftest); this pin is
+    # specifically about the codegen span, so restore the production engine
+    with codegen_session(spark):
+        plan = _plan(spark, "o8_zorder_index")
     assert "Exchange" not in plan  # a projection: zero shuffles
     # formatted mode marks whole-stage-codegen nodes with '*'
     assert "* Project" in plan
