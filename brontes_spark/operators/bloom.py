@@ -185,7 +185,12 @@ def decontaminate_bloom(
     # eval docs. A lazy lineage cut computes it once; the relation is
     # eval-set-sized, never corpus-sized (r11 interleaved A/B at sf0.1:
     # base 1.97 s, cut 1.81 s, persist 1.92 s — the RDD cut wins over the
-    # columnar cache, the bfs.py finding).
+    # columnar cache, the bfs.py finding). Storage-cost caveat (r11
+    # advice): at the module's stated ~1e9-eval-shingle ceiling these
+    # checkpoint blocks are a multi-GB deserialized MEMORY_AND_DISK copy
+    # held until the RDD is GC'd; in that regime trade the cut for
+    # serialized storage (persist(StorageLevel.MEMORY_AND_DISK_SER)) or
+    # re-derive — the cut's win here is measured at eval-set scale.
     ev = ev.localCheckpoint(eager=False)
     words = bloom_words(bloom_build(ev, "shingle_h", m_bits, n_hashes), m_bits)
     cand = (
